@@ -1,0 +1,110 @@
+"""Level-synchronous BFS (SURVEY.md §2.3 J1/J2, §3.2).
+
+The reference's direction-optimizing hybrid engine
+(/root/reference/mpi/bfs.hpp:2651-2940) produces *some* valid BFS
+predecessor tree (first-writer-wins CAS, bfs.hpp:1302). Here the same
+semantics are one join formulation — frontier ⋈ adjacency, dedup by
+min(parent) (a deterministic, spec-valid choice per FIXTURES.md §3) —
+iterated in a driver loop with a global barrier per level, exactly
+Pregel's model.
+
+Why there is no bottom-up variant: top-down vs bottom-up is a physical
+strategy for the same logical semi-join. In Spark the analogous runtime
+choice (broadcast the small side, re-plan per level) is made by AQE from
+actual frontier sizes, so the engine keeps ONE logical formulation and
+lets the optimizer pick the physical plan — that is the Spark-first
+translation of the reference's α/β direction heuristics
+(bfs.hpp:2799-2829, parameters.h:87-89).
+
+Scale notes:
+  * The per-level join shuffles on src; pre-partitioning the edge table
+    by src (``repartition("src")`` + persist, done in ``bfs``) makes
+    every level reuse that exchange — only the (small) frontier moves.
+  * ``localCheckpoint`` every level cuts the lineage chain that
+    otherwise grows linearly with depth (the classic iterative-Spark
+    failure mode; SURVEY.md §7.3).
+  * The visited set stays distributed; the only driver-side value per
+    level is the frontier count (the reference allreduces nq_size the
+    same way, bfs.hpp:1163).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PRED_SCHEMA = T.StructType(
+    [
+        T.StructField("vertex", T.LongType(), False),
+        T.StructField("pred", T.LongType(), True),
+        T.StructField("depth", T.IntegerType(), True),
+    ]
+)
+
+
+def bfs(
+    spark: SparkSession,
+    edges_clean: DataFrame,
+    root: int,
+    max_depth: int | None = None,
+    checkpoint_every: int = 1,
+    prepartition: bool = True,
+) -> DataFrame:
+    """BFS from ``root`` over a symmetrized, deduped edge list.
+
+    Returns [vertex, pred, depth] for every *reached* vertex
+    (root has pred == root, depth == 0 — the spec convention,
+    /root/reference/mpi/validate.hpp:530). Unreached vertices are simply
+    absent (≈ the reference's -1 entries).
+    """
+    edges = edges_clean.select("src", "dst")
+    if prepartition:
+        edges = edges.repartition("src").persist()
+
+    frontier = spark.createDataFrame(
+        [(int(root), int(root), 0)], schema=PRED_SCHEMA
+    ).localCheckpoint(eager=True)
+    reached = frontier
+    depth = 0
+
+    while True:
+        if max_depth is not None and depth >= max_depth:
+            break
+        depth += 1
+        # One logical step: frontier ⋈ adjacency → candidate (dst, src),
+        # keep min(src) per dst, drop already-reached. The groupBy and
+        # the anti-join share the same hash partitioning on `vertex`, so
+        # AQE plans them without an extra exchange; small frontiers
+        # become broadcast joins at runtime.
+        candidates = (
+            edges.join(
+                frontier.select(F.col("vertex").alias("src")), "src"
+            )
+            .select(F.col("dst").alias("vertex"), F.col("src").alias("pred"))
+            .groupBy("vertex")
+            .agg(F.min("pred").alias("pred"))
+            .join(reached.select("vertex"), "vertex", "left_anti")
+            .withColumn("depth", F.lit(depth))
+        )
+        new_frontier = candidates.localCheckpoint(eager=True)
+        n_new = new_frontier.count()
+        if n_new == 0:
+            break
+        reached = reached.unionByName(new_frontier)
+        if depth % checkpoint_every == 0:
+            reached = reached.localCheckpoint(eager=True)
+        frontier = new_frontier
+
+    if prepartition:
+        edges.unpersist()
+    return reached
+
+
+def bfs_fixed_depth(
+    spark: SparkSession, edges_clean: DataFrame, root: int, k: int
+) -> DataFrame:
+    """BFS truncated at depth k — the SQL-expressible form (a k-fold
+    join chain the DuckDB oracle reproduces exactly). Same per-level
+    semantics as ``bfs`` (min-parent, first level wins)."""
+    return bfs(spark, edges_clean, root, max_depth=k, prepartition=False)

@@ -1,0 +1,179 @@
+"""Graph-construction ETL operators (SURVEY.md §2.2/§2.4/§2.5).
+
+Reference parity (semantics only; the physical strategy is Catalyst's):
+  * remove_self_loops — P1, /root/reference/mpi/graph_constructor.hpp:697,1003
+  * symmetrize        — P2, /root/reference/mpi/graph_constructor.hpp:992-1035
+  * dedup_edges       — O2, /root/reference/mpi/graph_constructor.hpp:1363-1442
+  * degrees           — A1, /root/reference/mpi/graph_constructor.hpp:296-352
+  * max_vertex        — A2, /root/reference/mpi/graph_constructor.hpp:658-763
+  * count_vertices    — A3, /root/reference/mpi/graph_constructor.hpp:1444-1464
+  * degree_order_map  — O1, /root/reference/mpi/graph_constructor.hpp:313-351
+  * apply_vertex_map  — P4, /root/reference/mpi/graph_constructor.hpp:1108-1181
+  * build_adjacency   — CSR analogue (grouped adjacency lists)
+  * build_clean_edges — full construction pipeline (§3.1 construct)
+
+Scale notes (100 TB design point):
+  * Every operator is a single declarative plan — map-side partial
+    aggregation, column pruning, and AQE skew splitting come from
+    Catalyst, not hand-rolled code.
+  * ``degree_order_map`` deliberately avoids the classic
+    ``row_number() OVER (ORDER BY ...)`` single-partition bottleneck:
+    rank = (#vertices with strictly higher degree) + (rank among
+    same-degree vertices). The per-degree offset table is tiny (one row
+    per distinct degree value) and computed with a window over that tiny
+    table; the per-vertex rank is a window partitioned BY degree, which
+    parallelizes across degree values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def remove_self_loops(edges: DataFrame) -> DataFrame:
+    """P1: drop (v,v) edges. Predicate pushes down to the scan."""
+    return edges.filter(F.col("src") != F.col("dst"))
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """P2: undirected edge list → both directed orientations.
+
+    Union is a no-shuffle narrow op; downstream dedup/agg shuffles once.
+    """
+    cols = [c for c in edges.columns if c not in ("src", "dst")]
+    forward = edges.select("src", "dst", *cols)
+    backward = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), *cols
+    )
+    return forward.unionByName(backward)
+
+
+def dedup_edges(edges: DataFrame) -> DataFrame:
+    """O2: drop duplicate (src,dst) pairs — one hash shuffle on both keys."""
+    return edges.dropDuplicates(["src", "dst"])
+
+
+def degrees(edges: DataFrame, *, directed: bool = True) -> DataFrame:
+    """A1: degree per vertex → [vertex, degree].
+
+    With ``directed=True`` the input is assumed already symmetrized
+    (each undirected edge present in both orientations), so out-degree
+    of the symmetric table == undirected degree — one groupBy, with
+    map-side partial counts.
+    """
+    if directed:
+        endpoints = edges.select(F.col("src").alias("vertex"))
+    else:
+        endpoints = edges.select(
+            F.explode(F.array(F.col("src"), F.col("dst"))).alias("vertex")
+        )
+    return endpoints.groupBy("vertex").agg(F.count(F.lit(1)).alias("degree"))
+
+
+def max_vertex(edges: DataFrame) -> DataFrame:
+    """A2: max endpoint id (used by the reference to estimate SCALE)."""
+    return edges.agg(
+        F.max(F.greatest(F.col("src"), F.col("dst"))).alias("max_vertex")
+    )
+
+
+def count_vertices(edges: DataFrame, *, approx: bool = False) -> DataFrame:
+    """A3: number of distinct vertices with >= 1 incident edge."""
+    endpoints = edges.select(
+        F.explode(F.array(F.col("src"), F.col("dst"))).alias("vertex")
+    )
+    if approx:
+        return endpoints.agg(
+            F.approx_count_distinct("vertex").alias("num_vertices")
+        )
+    return endpoints.agg(F.count_distinct(F.col("vertex")).alias("num_vertices"))
+
+
+def degree_order_map(edges: DataFrame, *, directed: bool = True) -> DataFrame:
+    """O1: degree-descending renumbering → [vertex, degree, new_id].
+
+    new_id is the 1-based rank by (degree DESC, vertex ASC) — the
+    deterministic analogue of the reference's pair-sort reordering
+    (ties broken by original id instead of partition arrival order).
+
+    Scalable two-phase ranking (no global single-partition window):
+      offsets  = per-degree cumulative start position (tiny table)
+      new_id   = offset(degree) + row_number() within that degree
+    """
+    deg = degrees(edges, directed=directed)
+
+    hist = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("cnt"))
+    # The histogram has at most O(max_degree) rows — a driver-size table;
+    # the unpartitioned window here is over that tiny table only.
+    w_off = (
+        Window.orderBy(F.col("degree").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = hist.select(
+        "degree",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("offset"),
+    )
+
+    w_in = Window.partitionBy("degree").orderBy(F.col("vertex").asc())
+    ranked = (
+        deg.join(F.broadcast(offsets), "degree")
+        .select(
+            "vertex",
+            "degree",
+            (F.col("offset") + F.row_number().over(w_in)).alias("new_id"),
+        )
+    )
+    return ranked
+
+
+def apply_vertex_map(
+    edges: DataFrame, vertex_map: DataFrame, *, broadcast_map: bool = False
+) -> DataFrame:
+    """P4: rewrite both endpoints through a [vertex, new_id] mapping.
+
+    Two equi-joins (the reference's distributed gather in disguise).
+    ``broadcast_map=True`` for small vertex sets; otherwise shuffle
+    joins that AQE can convert/skew-split at runtime.
+    """
+    vmap = vertex_map.select("vertex", "new_id")
+    if broadcast_map:
+        vmap = F.broadcast(vmap)
+    src_map = vmap.withColumnRenamed("vertex", "src").withColumnRenamed(
+        "new_id", "new_src"
+    )
+    dst_map = vmap.withColumnRenamed("vertex", "dst").withColumnRenamed(
+        "new_id", "new_dst"
+    )
+    extra = [c for c in edges.columns if c not in ("src", "dst")]
+    return (
+        edges.join(src_map, "src")
+        .join(dst_map, "dst")
+        .select(
+            F.col("new_src").alias("src"), F.col("new_dst").alias("dst"), *extra
+        )
+    )
+
+
+def build_clean_edges(edges_raw: DataFrame) -> DataFrame:
+    """Construction pipeline core: loop-filter → symmetrize → dedup.
+
+    Output invariants (FIXTURES.md §1.3): no self loops, (src,dst)
+    unique, (a,b) present ⇔ (b,a) present. Catalyst fuses the filter
+    and union into the single dedup shuffle.
+    """
+    return dedup_edges(symmetrize(remove_self_loops(edges_raw)))
+
+
+def build_adjacency(edges_clean: DataFrame) -> DataFrame:
+    """CSR analogue: [src, neighbors: sorted array<long>, degree].
+
+    sort_array gives deterministic neighbor order (the reference sorts
+    adjacency for dedup + locality, graph_constructor.hpp:1363-1412).
+    One shuffle on src; at scale, persist/bucket this by src so each
+    BFS level reuses the partitioning.
+    """
+    return edges_clean.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("neighbors"),
+        F.count(F.lit(1)).alias("degree"),
+    )

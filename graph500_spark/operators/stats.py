@@ -1,0 +1,108 @@
+"""Run statistics (SURVEY.md A7) — min/Q1/median/Q3/max/mean/stddev per
+quantity plus harmonic-mean TEPS with the Norris (1940) stddev.
+
+Ref: get_statistics / print_bfs_result,
+/root/reference/mpi/logfile.h:19-107. The reference's quartile
+convention is NOT linear interpolation; it is
+    Q1     = (x[(n-1)/4]   + x[n/4])     / 2
+    median = (x[(n-1)/2]   + x[n/2])     / 2
+    Q3     = (x[n-1-(n-1)/4] + x[n-1-n/4]) / 2
+(0-based sorted order, integer division). We reproduce it exactly with
+sorted-array indexing — both here and in the DuckDB oracle SQL — so the
+operator is hash-checkable.
+
+Scale note: statistics run over one row per BFS run (64 rows); the
+collect_list is bounded by the run count, never by data size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _order_stats(df: DataFrame, col: str) -> DataFrame:
+    """Reference-convention summary for one numeric column →
+    one row [quantity, min, q1, median, q3, max, mean, stddev]."""
+    arr = F.sort_array(F.collect_list(F.col(col)))
+    n = F.size(arr)
+    # element_at is 1-based; the reference indexes are 0-based.
+    q1 = (
+        F.element_at(arr, ((n - 1) / 4).cast("int") + 1)
+        + F.element_at(arr, (n / 4).cast("int") + 1)
+    ) / 2
+    med = (
+        F.element_at(arr, ((n - 1) / 2).cast("int") + 1)
+        + F.element_at(arr, (n / 2).cast("int") + 1)
+    ) / 2
+    q3 = (
+        F.element_at(arr, n - ((n - 1) / 4).cast("int"))
+        + F.element_at(arr, n - (n / 4).cast("int"))
+    ) / 2
+    return df.agg(
+        F.lit(col).alias("quantity"),
+        F.min(col).cast("double").alias("min"),
+        q1.cast("double").alias("q1"),
+        med.cast("double").alias("median"),
+        q3.cast("double").alias("q3"),
+        F.max(col).cast("double").alias("max"),
+        F.avg(col).alias("mean"),
+        F.stddev_samp(col).alias("stddev"),
+    )
+
+
+def run_statistics(runs: DataFrame) -> DataFrame:
+    """Summary over per-run measurements
+    [run_id, bfs_time, validate_time, edge_count] (FIXTURES.md §1.6):
+    one row per quantity incl. derived secs_per_edge, ordered by name.
+    """
+    with_spe = runs.withColumn(
+        "secs_per_edge", F.col("bfs_time") / F.col("edge_count")
+    )
+    out = None
+    for col in ("bfs_time", "validate_time", "edge_count", "secs_per_edge"):
+        one = _order_stats(with_spe, col)
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy("quantity")
+
+
+def teps_summary(runs: DataFrame) -> DataFrame:
+    """Headline TEPS statistics (logfile.h:74-91):
+    TEPS order stats are inverses of secs_per_edge order stats
+    (min_TEPS = 1/max_spe, Q1_TEPS = 1/Q3_spe, ...);
+    harmonic_mean_TEPS = 1/mean(spe); Norris stddev =
+    stddev(spe) / (mean(spe)^2 * sqrt(n-1)).
+    """
+    spe = runs.select(
+        (F.col("bfs_time") / F.col("edge_count")).alias("spe")
+    )
+    arr = F.sort_array(F.collect_list("spe"))
+    n = F.size(arr)
+    q1 = (
+        F.element_at(arr, ((n - 1) / 4).cast("int") + 1)
+        + F.element_at(arr, (n / 4).cast("int") + 1)
+    ) / 2
+    med = (
+        F.element_at(arr, ((n - 1) / 2).cast("int") + 1)
+        + F.element_at(arr, (n / 2).cast("int") + 1)
+    ) / 2
+    q3 = (
+        F.element_at(arr, n - ((n - 1) / 4).cast("int"))
+        + F.element_at(arr, n - (n / 4).cast("int"))
+    ) / 2
+    return spe.agg(
+        (F.lit(1.0) / F.max("spe")).alias("min_teps"),
+        (F.lit(1.0) / q3).cast("double").alias("q1_teps"),
+        (F.lit(1.0) / med).cast("double").alias("median_teps"),
+        (F.lit(1.0) / q1).cast("double").alias("q3_teps"),
+        (F.lit(1.0) / F.min("spe")).alias("max_teps"),
+        (F.lit(1.0) / F.avg("spe")).alias("harmonic_mean_teps"),
+        (
+            F.stddev_samp("spe")
+            / (
+                F.avg("spe")
+                * F.avg("spe")
+                * F.sqrt(F.count(F.lit(1)).cast("double") - 1)
+            )
+        ).alias("harmonic_stddev_teps"),
+    )

@@ -1,0 +1,171 @@
+"""BFS-result validation — the reference's 5 spec checks as DataFrame
+queries (SURVEY.md §3.3; /root/reference/mpi/validate.hpp:489-802).
+
+Data model: ``pred_df`` is the unpacked predecessor map
+``[vertex: long, pred: long|null, depth: int|null]`` — NULL pred/depth
+means "unreached" (the reference packs (depth<<48)|parent into one
+int64 with -1 / 0xFFFF sentinels, validate.hpp:806-819; we use honest
+nullable columns instead).
+
+Each check returns a DataFrame of violation rows (empty == pass);
+``validate_bfs`` aggregates them into one summary. These are both
+product operators (J3/J4/A5/A6) and the engine's own test oracle,
+exactly as in the reference.
+
+Scale notes: every check is 1-2 equi-joins + a filter — shuffle joins
+on vertex id that AQE can re-plan; pred_df is usually far smaller than
+the edge list, so Catalyst broadcasts it when it fits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def check_value_ranges(pred_df: DataFrame, nglobalverts: int) -> DataFrame:
+    """Check 1: every non-null parent id in [0, nglobalverts).
+
+    Ref: check_value_ranges, /root/reference/mpi/validate.hpp:822-839.
+    """
+    return pred_df.filter(
+        F.col("pred").isNotNull()
+        & ((F.col("pred") < 0) | (F.col("pred") >= F.lit(nglobalverts)))
+    ).select("vertex", "pred", "depth")
+
+
+def check_root_and_self_parents(pred_df: DataFrame, root: int) -> DataFrame:
+    """Check 2: pred[root]==root; no non-root vertex is its own parent.
+
+    Ref: /root/reference/mpi/validate.hpp:530-571.
+    """
+    bad_root = pred_df.filter(
+        (F.col("vertex") == F.lit(root)) & (F.col("pred") != F.col("vertex"))
+    )
+    self_parent = pred_df.filter(
+        (F.col("vertex") != F.lit(root))
+        & F.col("pred").isNotNull()
+        & (F.col("pred") == F.col("vertex"))
+    )
+    return bad_root.unionByName(self_parent).select("vertex", "pred", "depth")
+
+
+def check_depth_consistency(pred_df: DataFrame, root: int) -> DataFrame:
+    """Check 3: depth[root]==0; reached ⇔ depth set; depth[v]==depth[pred[v]]+1.
+
+    The parent lookup is the reference's distributed gather J4
+    (check_bfs_depth_map_using_predecessors, validate.hpp:920-995)
+    re-expressed as a self-join on the pred table.
+    """
+    null_mismatch = pred_df.filter(
+        F.col("pred").isNull() != F.col("depth").isNull()
+    ).select("vertex", "pred", "depth", F.lit("null_mismatch").alias("why"))
+
+    bad_root_depth = pred_df.filter(
+        (F.col("vertex") == F.lit(root)) & (F.col("depth") != F.lit(0))
+    ).select("vertex", "pred", "depth", F.lit("root_depth").alias("why"))
+
+    parent = pred_df.select(
+        F.col("vertex").alias("p_vertex"), F.col("depth").alias("p_depth")
+    )
+    bad_step = (
+        pred_df.filter(
+            (F.col("vertex") != F.lit(root)) & F.col("pred").isNotNull()
+        )
+        .join(parent, F.col("pred") == F.col("p_vertex"), "left")
+        .filter(
+            F.col("p_depth").isNull()  # parent unreached or missing
+            | (F.col("depth") != F.col("p_depth") + F.lit(1))
+        )
+        .select("vertex", "pred", "depth", F.lit("depth_step").alias("why"))
+    )
+    return null_mismatch.unionByName(bad_root_depth).unionByName(bad_step)
+
+
+def _edge_with_depths(edges_raw: DataFrame, pred_df: DataFrame) -> DataFrame:
+    """J3: annotate every raw edge with both endpoint depths (two joins)."""
+    depth = pred_df.select("vertex", "depth")
+    src_d = depth.select(
+        F.col("vertex").alias("src"), F.col("depth").alias("src_depth")
+    )
+    dst_d = depth.select(
+        F.col("vertex").alias("dst"), F.col("depth").alias("dst_depth")
+    )
+    return edges_raw.join(src_d, "src", "left").join(dst_d, "dst", "left")
+
+
+def check_edge_depths(edges_raw: DataFrame, pred_df: DataFrame) -> DataFrame:
+    """Check 4: no edge connects a reached and an unreached vertex, and
+    endpoint depths differ by at most 1.
+
+    Ref: /root/reference/mpi/validate.hpp:703-721 (error branches).
+    """
+    e = _edge_with_depths(edges_raw, pred_df)
+    return e.filter(
+        (F.col("src_depth").isNull() != F.col("dst_depth").isNull())
+        | (
+            F.col("src_depth").isNotNull()
+            & F.col("dst_depth").isNotNull()
+            & (F.abs(F.col("src_depth") - F.col("dst_depth")) > 1)
+        )
+    ).select("src", "dst", "src_depth", "dst_depth")
+
+
+def edge_visit_count(edges_raw: DataFrame, pred_df: DataFrame) -> DataFrame:
+    """A5 (TEPS numerator): count raw input edges — including duplicates
+    and self-loops — whose endpoints are both in the BFS tree.
+
+    Ref: edge_visit_count, /root/reference/mpi/validate.hpp:703-721.
+    """
+    e = _edge_with_depths(edges_raw, pred_df)
+    return e.filter(
+        F.col("src_depth").isNotNull() & F.col("dst_depth").isNotNull()
+    ).agg(F.count(F.lit(1)).alias("edge_visit_count"))
+
+
+def check_tree_edges(
+    edges_raw: DataFrame, pred_df: DataFrame, root: int
+) -> DataFrame:
+    """Check 5: every (v, pred[v]) of a reached non-root vertex exists as
+    a graph edge (in either orientation of the raw undirected list).
+
+    Ref: pred_valid marking, /root/reference/mpi/validate.hpp:722-792.
+    Implemented as a left-anti join against the symmetrized edge set.
+    """
+    sym = edges_raw.select("src", "dst").unionByName(
+        edges_raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    claims = pred_df.filter(
+        (F.col("vertex") != F.lit(root)) & F.col("pred").isNotNull()
+    ).select("vertex", "pred", "depth")
+    return claims.join(
+        sym,
+        (claims.vertex == sym.src) & (claims.pred == sym.dst),
+        "left_anti",
+    )
+
+
+def validate_bfs(
+    edges_raw: DataFrame, pred_df: DataFrame, root: int, nglobalverts: int
+) -> DataFrame:
+    """All five checks → [check: string, violations: long] summary.
+
+    Ref driver: validate_bfs_result, /root/reference/mpi/validate.hpp:1008-1019.
+    Unlike the reference (which aborts on first failing check), this
+    reports every check's violation count as rows — friendlier for a
+    relational engine and strictly more informative.
+    """
+    checks = {
+        "value_ranges": check_value_ranges(pred_df, nglobalverts),
+        "root_self_parents": check_root_and_self_parents(pred_df, root),
+        "depth_consistency": check_depth_consistency(pred_df, root),
+        "edge_depths": check_edge_depths(edges_raw, pred_df),
+        "tree_edges": check_tree_edges(edges_raw, pred_df, root),
+    }
+    out = None
+    for name, df in checks.items():
+        one = df.agg(F.count(F.lit(1)).alias("violations")).select(
+            F.lit(name).alias("check"), "violations"
+        )
+        out = one if out is None else out.unionByName(one)
+    return out

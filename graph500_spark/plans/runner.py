@@ -1,0 +1,129 @@
+"""End-to-end Graph500 benchmark pipeline (SURVEY.md §3.1).
+
+Mirrors graph500_bfs (/root/reference/mpi/main.cc:34-178):
+generate → construct → sample roots → per root (BFS + validate +
+edge count + TEPS) → statistics. Every MPI collective of the reference
+becomes a shuffle/aggregation boundary Catalyst inserts automatically.
+
+Resume semantics (S7, benchmark_helper.hpp:530-604): results are
+appended per root to a parquet sink; a rerun skips roots already
+present — idempotent reruns replace the reference's binary checkpoint
+log.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graph500_spark.operators import bfs as bfs_mod
+from graph500_spark.operators import graph_build, roots, stats, validate
+from graph500_spark.sources import generator
+
+
+@dataclass
+class BenchmarkResult:
+    scale: int
+    edgefactor: int
+    num_roots: int
+    runs: list[dict] = field(default_factory=list)
+
+    def runs_df(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(
+            [
+                (
+                    r["run_id"],
+                    float(r["bfs_time"]),
+                    float(r["validate_time"]),
+                    float(r["edge_count"]),
+                )
+                for r in self.runs
+            ],
+            "run_id int, bfs_time double, validate_time double, edge_count double",
+        )
+
+
+def run_benchmark(
+    spark: SparkSession,
+    scale: int,
+    edgefactor: int = 16,
+    num_roots: int = 16,
+    validation: bool = True,
+    results_path: str | None = None,
+) -> BenchmarkResult:
+    """The full pipeline at a given SCALE. num_roots=64 is spec mode,
+    16 is the reference's own --test mode (run-benchmark.py:112)."""
+    nverts = 1 << scale
+
+    edges_raw = generator.generate_kronecker_edges(spark, scale, edgefactor)
+    edges_raw = edges_raw.persist()
+    edges_raw.count()  # materialize once (generation phase)
+
+    edges_clean = graph_build.build_clean_edges(edges_raw).persist()
+    edges_clean.count()  # construction phase
+
+    done: set[int] = set()
+    if results_path is not None:
+        try:
+            prev = spark.read.parquet(results_path)
+            done = {r["root"] for r in prev.select("root").distinct().collect()}
+        except Exception:
+            done = set()
+
+    root_list = roots.find_roots(spark, edges_raw, nverts, num_roots)
+    result = BenchmarkResult(scale, edgefactor, num_roots)
+
+    for run_id, root in enumerate(root_list):
+        if root in done:
+            continue
+        t0 = time.monotonic()
+        pred = bfs_mod.bfs(spark, edges_clean, root, prepartition=False)
+        pred = pred.persist()
+        pred.count()
+        bfs_time = time.monotonic() - t0
+
+        t1 = time.monotonic()
+        if validation:
+            summary = validate.validate_bfs(edges_raw, pred, root, nverts)
+            bad = summary.filter(F.col("violations") > 0).count()
+            if bad:
+                raise AssertionError(
+                    f"BFS validation failed for root {root}: "
+                    + str(summary.collect())
+                )
+        ec = validate.edge_visit_count(edges_raw, pred).collect()[0][
+            "edge_visit_count"
+        ]
+        validate_time = time.monotonic() - t1
+        pred.unpersist()
+
+        row = {
+            "run_id": run_id,
+            "root": root,
+            "bfs_time": bfs_time,
+            "validate_time": validate_time,
+            "edge_count": float(ec),
+            "teps": float(ec) / bfs_time if bfs_time > 0 else 0.0,
+        }
+        result.runs.append(row)
+        if results_path is not None:
+            spark.createDataFrame(
+                [tuple(row.values())],
+                "run_id int, root long, bfs_time double, validate_time double,"
+                " edge_count double, teps double",
+            ).write.mode("append").parquet(results_path)
+
+    edges_clean.unpersist()
+    edges_raw.unpersist()
+    return result
+
+
+def benchmark_statistics(
+    spark: SparkSession, result: BenchmarkResult
+) -> tuple[DataFrame, DataFrame]:
+    """(per-quantity order stats, TEPS headline row) — §2 A7."""
+    runs = result.runs_df(spark)
+    return stats.run_statistics(runs), stats.teps_summary(runs)

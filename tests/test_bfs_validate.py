@@ -1,0 +1,126 @@
+"""BFS + validator tests: the reference's own correctness story —
+every BFS is checked by the 5 spec checks (SURVEY.md §5), plus
+corrupted-fixture tests proving each check fires."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph500_spark.operators import bfs as bfs_mod
+from graph500_spark.operators import graph_build as gb
+from graph500_spark.operators import validate as V
+from graph500_spark.sources import generator
+
+PRED_SCHEMA = "vertex long, pred long, depth int"
+
+
+@pytest.fixture(scope="module")
+def chain_graph(spark):
+    # path 0-1-2-3-4 plus branch 2-5
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (2, 5)], "src long, dst long"
+    )
+    return e, gb.build_clean_edges(e)
+
+
+def test_bfs_chain(spark, chain_graph):
+    raw, clean = chain_graph
+    pred = bfs_mod.bfs(spark, clean, 0, prepartition=False)
+    got = {r["vertex"]: (r["pred"], r["depth"]) for r in pred.collect()}
+    assert got == {
+        0: (0, 0),
+        1: (0, 1),
+        2: (1, 2),
+        3: (2, 3),
+        5: (2, 3),
+        4: (3, 4),
+    }
+
+
+def test_bfs_validates_clean(spark, chain_graph):
+    raw, clean = chain_graph
+    pred = bfs_mod.bfs(spark, clean, 0, prepartition=False)
+    summary = V.validate_bfs(raw, pred, 0, 6)
+    assert all(r["violations"] == 0 for r in summary.collect())
+    evc = V.edge_visit_count(raw, pred).collect()[0]["edge_visit_count"]
+    assert evc == 5  # every raw edge has both endpoints reached
+
+
+def test_bfs_unreachable_component(spark):
+    raw = spark.createDataFrame(
+        [(0, 1), (5, 6)], "src long, dst long"
+    )
+    clean = gb.build_clean_edges(raw)
+    pred = bfs_mod.bfs(spark, clean, 0, prepartition=False)
+    verts = {r["vertex"] for r in pred.collect()}
+    assert verts == {0, 1}
+    # check 4 fires is NOT expected: edge 5-6 has both endpoints unreached
+    assert V.check_edge_depths(raw, pred).count() == 0
+    assert (
+        V.edge_visit_count(raw, pred).collect()[0]["edge_visit_count"] == 1
+    )
+
+
+def test_bfs_min_parent_determinism(spark):
+    # diamond: 0-1, 0-2, 1-3, 2-3 → pred[3] must be min(1,2)=1
+    clean = gb.build_clean_edges(
+        spark.createDataFrame([(0, 1), (0, 2), (1, 3), (2, 3)], "src long, dst long")
+    )
+    pred = bfs_mod.bfs(spark, clean, 0, prepartition=False)
+    got = {r["vertex"]: r["pred"] for r in pred.collect()}
+    assert got[3] == 1
+
+
+def test_validators_fire_on_corrupted_fixtures(spark, chain_graph):
+    raw, _ = chain_graph
+    ok = spark.createDataFrame(
+        [(0, 0, 0), (1, 0, 1), (2, 1, 2), (3, 2, 3), (4, 3, 4), (5, 2, 3)],
+        PRED_SCHEMA,
+    )
+    # check 1: out-of-range parent
+    bad1 = ok.withColumn(
+        "pred", F.when(F.col("vertex") == 3, F.lit(99)).otherwise(F.col("pred"))
+    )
+    assert V.check_value_ranges(bad1, 6).count() == 1
+    # check 2: self parent (non-root)
+    bad2 = ok.withColumn(
+        "pred", F.when(F.col("vertex") == 2, F.lit(2)).otherwise(F.col("pred"))
+    )
+    assert V.check_root_and_self_parents(bad2, 0).count() == 1
+    # check 2: root not its own parent
+    bad2b = ok.withColumn(
+        "pred", F.when(F.col("vertex") == 0, F.lit(1)).otherwise(F.col("pred"))
+    )
+    assert V.check_root_and_self_parents(bad2b, 0).count() == 1
+    # check 3: depth gap
+    bad3 = ok.withColumn(
+        "depth", F.when(F.col("vertex") == 4, F.lit(9)).otherwise(F.col("depth"))
+    )
+    assert V.check_depth_consistency(bad3, 0).count() >= 1
+    # check 4: edge spanning >1 depth levels
+    assert V.check_edge_depths(raw, bad3).count() >= 1
+    # check 5: phantom tree edge
+    bad5 = ok.withColumn(
+        "pred", F.when(F.col("vertex") == 4, F.lit(0)).otherwise(F.col("pred"))
+    )
+    assert V.check_tree_edges(raw, bad5, 0).count() == 1
+    # clean fixture passes everything
+    assert all(
+        r["violations"] == 0 for r in V.validate_bfs(raw, ok, 0, 6).collect()
+    )
+
+
+def test_bfs_on_kronecker_graph_validates(spark):
+    raw = generator.generate_kronecker_edges(spark, 7, 8)
+    clean = gb.build_clean_edges(raw).persist()
+    from graph500_spark.operators import roots as roots_mod
+
+    rts = roots_mod.find_roots(spark, raw, 1 << 7, num_roots=2)
+    assert len(rts) == 2
+    for root in rts:
+        pred = bfs_mod.bfs(spark, clean, root, prepartition=False)
+        summary = V.validate_bfs(raw, pred, root, 1 << 7)
+        bad = {r["check"]: r["violations"] for r in summary.collect()}
+        assert all(v == 0 for v in bad.values()), bad
+    clean.unpersist()
