@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship query: full BFS over the heterogeneous
+                customer/nation/order/part graph at sf0.001.
+queries()     — one entry per implemented operator (SURVEY.md §2),
+                each (spark, sf_dir) -> DataFrame.
+oracle_sql()  — DuckDB-equivalent SQL for every SQL-expressible entry.
+
+The registries live in graph500_spark.plans.queries.
 """
 
 from __future__ import annotations
@@ -15,24 +17,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: deterministic BFS predecessor tree (vertex, pred,
+    depth) from the nation-1 vertex over the multi-table graph."""
+    from graph500_spark.plans.queries import q_bfs_full
+
+    return q_bfs_full(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from graph500_spark.plans.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from graph500_spark.plans.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

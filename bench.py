@@ -1,0 +1,74 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed once after a warm-up of the input scans; timing
+covers the full job (plan + shuffle + action).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from graph500_spark.session import get_spark
+    from graph500_spark.plans import queries as Q
+
+    spark = get_spark(app_name="graph500-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + parquet footers so per-query times measure the
+    # engine, not first-touch overhead.
+    Q.hetero_edges(spark, sf_dir).count()
+
+    bench_queries = {
+        "construction": lambda: Q.q_clean_edges(spark, sf_dir).count(),
+        "degrees": lambda: Q.q_degrees(spark, sf_dir).count(),
+        "degree_order_map": lambda: Q.q_degree_order_map(spark, sf_dir).count(),
+        "bfs_full": lambda: Q.q_bfs_full(spark, sf_dir).count(),
+        "edge_visit_count": lambda: Q.q_edge_visit_count(spark, sf_dir).count(),
+        "kronecker_s14_gen_construct": lambda: _kron(spark),
+        "run_statistics": lambda: Q.q_run_statistics(spark, sf_dir).count(),
+    }
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in bench_queries.items():
+        t0 = time.monotonic()
+        fn()
+        dt = time.monotonic() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "graph500_spark_headline_suite",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    return 0
+
+
+def _kron(spark) -> int:
+    from graph500_spark.operators.graph_build import build_clean_edges
+    from graph500_spark.sources.generator import generate_kronecker_edges
+
+    return build_clean_edges(generate_kronecker_edges(spark, 14, 16)).count()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

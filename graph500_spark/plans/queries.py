@@ -1,0 +1,547 @@
+"""Driver-contract query registry: every implemented operator from
+SURVEY.md §2 as a (spark, sf_dir) -> DataFrame callable plus, where
+SQL-expressible, a DuckDB oracle statement computing the identical
+result (same column names, same types, same values).
+
+Conventions (driver compare is schema + order-insensitive value-hash):
+  * every computed column is explicitly aliased identically on both
+    sides;
+  * float outputs are rounded to 6 decimals on both sides so the
+    ~1e-13-relative summation-order differences between engines cannot
+    flip the hash;
+  * fixtures are pure SQL derivations of the testdata tables, so both
+    engines construct bit-identical inputs.
+
+The heterogeneous test graph (used by BFS/validator entries) links
+customer→nation, customer→order, supplier→nation and order→part edges
+into one vertex space with disjoint id offsets — BFS from a nation
+vertex reaches depth ~6+, exercising real multi-level traversal.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graph500_spark.operators import bfs as bfs_mod
+from graph500_spark.operators import graph_build as gb
+from graph500_spark.operators import roots as roots_mod
+from graph500_spark.operators import stats as stats_mod
+from graph500_spark.operators import validate as V
+from graph500_spark.sources import generator
+from graph500_spark.sources import testdata as td
+
+# ---------------------------------------------------------------------------
+# Fixture SQL (shared by Spark loaders and DuckDB oracle strings)
+# ---------------------------------------------------------------------------
+
+HETERO_EDGES_SQL = (
+    "SELECT CAST(c_custkey AS BIGINT) AS src,"
+    " CAST(c_nationkey AS BIGINT) + 1000000 AS dst FROM customer"
+    " UNION ALL SELECT CAST(o_custkey AS BIGINT) AS src,"
+    " CAST(o_orderkey AS BIGINT) + 2000000 AS dst FROM orders"
+    " UNION ALL SELECT CAST(s_suppkey AS BIGINT) + 5000000 AS src,"
+    " CAST(s_nationkey AS BIGINT) + 1000000 AS dst FROM supplier"
+    " UNION ALL SELECT CAST(l_orderkey AS BIGINT) + 2000000 AS src,"
+    " CAST(l_partkey AS BIGINT) + 4000000 AS dst FROM lineitem"
+)
+
+# raw graph with self-loops and duplicates, single shared id space —
+# exercises P1/O2 nontrivially
+MOD997_EDGES_SQL = (
+    "SELECT CAST(o_orderkey % 997 AS BIGINT) AS src,"
+    " CAST(o_custkey % 997 AS BIGINT) AS dst FROM orders"
+)
+
+BFS_ROOT = 1000001  # nation vertex (n_nationkey 1 + 1,000,000)
+
+# deterministic per-run measurements table (FIXTURES.md §1.6) derived
+# from events — input fixture for the statistics operators
+RUNS_SQL = (
+    "SELECT CAST(event_id % 16 AS INTEGER) AS run_id,"
+    " ROUND(SUM(value) / 100.0, 6) AS bfs_time,"
+    " ROUND(SUM(value) / 300.0, 6) AS validate_time,"
+    " CAST(COUNT(*) AS DOUBLE) AS edge_count"
+    " FROM events GROUP BY event_id % 16"
+)
+
+# corrupted predecessor fixture — drives the validator queries so each
+# check provably fires (FIXTURES.md §1.4); root vertex is BFS_ROOT
+PRED_CORRUPT_SQL = (
+    "SELECT CAST(c_custkey AS BIGINT) AS vertex,"
+    " CAST(CASE WHEN c_custkey % 97 = 0 THEN c_custkey"
+    "      WHEN c_custkey % 89 = 0 THEN 99999999"
+    "      ELSE 1000001 END AS BIGINT) AS pred,"
+    " CAST(CASE WHEN c_custkey % 83 = 0 THEN 7 ELSE 1 END AS INTEGER) AS depth"
+    " FROM customer"
+    " UNION ALL SELECT CAST(1000001 AS BIGINT), CAST(1000001 AS BIGINT),"
+    " CAST(0 AS INTEGER)"
+)
+
+
+def _clean_sql(raw_sql: str) -> str:
+    """SQL mirror of graph_build.build_clean_edges."""
+    return (
+        f"WITH raw AS ({raw_sql}),"
+        " nl AS (SELECT src, dst FROM raw WHERE src <> dst),"
+        " sym AS (SELECT src, dst FROM nl"
+        "         UNION ALL SELECT dst AS src, src AS dst FROM nl)"
+        " SELECT DISTINCT src, dst FROM sym"
+    )
+
+
+def bfs_fixed_depth_sql(edges_raw_sql: str, root: int, k: int) -> str:
+    """Generate the k-level BFS oracle: the exact SQL unrolling of the
+    engine's level-synchronous min-parent loop (operators/bfs.py)."""
+    parts = [
+        f"WITH raw AS ({edges_raw_sql})",
+        "nl AS (SELECT src, dst FROM raw WHERE src <> dst)",
+        "clean AS (SELECT DISTINCT src, dst FROM"
+        " (SELECT src, dst FROM nl UNION ALL"
+        "  SELECT dst AS src, src AS dst FROM nl))",
+        f"d0 AS (SELECT CAST({root} AS BIGINT) AS vertex,"
+        f" CAST({root} AS BIGINT) AS pred, CAST(0 AS INTEGER) AS depth)",
+        "r0 AS (SELECT vertex FROM d0)",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"n{i} AS (SELECT e.dst AS vertex, MIN(e.src) AS pred"
+            f" FROM clean e JOIN d{i-1} f ON e.src = f.vertex GROUP BY e.dst)"
+        )
+        parts.append(
+            f"d{i} AS (SELECT vertex, pred, CAST({i} AS INTEGER) AS depth"
+            f" FROM n{i} WHERE vertex NOT IN (SELECT vertex FROM r{i-1}))"
+        )
+        parts.append(
+            f"r{i} AS (SELECT vertex FROM r{i-1}"
+            f" UNION ALL SELECT vertex FROM d{i})"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM d{i}" for i in range(k + 1))
+    return ", ".join(parts) + " " + union
+
+
+_ORDER_STATS_SQL_TEMPLATE = (
+    "SELECT '{name}' AS quantity,"
+    " ROUND(mn, 6) AS min,"
+    " ROUND((arr[(n - 1) // 4 + 1] + arr[n // 4 + 1]) / 2.0, 6) AS q1,"
+    " ROUND((arr[(n - 1) // 2 + 1] + arr[n // 2 + 1]) / 2.0, 6) AS median,"
+    " ROUND((arr[n - (n - 1) // 4] + arr[n - n // 4]) / 2.0, 6) AS q3,"
+    " ROUND(mx, 6) AS max,"
+    " ROUND(mean_, 6) AS mean,"
+    " ROUND(sd, 6) AS stddev"
+    " FROM (SELECT LIST(x ORDER BY x) AS arr, COUNT(*) AS n,"
+    "       MIN(x) AS mn, MAX(x) AS mx, AVG(x) AS mean_,"
+    "       STDDEV_SAMP(x) AS sd FROM src_{name})"
+)
+
+
+def run_statistics_sql() -> str:
+    """DuckDB mirror of stats.run_statistics over the RUNS_SQL fixture."""
+    pieces = []
+    for name, expr in (
+        ("bfs_time", "bfs_time"),
+        ("edge_count", "edge_count"),
+        ("secs_per_edge", "bfs_time / edge_count"),
+        ("validate_time", "validate_time"),
+    ):
+        sub = _ORDER_STATS_SQL_TEMPLATE.format(name=name)
+        pieces.append(
+            f"src_{name} AS (SELECT {expr} AS x FROM runs), "
+            f"st_{name} AS ({sub})"
+        )
+    return (
+        f"WITH runs AS ({RUNS_SQL}), "
+        + ", ".join(pieces)
+        + " SELECT * FROM ("
+        + " UNION ALL ".join(
+            f"SELECT * FROM st_{n}"
+            for n in ("bfs_time", "edge_count", "secs_per_edge", "validate_time")
+        )
+        + ") ORDER BY quantity"
+    )
+
+
+def teps_summary_sql() -> str:
+    return (
+        f"WITH runs AS ({RUNS_SQL}),"
+        " spe AS (SELECT bfs_time / edge_count AS x FROM runs),"
+        " s AS (SELECT LIST(x ORDER BY x) AS arr, COUNT(*) AS n,"
+        "       MIN(x) AS mn, MAX(x) AS mx, AVG(x) AS mean_,"
+        "       STDDEV_SAMP(x) AS sd FROM spe)"
+        " SELECT ROUND(1.0 / mx, 6) AS min_teps,"
+        " ROUND(1.0 / ((arr[n - (n-1)//4] + arr[n - n//4]) / 2.0), 6) AS q1_teps,"
+        " ROUND(1.0 / ((arr[(n-1)//2 + 1] + arr[n//2 + 1]) / 2.0), 6) AS median_teps,"
+        " ROUND(1.0 / ((arr[(n-1)//4 + 1] + arr[n//4 + 1]) / 2.0), 6) AS q3_teps,"
+        " ROUND(1.0 / mn, 6) AS max_teps,"
+        " ROUND(1.0 / mean_, 6) AS harmonic_mean_teps,"
+        " ROUND(sd / (mean_ * mean_ * SQRT(n - 1)), 6) AS harmonic_stddev_teps"
+        " FROM s"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark-side fixture loaders
+# ---------------------------------------------------------------------------
+
+def _register_views(spark: SparkSession, sf_dir: str) -> None:
+    for name in td.TABLES:
+        td.load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def hetero_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_views(spark, sf_dir)
+    return spark.sql(HETERO_EDGES_SQL)
+
+
+def mod997_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_views(spark, sf_dir)
+    return spark.sql(MOD997_EDGES_SQL)
+
+
+def runs_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_views(spark, sf_dir)
+    return spark.sql(RUNS_SQL)
+
+
+def pred_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_views(spark, sf_dir)
+    return spark.sql(PRED_CORRUPT_SQL)
+
+
+def _round_floats(df: DataFrame, ndigits: int = 6) -> DataFrame:
+    cols = []
+    for f in df.schema.fields:
+        if f.dataType.typeName() in ("double", "float"):
+            cols.append(F.round(F.col(f.name), ndigits).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# queries() registry
+# ---------------------------------------------------------------------------
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def q_self_loop_filter(spark, sf_dir):
+    return gb.remove_self_loops(mod997_edges(spark, sf_dir))
+
+
+def q_symmetrize(spark, sf_dir):
+    return gb.symmetrize(mod997_edges(spark, sf_dir))
+
+
+def q_dedup_edges(spark, sf_dir):
+    return gb.dedup_edges(mod997_edges(spark, sf_dir))
+
+
+def q_clean_edges(spark, sf_dir):
+    return gb.build_clean_edges(mod997_edges(spark, sf_dir))
+
+
+def q_degrees(spark, sf_dir):
+    return gb.degrees(gb.build_clean_edges(mod997_edges(spark, sf_dir)))
+
+
+def q_max_vertex(spark, sf_dir):
+    return gb.max_vertex(hetero_edges(spark, sf_dir))
+
+
+def q_count_vertices(spark, sf_dir):
+    return gb.count_vertices(hetero_edges(spark, sf_dir))
+
+
+def q_degree_order_map(spark, sf_dir):
+    return gb.degree_order_map(gb.build_clean_edges(mod997_edges(spark, sf_dir)))
+
+
+def q_apply_vertex_map(spark, sf_dir):
+    clean = gb.build_clean_edges(mod997_edges(spark, sf_dir))
+    vmap = gb.degree_order_map(clean).select("vertex", "new_id")
+    return gb.apply_vertex_map(clean, vmap)
+
+
+def q_adjacency_strings(spark, sf_dir):
+    """Adjacency lists serialized to strings so the value-hash is
+    engine-portable (array typing differs between Spark and DuckDB)."""
+    clean = gb.build_clean_edges(mod997_edges(spark, sf_dir))
+    adj = gb.build_adjacency(clean)
+    return adj.select(
+        "src",
+        F.concat_ws(",", F.col("neighbors")).alias("neighbors"),
+        "degree",
+    )
+
+
+def q_bfs_depth3(spark, sf_dir):
+    clean = gb.build_clean_edges(hetero_edges(spark, sf_dir))
+    return bfs_mod.bfs_fixed_depth(spark, clean, BFS_ROOT, 3)
+
+
+def q_bfs_full(spark, sf_dir):
+    clean = gb.build_clean_edges(hetero_edges(spark, sf_dir))
+    return bfs_mod.bfs(spark, clean, BFS_ROOT, prepartition=False)
+
+
+def q_edge_visit_count(spark, sf_dir):
+    raw = hetero_edges(spark, sf_dir)
+    pred = q_bfs_depth3(spark, sf_dir)
+    return V.edge_visit_count(raw, pred)
+
+
+def q_check_value_ranges(spark, sf_dir):
+    return V.check_value_ranges(pred_corrupt(spark, sf_dir), 6000000)
+
+
+def q_check_root_self_parents(spark, sf_dir):
+    return V.check_root_and_self_parents(pred_corrupt(spark, sf_dir), BFS_ROOT)
+
+
+def q_check_depth_consistency(spark, sf_dir):
+    return V.check_depth_consistency(pred_corrupt(spark, sf_dir), BFS_ROOT)
+
+
+def q_check_edge_depths(spark, sf_dir):
+    return V.check_edge_depths(
+        hetero_edges(spark, sf_dir), pred_corrupt(spark, sf_dir)
+    )
+
+
+def q_check_tree_edges(spark, sf_dir):
+    return V.check_tree_edges(
+        hetero_edges(spark, sf_dir), pred_corrupt(spark, sf_dir), BFS_ROOT
+    )
+
+
+def q_validate_bfs_summary(spark, sf_dir):
+    """Clean-path validation: the engine's own BFS must pass all 5
+    checks — [check, violations] with all-zero counts."""
+    raw = hetero_edges(spark, sf_dir)
+    pred = q_bfs_full(spark, sf_dir)
+    return V.validate_bfs(raw, pred, BFS_ROOT, 6000000)
+
+
+def q_pred_pack(spark, sf_dir):
+    """P5: (depth<<48)|parent packing as honest column math
+    (/root/reference/mpi/validate.hpp:806-819)."""
+    pred = pred_corrupt(spark, sf_dir)
+    return pred.select(
+        "vertex",
+        (
+            F.shiftleft(F.col("depth").cast("long"), 48) + F.col("pred")
+        ).alias("packed"),
+    )
+
+
+def q_run_statistics(spark, sf_dir):
+    return _round_floats(stats_mod.run_statistics(runs_fixture(spark, sf_dir)))
+
+
+def q_teps_summary(spark, sf_dir):
+    return _round_floats(stats_mod.teps_summary(runs_fixture(spark, sf_dir)))
+
+
+def q_set_difference(spark, sf_dir):
+    _register_views(spark, sf_dir)
+    cust = spark.sql("SELECT CAST(c_custkey AS BIGINT) AS v FROM customer")
+    with_orders = spark.sql("SELECT CAST(o_custkey AS BIGINT) AS v FROM orders")
+    from graph500_spark.operators.setops import set_difference
+
+    return set_difference(cust, with_orders.dropDuplicates())
+
+
+def q_set_intersection(spark, sf_dir):
+    _register_views(spark, sf_dir)
+    cust = spark.sql("SELECT CAST(c_custkey AS BIGINT) AS v FROM customer")
+    supp = spark.sql("SELECT CAST(s_suppkey AS BIGINT) AS v FROM supplier")
+    from graph500_spark.operators.setops import set_intersection
+
+    return set_intersection(cust, supp)
+
+
+def q_set_union(spark, sf_dir):
+    _register_views(spark, sf_dir)
+    cust = spark.sql("SELECT CAST(c_custkey AS BIGINT) AS v FROM customer")
+    supp = spark.sql("SELECT CAST(s_suppkey AS BIGINT) AS v FROM supplier")
+    from graph500_spark.operators.setops import set_union
+
+    return set_union(cust, supp)
+
+
+def q_kronecker_s8(spark, sf_dir):
+    """S1 generator at scale 8 (rows-only check is NOT used: the edge
+    list is deterministic, so we hash it — oracle reproduces it via a
+    VALUES literal? No: PRNG is not SQL-expressible; rows-only)."""
+    return generator.generate_kronecker_edges(spark, 8, 16)
+
+
+def q_find_roots(spark, sf_dir):
+    """O4 on the scale-8 Kronecker graph (rows-only: PRNG-driven)."""
+    edges = generator.generate_kronecker_edges(spark, 8, 16)
+    rts = roots_mod.find_roots(spark, edges, 1 << 8, num_roots=8)
+    return spark.createDataFrame(
+        [(i, int(r)) for i, r in enumerate(rts)], "run_id int, root long"
+    )
+
+
+QUERIES: dict[str, QueryFn] = {
+    "self_loop_filter": q_self_loop_filter,
+    "symmetrize": q_symmetrize,
+    "dedup_edges": q_dedup_edges,
+    "clean_edges": q_clean_edges,
+    "degrees": q_degrees,
+    "max_vertex": q_max_vertex,
+    "count_vertices": q_count_vertices,
+    "degree_order_map": q_degree_order_map,
+    "apply_vertex_map": q_apply_vertex_map,
+    "adjacency": q_adjacency_strings,
+    "bfs_depth3": q_bfs_depth3,
+    "bfs_full": q_bfs_full,
+    "edge_visit_count": q_edge_visit_count,
+    "check_value_ranges": q_check_value_ranges,
+    "check_root_self_parents": q_check_root_self_parents,
+    "check_depth_consistency": q_check_depth_consistency,
+    "check_edge_depths": q_check_edge_depths,
+    "check_tree_edges": q_check_tree_edges,
+    "validate_bfs_summary": q_validate_bfs_summary,
+    "pred_pack": q_pred_pack,
+    "run_statistics": q_run_statistics,
+    "teps_summary": q_teps_summary,
+    "set_difference": q_set_difference,
+    "set_intersection": q_set_intersection,
+    "set_union": q_set_union,
+    "kronecker_s8": q_kronecker_s8,
+    "find_roots": q_find_roots,
+}
+
+
+# ---------------------------------------------------------------------------
+# oracle_sql() registry
+# ---------------------------------------------------------------------------
+
+_CLEAN_MOD997 = _clean_sql(MOD997_EDGES_SQL)
+_CLEAN_HETERO = _clean_sql(HETERO_EDGES_SQL)
+
+ORACLE_SQL: dict[str, str] = {
+    "self_loop_filter": (
+        f"SELECT src, dst FROM ({MOD997_EDGES_SQL}) WHERE src <> dst"
+    ),
+    "symmetrize": (
+        f"WITH raw AS ({MOD997_EDGES_SQL})"
+        " SELECT src, dst FROM raw"
+        " UNION ALL SELECT dst AS src, src AS dst FROM raw"
+    ),
+    "dedup_edges": f"SELECT DISTINCT src, dst FROM ({MOD997_EDGES_SQL})",
+    "clean_edges": _CLEAN_MOD997,
+    "degrees": (
+        f"WITH clean AS ({_CLEAN_MOD997})"
+        " SELECT src AS vertex, COUNT(*) AS degree FROM clean GROUP BY src"
+    ),
+    "max_vertex": (
+        f"SELECT MAX(GREATEST(src, dst)) AS max_vertex"
+        f" FROM ({HETERO_EDGES_SQL})"
+    ),
+    "count_vertices": (
+        f"WITH raw AS ({HETERO_EDGES_SQL}),"
+        " vs AS (SELECT src AS v FROM raw UNION ALL SELECT dst AS v FROM raw)"
+        " SELECT COUNT(DISTINCT v) AS num_vertices FROM vs"
+    ),
+    "degree_order_map": (
+        f"WITH clean AS ({_CLEAN_MOD997}),"
+        " deg AS (SELECT src AS vertex, COUNT(*) AS degree"
+        "         FROM clean GROUP BY src)"
+        " SELECT vertex, degree,"
+        " ROW_NUMBER() OVER (ORDER BY degree DESC, vertex ASC) AS new_id"
+        " FROM deg"
+    ),
+    "apply_vertex_map": (
+        f"WITH clean AS ({_CLEAN_MOD997}),"
+        " deg AS (SELECT src AS vertex, COUNT(*) AS degree"
+        "         FROM clean GROUP BY src),"
+        " vmap AS (SELECT vertex,"
+        "  ROW_NUMBER() OVER (ORDER BY degree DESC, vertex ASC) AS new_id"
+        "  FROM deg)"
+        " SELECT ms.new_id AS src, md.new_id AS dst"
+        " FROM clean e JOIN vmap ms ON e.src = ms.vertex"
+        " JOIN vmap md ON e.dst = md.vertex"
+    ),
+    "adjacency": (
+        f"WITH clean AS ({_CLEAN_MOD997})"
+        " SELECT src, STRING_AGG(dst, ',' ORDER BY dst) AS neighbors,"
+        " COUNT(*) AS degree FROM clean GROUP BY src"
+    ),
+    "bfs_depth3": bfs_fixed_depth_sql(HETERO_EDGES_SQL, BFS_ROOT, 3),
+    "edge_visit_count": (
+        f"WITH raw AS ({HETERO_EDGES_SQL}),"
+        f" pred AS ({bfs_fixed_depth_sql(HETERO_EDGES_SQL, BFS_ROOT, 3)})"
+        " SELECT COUNT(*) AS edge_visit_count FROM raw"
+        " JOIN pred ps ON raw.src = ps.vertex"
+        " JOIN pred pd ON raw.dst = pd.vertex"
+    ),
+    "check_value_ranges": (
+        f"WITH pred AS ({PRED_CORRUPT_SQL})"
+        " SELECT vertex, pred, depth FROM pred"
+        " WHERE pred IS NOT NULL AND (pred < 0 OR pred >= 6000000)"
+    ),
+    "check_root_self_parents": (
+        f"WITH pred AS ({PRED_CORRUPT_SQL})"
+        f" SELECT vertex, pred, depth FROM pred"
+        f" WHERE (vertex = {BFS_ROOT} AND pred <> vertex)"
+        f" OR (vertex <> {BFS_ROOT} AND pred IS NOT NULL AND pred = vertex)"
+    ),
+    "check_depth_consistency": (
+        f"WITH pred AS ({PRED_CORRUPT_SQL})"
+        " SELECT vertex, pred, depth, 'null_mismatch' AS why FROM pred"
+        " WHERE (pred IS NULL) <> (depth IS NULL)"
+        f" UNION ALL SELECT vertex, pred, depth, 'root_depth' AS why"
+        f" FROM pred WHERE vertex = {BFS_ROOT} AND depth <> 0"
+        f" UNION ALL SELECT c.vertex, c.pred, c.depth, 'depth_step' AS why"
+        f" FROM pred c LEFT JOIN pred p ON c.pred = p.vertex"
+        f" WHERE c.vertex <> {BFS_ROOT} AND c.pred IS NOT NULL"
+        f" AND (p.depth IS NULL OR c.depth <> p.depth + 1)"
+    ),
+    "check_edge_depths": (
+        f"WITH raw AS ({HETERO_EDGES_SQL}), pred AS ({PRED_CORRUPT_SQL})"
+        " SELECT e.src, e.dst, ps.depth AS src_depth, pd.depth AS dst_depth"
+        " FROM raw e LEFT JOIN pred ps ON e.src = ps.vertex"
+        " LEFT JOIN pred pd ON e.dst = pd.vertex"
+        " WHERE ((ps.depth IS NULL) <> (pd.depth IS NULL))"
+        " OR (ps.depth IS NOT NULL AND pd.depth IS NOT NULL"
+        "     AND ABS(ps.depth - pd.depth) > 1)"
+    ),
+    "check_tree_edges": (
+        f"WITH raw AS ({HETERO_EDGES_SQL}), pred AS ({PRED_CORRUPT_SQL}),"
+        " sym AS (SELECT src, dst FROM raw"
+        "         UNION ALL SELECT dst AS src, src AS dst FROM raw),"
+        f" claims AS (SELECT vertex, pred, depth FROM pred"
+        f"  WHERE vertex <> {BFS_ROOT} AND pred IS NOT NULL)"
+        " SELECT c.vertex, c.pred, c.depth FROM claims c"
+        " WHERE NOT EXISTS (SELECT 1 FROM sym s"
+        "  WHERE s.src = c.vertex AND s.dst = c.pred)"
+    ),
+    "pred_pack": (
+        f"WITH pred AS ({PRED_CORRUPT_SQL})"
+        " SELECT vertex,"
+        " CAST(depth AS BIGINT) * 281474976710656 + pred AS packed FROM pred"
+    ),
+    "run_statistics": run_statistics_sql(),
+    "teps_summary": teps_summary_sql(),
+    "set_difference": (
+        "SELECT CAST(c_custkey AS BIGINT) AS v FROM customer"
+        " EXCEPT SELECT CAST(o_custkey AS BIGINT) AS v FROM orders"
+    ),
+    "set_intersection": (
+        "SELECT CAST(c_custkey AS BIGINT) AS v FROM customer"
+        " INTERSECT SELECT CAST(s_suppkey AS BIGINT) AS v FROM supplier"
+    ),
+    "set_union": (
+        "SELECT CAST(c_custkey AS BIGINT) AS v FROM customer"
+        " UNION SELECT CAST(s_suppkey AS BIGINT) AS v FROM supplier"
+    ),
+    # bfs_full, validate_bfs_summary, kronecker_s8, find_roots:
+    # rows-only (unbounded iteration / PRNG not SQL-expressible)
+}
