@@ -1,0 +1,431 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+
+All hot paths are pure Column algebra (whole-stage codegen; no Python
+UDFs): shingling and hashing are higher-order array expressions, LSH
+banding is an explode + hash-shuffle groupBy, pair verification is an
+equi-join on bucket keys. Each operator has a mechanically mirrored
+DuckDB SQL (the *_SQL constants / builders) for the oracle gate.
+
+Scale notes (100 TB design point):
+  * Exact dedup: one hash shuffle on the text hash — map-side partial
+    aggregation applies.
+  * MinHash/LSH: signatures are per-row (narrow); candidate generation
+    shuffles once on (band, key); verification joins only bucket-mates
+    — never all-pairs. Band count / rows-per-band tune the
+    recall/cost curve without changing the plan shape.
+  * SimHash: per-row signature + join on exact bucket; hamming check
+    is bit_count(xor) — JVM intrinsic.
+  * n-gram Jaccard is the *verifier* — quadratic, so it only ever runs
+    on LSH/blocked candidates (the all-pairs form here blocks on
+    `source`, standing in for the block key a real pipeline derives).
+  * Embedding near-dup blocks on `label` (≈ a coarse IVF cell).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graph500_spark.operators.text import (
+    DUCK_TOKENS,
+    HASH_MOD,
+    SPARK_TOKENS,
+    duck_strhash,
+    spark_strhash,
+)
+
+SHINGLE_N = 3
+K_MINHASH = 16
+N_BANDS = 4
+ROWS_PER_BAND = 4
+SIMHASH_BITS = 16
+
+# Deterministic universal-hash parameters (inlined identically in both
+# dialects): h_j(x) = (a_j * x + b_j) mod 2^31-1
+MINHASH_A = [(1103515245 * (j + 1)) % HASH_MOD for j in range(K_MINHASH)]
+MINHASH_B = [(12345 + 777 * j) % HASH_MOD for j in range(K_MINHASH)]
+
+# ---------------------------------------------------------------------------
+# Shingles (token 3-grams) and their hashes
+# ---------------------------------------------------------------------------
+
+# guard: sequence(1, n) with n<1 must yield no shingles (Spark's
+# sequence(1,0) counts DOWN, so the CASE is load-bearing)
+_SPARK_SHINGLES = (
+    f"CASE WHEN size({SPARK_TOKENS}) < {SHINGLE_N} THEN array()"
+    f" ELSE transform(sequence(1, size({SPARK_TOKENS}) - {SHINGLE_N - 1}),"
+    f" i -> concat_ws(' ', slice({SPARK_TOKENS}, i, {SHINGLE_N}))) END"
+)
+_DUCK_SHINGLES = (
+    f"CASE WHEN len({DUCK_TOKENS}) < {SHINGLE_N} THEN []"
+    f" ELSE list_transform(generate_series(1, len({DUCK_TOKENS}) - {SHINGLE_N - 1}),"
+    f" i -> array_to_string({DUCK_TOKENS}[i:i + {SHINGLE_N - 1}], ' ')) END"
+)
+
+_SPARK_SHINGLE_HASHES = (
+    f"array_distinct(transform({_SPARK_SHINGLES}, s -> {spark_strhash('s')}))"
+)
+_DUCK_SHINGLE_HASHES = (
+    f"list_distinct(list_transform({_DUCK_SHINGLES}, s -> {duck_strhash('s')}))"
+)
+
+
+def shingle_hashes(docs: DataFrame) -> DataFrame:
+    """[doc_id, shingles: array<long>] — distinct hashed token 3-grams."""
+    return docs.select(
+        "doc_id", F.expr(_SPARK_SHINGLE_HASHES).alias("shingles")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Exact-text dedup groups: [text_hash, rep_doc_id, n_copies].
+    rep_doc_id = min doc id of the group (the canonical survivor)."""
+    return (
+        docs.select(
+            "doc_id", F.expr(spark_strhash("text")).cast("long").alias("text_hash")
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+EXACT_DUPLICATES_SQL = (
+    f"SELECT CAST({duck_strhash('text')} AS BIGINT) AS text_hash,"
+    " MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_copies"
+    " FROM documents GROUP BY 1"
+)
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def _spark_minhash_cols() -> list[str]:
+    cols = []
+    for j in range(K_MINHASH):
+        a, b = MINHASH_A[j], MINHASH_B[j]
+        cols.append(
+            f"coalesce(array_min(transform(shingles,"
+            f" x -> ({a}L * x + {b}L) % {HASH_MOD})), 0L)"
+        )
+    return cols
+
+
+def _duck_minhash_cols() -> list[str]:
+    cols = []
+    for j in range(K_MINHASH):
+        a, b = MINHASH_A[j], MINHASH_B[j]
+        cols.append(
+            f"coalesce(list_min(list_transform(shingles,"
+            f" x -> ({a} * x + {b}) % {HASH_MOD})), 0)"
+        )
+    return cols
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """[doc_id, mh00..mh15] — K=16 minhash values over shingle hashes."""
+    sh = shingle_hashes(docs)
+    return sh.select(
+        "doc_id",
+        *[
+            F.expr(e).cast("long").alias(f"mh{j:02d}")
+            for j, e in enumerate(_spark_minhash_cols())
+        ],
+    )
+
+
+MINHASH_SIGNATURES_SQL = (
+    "SELECT doc_id, "
+    + ", ".join(
+        f"CAST({e} AS BIGINT) AS mh{j:02d}"
+        for j, e in enumerate(_duck_minhash_cols())
+    )
+    + f" FROM (SELECT doc_id, {_DUCK_SHINGLE_HASHES} AS shingles FROM documents)"
+)
+
+
+def _band_key_exprs() -> list[str]:
+    """band key = 'mh00_mh01_mh02_mh03' etc — same in both dialects
+    via concat over string casts."""
+    keys = []
+    for b in range(N_BANDS):
+        cols = [
+            f"CAST(mh{b * ROWS_PER_BAND + r:02d} AS VARCHAR)"
+            for r in range(ROWS_PER_BAND)
+        ]
+        keys.append(" || '_' || ".join(cols))
+    return keys
+
+
+def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """[doc_a, doc_b] — pairs sharing at least one full LSH band.
+    doc_a < doc_b; distinct across bands."""
+    sig = minhash_signatures(docs)
+    bands = None
+    for b, key in enumerate(_band_key_exprs()):
+        one = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.expr(key.replace("VARCHAR", "STRING")).alias("key"),
+        )
+        bands = one if bands is None else bands.unionByName(one)
+    left = bands.select("band", "key", F.col("doc_id").alias("doc_a"))
+    right = bands.select("band", "key", F.col("doc_id").alias("doc_b"))
+    return (
+        left.join(right, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def lsh_candidate_pairs_sql() -> str:
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {key} AS key FROM sig"
+        for b, key in enumerate(_band_key_exprs())
+    )
+    return (
+        f"WITH sig AS ({MINHASH_SIGNATURES_SQL}),"
+        f" bands AS ({band_selects})"
+        " SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b"
+        " FROM bands a JOIN bands b"
+        " ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """LSH candidates verified by exact Jaccard over distinct shingle
+    sets: [doc_a, doc_b, jaccard] with jaccard >= threshold."""
+    cands = lsh_candidate_pairs(docs)
+    sh = shingle_hashes(docs)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    joined = cands.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        joined.select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_near_duplicates_sql(threshold: float = 0.5) -> str:
+    return (
+        f"WITH cands AS ({lsh_candidate_pairs_sql()}),"
+        f" sh AS (SELECT doc_id, {_DUCK_SHINGLE_HASHES} AS shingles"
+        "         FROM documents)"
+        " SELECT doc_a, doc_b, jaccard FROM ("
+        " SELECT doc_a, doc_b,"
+        " ROUND(len(list_intersect(a.shingles, b.shingles))"
+        "  / greatest(len(a.shingles) + len(b.shingles)"
+        "     - len(list_intersect(a.shingles, b.shingles)), 1), 6) AS jaccard"
+        " FROM cands JOIN sh a ON cands.doc_a = a.doc_id"
+        " JOIN sh b ON cands.doc_b = b.doc_id)"
+        f" WHERE jaccard >= {threshold}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _simhash_expr(engine: str) -> str:
+    """16-bit simhash over token hashes (with multiplicity): bit b is 1
+    iff sum over tokens of (2*((h>>b)&1) - 1) > 0."""
+    if engine == "spark":
+        tok_hashes = f"transform({SPARK_TOKENS}, t -> {spark_strhash('t')})"
+        bits = [
+            f"CASE WHEN aggregate({tok_hashes}, 0L,"
+            f" (acc, h) -> acc + 2 * ((h div {1 << b}) % 2) - 1) > 0"
+            f" THEN {1 << b}L ELSE 0L END"
+            for b in range(SIMHASH_BITS)
+        ]
+    else:
+        tok_hashes = f"list_transform({DUCK_TOKENS}, t -> {duck_strhash('t')})"
+        bits = [
+            f"CASE WHEN list_reduce([CAST(0 AS BIGINT)] || {tok_hashes},"
+            f" (acc, h) -> acc + 2 * ((h // {1 << b}) % 2) - 1) > 0"
+            f" THEN {1 << b} ELSE 0 END"
+            for b in range(SIMHASH_BITS)
+        ]
+    return " + ".join(bits)
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """[doc_id, simhash] — 16-bit simhash of the token stream."""
+    return docs.select(
+        "doc_id", F.expr(_simhash_expr("spark")).cast("long").alias("simhash")
+    )
+
+
+def simhash_sql() -> str:
+    return (
+        f"SELECT doc_id, CAST({_simhash_expr('duck')} AS BIGINT) AS simhash"
+        " FROM documents"
+    )
+
+
+def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """[doc_a, doc_b, hamming] — within-source pairs with simhash
+    hamming distance <= max_hamming (source is the blocking key)."""
+    sh = simhash(docs).join(docs.select("doc_id", "source"), "doc_id")
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sh_a"),
+        "source",
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sh_b"),
+        "source",
+    )
+    return (
+        a.join(b, "source")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)").cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_near_duplicates_sql(max_hamming: int = 3) -> str:
+    return (
+        f"WITH sh AS (SELECT d.doc_id, d.source,"
+        f" CAST({_simhash_expr('duck')} AS BIGINT) AS simhash"
+        " FROM documents d)"
+        " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+        " CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming"
+        " FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id"
+        f" WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (blocked all-pairs verifier)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.3) -> DataFrame:
+    """[doc_a, doc_b, jaccard] — within-source pairwise token-3-gram
+    Jaccard >= threshold. Quadratic per block by design (verifier)."""
+    sh = shingle_hashes(docs).join(docs.select("doc_id", "source"), "doc_id")
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"), "source"
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"), "source"
+    )
+    joined = a.join(b, "source").filter(F.col("doc_a") < F.col("doc_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        joined.select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs_sql(threshold: float = 0.3) -> str:
+    return (
+        f"WITH sh AS (SELECT d.doc_id, d.source,"
+        f" {_DUCK_SHINGLE_HASHES} AS shingles FROM documents d)"
+        " SELECT doc_a, doc_b, jaccard FROM ("
+        " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+        " ROUND(len(list_intersect(a.shingles, b.shingles))"
+        "  / greatest(len(a.shingles) + len(b.shingles)"
+        "     - len(list_intersect(a.shingles, b.shingles)), 1), 6) AS jaccard"
+        " FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id)"
+        f" WHERE jaccard >= {threshold}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (blocked by label ≈ coarse IVF cell)
+# ---------------------------------------------------------------------------
+
+_SPARK_DOT = (
+    "aggregate(sequence(1, size(va)), cast(0.0 as double),"
+    " (acc, i) -> acc + element_at(va, i) * element_at(vb, i))"
+)
+_DUCK_DOT = (
+    "list_reduce([CAST(0.0 AS DOUBLE)] ||"
+    " list_transform(generate_series(1, len(va)), i -> va[i] * vb[i]),"
+    " (acc, x) -> acc + x)"
+)
+_SPARK_NORM = (
+    "sqrt(aggregate(sequence(1, size({v})), cast(0.0 as double),"
+    " (acc, i) -> acc + element_at({v}, i) * element_at({v}, i)))"
+)
+_DUCK_NORM = (
+    "sqrt(list_reduce([CAST(0.0 AS DOUBLE)] ||"
+    " list_transform(generate_series(1, len({v})), i -> {v}[i] * {v}[i]),"
+    " (acc, x) -> acc + x))"
+)
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame, threshold: float = 0.9
+) -> DataFrame:
+    """[vec_a, vec_b, cosine] — within-label pairs with cosine >=
+    threshold. Embeddings cast to double before any arithmetic so both
+    engines fold in identical precision/order."""
+    e = embeddings.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn("norm", F.expr(_SPARK_NORM.format(v="v")))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("norm").alias("na"),
+        "label",
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("norm").alias("nb"),
+        "label",
+    )
+    joined = a.join(b, "label").filter(F.col("vec_a") < F.col("vec_b"))
+    cos = F.expr(_SPARK_DOT) / (F.col("na") * F.col("nb"))
+    return (
+        joined.select(
+            "vec_a", "vec_b", F.round(cos, 5).cast("double").alias("cosine")
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_duplicates_sql(threshold: float = 0.9) -> str:
+    norm = _DUCK_NORM.format(v="v")
+    return (
+        "WITH e AS (SELECT vec_id, label,"
+        " CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
+        f" en AS (SELECT vec_id, label, v, {norm} AS norm FROM e)"
+        " SELECT vec_a, vec_b, cosine FROM ("
+        " SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,"
+        " CAST(ROUND(("
+        + _DUCK_DOT.replace("va", "a.v").replace("vb", "b.v")
+        + ") / (a.norm * b.norm), 5) AS DOUBLE) AS cosine"
+        " FROM en a JOIN en b ON a.label = b.label AND a.vec_id < b.vec_id)"
+        f" WHERE cosine >= {threshold}"
+    )

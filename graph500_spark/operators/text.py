@@ -1,0 +1,241 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+token counting, quality scoring, language ID (stopword heuristic),
+document fingerprinting (rolling hash).
+
+These go beyond the graph500 reference surface (which has no string
+functions at all — SURVEY.md §2.6); they are first-class engine
+operators for the 100 TB data-pipeline use case.
+
+Design for the oracle gate: every operator is pure Column algebra
+(JVM-side, whole-stage-codegen'd — no Python UDFs in the hot path),
+and each has a mechanically mirrored DuckDB SQL fragment (the *_SQL
+constants) using the identical arithmetic so results hash-match.
+
+Scale notes: all operators are narrow per-row projections — no
+shuffle, predicate/column pruning reaches the parquet scan, and they
+pipeline with any downstream groupBy in one stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_REGEX = "[A-Za-z0-9]+"
+HASH_MOD = 2147483647  # 2^31 - 1
+HASH_BASE = 131
+
+# ---------------------------------------------------------------------------
+# Shared expression fragments — Spark SQL spelling and DuckDB spelling.
+# Both compute identical integer/float arithmetic.
+# ---------------------------------------------------------------------------
+
+# rolling polynomial hash of a string expression {s}:
+# h = fold(chars, h*131 + ascii(char)) mod 2^31-1
+SPARK_STRHASH = (
+    "aggregate(sequence(1, length({s})), 0L,"
+    " (acc, i) -> (acc * {base} + ascii(substr({s}, i, 1))) % {mod})"
+)
+DUCK_STRHASH = (
+    "list_reduce([CAST(0 AS BIGINT)]"
+    " || list_transform(generate_series(1, length({s})),"
+    " i -> CAST(ascii(substr({s}, i, 1)) AS BIGINT)),"
+    " (acc, x) -> (acc * {base} + x) % {mod})"
+)
+
+
+def spark_strhash(s: str) -> str:
+    return SPARK_STRHASH.format(s=s, base=HASH_BASE, mod=HASH_MOD)
+
+
+def duck_strhash(s: str) -> str:
+    return DUCK_STRHASH.format(s=s, base=HASH_BASE, mod=HASH_MOD)
+
+
+SPARK_TOKENS = f"regexp_extract_all(text, '{TOKEN_REGEX}', 0)"
+DUCK_TOKENS = f"regexp_extract_all(text, '{TOKEN_REGEX}')"
+
+# ---------------------------------------------------------------------------
+# Token counting
+# ---------------------------------------------------------------------------
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """[doc_id, n_tokens, n_chars_calc] — whitespace/alnum tokenization."""
+    return docs.select(
+        "doc_id",
+        F.expr(f"size({SPARK_TOKENS})").cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_calc"),
+    )
+
+
+TOKEN_COUNT_SQL = (
+    f"SELECT doc_id, CAST(len({DUCK_TOKENS}) AS BIGINT) AS n_tokens,"
+    " CAST(length(text) AS BIGINT) AS n_chars_calc FROM documents"
+)
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+_SPARK_QUALITY_EXPRS = {
+    "n_tokens": f"size({SPARK_TOKENS})",
+    "alpha_ratio": (
+        "round(length(regexp_replace(text, '[^A-Za-z]', ''))"
+        " / greatest(length(text), 1), 6)"
+    ),
+    "digit_ratio": (
+        "round(length(regexp_replace(text, '[^0-9]', ''))"
+        " / greatest(length(text), 1), 6)"
+    ),
+    "space_ratio": (
+        "round(length(regexp_replace(text, '[^ ]', ''))"
+        " / greatest(length(text), 1), 6)"
+    ),
+    "mean_token_len": (
+        f"round(aggregate({SPARK_TOKENS}, 0L, (acc, t) -> acc + length(t))"
+        f" / greatest(size({SPARK_TOKENS}), 1), 6)"
+    ),
+}
+
+_DUCK_QUALITY_EXPRS = {
+    "n_tokens": f"len({DUCK_TOKENS})",
+    "alpha_ratio": (
+        "round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
+        " / greatest(length(text), 1), 6)"
+    ),
+    "digit_ratio": (
+        "round(length(regexp_replace(text, '[^0-9]', '', 'g'))"
+        " / greatest(length(text), 1), 6)"
+    ),
+    "space_ratio": (
+        "round(length(regexp_replace(text, '[^ ]', '', 'g'))"
+        " / greatest(length(text), 1), 6)"
+    ),
+    "mean_token_len": (
+        f"round(list_reduce([0] || list_transform({DUCK_TOKENS},"
+        " t -> length(t)), (acc, x) -> acc + x)"
+        f" / greatest(len({DUCK_TOKENS}), 1), 6)"
+    ),
+}
+
+# quality score: linear combination, clamped to [0,1] — a simple
+# length/composition heuristic of the kind used in pretraining filters
+_QUALITY_SCORE_SPARK = (
+    "round(least(1.0, greatest(0.0,"
+    " 0.3 * least(n_tokens / 100.0, 1.0)"
+    " + 0.4 * alpha_ratio + 0.2 * space_ratio"
+    " + 0.1 * least(mean_token_len / 8.0, 1.0))), 6)"
+)
+
+
+def text_quality(docs: DataFrame) -> DataFrame:
+    """[doc_id, n_tokens, alpha_ratio, digit_ratio, space_ratio,
+    mean_token_len, quality_score]."""
+    out = docs.select(
+        "doc_id",
+        *[
+            F.expr(e).cast("double").alias(n) if n != "n_tokens" else
+            F.expr(e).cast("long").alias(n)
+            for n, e in _SPARK_QUALITY_EXPRS.items()
+        ],
+    )
+    return out.withColumn(
+        "quality_score", F.expr(_QUALITY_SCORE_SPARK).cast("double")
+    )
+
+
+TEXT_QUALITY_SQL = (
+    "SELECT doc_id, "
+    + ", ".join(
+        (
+            f"CAST({n} AS BIGINT) AS {n}"
+            if n == "n_tokens"
+            else f"CAST({n} AS DOUBLE) AS {n}"
+        )
+        for n in _DUCK_QUALITY_EXPRS
+    )
+    + f", CAST({_QUALITY_SCORE_SPARK} AS DOUBLE) AS quality_score"
+    + " FROM (SELECT doc_id, "
+    + ", ".join(f"{e} AS {n}" for n, e in _DUCK_QUALITY_EXPRS.items())
+    + " FROM documents)"
+)
+
+# ---------------------------------------------------------------------------
+# Language identification (stopword-marker heuristic)
+# ---------------------------------------------------------------------------
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu"),
+    "en": ("the", "a", "of", "to", "and", "in", "is", "it", "for", "on"),
+    "es": ("el", "los", "las", "que", "y", "en", "un", "una", "por"),
+    "fr": ("le", "les", "et", "est", "pour", "que", "dans", "une", "du"),
+}
+
+
+def _score_exprs(engine: str) -> dict[str, str]:
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        lit = "array(" + ", ".join(f"'{m}'" for m in markers) + ")"
+        if engine == "spark":
+            out[lang] = (
+                f"size(filter({SPARK_TOKENS},"
+                f" t -> array_contains({lit}, lower(t))))"
+            )
+        else:
+            lit = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+            out[lang] = (
+                f"len(list_filter({DUCK_TOKENS},"
+                f" t -> list_contains({lit}, lower(t))))"
+            )
+    return out
+
+
+# identical CASE in both dialects; alphabetical priority on ties
+_LANG_CASE = (
+    "CASE WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'"
+    " WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'"
+    " WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'"
+    " WHEN s_es >= s_fr THEN 'es'"
+    " ELSE 'fr' END"
+)
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """[doc_id, s_de, s_en, s_es, s_fr, lang_pred]."""
+    scores = _score_exprs("spark")
+    out = docs.select(
+        "doc_id",
+        *[F.expr(e).cast("long").alias(f"s_{l}") for l, e in scores.items()],
+    )
+    return out.withColumn("lang_pred", F.expr(_LANG_CASE))
+
+
+LANGUAGE_ID_SQL = (
+    "SELECT doc_id, s_de, s_en, s_es, s_fr, "
+    + _LANG_CASE
+    + " AS lang_pred FROM (SELECT doc_id, "
+    + ", ".join(
+        f"CAST({e} AS BIGINT) AS s_{l}" for l, e in _score_exprs("duck").items()
+    )
+    + " FROM documents)"
+)
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting
+# ---------------------------------------------------------------------------
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """[doc_id, fingerprint] — rolling polynomial hash of the raw text
+    (deterministic 31-bit; collisions fine for dedup candidate keys)."""
+    return docs.select(
+        "doc_id",
+        F.expr(spark_strhash("text")).cast("long").alias("fingerprint"),
+    )
+
+
+FINGERPRINT_SQL = (
+    f"SELECT doc_id, CAST({duck_strhash('text')} AS BIGINT) AS fingerprint"
+    " FROM documents"
+)

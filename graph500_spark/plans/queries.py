@@ -26,9 +26,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graph500_spark.operators import bfs as bfs_mod
+from graph500_spark.operators import dedup as dedup_mod
 from graph500_spark.operators import graph_build as gb
 from graph500_spark.operators import roots as roots_mod
+from graph500_spark.operators import simsearch as simsearch_mod
 from graph500_spark.operators import stats as stats_mod
+from graph500_spark.operators import text as text_mod
 from graph500_spark.operators import validate as V
 from graph500_spark.sources import generator
 from graph500_spark.sources import testdata as td
@@ -388,6 +391,94 @@ def q_find_roots(spark, sf_dir):
     )
 
 
+def _docs(spark, sf_dir):
+    return td.load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark, sf_dir):
+    return td.load_table(spark, sf_dir, "embeddings")
+
+
+def q_token_count(spark, sf_dir):
+    return text_mod.token_count(_docs(spark, sf_dir))
+
+
+def q_text_quality(spark, sf_dir):
+    return text_mod.text_quality(_docs(spark, sf_dir))
+
+
+def q_language_id(spark, sf_dir):
+    return text_mod.language_id(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    return text_mod.fingerprint(_docs(spark, sf_dir))
+
+
+def q_exact_duplicates(spark, sf_dir):
+    return dedup_mod.exact_duplicates(_docs(spark, sf_dir))
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return dedup_mod.minhash_signatures(_docs(spark, sf_dir))
+
+
+def q_lsh_candidate_pairs(spark, sf_dir):
+    return dedup_mod.lsh_candidate_pairs(_docs(spark, sf_dir))
+
+
+def q_minhash_near_duplicates(spark, sf_dir):
+    return dedup_mod.minhash_near_duplicates(_docs(spark, sf_dir))
+
+
+def q_simhash(spark, sf_dir):
+    return dedup_mod.simhash(_docs(spark, sf_dir))
+
+
+def q_simhash_near_duplicates(spark, sf_dir):
+    return dedup_mod.simhash_near_duplicates(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    return dedup_mod.ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+def q_embedding_near_duplicates(spark, sf_dir):
+    return dedup_mod.embedding_near_duplicates(
+        _embs(spark, sf_dir), threshold=0.2
+    )
+
+
+def q_cosine_topk(spark, sf_dir):
+    return simsearch_mod.cosine_topk(_embs(spark, sf_dir))
+
+
+def q_lsh_buckets(spark, sf_dir):
+    return simsearch_mod.lsh_buckets(_embs(spark, sf_dir))
+
+
+def q_cosine_topk_lsh(spark, sf_dir):
+    return simsearch_mod.cosine_topk_lsh(_embs(spark, sf_dir))
+
+
+def q_multimodal_features(spark, sf_dir):
+    from graph500_spark.operators.multimodal import multimodal_features
+
+    return multimodal_features(_docs(spark, sf_dir))
+
+
+def q_event_window_counts(spark, sf_dir):
+    from graph500_spark.streaming.windows import event_window_counts
+
+    return event_window_counts(td.load_table(spark, sf_dir, "events"))
+
+
+def q_sessionize(spark, sf_dir):
+    from graph500_spark.streaming.sessions import sessionize
+
+    return sessionize(td.load_table(spark, sf_dir, "events"))
+
+
 QUERIES: dict[str, QueryFn] = {
     "self_loop_filter": q_self_loop_filter,
     "symmetrize": q_symmetrize,
@@ -416,6 +507,25 @@ QUERIES: dict[str, QueryFn] = {
     "set_union": q_set_union,
     "kronecker_s8": q_kronecker_s8,
     "find_roots": q_find_roots,
+    # --- training-data-pipeline operators ---
+    "token_count": q_token_count,
+    "text_quality": q_text_quality,
+    "language_id": q_language_id,
+    "fingerprint": q_fingerprint,
+    "exact_duplicates": q_exact_duplicates,
+    "minhash_signatures": q_minhash_signatures,
+    "lsh_candidate_pairs": q_lsh_candidate_pairs,
+    "minhash_near_duplicates": q_minhash_near_duplicates,
+    "simhash": q_simhash,
+    "simhash_near_duplicates": q_simhash_near_duplicates,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "embedding_near_duplicates": q_embedding_near_duplicates,
+    "cosine_topk": q_cosine_topk,
+    "lsh_buckets": q_lsh_buckets,
+    "cosine_topk_lsh": q_cosine_topk_lsh,
+    "multimodal_features": q_multimodal_features,
+    "event_window_counts": q_event_window_counts,
+    "sessionize": q_sessionize,
 }
 
 
@@ -544,4 +654,35 @@ ORACLE_SQL: dict[str, str] = {
     ),
     # bfs_full, validate_bfs_summary, kronecker_s8, find_roots:
     # rows-only (unbounded iteration / PRNG not SQL-expressible)
+    # --- training-data-pipeline operators ---
+    "token_count": text_mod.TOKEN_COUNT_SQL,
+    "text_quality": text_mod.TEXT_QUALITY_SQL,
+    "language_id": text_mod.LANGUAGE_ID_SQL,
+    "fingerprint": text_mod.FINGERPRINT_SQL,
+    "exact_duplicates": dedup_mod.EXACT_DUPLICATES_SQL,
+    "minhash_signatures": dedup_mod.MINHASH_SIGNATURES_SQL,
+    "lsh_candidate_pairs": dedup_mod.lsh_candidate_pairs_sql(),
+    "minhash_near_duplicates": dedup_mod.minhash_near_duplicates_sql(),
+    "simhash": dedup_mod.simhash_sql(),
+    "simhash_near_duplicates": dedup_mod.simhash_near_duplicates_sql(),
+    "ngram_jaccard_pairs": dedup_mod.ngram_jaccard_pairs_sql(),
+    "embedding_near_duplicates": dedup_mod.embedding_near_duplicates_sql(0.2),
+    "cosine_topk": simsearch_mod.cosine_topk_sql(),
+    "lsh_buckets": simsearch_mod.lsh_buckets_sql(),
+    "cosine_topk_lsh": simsearch_mod.cosine_topk_lsh_sql(),
 }
+
+
+def _late_oracles() -> dict[str, str]:
+    from graph500_spark.operators.multimodal import MULTIMODAL_FEATURES_SQL
+    from graph500_spark.streaming.sessions import sessionize_sql
+    from graph500_spark.streaming.windows import event_window_counts_sql
+
+    return {
+        "multimodal_features": MULTIMODAL_FEATURES_SQL,
+        "event_window_counts": event_window_counts_sql(),
+        "sessionize": sessionize_sql(),
+    }
+
+
+ORACLE_SQL.update(_late_oracles())

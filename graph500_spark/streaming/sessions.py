@@ -1,0 +1,127 @@
+"""Sessionization — the custom stateful operator the reference has no
+analogue for (its only iteration is the BFS loop); built both ways:
+
+  * ``sessionize`` — batch formulation: a lag window over (user, time)
+    marks session starts, a running sum assigns session ids. Pure
+    Column algebra, oracle-checkable, scales as one shuffle on user_id
+    (windows partitioned by user — parallel across users).
+  * ``sessionize_stream`` — Structured Streaming formulation with
+    ``applyInPandasWithState``: per-user session state (last event
+    time, open session id) kept in the state store with a processing
+    timeout — the shape a real stream pipeline needs when input is
+    unbounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """[user_id, session_id, n_events, session_start_us, session_end_us]
+
+    session_id is 1-based per user, ordered by event time; ties broken
+    by event_id for determinism.
+    """
+    # integer division keeps nanos→micros exact (double would round)
+    ts_us = F.expr("ts div 1000")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    marked = (
+        events.select("user_id", "event_id", ts_us.alias("ts_us"))
+        .withColumn("prev_ts", F.lag("ts_us").over(w))
+        .withColumn(
+            "new_session",
+            (
+                F.col("prev_ts").isNull()
+                | (F.col("ts_us") - F.col("prev_ts") > gap_us)
+            ).cast("long"),
+        )
+        .withColumn("session_id", F.sum("new_session").over(w))
+    )
+    return marked.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+    )
+
+
+def sessionize_sql(gap_us: int = SESSION_GAP_US) -> str:
+    return (
+        "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us"
+        " FROM events),"
+        " marked AS (SELECT user_id, event_id, ts_us,"
+        " LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)"
+        "  AS prev_ts FROM e),"
+        " flagged AS (SELECT user_id, ts_us,"
+        " CAST(CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > {g}"
+        "  THEN 1 ELSE 0 END AS BIGINT) AS new_session, event_id"
+        " FROM marked),"
+        " sess AS (SELECT user_id, ts_us,"
+        " CAST(SUM(new_session) OVER (PARTITION BY user_id"
+        "  ORDER BY ts_us, event_id) AS BIGINT) AS session_id FROM flagged)"
+        " SELECT user_id, session_id, COUNT(*) AS n_events,"
+        " MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us"
+        " FROM sess GROUP BY user_id, session_id"
+    ).format(g=gap_us)
+
+
+def sessionize_stream(
+    events_stream: DataFrame, gap_us: int = SESSION_GAP_US
+) -> DataFrame:
+    """applyInPandasWithState sessionizer: emits one row per *closed*
+    session. State per user: (open session start, last seen ts,
+    event count)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, session_start_us long, session_end_us long,"
+        " n_events long"
+    )
+    state_schema = "start_us long, last_us long, n long"
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        rows = []
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            rows.append((user_id, start_us, last_us, n))
+            state.remove()
+        else:
+            ts_list = []
+            for pdf in pdfs:
+                ts_list.extend((pdf["ts"] // 1000).astype("int64").tolist())
+            ts_list.sort()
+            if state.exists:
+                start_us, last_us, n = state.get
+            else:
+                start_us, last_us, n = None, None, 0
+            for t in ts_list:
+                if last_us is None:
+                    start_us, last_us, n = t, t, 1
+                elif t - last_us > gap_us:
+                    rows.append((user_id, start_us, last_us, n))
+                    start_us, last_us, n = t, t, 1
+                else:
+                    last_us, n = t, n + 1
+            if last_us is not None:
+                state.update((start_us, last_us, n))
+                state.setTimeoutDuration(60_000)
+        yield pd.DataFrame(
+            rows,
+            columns=["user_id", "session_start_us", "session_end_us", "n_events"],
+        )
+
+    return (
+        events_stream.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

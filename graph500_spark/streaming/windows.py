@@ -1,0 +1,114 @@
+"""Streaming analytics over the events table — Structured Streaming
+with watermarked tumbling windows, plus the batch-equivalent query
+(identical results on bounded input; oracle-checkable).
+
+The graph500 reference is batch-only (its one loop is level-synchronous
+BFS — SURVEY.md §2.7); streaming ingest is engine capability beyond
+reference parity, built the Spark-first way: readStream → event-time
+window aggregation → sink, with late data bounded by a watermark.
+
+Timestamp note: the testdata events carry TIMESTAMP(NANOS); Spark reads
+them as int64 nanos (see sources/testdata.py). All window math is done
+on microseconds so Spark and DuckDB (which truncates to micros) agree
+exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graph500_spark.sources import testdata as td
+
+
+def event_window_counts(events: DataFrame, minutes: int = 5) -> DataFrame:
+    """Batch tumbling-window aggregation:
+    [window_start_us, event_type, n_events, sum_value].
+    window_start_us = event time truncated to the window, in epoch
+    microseconds."""
+    win_us = 60_000_000 * minutes
+    # integer division keeps nanos→micros exact (double would round)
+    ts_us = F.expr("ts div 1000")
+    return (
+        events.select(
+            (ts_us - ts_us % F.lit(win_us)).alias("window_start_us"),
+            "event_type",
+            "value",
+        )
+        .groupBy("window_start_us", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+def event_window_counts_sql(minutes: int = 5) -> str:
+    win_us = 60_000_000 * minutes
+    return (
+        "SELECT epoch_us(ts) - epoch_us(ts) % {w} AS window_start_us,"
+        " event_type, COUNT(*) AS n_events,"
+        " ROUND(SUM(value), 6) AS sum_value"
+        " FROM events GROUP BY 1, 2"
+    ).format(w=win_us)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (same schema as the
+    batch read). In production this is a Kafka/queue source; the
+    downstream plan is identical."""
+    schema = td.load_table(spark, sf_dir, "events").schema
+    # the file source wants a directory; glob-filter to the events file
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def windowed_stream(events_stream: DataFrame, minutes: int = 5) -> DataFrame:
+    """Watermarked streaming version of event_window_counts.
+
+    Uses a proper event-time timestamp column + F.window so state is
+    bounded: late events beyond 10 minutes are dropped, window state is
+    evicted once the watermark passes — this is what makes the operator
+    run forever at scale.
+    """
+    with_ts = events_stream.withColumn(
+        "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+    return (
+        with_ts.withWatermark("event_time", "10 minutes")
+        .groupBy(
+            F.window("event_time", f"{minutes} minutes").alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            (F.unix_micros(F.col("win.start"))).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession, sf_dir: str, minutes: int = 5, table: str = "win_counts"
+) -> DataFrame:
+    """Execute the streaming query with an availableNow trigger (drain
+    the bounded source, then stop) into an in-memory sink; returns the
+    result table. Bounded-input streaming == the batch query."""
+    q = (
+        windowed_stream(stream_events(spark, sf_dir), minutes)
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(table)

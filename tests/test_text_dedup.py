@@ -1,0 +1,131 @@
+"""Semantic tests for text/dedup/simsearch operators on small inline
+fixtures (engine-parity with DuckDB is covered by tools/compare_oracle
+and the driver gate; these check the *meaning*)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph500_spark.operators import dedup, simsearch, text
+
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en", "s0", 43),
+        (1, "the quick brown fox jumps over the lazy dog", "en", "s0", 43),  # exact dup
+        (2, "the quick brown fox leaps over the lazy dog", "en", "s0", 43),  # near dup
+        (3, "der hund und die katze und der vogel", "de", "s0", 36),
+        (4, "completely different words here about spark engines", "en", "s1", 51),
+        (5, "el gato y el perro en la casa que es grande", "es", "s1", 43),
+    ]
+    return spark.createDataFrame(rows, DOCS_SCHEMA)
+
+
+def test_token_count(docs):
+    out = {r["doc_id"]: r["n_tokens"] for r in text.token_count(docs).collect()}
+    assert out[0] == 9
+    assert out[3] == 8
+
+
+def test_language_id(docs):
+    out = {r["doc_id"]: r["lang_pred"] for r in text.language_id(docs).collect()}
+    assert out[0] == "en"
+    assert out[3] == "de"
+    assert out[5] == "es"
+
+
+def test_fingerprint_stable_and_distinct(docs):
+    out = {r["doc_id"]: r["fingerprint"] for r in text.fingerprint(docs).collect()}
+    assert out[0] == out[1]  # identical text → identical fingerprint
+    assert out[0] != out[4]
+
+
+def test_quality_scores_bounded(docs):
+    rows = text.text_quality(docs).collect()
+    for r in rows:
+        assert 0.0 <= r["quality_score"] <= 1.0
+        assert 0.0 <= r["alpha_ratio"] <= 1.0
+
+
+def test_exact_duplicates(docs):
+    groups = dedup.exact_duplicates(docs).collect()
+    dup = [g for g in groups if g["n_copies"] > 1]
+    assert len(dup) == 1
+    assert dup[0]["rep_doc_id"] == 0
+    assert dup[0]["n_copies"] == 2
+
+
+def test_minhash_identical_signatures(docs):
+    sig = {r["doc_id"]: tuple(r[c] for c in r.asDict() if c.startswith("mh"))
+           for r in dedup.minhash_signatures(docs).collect()}
+    assert sig[0] == sig[1]  # exact dup → identical signature
+    # near dup shares most minhash values
+    shared = sum(a == b for a, b in zip(sig[0], sig[2]))
+    # E[shared] = K * jaccard ≈ 16 * 0.5; allow sampling slack
+    assert shared >= 5
+
+
+def test_lsh_finds_near_dups(docs):
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in dedup.lsh_candidate_pairs(docs).collect()}
+    assert (0, 1) in pairs
+    nd = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+          for r in dedup.minhash_near_duplicates(docs, threshold=0.5).collect()}
+    assert nd[(0, 1)] == 1.0
+    if (0, 2) in nd:
+        assert 0.5 <= nd[(0, 2)] < 1.0
+
+
+def test_simhash_hamming(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert sh[0] == sh[1]
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in dedup.simhash_near_duplicates(docs, max_hamming=16).collect()}
+    assert pairs[(0, 1)] == 0
+
+
+def test_ngram_jaccard(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs  # one word changed → high 3-gram overlap
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.1, 0.0, 0.0], 0),   # near 0
+        (2, [0.0, 1.0, 0.0, 0.0], 0),    # orthogonal
+        (3, [-1.0, 0.0, 0.0, 0.0], 1),   # opposite, other label
+        (50, [0.5, 0.5, 0.0, 0.0], 0),   # a query id (50 % 50 == 0)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_embedding_near_duplicates(embs):
+    nd = {(r["vec_a"], r["vec_b"]): r["cosine"]
+          for r in dedup.embedding_near_duplicates(embs, threshold=0.9).collect()}
+    assert (0, 1) in nd and nd[(0, 1)] > 0.99
+    assert (0, 2) not in nd
+
+
+def test_cosine_topk(embs):
+    out = simsearch.cosine_topk(embs, k=2, query_filter="vec_id = 0").collect()
+    ranked = sorted(out, key=lambda r: r["rank"])
+    assert ranked[0]["neighbor_id"] == 1  # most similar
+    assert ranked[0]["rank"] == 1
+    assert len(ranked) == 2
+
+
+def test_cosine_topk_lsh_subset_of_bruteforce(embs):
+    brute = {(r["query_id"], r["neighbor_id"])
+             for r in simsearch.cosine_topk(embs, k=4, query_filter="vec_id = 0").collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in simsearch.cosine_topk_lsh(embs, k=4, query_filter="vec_id = 0").collect()}
+    # LSH returns a subset of candidates (same bucket only)
+    assert approx <= brute or len(approx) <= len(brute)
