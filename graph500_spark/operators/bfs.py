@@ -50,6 +50,7 @@ def bfs(
     max_depth: int | None = None,
     checkpoint_every: int = 1,
     prepartition: bool = True,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """BFS from ``root`` over a symmetrized, deduped edge list.
 
@@ -57,10 +58,22 @@ def bfs(
     (root has pred == root, depth == 0 — the spec convention,
     /root/reference/mpi/validate.hpp:530). Unreached vertices are simply
     absent (≈ the reference's -1 entries).
+
+    ``shuffle_partitions`` optionally overrides
+    spark.sql.shuffle.partitions for the duration of the loop (restored
+    after): per-level shuffles are tiny relative to the input, and at
+    small/medium scale the fixed cost of many near-empty reduce tasks
+    dominates. At cluster scale leave it None — the session value and
+    AQE coalescing govern.
     """
     edges = edges_clean.select("src", "dst")
     if prepartition:
         edges = edges.repartition("src").persist()
+
+    saved_sp = None
+    if shuffle_partitions is not None:
+        saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
 
     frontier = spark.createDataFrame(
         [(int(root), int(root), 0)], schema=PRED_SCHEMA
@@ -68,43 +81,61 @@ def bfs(
     reached = frontier
     depth = 0
 
-    while True:
-        if max_depth is not None and depth >= max_depth:
-            break
-        depth += 1
-        # One logical step: frontier ⋈ adjacency → candidate (dst, src),
-        # keep min(src) per dst, drop already-reached. The groupBy and
-        # the anti-join share the same hash partitioning on `vertex`, so
-        # AQE plans them without an extra exchange; small frontiers
-        # become broadcast joins at runtime.
-        candidates = (
-            edges.join(
-                frontier.select(F.col("vertex").alias("src")), "src"
+    try:
+        while True:
+            if max_depth is not None and depth >= max_depth:
+                break
+            depth += 1
+            # One logical step: frontier ⋈ adjacency → candidate
+            # (dst, src), keep min(src) per dst, drop already-reached.
+            # The groupBy and the anti-join share the same hash
+            # partitioning on `vertex`, so AQE plans them without an
+            # extra exchange; small frontiers become broadcast joins at
+            # runtime.
+            candidates = (
+                edges.join(
+                    frontier.select(F.col("vertex").alias("src")), "src"
+                )
+                .select(
+                    F.col("dst").alias("vertex"), F.col("src").alias("pred")
+                )
+                .groupBy("vertex")
+                .agg(F.min("pred").alias("pred"))
+                .join(reached.select("vertex"), "vertex", "left_anti")
+                .withColumn("depth", F.lit(depth))
             )
-            .select(F.col("dst").alias("vertex"), F.col("src").alias("pred"))
-            .groupBy("vertex")
-            .agg(F.min("pred").alias("pred"))
-            .join(reached.select("vertex"), "vertex", "left_anti")
-            .withColumn("depth", F.lit(depth))
-        )
-        new_frontier = candidates.localCheckpoint(eager=True)
-        n_new = new_frontier.count()
-        if n_new == 0:
-            break
-        reached = reached.unionByName(new_frontier)
-        if depth % checkpoint_every == 0:
-            reached = reached.localCheckpoint(eager=True)
-        frontier = new_frontier
-
-    if prepartition:
-        edges.unpersist()
+            new_frontier = candidates.localCheckpoint(eager=True)
+            n_new = new_frontier.count()
+            if n_new == 0:
+                break
+            reached = reached.unionByName(new_frontier)
+            if depth % checkpoint_every == 0:
+                reached = reached.localCheckpoint(eager=True)
+            frontier = new_frontier
+    finally:
+        if saved_sp is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
+        if prepartition:
+            edges.unpersist()
     return reached
 
 
 def bfs_fixed_depth(
-    spark: SparkSession, edges_clean: DataFrame, root: int, k: int
+    spark: SparkSession,
+    edges_clean: DataFrame,
+    root: int,
+    k: int,
+    prepartition: bool = True,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """BFS truncated at depth k — the SQL-expressible form (a k-fold
     join chain the DuckDB oracle reproduces exactly). Same per-level
     semantics as ``bfs`` (min-parent, first level wins)."""
-    return bfs(spark, edges_clean, root, max_depth=k, prepartition=False)
+    return bfs(
+        spark,
+        edges_clean,
+        root,
+        max_depth=k,
+        prepartition=prepartition,
+        shuffle_partitions=shuffle_partitions,
+    )

@@ -282,12 +282,17 @@ def q_adjacency_strings(spark, sf_dir):
 
 def q_bfs_depth3(spark, sf_dir):
     clean = gb.build_clean_edges(hetero_edges(spark, sf_dir))
-    return bfs_mod.bfs_fixed_depth(spark, clean, BFS_ROOT, 3)
+    # prepartition persists the edge table so the 3 level-joins reuse
+    # one materialization; 8 reduce partitions fit this data size
+    # (sensible default for the test scales; a cluster run passes None)
+    return bfs_mod.bfs_fixed_depth(
+        spark, clean, BFS_ROOT, 3, shuffle_partitions=8
+    )
 
 
 def q_bfs_full(spark, sf_dir):
     clean = gb.build_clean_edges(hetero_edges(spark, sf_dir))
-    return bfs_mod.bfs(spark, clean, BFS_ROOT, prepartition=False)
+    return bfs_mod.bfs(spark, clean, BFS_ROOT, shuffle_partitions=8)
 
 
 def q_edge_visit_count(spark, sf_dir):
