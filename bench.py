@@ -37,6 +37,10 @@ def main() -> int:
         "edge_visit_count": lambda: Q.q_edge_visit_count(spark, sf_dir).count(),
         "kronecker_s14_gen_construct": lambda: _kron(spark),
         "run_statistics": lambda: Q.q_run_statistics(spark, sf_dir).count(),
+        "sssp": lambda: Q.q_sssp(spark, sf_dir).count(),
+        "connected_components": lambda: Q.q_connected_components(
+            spark, sf_dir
+        ).count(),
     }
 
     timings: dict[str, float] = {}

@@ -48,9 +48,9 @@ def bfs(
     edges_clean: DataFrame,
     root: int,
     max_depth: int | None = None,
-    checkpoint_every: int = 1,
     prepartition: bool = True,
     shuffle_partitions: int | None = None,
+    broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """BFS from ``root`` over a symmetrized, deduped edge list.
 
@@ -65,6 +65,23 @@ def bfs(
     small/medium scale the fixed cost of many near-empty reduce tasks
     dominates. At cluster scale leave it None — the session value and
     AQE coalescing govern.
+
+    Job structure: the new frontier is eagerly checkpointed each level
+    (one materialization job + one cheap count over the cached leaf);
+    ``reached`` is kept as a union of the already-checkpointed
+    per-level frontiers, never re-materialized — re-checkpointing the
+    union every level would recopy all reached rows, turning total
+    work into O(n · depth).
+
+    Join strategy: checkpointed DataFrames carry no size statistics, so
+    Catalyst alone would plan every level as a shuffle join and move the
+    (large, persisted) edge table each iteration. The driver, however,
+    knows the exact frontier and reached counts from the previous
+    level's job, and injects ``broadcast()`` hints while they are under
+    ``broadcast_rows`` — the Spark-first analog of the reference's
+    direction-optimization heuristics (bfs.hpp:2799-2829): small
+    frontier → map-side join against the stationary edge table; huge
+    frontier (cluster scale) → fall back to shuffle join automatically.
     """
     edges = edges_clean.select("src", "dst")
     if prepartition:
@@ -80,6 +97,8 @@ def bfs(
     ).localCheckpoint(eager=True)
     reached = frontier
     depth = 0
+    n_frontier = 1
+    n_reached = 1
 
     try:
         while True:
@@ -88,29 +107,34 @@ def bfs(
             depth += 1
             # One logical step: frontier ⋈ adjacency → candidate
             # (dst, src), keep min(src) per dst, drop already-reached.
-            # The groupBy and the anti-join share the same hash
-            # partitioning on `vertex`, so AQE plans them without an
-            # extra exchange; small frontiers become broadcast joins at
-            # runtime.
+            frontier_side = frontier.select(F.col("vertex").alias("src"))
+            if n_frontier <= broadcast_rows:
+                frontier_side = F.broadcast(frontier_side)
+            reached_side = reached.select("vertex")
+            if n_reached <= broadcast_rows:
+                reached_side = F.broadcast(reached_side)
             candidates = (
-                edges.join(
-                    frontier.select(F.col("vertex").alias("src")), "src"
-                )
+                edges.join(frontier_side, "src")
                 .select(
                     F.col("dst").alias("vertex"), F.col("src").alias("pred")
                 )
                 .groupBy("vertex")
                 .agg(F.min("pred").alias("pred"))
-                .join(reached.select("vertex"), "vertex", "left_anti")
+                .join(reached_side, "vertex", "left_anti")
                 .withColumn("depth", F.lit(depth))
             )
+            # Eager localCheckpoint makes the frontier a LEAF plan:
+            # without it every level's plan tree embeds the previous
+            # level's twice (join + anti-join) — exponential plan-tree
+            # growth that overflows the JVM stack on deep graphs
+            # (persist() alone does not truncate the logical plan).
             new_frontier = candidates.localCheckpoint(eager=True)
             n_new = new_frontier.count()
             if n_new == 0:
                 break
             reached = reached.unionByName(new_frontier)
-            if depth % checkpoint_every == 0:
-                reached = reached.localCheckpoint(eager=True)
+            n_frontier = n_new
+            n_reached += n_new
             frontier = new_frontier
     finally:
         if saved_sp is not None:

@@ -1,0 +1,107 @@
+"""Connected components by delta min-label propagation.
+
+Engine capability beyond the reference's own surface (its only
+traversal is single-root BFS — /root/reference/mpi/bfs.hpp:2651-2940);
+connected components is the natural companion query over the same
+cleaned edge table and shares the BFS loop's Spark shape.
+
+Algorithm: every vertex starts labeled with its own id; each round a
+vertex adopts the minimum label among itself and its neighbors. Only
+vertices whose label changed last round (the delta frontier) propagate,
+so per-round work tracks the shrinking changing set. Converges in
+O(component hop-diameter) rounds to label(v) = min vertex id in v's
+component — a deterministic, oracle-checkable result.
+
+Scale notes: for graphs with huge-diameter components the
+round-latency-optimal choice is the large-star/small-star algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14 — O(log² n) rounds); Kronecker/social graphs have tiny
+diameters, so plain delta propagation wins there. Frontier joins use
+the driver-known-count broadcast strategy of operators/bfs.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    spark: SparkSession,
+    edges_clean: DataFrame,
+    max_rounds: int | None = None,
+    shuffle_partitions: int | None = None,
+    broadcast_rows: int = 2_000_000,
+) -> DataFrame:
+    """[vertex, component] over a symmetrized, deduped edge list;
+    component = min vertex id in the vertex's connected component.
+    Isolated vertices don't appear in the edge list and so don't
+    appear in the output (same convention as BFS's reached set).
+    """
+    edges = edges_clean.select("src", "dst")
+
+    saved_sp = None
+    if shuffle_partitions is not None:
+        saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+
+    labels = (
+        edges.select(F.col("src").alias("vertex"))
+        .distinct()
+        .withColumn("label", F.col("vertex"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = labels
+    n_frontier = labels.count()
+    rounds = 0
+
+    try:
+        while True:
+            if max_rounds is not None and rounds >= max_rounds:
+                break
+            rounds += 1
+            f_side = frontier.select(
+                F.col("vertex").alias("src"), F.col("label").alias("f_label")
+            )
+            if n_frontier <= broadcast_rows:
+                f_side = F.broadcast(f_side)
+            proposals = edges.join(f_side, "src").select(
+                F.col("dst").alias("vertex"), F.col("f_label").alias("label")
+            )
+            # The eager checkpoint makes the state a LEAF plan — the
+            # next round references it twice (union + change join), so
+            # anything short of truncation grows the plan tree
+            # exponentially with round count.
+            merged = (
+                labels.unionByName(proposals)
+                .groupBy("vertex")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                merged.join(
+                    labels.select(
+                        "vertex", F.col("label").alias("o_label")
+                    ),
+                    "vertex",
+                )
+                .filter(F.col("label") < F.col("o_label"))
+                .select("vertex", "label")
+                .persist()
+            )
+            n_new = changed.count()
+            if n_new == 0:
+                break
+            # free the superseded round's blocks (merged and changed
+            # are materialized by the count above)
+            old_labels, old_frontier = labels, frontier
+            labels = merged
+            frontier = changed
+            n_frontier = n_new
+            old_labels.unpersist()
+            if old_frontier is not old_labels:
+                old_frontier.unpersist()
+    finally:
+        if saved_sp is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
+    return labels.select("vertex", F.col("label").alias("component"))

@@ -1,0 +1,136 @@
+"""Single-source shortest paths over weighted edges (SURVEY.md §7.2.8).
+
+The reference generates edge weights (generator/graph_generator.hpp:479-506)
+and declares the SSSP entry point but leaves it empty
+(/root/reference/mpi/bfs.hpp:2569-2571, ``run_sssp { }``) — this module
+supplies the capability the reference stubs out, Spark-first.
+
+Algorithm: iterated relaxation (Bellman-Ford rounds) with a *delta
+frontier* — only vertices whose (dist, pred) entry improved in the
+previous round propose relaxations in the next, so per-round work is
+proportional to the changing set, not the whole graph (the DataFrame
+analog of delta-stepping's request generation).
+
+Determinism: the tentative entry per vertex is the lexicographic
+minimum of (dist, pred) structs, so the final tree is unique:
+dist(v) is the true shortest distance and pred(v) = min{u :
+dist(u) + w(u,v) = dist(v)} — an oracle-checkable property (the
+queries registry pairs this with a DuckDB recursive-CTE oracle).
+
+Scale notes: per-round plan is one join (frontier is broadcast while
+small — driver-known counts, same strategy as operators/bfs.py) + one
+groupBy(vertex) min-aggregation; the dist table is re-merged by a
+union + min-agg, one shuffle on vertex. ``localCheckpoint`` truncates
+the per-round lineage. Rounds ≤ hop-diameter of the shortest-path
+tree (weights ≥ 1 ⇒ finite).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DIST_SCHEMA = T.StructType(
+    [
+        T.StructField("vertex", T.LongType(), False),
+        T.StructField("dist", T.LongType(), True),
+        T.StructField("pred", T.LongType(), True),
+    ]
+)
+
+
+def sssp(
+    spark: SparkSession,
+    edges_weighted: DataFrame,
+    root: int,
+    max_rounds: int | None = None,
+    shuffle_partitions: int | None = None,
+    broadcast_rows: int = 2_000_000,
+) -> DataFrame:
+    """Shortest-path tree from ``root``: [vertex, dist, pred] for every
+    reachable vertex (root has dist 0, pred == root). Input:
+    [src, dst, weight] with integer weights ≥ 1, already symmetrized
+    if undirected semantics are wanted.
+    """
+    edges = edges_weighted.select("src", "dst", "weight")
+
+    saved_sp = None
+    if shuffle_partitions is not None:
+        saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+
+    dist = spark.createDataFrame(
+        [(int(root), 0, int(root))], schema=DIST_SCHEMA
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    n_frontier = 1
+    rounds = 0
+
+    try:
+        while True:
+            if max_rounds is not None and rounds >= max_rounds:
+                break
+            rounds += 1
+            f_side = frontier.select(
+                F.col("vertex").alias("src"), F.col("dist").alias("f_dist")
+            )
+            if n_frontier <= broadcast_rows:
+                f_side = F.broadcast(f_side)
+            proposals = edges.join(f_side, "src").select(
+                F.col("dst").alias("vertex"),
+                (F.col("f_dist") + F.col("weight")).alias("dist"),
+                F.col("src").alias("pred"),
+            )
+            # merge: per vertex keep the lexicographic-min (dist, pred).
+            # The eager checkpoint makes the state a LEAF plan — the
+            # next round references it twice (union + improvement
+            # join), so anything short of truncation grows the plan
+            # tree exponentially with round count.
+            merged = (
+                dist.unionByName(proposals)
+                .groupBy("vertex")
+                .agg(F.min(F.struct("dist", "pred")).alias("best"))
+                .select(
+                    "vertex",
+                    F.col("best.dist").alias("dist"),
+                    F.col("best.pred").alias("pred"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            # improved = entries that changed this round (new vertex or
+            # struct-smaller entry) — the next frontier
+            old = dist.select(
+                "vertex",
+                F.col("dist").alias("o_dist"),
+                F.col("pred").alias("o_pred"),
+            )
+            improved = (
+                merged.join(old, "vertex", "left")
+                .filter(
+                    F.col("o_dist").isNull()
+                    | (F.col("dist") < F.col("o_dist"))
+                    | (
+                        (F.col("dist") == F.col("o_dist"))
+                        & (F.col("pred") < F.col("o_pred"))
+                    )
+                )
+                .select("vertex", "dist", "pred")
+                .persist()  # shallow plan over two cached leaves
+            )
+            n_new = improved.count()
+            if n_new == 0:
+                break
+            # the superseded round's blocks can be freed — without
+            # this, long loops accumulate O(rounds) cached state
+            old_dist, old_frontier = dist, frontier
+            dist = merged
+            frontier = improved
+            n_frontier = n_new
+            old_dist.unpersist()
+            if old_frontier is not old_dist:
+                old_frontier.unpersist()
+    finally:
+        if saved_sp is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
+    return dist

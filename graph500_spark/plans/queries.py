@@ -26,10 +26,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graph500_spark.operators import bfs as bfs_mod
+from graph500_spark.operators import components as components_mod
 from graph500_spark.operators import dedup as dedup_mod
 from graph500_spark.operators import graph_build as gb
 from graph500_spark.operators import roots as roots_mod
 from graph500_spark.operators import simsearch as simsearch_mod
+from graph500_spark.operators import sssp as sssp_mod
 from graph500_spark.operators import stats as stats_mod
 from graph500_spark.operators import text as text_mod
 from graph500_spark.operators import validate as V
@@ -125,6 +127,77 @@ def bfs_fixed_depth_sql(edges_raw_sql: str, root: int, k: int) -> str:
     return ", ".join(parts) + " " + union
 
 
+SSSP_ROOT = 1  # mod997 vertex; weights below are SQL-expressible
+SSSP_WEIGHT_EXPR = "(src * 7 + dst * 13) % 20 + 1"
+
+
+def bfs_full_sql(edges_raw_sql: str, root: int, depth_bound: int = 32) -> str:
+    """Full-BFS oracle via DuckDB WITH RECURSIVE: depth = fixpoint of
+    the walk relation (bounded at depth_bound ≥ graph eccentricity so
+    cyclic walks terminate), pred = min neighbor one level up — exactly
+    the engine's min-parent convention."""
+    return (
+        f"WITH RECURSIVE raw AS ({edges_raw_sql}),"
+        " nl AS (SELECT src, dst FROM raw WHERE src <> dst),"
+        " clean AS (SELECT DISTINCT src, dst FROM"
+        " (SELECT src, dst FROM nl UNION ALL"
+        "  SELECT dst AS src, src AS dst FROM nl)),"
+        " walk(vertex, depth) AS ("
+        f"  SELECT CAST({root} AS BIGINT), CAST(0 AS INTEGER)"
+        "  UNION"
+        "  SELECT e.dst, CAST(w.depth + 1 AS INTEGER) FROM clean e"
+        f"  JOIN walk w ON e.src = w.vertex WHERE w.depth < {depth_bound}),"
+        " depths AS (SELECT vertex, MIN(depth) AS depth FROM walk"
+        "  GROUP BY vertex)"
+        " SELECT d.vertex, MIN(e.src) AS pred, d.depth"
+        " FROM depths d JOIN clean e ON e.dst = d.vertex"
+        " JOIN depths ds ON ds.vertex = e.src AND ds.depth = d.depth - 1"
+        f" WHERE d.vertex <> {root} GROUP BY d.vertex, d.depth"
+        f" UNION ALL SELECT CAST({root} AS BIGINT), CAST({root} AS BIGINT),"
+        " CAST(0 AS INTEGER)"
+    )
+
+
+def sssp_sql(clean_sql: str, root: int, dist_bound: int = 400) -> str:
+    """SSSP oracle: shortest distance as a bounded recursive fixpoint
+    over weighted edges; pred = min src achieving dist(src)+w = dist(v)
+    — the unique tree operators/sssp.py converges to."""
+    return (
+        f"WITH RECURSIVE clean AS ({clean_sql}),"
+        f" wedges AS (SELECT src, dst,"
+        f" CAST({SSSP_WEIGHT_EXPR} AS BIGINT) AS weight FROM clean),"
+        " walk(vertex, dist) AS ("
+        f"  SELECT CAST({root} AS BIGINT), CAST(0 AS BIGINT)"
+        "  UNION"
+        "  SELECT e.dst, w.dist + e.weight FROM wedges e"
+        f"  JOIN walk w ON e.src = w.vertex"
+        f"  WHERE w.dist + e.weight < {dist_bound}),"
+        " dists AS (SELECT vertex, MIN(dist) AS dist FROM walk"
+        "  GROUP BY vertex)"
+        " SELECT d.vertex, d.dist, MIN(e.src) AS pred"
+        " FROM dists d JOIN wedges e ON e.dst = d.vertex"
+        " JOIN dists ds ON ds.vertex = e.src"
+        "  AND ds.dist + e.weight = d.dist"
+        f" WHERE d.vertex <> {root} GROUP BY d.vertex, d.dist"
+        f" UNION ALL SELECT CAST({root} AS BIGINT), CAST(0 AS BIGINT),"
+        f" CAST({root} AS BIGINT)"
+    )
+
+
+def connected_components_sql(clean_sql: str) -> str:
+    """CC oracle: transitive min-label closure as a recursive CTE."""
+    return (
+        f"WITH RECURSIVE clean AS ({clean_sql}),"
+        " reach(vertex, label) AS ("
+        "  SELECT src, src FROM clean"
+        "  UNION"
+        "  SELECT e.dst, r.label FROM clean e JOIN reach r"
+        "   ON e.src = r.vertex)"
+        " SELECT vertex, MIN(label) AS component FROM reach"
+        " GROUP BY vertex"
+    )
+
+
 _ORDER_STATS_SQL_TEMPLATE = (
     "SELECT '{name}' AS quantity,"
     " ROUND(mn, 6) AS min,"
@@ -213,6 +286,30 @@ def pred_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(PRED_CORRUPT_SQL)
 
 
+# Constructed-graph cache: the reference constructs its CSR once and
+# then runs 64 BFS queries over it (mpi/main.cc:60-105) — construction
+# is its own timed phase, not part of each traversal. The same
+# structure here: the cleaned, pre-partitioned, persisted hetero graph
+# is built once per (session, sf_dir) and shared by every BFS-family
+# query. 8 partitions matches the BFS loop's shuffle_partitions at
+# test scale; a cluster deployment drops both overrides.
+_GRAPH_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def clean_hetero_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _GRAPH_CACHE.get(key)
+    if df is None:
+        df = (
+            gb.build_clean_edges(hetero_edges(spark, sf_dir))
+            .repartition(8, "src")
+            .persist()
+        )
+        df.count()
+        _GRAPH_CACHE[key] = df
+    return df
+
+
 def _round_floats(df: DataFrame, ndigits: int = 6) -> DataFrame:
     cols = []
     for f in df.schema.fields:
@@ -281,18 +378,26 @@ def q_adjacency_strings(spark, sf_dir):
 
 
 def q_bfs_depth3(spark, sf_dir):
-    clean = gb.build_clean_edges(hetero_edges(spark, sf_dir))
-    # prepartition persists the edge table so the 3 level-joins reuse
-    # one materialization; 8 reduce partitions fit this data size
-    # (sensible default for the test scales; a cluster run passes None)
+    # 8 reduce partitions fit the test data sizes (a cluster run
+    # passes None); the constructed graph comes from the shared cache.
     return bfs_mod.bfs_fixed_depth(
-        spark, clean, BFS_ROOT, 3, shuffle_partitions=8
+        spark,
+        clean_hetero_graph(spark, sf_dir),
+        BFS_ROOT,
+        3,
+        prepartition=False,
+        shuffle_partitions=8,
     )
 
 
 def q_bfs_full(spark, sf_dir):
-    clean = gb.build_clean_edges(hetero_edges(spark, sf_dir))
-    return bfs_mod.bfs(spark, clean, BFS_ROOT, shuffle_partitions=8)
+    return bfs_mod.bfs(
+        spark,
+        clean_hetero_graph(spark, sf_dir),
+        BFS_ROOT,
+        prepartition=False,
+        shuffle_partitions=8,
+    )
 
 
 def q_edge_visit_count(spark, sf_dir):
@@ -381,18 +486,91 @@ def q_set_union(spark, sf_dir):
 
 
 def q_kronecker_s8(spark, sf_dir):
-    """S1 generator at scale 8 (rows-only check is NOT used: the edge
-    list is deterministic, so we hash it — oracle reproduces it via a
-    VALUES literal? No: PRNG is not SQL-expressible; rows-only)."""
+    """S1 generator at scale 8. Value-checked: the PRNG is not
+    SQL-expressible, but the edge list is a pure function of the edge
+    index, so the oracle is a VALUES literal regenerated driver-side
+    from the (golden-tested) NumPy kernel — this verifies the
+    distributed mapInPandas plumbing end-to-end."""
     return generator.generate_kronecker_edges(spark, 8, 16)
 
 
 def q_find_roots(spark, sf_dir):
-    """O4 on the scale-8 Kronecker graph (rows-only: PRNG-driven)."""
+    """O4 on the scale-8 Kronecker graph. Value-checked against a
+    pure-driver NumPy replay of the candidate stream (see
+    find_roots_values_sql)."""
     edges = generator.generate_kronecker_edges(spark, 8, 16)
     rts = roots_mod.find_roots(spark, edges, 1 << 8, num_roots=8)
     return spark.createDataFrame(
         [(i, int(r)) for i, r in enumerate(rts)], "run_id int, root long"
+    )
+
+
+def q_sssp(spark, sf_dir):
+    """Shortest-path tree over the weighted mod997 graph (weights are a
+    SQL-expressible function of the endpoints so both engines build
+    identical inputs)."""
+    clean = gb.build_clean_edges(mod997_edges(spark, sf_dir))
+    weighted = clean.withColumn("weight", F.expr(SSSP_WEIGHT_EXPR))
+    return sssp_mod.sssp(spark, weighted, SSSP_ROOT, shuffle_partitions=8)
+
+
+def q_connected_components(spark, sf_dir):
+    return components_mod.connected_components(
+        spark,
+        gb.build_clean_edges(mod997_edges(spark, sf_dir)),
+        shuffle_partitions=8,
+    )
+
+
+def kronecker_values_sql(scale: int, edgefactor: int = 16) -> str:
+    """Golden VALUES oracle for the generator (driver-side NumPy path,
+    independent of the Spark executors' mapInPandas path)."""
+    import numpy as np
+
+    idx = np.arange((1 << scale) * edgefactor, dtype=np.int64)
+    src, dst = generator.rmat_edges_numpy(scale, idx)
+    rows = ",".join(
+        f"({int(s)},{int(d)})" for s, d in zip(src.tolist(), dst.tolist())
+    )
+    return (
+        "SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst"
+        f" FROM (VALUES {rows}) AS t(src, dst)"
+    )
+
+
+def find_roots_values_sql(
+    scale: int = 8, edgefactor: int = 16, num_roots: int = 8
+) -> str:
+    """Golden VALUES oracle for root sampling: replay the candidate
+    stream entirely driver-side (NumPy edges → has-edge set → PRNG
+    stream replay, mirroring benchmark_helper.hpp:475-508)."""
+    import numpy as np
+
+    from graph500_spark.functions import prng
+
+    nverts = 1 << scale
+    idx = np.arange(nverts * edgefactor, dtype=np.int64)
+    src, dst = generator.rmat_edges_numpy(scale, idx)
+    has_edge = set(src.tolist()) | set(dst.tolist())
+
+    roots: list[int] = []
+    counter = 0
+    limit = 2 * nverts
+    while len(roots) < num_roots and counter <= limit:
+        d = prng.make_random_numbers(2, 2, 3, counter)
+        cand = int((d[0] + d[1]) * nverts) % nverts
+        counter += 2
+        if counter > limit:
+            break
+        if cand in roots:
+            continue
+        if cand in has_edge:
+            roots.append(cand)
+    rows = ",".join(f"({i},{r})" for i, r in enumerate(roots))
+    return (
+        "SELECT CAST(run_id AS INTEGER) AS run_id,"
+        " CAST(root AS BIGINT) AS root"
+        f" FROM (VALUES {rows}) AS t(run_id, root)"
     )
 
 
@@ -512,6 +690,8 @@ QUERIES: dict[str, QueryFn] = {
     "set_union": q_set_union,
     "kronecker_s8": q_kronecker_s8,
     "find_roots": q_find_roots,
+    "sssp": q_sssp,
+    "connected_components": q_connected_components,
     # --- training-data-pipeline operators ---
     "token_count": q_token_count,
     "text_quality": q_text_quality,
@@ -657,8 +837,22 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT CAST(c_custkey AS BIGINT) AS v FROM customer"
         " UNION SELECT CAST(s_suppkey AS BIGINT) AS v FROM supplier"
     ),
-    # bfs_full, validate_bfs_summary, kronecker_s8, find_roots:
-    # rows-only (unbounded iteration / PRNG not SQL-expressible)
+    "bfs_full": bfs_full_sql(HETERO_EDGES_SQL, BFS_ROOT),
+    "validate_bfs_summary": (
+        # golden: the engine's own BFS must pass all 5 spec checks —
+        # the expected result IS the all-zero summary
+        "SELECT * FROM (VALUES"
+        " ('value_ranges', CAST(0 AS BIGINT)),"
+        " ('root_self_parents', CAST(0 AS BIGINT)),"
+        " ('depth_consistency', CAST(0 AS BIGINT)),"
+        " ('edge_depths', CAST(0 AS BIGINT)),"
+        " ('tree_edges', CAST(0 AS BIGINT))"
+        ') AS t("check", violations)'
+    ),
+    "kronecker_s8": kronecker_values_sql(8, 16),
+    "find_roots": find_roots_values_sql(8, 16, 8),
+    "sssp": sssp_sql(_CLEAN_MOD997, SSSP_ROOT),
+    "connected_components": connected_components_sql(_CLEAN_MOD997),
     # --- training-data-pipeline operators ---
     "token_count": text_mod.TOKEN_COUNT_SQL,
     "text_quality": text_mod.TEXT_QUALITY_SQL,

@@ -30,10 +30,16 @@ def get_spark(
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+    # local mode runs driver + every executor thread in ONE JVM; Spark's
+    # 1g default heap throttles 32-thread shuffles with GC pressure and
+    # OOMs long iterative loops (accumulated checkpoint/broadcast
+    # blocks). On a real cluster spark-submit overrides this.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
 
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

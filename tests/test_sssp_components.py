@@ -1,0 +1,81 @@
+"""SSSP and connected-components unit tests on hand-built graphs with
+known answers, plus the lexicographic-pred determinism property."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graph500_spark.operators.components import connected_components
+from graph500_spark.operators.graph_build import build_clean_edges
+from graph500_spark.operators.sssp import sssp
+
+
+def _weighted(spark, rows):
+    return spark.createDataFrame(rows, "src long, dst long, weight long")
+
+
+def _sym(rows):
+    return rows + [(d, s, w) for (s, d, w) in rows]
+
+
+def test_sssp_path_graph(spark):
+    # 0 -5- 1 -1- 2 -1- 3 ; direct 0 -3- 2 shortcut
+    rows = _sym([(0, 1, 5), (1, 2, 1), (2, 3, 1), (0, 2, 3)])
+    out = sssp(spark, _weighted(spark, rows), 0)
+    got = {r["vertex"]: (r["dist"], r["pred"]) for r in out.collect()}
+    assert got == {
+        0: (0, 0),
+        1: (4, 2),  # via the 0-2-1 shortcut, not the direct 5-edge
+        2: (3, 0),
+        3: (4, 2),
+    }
+
+
+def test_sssp_min_pred_tie_break(spark):
+    # two equal-cost parents for vertex 3: via 1 (0-1-3 = 2) and via
+    # 2 (0-2-3 = 2) — pred must be the smaller vertex id 1
+    rows = _sym([(0, 1, 1), (0, 2, 1), (1, 3, 1), (2, 3, 1)])
+    out = sssp(spark, _weighted(spark, rows), 0)
+    got = {r["vertex"]: (r["dist"], r["pred"]) for r in out.collect()}
+    assert got[3] == (2, 1)
+
+
+def test_sssp_unreachable_absent(spark):
+    rows = _sym([(0, 1, 2), (5, 6, 1)])
+    out = sssp(spark, _weighted(spark, rows), 0)
+    got = {r["vertex"] for r in out.collect()}
+    assert got == {0, 1}
+
+
+def test_sssp_matches_bfs_on_unit_weights(spark):
+    """With all weights 1, SSSP dist == BFS depth on the same graph."""
+    from graph500_spark.operators.bfs import bfs
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 50) for i in range(50)], "src long, dst long"
+    )
+    clean = build_clean_edges(edges).persist()
+    unit = clean.withColumn("weight", F.lit(1))
+    d = {r["vertex"]: r["dist"] for r in sssp(spark, unit, 3).collect()}
+    b = {r["vertex"]: r["depth"] for r in bfs(spark, clean, 3).collect()}
+    clean.unpersist()
+    assert d == {v: int(depth) for v, depth in b.items()}
+
+
+def test_connected_components_two_islands(spark):
+    rows = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    out = connected_components(spark, build_clean_edges(edges))
+    got = {r["vertex"]: r["component"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_connected_components_chain_long_diameter(spark):
+    # a 16-vertex path exercises multi-round label propagation
+    # (label 0 travels one hop per round → 16 rounds)
+    rows = [(i, i + 1) for i in range(16)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    out = connected_components(spark, build_clean_edges(edges))
+    comps = {r["component"] for r in out.collect()}
+    assert comps == {0}
+    assert out.count() == 17
