@@ -134,3 +134,118 @@ def sssp(
         if saved_sp is not None:
             spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
     return dist
+
+
+# ---------------------------------------------------------------------------
+# SSSP validation — the shortest-path analog of the Graph500 BFS spec
+# checks (mpi/validate.hpp:489-802); the reference never wrote these
+# because run_sssp itself is empty. Same shape: each check is a pure
+# DataFrame query returning violation rows; empty == pass.
+# ---------------------------------------------------------------------------
+
+
+def check_dist_ranges(dist_df: DataFrame, nglobalverts: int) -> DataFrame:
+    """Check 1: parent ids in range, distances non-negative."""
+    return dist_df.filter(
+        (F.col("pred") < 0)
+        | (F.col("pred") >= F.lit(nglobalverts))
+        | (F.col("dist") < 0)
+    ).select("vertex", "dist", "pred")
+
+
+def check_root_dist(dist_df: DataFrame, root: int) -> DataFrame:
+    """Check 2: dist[root]==0 with pred==root; no non-root vertex is
+    its own parent."""
+    bad_root = dist_df.filter(
+        (F.col("vertex") == F.lit(root))
+        & ((F.col("dist") != 0) | (F.col("pred") != F.col("vertex")))
+    )
+    self_parent = dist_df.filter(
+        (F.col("vertex") != F.lit(root)) & (F.col("pred") == F.col("vertex"))
+    )
+    return bad_root.unionByName(self_parent).select("vertex", "dist", "pred")
+
+
+def check_tree_weights(
+    edges_weighted: DataFrame, dist_df: DataFrame, root: int
+) -> DataFrame:
+    """Check 3: every non-root entry's claimed parent edge exists and
+    dist[v] == dist[pred[v]] + weight(pred[v], v). A missing edge
+    (left-join null) is a violation too — this subsumes the BFS
+    tree-edge-existence check."""
+    claims = dist_df.filter(F.col("vertex") != F.lit(root)).select(
+        "vertex", "dist", "pred"
+    )
+    parent = dist_df.select(
+        F.col("vertex").alias("p_vertex"), F.col("dist").alias("p_dist")
+    )
+    edge_w = edges_weighted.select(
+        F.col("src").alias("e_src"),
+        F.col("dst").alias("e_dst"),
+        F.col("weight").alias("e_w"),
+    )
+    return (
+        claims.join(parent, claims.pred == parent.p_vertex, "left")
+        .join(
+            edge_w,
+            (F.col("pred") == F.col("e_src"))
+            & (F.col("vertex") == F.col("e_dst")),
+            "left",
+        )
+        .filter(
+            F.col("p_dist").isNull()
+            | F.col("e_w").isNull()
+            | (F.col("dist") != F.col("p_dist") + F.col("e_w"))
+        )
+        .select("vertex", "dist", "pred")
+    )
+
+
+def check_no_relaxable_edge(
+    edges_weighted: DataFrame, dist_df: DataFrame
+) -> DataFrame:
+    """Check 4 (optimality): no edge (u,v,w) with u reached admits
+    dist[v] > dist[u] + w, and no edge leaves the reached set (v
+    unreached while u reached). This is the Bellman-Ford fixpoint
+    condition — together with checks 1-3 it proves the distances are
+    exactly the shortest-path metric."""
+    u = dist_df.select(
+        F.col("vertex").alias("src"), F.col("dist").alias("u_dist")
+    )
+    v = dist_df.select(
+        F.col("vertex").alias("dst"), F.col("dist").alias("v_dist")
+    )
+    return (
+        edges_weighted.join(u, "src", "inner")
+        .join(v, "dst", "left")
+        .filter(
+            F.col("v_dist").isNull()
+            | (F.col("v_dist") > F.col("u_dist") + F.col("weight"))
+        )
+        .select("src", "dst", "weight", "u_dist", "v_dist")
+    )
+
+
+def validate_sssp(
+    edges_weighted: DataFrame,
+    dist_df: DataFrame,
+    root: int,
+    nglobalverts: int,
+) -> DataFrame:
+    """All four checks → [check: string, violations: long] summary
+    (same reporting convention as validate.validate_bfs)."""
+    checks = {
+        "dist_ranges": check_dist_ranges(dist_df, nglobalverts),
+        "root_dist": check_root_dist(dist_df, root),
+        "tree_weights": check_tree_weights(edges_weighted, dist_df, root),
+        "no_relaxable_edge": check_no_relaxable_edge(
+            edges_weighted, dist_df
+        ),
+    }
+    out = None
+    for name, df in checks.items():
+        one = df.agg(F.count(F.lit(1)).alias("violations")).select(
+            F.lit(name).alias("check"), "violations"
+        )
+        out = one if out is None else out.unionByName(one)
+    return out

@@ -505,6 +505,45 @@ def q_find_roots(spark, sf_dir):
     )
 
 
+def q_degree_distribution(spark, sf_dir):
+    """A8 diagnostics: how many vertices have each degree value."""
+    deg = gb.degrees(gb.build_clean_edges(mod997_edges(spark, sf_dir)))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+    )
+
+
+def q_top_degrees(spark, sf_dir):
+    """Top-k hub vertices (§2.5 sorts/limits): deterministic order by
+    (degree desc, vertex asc), k=100."""
+    deg = gb.degrees(gb.build_clean_edges(mod997_edges(spark, sf_dir)))
+    return deg.orderBy(F.desc("degree"), F.asc("vertex")).limit(100)
+
+
+def q_kronecker_s8_weighted(spark, sf_dir):
+    """S1 + weight stream (spec2012 semantics): value-checked like
+    kronecker_s8 via a driver-side NumPy VALUES oracle."""
+    return generator.generate_kronecker_edges(spark, 8, 16, weighted=True)
+
+
+def kronecker_weighted_values_sql(scale: int, edgefactor: int = 16) -> str:
+    import numpy as np
+
+    idx = np.arange((1 << scale) * edgefactor, dtype=np.int64)
+    src, dst = generator.rmat_edges_numpy(scale, idx)
+    w = generator.edge_weights_numpy(idx, 255)
+    rows = ",".join(
+        f"({int(s)},{int(d)},{int(x)})"
+        for s, d, x in zip(src.tolist(), dst.tolist(), w.tolist())
+    )
+    return (
+        "SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,"
+        " CAST(weight AS INTEGER) AS weight"
+        f" FROM (VALUES {rows}) AS t(src, dst, weight)"
+    )
+
+
 def q_sssp(spark, sf_dir):
     """Shortest-path tree over the weighted mod997 graph (weights are a
     SQL-expressible function of the endpoints so both engines build
@@ -520,6 +559,16 @@ def q_connected_components(spark, sf_dir):
         gb.build_clean_edges(mod997_edges(spark, sf_dir)),
         shuffle_partitions=8,
     )
+
+
+def q_validate_sssp_summary(spark, sf_dir):
+    """Clean-path SSSP validation: the engine's own shortest-path tree
+    must pass all 4 checks (dist ranges, root, tree-weight consistency,
+    Bellman-Ford fixpoint) — golden all-zero summary."""
+    clean = gb.build_clean_edges(mod997_edges(spark, sf_dir))
+    weighted = clean.withColumn("weight", F.expr(SSSP_WEIGHT_EXPR))
+    dist = q_sssp(spark, sf_dir)
+    return sssp_mod.validate_sssp(weighted, dist, SSSP_ROOT, 1000)
 
 
 def kronecker_values_sql(scale: int, edgefactor: int = 16) -> str:
@@ -692,6 +741,10 @@ QUERIES: dict[str, QueryFn] = {
     "find_roots": q_find_roots,
     "sssp": q_sssp,
     "connected_components": q_connected_components,
+    "degree_distribution": q_degree_distribution,
+    "top_degrees": q_top_degrees,
+    "kronecker_s8_weighted": q_kronecker_s8_weighted,
+    "validate_sssp_summary": q_validate_sssp_summary,
     # --- training-data-pipeline operators ---
     "token_count": q_token_count,
     "text_quality": q_text_quality,
@@ -853,6 +906,28 @@ ORACLE_SQL: dict[str, str] = {
     "find_roots": find_roots_values_sql(8, 16, 8),
     "sssp": sssp_sql(_CLEAN_MOD997, SSSP_ROOT),
     "connected_components": connected_components_sql(_CLEAN_MOD997),
+    "degree_distribution": (
+        f"WITH clean AS ({_CLEAN_MOD997}),"
+        " deg AS (SELECT src AS vertex, COUNT(*) AS degree"
+        "         FROM clean GROUP BY src)"
+        " SELECT degree, COUNT(*) AS n_vertices FROM deg GROUP BY degree"
+    ),
+    "top_degrees": (
+        f"WITH clean AS ({_CLEAN_MOD997}),"
+        " deg AS (SELECT src AS vertex, COUNT(*) AS degree"
+        "         FROM clean GROUP BY src)"
+        " SELECT vertex, degree FROM deg"
+        " ORDER BY degree DESC, vertex ASC LIMIT 100"
+    ),
+    "kronecker_s8_weighted": kronecker_weighted_values_sql(8, 16),
+    "validate_sssp_summary": (
+        "SELECT * FROM (VALUES"
+        " ('dist_ranges', CAST(0 AS BIGINT)),"
+        " ('root_dist', CAST(0 AS BIGINT)),"
+        " ('tree_weights', CAST(0 AS BIGINT)),"
+        " ('no_relaxable_edge', CAST(0 AS BIGINT))"
+        ') AS t("check", violations)'
+    ),
     # --- training-data-pipeline operators ---
     "token_count": text_mod.TOKEN_COUNT_SQL,
     "text_quality": text_mod.TEXT_QUALITY_SQL,

@@ -1,0 +1,70 @@
+"""Edge-table storage helpers (SURVEY.md S6) with the cluster-scale
+layout options Spark gives for free.
+
+The reference's answer to data placement is a hand-built 2D process
+grid with owner functions (graph_constructor.hpp:18-22) and chunked
+MPI-IO spill files (graph_generator.hpp:35-319). The Spark-first
+answers, in increasing strength:
+
+  * plain parquet — chunk ≈ row-group/partition, spill is automatic;
+  * hash-partitioned write (``repartition(src)``) — co-locates a
+    single downstream shuffle;
+  * **bucketed** table (``bucketBy(src)``) — persists the hash
+    partitioning in the metastore so *every future* equi-join or
+    aggregation on src runs exchange-free: the physical analog of the
+    reference keeping its CSR permanently 2D-partitioned in memory.
+
+``write_bucketed_edges``/``read_table`` are thin, but the point is the
+contract: at 100 TB the adjacency table is written bucketed once, and
+every BFS/SSSP/CC run joins against it without reshuffling the edges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_edges_parquet(
+    edges: DataFrame, path: str, partition_by_src_hash: int | None = None
+) -> None:
+    """Plain (optionally pre-hash-partitioned) parquet edge list."""
+    out = edges
+    if partition_by_src_hash:
+        out = edges.repartition(partition_by_src_hash, "src")
+    out.write.mode("overwrite").parquet(path)
+
+
+def read_edges_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_bucketed_edges(
+    edges: DataFrame,
+    table: str,
+    num_buckets: int = 32,
+    sort_by_dst: bool = True,
+) -> None:
+    """Persist the edge list bucketed (and per-bucket sorted) by src —
+    subsequent joins/aggregations on src are exchange-free, and the
+    per-bucket dst sort gives CSR-like adjacency locality."""
+    spark = edges.sparkSession
+    # a previous session's managed-table directory may survive while
+    # the (in-memory) metastore entry did not; clear both so overwrite
+    # semantics hold across sessions
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    path = jvm.org.apache.hadoop.fs.Path(warehouse, table.lower())
+    fs = path.getFileSystem(jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
+
+    w = edges.write.mode("overwrite").bucketBy(num_buckets, "src")
+    if sort_by_dst:
+        w = w.sortBy("dst")
+    w.saveAsTable(table, format="parquet")
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)

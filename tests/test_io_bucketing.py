@@ -1,0 +1,63 @@
+"""Storage-layout tests: bucketed edge tables must give exchange-free
+joins and aggregations on the bucket key (the 100 TB co-location
+contract), and parquet round-trips must preserve the edge list."""
+
+from __future__ import annotations
+
+import io as _io
+import contextlib
+
+from graph500_spark.sources.io import (
+    read_edges_parquet,
+    read_table,
+    write_bucketed_edges,
+    write_edges_parquet,
+)
+
+
+def _plan(df) -> str:
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_parquet_roundtrip(spark, tmp_path):
+    edges = spark.createDataFrame(
+        [(i, (i * 3) % 7) for i in range(100)], "src long, dst long"
+    )
+    path = str(tmp_path / "edges.parquet")
+    write_edges_parquet(edges, path, partition_by_src_hash=4)
+    back = read_edges_parquet(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, edges.collect())
+    )
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    edges = spark.createDataFrame(
+        [(i % 50, i) for i in range(1000)], "src long, dst long"
+    )
+    write_bucketed_edges(edges, "t_edges_bucketed", num_buckets=8)
+    t = read_table(spark, "t_edges_bucketed")
+
+    # disable auto-broadcast so the plan must rely on the bucketing
+    # (at 100 TB neither side broadcasts — this is the regime that
+    # matters); bucketed scans satisfy the join's distribution
+    # requirement, so no shuffle Exchange may appear
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = t.alias("a").join(t.alias("b"), "src")
+        plan = _plan(joined)
+        assert "Exchange hashpartitioning" not in plan, plan
+
+        # aggregation on the bucket key is shuffle-free too
+        agg = t.groupBy("src").count()
+        assert "Exchange hashpartitioning" not in _plan(agg)
+
+        # and the results are right
+        assert t.count() == 1000
+        assert joined.count() == sum(20 * 20 for _ in range(50))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)

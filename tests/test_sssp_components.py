@@ -62,6 +62,50 @@ def test_sssp_matches_bfs_on_unit_weights(spark):
     assert d == {v: int(depth) for v, depth in b.items()}
 
 
+def test_validate_sssp_clean_and_corrupted(spark):
+    from pyspark.sql import functions as F2
+
+    from graph500_spark.operators.sssp import validate_sssp
+
+    rows = _sym([(0, 1, 5), (1, 2, 1), (2, 3, 1), (0, 2, 3)])
+    edges = _weighted(spark, rows)
+    good = sssp(spark, edges, 0)
+
+    # the engine's own result passes all four checks
+    summary = validate_sssp(edges, good, 0, 100)
+    assert {r["check"]: r["violations"] for r in summary.collect()} == {
+        "dist_ranges": 0,
+        "root_dist": 0,
+        "tree_weights": 0,
+        "no_relaxable_edge": 0,
+    }
+
+    # corrupt one distance (vertex 2: 3 → 9): tree_weights fires for
+    # its children's claims and itself, and edges into 2 are relaxable
+    bad = good.withColumn(
+        "dist",
+        F2.when(F2.col("vertex") == 2, F2.lit(9)).otherwise(F2.col("dist")),
+    )
+    s = {r["check"]: r["violations"] for r in validate_sssp(
+        edges, bad, 0, 100
+    ).collect()}
+    assert s["no_relaxable_edge"] > 0
+    assert s["tree_weights"] > 0
+
+    # out-of-range parent
+    bad2 = good.withColumn(
+        "pred",
+        F2.when(F2.col("vertex") == 3, F2.lit(1000)).otherwise(
+            F2.col("pred")
+        ),
+    )
+    s2 = {r["check"]: r["violations"] for r in validate_sssp(
+        edges, bad2, 0, 100
+    ).collect()}
+    assert s2["dist_ranges"] == 1
+    assert s2["tree_weights"] >= 1  # claimed parent edge doesn't exist
+
+
 def test_connected_components_two_islands(spark):
     rows = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12)]
     edges = spark.createDataFrame(rows, "src long, dst long")
