@@ -46,6 +46,8 @@ def main() -> int:
         "connected_components": lambda: Q.q_connected_components(
             spark, sf_dir
         ).count(),
+        "cosine_topk": lambda: Q.q_cosine_topk(spark, sf_dir).count(),
+        "sessionize": lambda: Q.q_sessionize(spark, sf_dir).count(),
     }
 
     timings: dict[str, float] = {}

@@ -699,6 +699,29 @@ def q_multimodal_features(spark, sf_dir):
     return multimodal_features(_docs(spark, sf_dir))
 
 
+def q_media_extract_features(spark, sf_dir):
+    """Arrow-batched featurizer over binary payloads (rows-only: the
+    kernel is Python-side by design — the production body swaps in a
+    real decoder; tests pin the deterministic fallback values)."""
+    from graph500_spark.operators.multimodal import (
+        attach_fake_media,
+        extract_features,
+    )
+
+    return extract_features(attach_fake_media(_docs(spark, sf_dir)))
+
+
+def q_frame_sample(spark, sf_dir):
+    """Per-video frame sampling (rows-only: Python kernel; row
+    explosion doc → n_frames rows is the production shape)."""
+    from graph500_spark.operators.multimodal import (
+        attach_fake_media,
+        frame_sample,
+    )
+
+    return frame_sample(attach_fake_media(_docs(spark, sf_dir)))
+
+
 def q_event_window_counts(spark, sf_dir):
     from graph500_spark.streaming.windows import event_window_counts
 
@@ -762,6 +785,8 @@ QUERIES: dict[str, QueryFn] = {
     "lsh_buckets": q_lsh_buckets,
     "cosine_topk_lsh": q_cosine_topk_lsh,
     "multimodal_features": q_multimodal_features,
+    "media_extract_features": q_media_extract_features,
+    "frame_sample": q_frame_sample,
     "event_window_counts": q_event_window_counts,
     "sessionize": q_sessionize,
 }

