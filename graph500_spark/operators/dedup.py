@@ -169,15 +169,21 @@ def _band_key_exprs() -> list[str]:
 def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     """[doc_a, doc_b] — pairs sharing at least one full LSH band.
     doc_a < doc_b; distinct across bands."""
+    # The banded table is built in ONE pass over the signatures
+    # (posexplode of the band-key array) and cached: Catalyst does not
+    # common-subexpression-eliminate across join branches, so without
+    # the cache the shingle+minhash expressions are evaluated once per
+    # band per join side (~8x).
     sig = minhash_signatures(docs)
-    bands = None
-    for b, key in enumerate(_band_key_exprs()):
-        one = sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.expr(key.replace("VARCHAR", "STRING")).alias("key"),
-        )
-        bands = one if bands is None else bands.unionByName(one)
+    keys = F.array(
+        *[
+            F.expr(key.replace("VARCHAR", "STRING"))
+            for key in _band_key_exprs()
+        ]
+    )
+    bands = sig.select(
+        "doc_id", F.posexplode(keys).alias("band", "key")
+    ).cache()
     left = bands.select("band", "key", F.col("doc_id").alias("doc_a"))
     right = bands.select("band", "key", F.col("doc_id").alias("doc_b"))
     return (
@@ -208,7 +214,8 @@ def minhash_near_duplicates(
     """LSH candidates verified by exact Jaccard over distinct shingle
     sets: [doc_a, doc_b, jaccard] with jaccard >= threshold."""
     cands = lsh_candidate_pairs(docs)
-    sh = shingle_hashes(docs)
+    # cached: referenced by both sides of the verification join
+    sh = shingle_hashes(docs).cache()
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     joined = cands.join(a, "doc_a").join(b, "doc_b")
