@@ -47,6 +47,7 @@ def main() -> int:
             spark, sf_dir
         ).count(),
         "cosine_topk": lambda: Q.q_cosine_topk(spark, sf_dir).count(),
+        "cosine_topk_ivf": lambda: Q.q_cosine_topk_ivf(spark, sf_dir).count(),
         "sessionize": lambda: Q.q_sessionize(spark, sf_dir).count(),
     }
 

@@ -1,6 +1,8 @@
 """Approximate-nearest-neighbor similarity search over an embedding
 column (array<float>): brute-force cosine top-k as the exactness
-baseline, and a sign-LSH-bucketed variant as the scale path.
+baseline, plus two scale paths — a sign-LSH-bucketed variant and an
+IVF-Flat variant (coarse-quantize into cells, probe the nprobe nearest
+cells per query).
 
 Scale notes:
   * Brute force is the verifier/baseline: queries × corpus. With a
@@ -180,6 +182,197 @@ def cosine_topk_lsh(
         joined.select("query_id", "neighbor_id", cos.alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def _spark_dot(a: str, b: str) -> str:
+    return (
+        f"aggregate(sequence(1, size({a})), cast(0.0 as double),"
+        f" (acc, i) -> acc + element_at({a}, i) * element_at({b}, i))"
+    )
+
+
+def _duck_dot(a: str, b: str) -> str:
+    return (
+        "list_reduce([CAST(0.0 AS DOUBLE)] ||"
+        f" list_transform(generate_series(1, len({a})),"
+        f" i -> {a}[i] * {b}[i]), (acc, x) -> acc + x)"
+    )
+
+
+# IVF-Flat coarse quantizer: the centroid set is a deterministic medoid
+# subset of the corpus (1-in-61 sampling ⇒ |cells| ≈ N/61; pick the
+# rate so cells ≈ √N at the target corpus size). A production index
+# would k-means-train the centroids on a sample instead — the
+# assign/probe plumbing below is identical either way; medoids keep the
+# operator a pure data function both engines compute bit-identically
+# (float k-means averages are summation-order-dependent across
+# engines, so they cannot sit under a value-hash oracle).
+IVF_CENTROID_FILTER = "vec_id % 61 = 7"
+IVF_NPROBE = 2
+
+
+def ivf_centroids(
+    embeddings: DataFrame, centroid_filter: str = IVF_CENTROID_FILTER
+) -> DataFrame:
+    return (
+        _prepared(embeddings)
+        .filter(F.expr(centroid_filter))
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("v").alias("vc"),
+            F.col("norm").alias("nc"),
+        )
+    )
+
+
+def ivf_cells(
+    embeddings: DataFrame, centroid_filter: str = IVF_CENTROID_FILTER
+) -> DataFrame:
+    """[vec_id, cell] — each vector assigned to its nearest (max-cosine)
+    centroid, ties broken by centroid id.
+
+    Scale shape: centroids are broadcast (√N rows), so assignment is
+    one scan of the corpus — N·√N fused dot products inside codegen,
+    no shuffle until the argmin aggregation on vec_id."""
+    e = _prepared(embeddings)
+    pairs = e.crossJoin(F.broadcast(ivf_centroids(embeddings, centroid_filter)))
+    cos = F.round(
+        F.expr(_spark_dot("v", "vc")) / (F.col("norm") * F.col("nc")), 5
+    ).cast("double")
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("c").desc(), F.col("cid").asc()
+    )
+    return (
+        pairs.select("vec_id", "cid", cos.alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cell"))
+    )
+
+
+def ivf_cells_sql() -> str:
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings),"
+        f" en AS (SELECT vec_id, v, {_DUCK_NORM} AS norm FROM e),"
+        " cents AS (SELECT vec_id AS cid, v AS vc, norm AS nc FROM en"
+        f" WHERE {IVF_CENTROID_FILTER}),"
+        " scored AS (SELECT E.vec_id, C.cid,"
+        f" CAST(ROUND(({_duck_dot('E.v', 'C.vc')}) / (E.norm * C.nc), 5)"
+        "  AS DOUBLE) AS c"
+        " FROM en E CROSS JOIN cents C),"
+        " ranked AS (SELECT vec_id, cid,"
+        " ROW_NUMBER() OVER (PARTITION BY vec_id"
+        "  ORDER BY c DESC, cid ASC) AS rn FROM scored)"
+        " SELECT vec_id, CAST(cid AS BIGINT) AS cell FROM ranked"
+        " WHERE rn = 1"
+    )
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+    query_filter: str = QUERY_FILTER_SPARK,
+    centroid_filter: str = IVF_CENTROID_FILTER,
+) -> DataFrame:
+    """IVF-Flat ANN: queries probe their ``nprobe`` nearest cells and
+    rank only the vectors assigned there — [query_id, neighbor_id,
+    cosine, rank]. Approximate (recall < 1) like the LSH variant, but
+    with data-adaptive partitions instead of fixed hyperplanes.
+
+    Scale shape: the candidate join is an equi-join on cell id — the
+    corpus shuffles once by cell (or is pre-bucketed by it on disk),
+    and each query touches nprobe/√N of the data."""
+    e = _prepared(embeddings)
+    cents = ivf_centroids(embeddings, centroid_filter)
+    q = e.filter(F.expr(query_filter)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    probe_cos = F.round(
+        F.expr(_spark_dot("va", "vc")) / (F.col("na") * F.col("nc")), 5
+    ).cast("double")
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("c").desc(), F.col("cid").asc()
+    )
+    probes = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cents))
+        .select("query_id", "va", "na", "cid", probe_cos.alias("c"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "va", "na", F.col("cid").alias("cell"))
+    )
+    cand = probes.join(ivf_cells(embeddings, centroid_filter), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    joined = cand.select(
+        "query_id", "va", "na", F.col("vec_id").alias("neighbor_id")
+    ).join(c, "neighbor_id")
+    cos = F.round(
+        F.expr(_SPARK_DOT_AB) / (F.col("na") * F.col("nb")), 5
+    ).cast("double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_topk_ivf_sql(
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+    query_filter: str = "vec_id % 50 = 0",
+) -> str:
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings),"
+        f" en AS (SELECT vec_id, v, {_DUCK_NORM} AS norm FROM e),"
+        " cents AS (SELECT vec_id AS cid, v AS vc, norm AS nc FROM en"
+        f" WHERE {IVF_CENTROID_FILTER}),"
+        " cell_scored AS (SELECT E.vec_id, C.cid,"
+        f" CAST(ROUND(({_duck_dot('E.v', 'C.vc')}) / (E.norm * C.nc), 5)"
+        "  AS DOUBLE) AS c"
+        " FROM en E CROSS JOIN cents C),"
+        " cells AS (SELECT vec_id, cid AS cell FROM"
+        " (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id"
+        "  ORDER BY c DESC, cid ASC) AS rn FROM cell_scored)"
+        " WHERE rn = 1),"
+        " q AS (SELECT vec_id AS query_id, v AS va, norm AS na FROM en"
+        f" WHERE {query_filter}),"
+        " probe_scored AS (SELECT Q.query_id, C.cid,"
+        f" CAST(ROUND(({_duck_dot('Q.va', 'C.vc')}) / (Q.na * C.nc), 5)"
+        "  AS DOUBLE) AS c"
+        " FROM q Q CROSS JOIN cents C),"
+        " probes AS (SELECT query_id, cid AS cell FROM"
+        " (SELECT query_id, cid, ROW_NUMBER() OVER (PARTITION BY query_id"
+        "  ORDER BY c DESC, cid ASC) AS rn FROM probe_scored)"
+        f" WHERE rn <= {nprobe}),"
+        " cand AS (SELECT P.query_id, L.vec_id AS neighbor_id"
+        " FROM probes P JOIN cells L ON P.cell = L.cell"
+        " WHERE L.vec_id <> P.query_id),"
+        " scored AS (SELECT A.query_id, A.neighbor_id,"
+        f" CAST(ROUND(({_duck_dot('QA.v', 'NB.v')}) / (QA.norm * NB.norm),"
+        " 5) AS DOUBLE) AS cosine"
+        " FROM cand A JOIN en QA ON QA.vec_id = A.query_id"
+        " JOIN en NB ON NB.vec_id = A.neighbor_id),"
+        " ranked AS (SELECT query_id, neighbor_id, cosine,"
+        " CAST(ROW_NUMBER() OVER (PARTITION BY query_id"
+        "  ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank"
+        " FROM scored)"
+        " SELECT query_id, neighbor_id, cosine, rank FROM ranked"
+        f" WHERE rank <= {k}"
     )
 
 

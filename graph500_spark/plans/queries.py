@@ -693,6 +693,14 @@ def q_cosine_topk_lsh(spark, sf_dir):
     return simsearch_mod.cosine_topk_lsh(_embs(spark, sf_dir))
 
 
+def q_ivf_cells(spark, sf_dir):
+    return simsearch_mod.ivf_cells(_embs(spark, sf_dir))
+
+
+def q_cosine_topk_ivf(spark, sf_dir):
+    return simsearch_mod.cosine_topk_ivf(_embs(spark, sf_dir))
+
+
 def q_multimodal_features(spark, sf_dir):
     from graph500_spark.operators.multimodal import multimodal_features
 
@@ -784,6 +792,8 @@ QUERIES: dict[str, QueryFn] = {
     "cosine_topk": q_cosine_topk,
     "lsh_buckets": q_lsh_buckets,
     "cosine_topk_lsh": q_cosine_topk_lsh,
+    "ivf_cells": q_ivf_cells,
+    "cosine_topk_ivf": q_cosine_topk_ivf,
     "multimodal_features": q_multimodal_features,
     "media_extract_features": q_media_extract_features,
     "frame_sample": q_frame_sample,
@@ -969,6 +979,8 @@ ORACLE_SQL: dict[str, str] = {
     "cosine_topk": simsearch_mod.cosine_topk_sql(),
     "lsh_buckets": simsearch_mod.lsh_buckets_sql(),
     "cosine_topk_lsh": simsearch_mod.cosine_topk_lsh_sql(),
+    "ivf_cells": simsearch_mod.ivf_cells_sql(),
+    "cosine_topk_ivf": simsearch_mod.cosine_topk_ivf_sql(),
 }
 
 

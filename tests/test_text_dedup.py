@@ -122,6 +122,29 @@ def test_cosine_topk(embs):
     assert len(ranked) == 2
 
 
+def test_ivf_cells_assignment(embs):
+    # centroids 0 (+x) and 2 (+y): vectors split by nearest direction
+    cells = {r["vec_id"]: r["cell"]
+             for r in simsearch.ivf_cells(embs, "vec_id IN (0, 2)").collect()}
+    assert cells[0] == 0 and cells[1] == 0   # near +x
+    assert cells[2] == 2                      # +y is its own cell
+    assert cells[50] in (0, 2)                # diagonal ties to one cell
+    assert len(cells) == 5                    # every vector assigned once
+
+
+def test_cosine_topk_ivf_finds_in_probed_cells(embs):
+    out = simsearch.cosine_topk_ivf(
+        embs, k=2, nprobe=1, query_filter="vec_id = 0",
+        centroid_filter="vec_id IN (0, 2)",
+    ).collect()
+    ranked = sorted(out, key=lambda r: r["rank"])
+    # probing only the +x cell still finds the true nearest neighbor
+    assert ranked[0]["neighbor_id"] == 1 and ranked[0]["rank"] == 1
+    brute = {(r["query_id"], r["neighbor_id"])
+             for r in simsearch.cosine_topk(embs, k=2, query_filter="vec_id = 0").collect()}
+    assert {(r["query_id"], r["neighbor_id"]) for r in out} <= brute
+
+
 def test_cosine_topk_lsh_subset_of_bruteforce(embs):
     brute = {(r["query_id"], r["neighbor_id"])
              for r in simsearch.cosine_topk(embs, k=4, query_filter="vec_id = 0").collect()}
