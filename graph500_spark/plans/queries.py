@@ -527,6 +527,64 @@ def q_kronecker_s8_weighted(spark, sf_dir):
     return generator.generate_kronecker_edges(spark, 8, 16, weighted=True)
 
 
+def q_random_edges_s8(spark, sf_dir):
+    """S2 uniform-endpoint generator at scale 8 (RandomGraphGenerator,
+    graph_generator.hpp:570-600): value-checked like kronecker_s8 via
+    a driver-side NumPy VALUES oracle."""
+    return generator.generate_random_edges(spark, 8, 16)
+
+
+def q_initial_edges_tree(spark, sf_dir):
+    """S3 binary-tree scaffold edges (spec2012 path,
+    generateInitialEdge, graph_generator.hpp:512-542)."""
+    return generator.generate_initial_edges(spark, 8, "binary_tree")
+
+
+def q_initial_edges_cycle(spark, sf_dir):
+    """S3 Hamiltonian-cycle scaffold edges (spec2012 path)."""
+    return generator.generate_initial_edges(spark, 8, "hamiltonian_cycle")
+
+
+def random_values_sql(scale: int, edgefactor: int = 16) -> str:
+    import numpy as np
+
+    idx = np.arange((1 << scale) * edgefactor, dtype=np.int64)
+    src, dst = generator.random_edges_numpy(scale, idx)
+    rows = ",".join(
+        f"({int(s)},{int(d)})" for s, d in zip(src.tolist(), dst.tolist())
+    )
+    return (
+        "SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst"
+        f" FROM (VALUES {rows}) AS t(src, dst)"
+    )
+
+
+def initial_edges_values_sql(scale: int, kind: str) -> str:
+    import numpy as np
+
+    from graph500_spark.functions.scramble import scramble, scramble_constants
+
+    nverts = 1 << scale
+    if kind == "binary_tree":
+        idx = np.arange(nverts - 1, dtype=np.int64)
+        v0, v1 = idx + 1, (idx + 1) // 2
+    else:
+        idx = np.arange(nverts, dtype=np.int64)
+        v0, v1 = idx, (idx + 1) % nverts
+    val0, val1 = scramble_constants(
+        generator.USERSEED1, generator.USERSEED2
+    )
+    src = scramble(v0, scale, val0, val1)
+    dst = scramble(v1, scale, val0, val1)
+    rows = ",".join(
+        f"({int(s)},{int(d)})" for s, d in zip(src.tolist(), dst.tolist())
+    )
+    return (
+        "SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst"
+        f" FROM (VALUES {rows}) AS t(src, dst)"
+    )
+
+
 def kronecker_weighted_values_sql(scale: int, edgefactor: int = 16) -> str:
     import numpy as np
 
@@ -775,6 +833,9 @@ QUERIES: dict[str, QueryFn] = {
     "degree_distribution": q_degree_distribution,
     "top_degrees": q_top_degrees,
     "kronecker_s8_weighted": q_kronecker_s8_weighted,
+    "random_edges_s8": q_random_edges_s8,
+    "initial_edges_tree": q_initial_edges_tree,
+    "initial_edges_cycle": q_initial_edges_cycle,
     "validate_sssp_summary": q_validate_sssp_summary,
     # --- training-data-pipeline operators ---
     "token_count": q_token_count,
@@ -955,6 +1016,9 @@ ORACLE_SQL: dict[str, str] = {
         " ORDER BY degree DESC, vertex ASC LIMIT 100"
     ),
     "kronecker_s8_weighted": kronecker_weighted_values_sql(8, 16),
+    "random_edges_s8": random_values_sql(8, 16),
+    "initial_edges_tree": initial_edges_values_sql(8, "binary_tree"),
+    "initial_edges_cycle": initial_edges_values_sql(8, "hamiltonian_cycle"),
     "validate_sssp_summary": (
         "SELECT * FROM (VALUES"
         " ('dist_ranges', CAST(0 AS BIGINT)),"
