@@ -48,6 +48,7 @@ def main() -> int:
         ).count(),
         "cosine_topk": lambda: Q.q_cosine_topk(spark, sf_dir).count(),
         "cosine_topk_ivf": lambda: Q.q_cosine_topk_ivf(spark, sf_dir).count(),
+        "corpus_clean": lambda: Q.q_corpus_clean(spark, sf_dir).count(),
         "sessionize": lambda: Q.q_sessionize(spark, sf_dir).count(),
     }
 

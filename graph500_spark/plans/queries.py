@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from graph500_spark.operators import bfs as bfs_mod
 from graph500_spark.operators import components as components_mod
+from graph500_spark.operators import corpus as corpus_mod
 from graph500_spark.operators import dedup as dedup_mod
 from graph500_spark.operators import graph_build as gb
 from graph500_spark.operators import roots as roots_mod
@@ -759,6 +760,12 @@ def q_cosine_topk_ivf(spark, sf_dir):
     return simsearch_mod.cosine_topk_ivf(_embs(spark, sf_dir))
 
 
+def q_corpus_clean(spark, sf_dir):
+    """Composed flagship pipeline: exact dedup → MinHash near-dup
+    removal → language + quality gates (operators/corpus.py)."""
+    return corpus_mod.corpus_clean(_docs(spark, sf_dir))
+
+
 def q_multimodal_features(spark, sf_dir):
     from graph500_spark.operators.multimodal import multimodal_features
 
@@ -850,6 +857,7 @@ QUERIES: dict[str, QueryFn] = {
     "simhash_near_duplicates": q_simhash_near_duplicates,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "embedding_near_duplicates": q_embedding_near_duplicates,
+    "corpus_clean": q_corpus_clean,
     "cosine_topk": q_cosine_topk,
     "lsh_buckets": q_lsh_buckets,
     "cosine_topk_lsh": q_cosine_topk_lsh,
@@ -1040,6 +1048,7 @@ ORACLE_SQL: dict[str, str] = {
     "simhash_near_duplicates": dedup_mod.simhash_near_duplicates_sql(),
     "ngram_jaccard_pairs": dedup_mod.ngram_jaccard_pairs_sql(),
     "embedding_near_duplicates": dedup_mod.embedding_near_duplicates_sql(0.2),
+    "corpus_clean": corpus_mod.corpus_clean_sql(),
     "cosine_topk": simsearch_mod.cosine_topk_sql(),
     "lsh_buckets": simsearch_mod.lsh_buckets_sql(),
     "cosine_topk_lsh": simsearch_mod.cosine_topk_lsh_sql(),

@@ -22,6 +22,18 @@ def docs(spark):
         (4, "completely different words here about spark engines", "en", "s1", 51),
         (5, "el gato y el perro en la casa que es grande", "es", "s1", 43),
     ]
+    base = (
+        "the alpha and bravo of charlie in delta for echo on foxtrot"
+        " golf hotel india juliet kilo lima mike november oscar papa"
+        " quebec romeo sierra tango uniform victor whiskey xray yankee zulu"
+    )
+    # long near-dup pair (one trailing word changed → jaccard ≈ 0.94,
+    # reliably caught by the 4x4 LSH banding, unlike the short doc 2
+    # whose jaccard 0.4 sits below the banding's detection sweet spot)
+    rows += [
+        (6, base, "en", "s1", len(base)),
+        (7, base.replace("zulu", "zero"), "en", "s1", len(base)),
+    ]
     return spark.createDataFrame(rows, DOCS_SCHEMA)
 
 
@@ -152,3 +164,21 @@ def test_cosine_topk_lsh_subset_of_bruteforce(embs):
               for r in simsearch.cosine_topk_lsh(embs, k=4, query_filter="vec_id = 0").collect()}
     # LSH returns a subset of candidates (same bucket only)
     assert approx <= brute or len(approx) <= len(brute)
+
+
+def test_corpus_clean_applies_all_gates(docs):
+    from graph500_spark.operators.corpus import corpus_clean
+
+    # min_quality=0 isolates the dedup + language gates
+    out = {r["doc_id"]: r for r in corpus_clean(docs, min_quality=0.0).collect()}
+    assert 0 in out            # canonical copy of the exact-dup group
+    assert 1 not in out        # exact duplicate of 0 (higher id)
+    assert 6 in out            # canonical copy of the near-dup pair
+    assert 7 not in out        # near-duplicate of 6 (jaccard ≈ 0.94)
+    assert 4 not in out        # no stopword markers → 'und' → dropped
+    assert {3, 5} <= set(out)
+    assert out[3]["lang_pred"] == "de"
+
+    # raising the quality bar drops more docs, never adds
+    strict = {r["doc_id"] for r in corpus_clean(docs, min_quality=0.9).collect()}
+    assert strict <= set(out)
