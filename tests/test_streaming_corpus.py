@@ -1,0 +1,77 @@
+"""Streaming corpus ingest must converge to the batch pipeline's
+exact-dedup + gating stages: same accepted doc set whether documents
+arrive in one batch or across several (including cross-batch exact
+duplicates)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graph500_spark.operators import dedup as dd
+from graph500_spark.operators import text as tx
+from graph500_spark.streaming.corpus_ingest import (
+    read_corpus,
+    start_corpus_ingest,
+)
+
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+BATCH1 = [
+    (0, "the quick brown fox jumps over the lazy dog", "en", "s0", 43),
+    (1, "the quick brown fox jumps over the lazy dog", "en", "s0", 43),
+    (2, "der hund und die katze und der vogel sind da", "de", "s0", 44),
+    (3, "xyzzy qwerty asdf", "und", "s0", 17),  # no markers → dropped
+]
+BATCH2 = [
+    (4, "the quick brown fox jumps over the lazy dog", "en", "s1", 43),  # cross-batch dup of 0
+    (5, "el gato y el perro en la casa que es grande", "es", "s1", 43),
+]
+
+
+def _batch_expected(spark, rows, min_quality):
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+    surv = dd.exact_duplicates(docs).select(
+        F.col("rep_doc_id").alias("doc_id")
+    )
+    lang = tx.language_id(docs).select("doc_id", "lang_pred")
+    qual = tx.text_quality(docs).select("doc_id", "quality_score")
+    return {
+        r["doc_id"]
+        for r in surv.join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .filter(
+            (F.col("quality_score") >= min_quality)
+            & (F.col("lang_pred") != "und")
+        )
+        .collect()
+    }
+
+
+def test_corpus_ingest_converges_to_batch(spark, tmp_path):
+    src_dir = tmp_path / "incoming"
+    src_dir.mkdir()
+    accepted_out = str(tmp_path / "accepted")
+    ckpt = str(tmp_path / "ckpt")
+
+    for i, rows in enumerate((BATCH1, BATCH2)):
+        spark.createDataFrame(rows, DOCS_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src_dir / f"b{i}"))
+        q = start_corpus_ingest(
+            spark, str(src_dir) + "/*", accepted_out, ckpt, min_quality=0.0
+        )
+        q.awaitTermination(120)
+
+    got = {r["doc_id"] for r in read_corpus(spark, accepted_out).collect()}
+    expect = _batch_expected(spark, BATCH1 + BATCH2, 0.0)
+    assert got == expect
+    assert 0 in got and 1 not in got  # within-batch exact dup dropped
+    assert 4 not in got               # cross-batch exact dup dropped
+    assert 3 not in got               # language gate
+    assert {2, 5} <= got
+
+    # annotations ride along
+    rows = {r["doc_id"]: r for r in read_corpus(spark, accepted_out).collect()}
+    assert rows[2]["lang_pred"] == "de"
+    assert rows[5]["lang_pred"] == "es"
+    assert 0.0 <= rows[2]["quality_score"] <= 1.0
