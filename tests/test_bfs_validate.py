@@ -62,6 +62,18 @@ def test_bfs_unreachable_component(spark):
     )
 
 
+def test_bfs_isolated_root(spark):
+    # root 9 has no edges at all: pred tree = {root}, all validators
+    # clean, zero visited edges
+    raw = spark.createDataFrame([(0, 1)], "src long, dst long")
+    clean = gb.build_clean_edges(raw)
+    pred = bfs_mod.bfs(spark, clean, 9, prepartition=False)
+    assert [tuple(r) for r in pred.collect()] == [(9, 9, 0)]
+    summary = V.validate_bfs(raw, pred, 9, 10)
+    assert all(r["violations"] == 0 for r in summary.collect())
+    assert V.edge_visit_count(raw, pred).collect()[0]["edge_visit_count"] == 0
+
+
 def test_bfs_min_parent_determinism(spark):
     # diamond: 0-1, 0-2, 1-3, 2-3 → pred[3] must be min(1,2)=1
     clean = gb.build_clean_edges(

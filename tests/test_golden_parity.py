@@ -20,11 +20,12 @@ from graph500_spark.operators.roots import find_roots
 from graph500_spark.operators.validate import edge_visit_count
 from graph500_spark.sources.generator import generate_kronecker_edges
 
-# pf_nedge[scale], mpi/utils.hpp:3663-3708
-PF_NEDGE = {10: 16_383, 12: 65_535}
+# pf_nedge[scale], mpi/utils.hpp:3663-3708; 16 is the reference's
+# default CLI workload (mpi/main.cc:211)
+PF_NEDGE = {10: 16_383, 12: 65_535, 16: 1_048_570}
 
 
-@pytest.mark.parametrize("scale", [10, 12])
+@pytest.mark.parametrize("scale", [10, 12, 16])
 def test_edge_visit_count_matches_reference_golden(spark, scale):
     raw = generate_kronecker_edges(spark, scale, 16).persist()
     raw.count()
