@@ -323,6 +323,82 @@ def simhash_near_duplicates_sql(max_hamming: int = 3) -> str:
     )
 
 
+def simhash_near_duplicates_blocked(
+    docs: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """[doc_a, doc_b, hamming] — GLOBAL near-dup pairs with simhash
+    hamming distance <= max_hamming, via Manku/Jain/Sarma (WWW'07)
+    chunk blocking: split the fingerprint into max_hamming+1 chunks;
+    by pigeonhole, any pair within distance d agrees exactly on at
+    least one chunk, so candidates are an equi-join on
+    (chunk_index, chunk_value) — never an all-pairs product.
+
+    Scale shape: the chunk table is 4 rows/doc; the candidate join
+    shuffles on a 2-column key whose fan-in per bucket is the chunk
+    collision rate (tiny at 64-bit production fingerprints); the
+    hamming verify is one bit_count over the joined pair. This is the
+    100 TB path; ``simhash_near_duplicates`` (quadratic within a
+    blocking key) is the small-block verifier."""
+    n_chunks = max_hamming + 1
+    assert SIMHASH_BITS % n_chunks == 0, "chunks must tile the fingerprint"
+    chunk_bits = SIMHASH_BITS // n_chunks
+    sh = simhash(docs).cache()
+    chunk_vals = F.array(
+        *[
+            F.expr(
+                f"(simhash div {1 << (i * chunk_bits)}) % {1 << chunk_bits}"
+            )
+            for i in range(n_chunks)
+        ]
+    )
+    chunks = sh.select(
+        "doc_id", F.posexplode(chunk_vals).alias("chunk_idx", "chunk_val")
+    )
+    a = chunks.select("chunk_idx", "chunk_val", F.col("doc_id").alias("doc_a"))
+    b = chunks.select("chunk_idx", "chunk_val", F.col("doc_id").alias("doc_b"))
+    cands = (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)").cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_near_duplicates_blocked_sql(max_hamming: int = 3) -> str:
+    n_chunks = max_hamming + 1
+    chunk_bits = SIMHASH_BITS // n_chunks
+    chunk_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS chunk_idx,"
+        f" (simhash // {1 << (i * chunk_bits)}) % {1 << chunk_bits} AS chunk_val"
+        " FROM sh"
+        for i in range(n_chunks)
+    )
+    return (
+        f"WITH sh AS (SELECT doc_id,"
+        f" CAST({_simhash_expr('duck')} AS BIGINT) AS simhash"
+        " FROM documents),"
+        f" chunks AS ({chunk_selects}),"
+        " cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b"
+        " FROM chunks a JOIN chunks b"
+        " ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val"
+        " AND a.doc_id < b.doc_id)"
+        " SELECT doc_a, doc_b,"
+        " CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming"
+        " FROM cands JOIN sh sa ON sa.doc_id = cands.doc_a"
+        " JOIN sh sb ON sb.doc_id = cands.doc_b"
+        f" WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {max_hamming}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (blocked all-pairs verifier)
 # ---------------------------------------------------------------------------

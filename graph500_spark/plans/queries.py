@@ -730,6 +730,12 @@ def q_simhash_near_duplicates(spark, sf_dir):
     return dedup_mod.simhash_near_duplicates(_docs(spark, sf_dir))
 
 
+def q_simhash_near_duplicates_blocked(spark, sf_dir):
+    """Manku-chunk-blocked global simhash dedup — the 100 TB path
+    (candidates via equi-join on fingerprint chunks, no all-pairs)."""
+    return dedup_mod.simhash_near_duplicates_blocked(_docs(spark, sf_dir))
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     return dedup_mod.ngram_jaccard_pairs(_docs(spark, sf_dir))
 
@@ -855,6 +861,7 @@ QUERIES: dict[str, QueryFn] = {
     "minhash_near_duplicates": q_minhash_near_duplicates,
     "simhash": q_simhash,
     "simhash_near_duplicates": q_simhash_near_duplicates,
+    "simhash_near_duplicates_blocked": q_simhash_near_duplicates_blocked,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "embedding_near_duplicates": q_embedding_near_duplicates,
     "corpus_clean": q_corpus_clean,
@@ -1046,6 +1053,8 @@ ORACLE_SQL: dict[str, str] = {
     "minhash_near_duplicates": dedup_mod.minhash_near_duplicates_sql(),
     "simhash": dedup_mod.simhash_sql(),
     "simhash_near_duplicates": dedup_mod.simhash_near_duplicates_sql(),
+    "simhash_near_duplicates_blocked":
+        dedup_mod.simhash_near_duplicates_blocked_sql(),
     "ngram_jaccard_pairs": dedup_mod.ngram_jaccard_pairs_sql(),
     "embedding_near_duplicates": dedup_mod.embedding_near_duplicates_sql(0.2),
     "corpus_clean": corpus_mod.corpus_clean_sql(),

@@ -182,3 +182,22 @@ def test_corpus_clean_applies_all_gates(docs):
     # raising the quality bar drops more docs, never adds
     strict = {r["doc_id"] for r in corpus_clean(docs, min_quality=0.9).collect()}
     assert strict <= set(out)
+
+
+def test_simhash_blocked_equals_global_bruteforce(docs):
+    # pigeonhole completeness: chunk blocking must find EXACTLY the
+    # global all-pairs result for hamming <= max_hamming
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    ids = sorted(sh)
+    brute = {
+        (a, b, bin(sh[a] ^ sh[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(sh[a] ^ sh[b]).count("1") <= 3
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dedup.simhash_near_duplicates_blocked(docs, 3).collect()
+    }
+    assert got == brute
+    assert any(h == 0 for _, _, h in got)  # the exact-dup pair (0,1)
