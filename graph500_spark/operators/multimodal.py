@@ -152,6 +152,41 @@ def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
     )
 
 
+def resize_media(media: DataFrame, target_bytes: int = 32) -> DataFrame:
+    """Deterministic media "resize": stride-subsample the payload down
+    to ~target_bytes (the byte-level stand-in for pixel resampling —
+    a real deployment decodes, resizes, re-encodes inside the same
+    mapInPandas body).
+
+    Output: [doc_id, media_type, payload: binary, n_bytes] — the SAME
+    schema as the input media table, so resize composes with
+    extract_features / frame_sample exactly like a production
+    image-resize stage."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                if len(payload) <= target_bytes:
+                    out.append(bytes(payload))
+                else:
+                    stride = len(payload) // target_bytes
+                    out.append(bytes(payload[::stride][:target_bytes]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": out,
+                    "n_bytes": [len(p) for p in out],
+                }
+            )
+
+    return media.mapInPandas(
+        resize,
+        schema="doc_id long, media_type string, payload binary, n_bytes long",
+    )
+
+
 def multimodal_features(docs: DataFrame) -> DataFrame:
     """End-to-end: docs → fake media → Arrow-batched featurizer."""
     return extract_features(attach_fake_media(docs))

@@ -801,6 +801,43 @@ def q_frame_sample(spark, sf_dir):
     return frame_sample(attach_fake_media(_docs(spark, sf_dir)))
 
 
+def q_media_resize_features(spark, sf_dir):
+    """Resize (byte-stride subsample) → featurize: value-checked —
+    the resized payload is a pure function of the text column that the
+    DuckDB oracle re-derives with a strided generate_series."""
+    from graph500_spark.operators.multimodal import (
+        attach_fake_media,
+        extract_features,
+        resize_media,
+    )
+
+    return extract_features(resize_media(attach_fake_media(_docs(spark, sf_dir))))
+
+
+# Oracle for resize(target=32) → featurize: python payload[::stride][:32]
+# with stride = n // 32 keeps bytes at 0-based positions i*stride for
+# i in [0, min(ceil(n/stride), 32)).
+MEDIA_RESIZE_FEATURES_SQL = (
+    "WITH m AS (SELECT doc_id, length(text) AS n, text FROM documents),"
+    " r AS (SELECT doc_id, n, CASE WHEN n <= 32 THEN"
+    "  list_transform(generate_series(1, n),"
+    "   i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))"
+    "  ELSE list_transform("
+    "   generate_series(0, least((n - 1) // (n // 32), 31)),"
+    "   i -> CAST(ascii(substr(text, 1 + i * (n // 32), 1)) AS BIGINT))"
+    "  END AS bytes FROM m)"
+    " SELECT doc_id,"
+    " ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1]"
+    "  AS media_type,"
+    " CAST(len(bytes) AS BIGINT) AS n_bytes,"
+    " CAST(list_reduce([CAST(0 AS BIGINT)] || bytes,"
+    "  (acc, x) -> acc + x) % 2147483647 AS BIGINT) AS byte_sum,"
+    " CAST(list_reduce([CAST(0 AS BIGINT)] || bytes[1:64],"
+    "  (acc, x) -> (acc * 131 + x) % 2147483647) AS BIGINT) AS head_hash"
+    " FROM r"
+)
+
+
 def q_event_window_counts(spark, sf_dir):
     from graph500_spark.streaming.windows import event_window_counts
 
@@ -873,6 +910,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_features": q_multimodal_features,
     "media_extract_features": q_media_extract_features,
     "frame_sample": q_frame_sample,
+    "media_resize_features": q_media_resize_features,
     "event_window_counts": q_event_window_counts,
     "sessionize": q_sessionize,
 }
@@ -1073,6 +1111,7 @@ def _late_oracles() -> dict[str, str]:
 
     return {
         "multimodal_features": MULTIMODAL_FEATURES_SQL,
+        "media_resize_features": MEDIA_RESIZE_FEATURES_SQL,
         "event_window_counts": event_window_counts_sql(),
         "sessionize": sessionize_sql(),
     }

@@ -117,3 +117,19 @@ def test_decode_stub_raises(spark):
 
     with pytest.raises(NotImplementedError):
         decode_image(b"not a real image")
+
+
+def test_resize_media(spark, media):
+    from graph500_spark.operators.multimodal import resize_media
+
+    out = {r["doc_id"]: r for r in resize_media(media, target_bytes=4).collect()}
+    # short payloads pass through untouched
+    assert bytes(out[1]["payload"]) == b"abc"
+    # long payloads stride-subsample down to exactly target_bytes
+    long_doc = max(out, key=lambda d: out[d]["n_bytes"])
+    assert out[long_doc]["n_bytes"] <= 4
+    # schema matches the input media table → composes with featurizer
+    from graph500_spark.operators.multimodal import extract_features
+
+    feats = extract_features(resize_media(media, target_bytes=4)).collect()
+    assert {r["doc_id"] for r in feats} == set(out)
