@@ -113,16 +113,31 @@ def bfs(
             reached_side = reached.select("vertex")
             if n_reached <= broadcast_rows:
                 reached_side = F.broadcast(reached_side)
-            candidates = (
-                edges.join(frontier_side, "src")
-                .select(
-                    F.col("dst").alias("vertex"), F.col("src").alias("pred")
-                )
-                .groupBy("vertex")
-                .agg(F.min("pred").alias("pred"))
-                .join(reached_side, "vertex", "left_anti")
-                .withColumn("depth", F.lit(depth))
+            # Join order depends on whether `reached` broadcasts:
+            #  * broadcastable → anti-join FIRST: candidates pointing
+            #    at already-reached vertices (the majority on hub
+            #    levels) die map-side, and only genuinely-new ones
+            #    enter the groupBy shuffle;
+            #  * too big to broadcast → groupBy FIRST: the partial
+            #    (map-side) min-aggregation collapses duplicate dsts
+            #    before the shuffle, and the shuffled anti-join then
+            #    reuses the groupBy's hash partitioning on vertex.
+            candidates = edges.join(frontier_side, "src").select(
+                F.col("dst").alias("vertex"), F.col("src").alias("pred")
             )
+            if n_reached <= broadcast_rows:
+                candidates = (
+                    candidates.join(reached_side, "vertex", "left_anti")
+                    .groupBy("vertex")
+                    .agg(F.min("pred").alias("pred"))
+                )
+            else:
+                candidates = (
+                    candidates.groupBy("vertex")
+                    .agg(F.min("pred").alias("pred"))
+                    .join(reached_side, "vertex", "left_anti")
+                )
+            candidates = candidates.withColumn("depth", F.lit(depth))
             # Eager localCheckpoint makes the frontier a LEAF plan:
             # without it every level's plan tree embeds the previous
             # level's twice (join + anti-join) — exponential plan-tree
