@@ -50,6 +50,7 @@ def main() -> int:
         "cosine_topk_ivf": lambda: Q.q_cosine_topk_ivf(spark, sf_dir).count(),
         "corpus_clean": lambda: Q.q_corpus_clean(spark, sf_dir).count(),
         "sessionize": lambda: Q.q_sessionize(spark, sf_dir).count(),
+        "click_attribution": lambda: Q.q_click_attribution(spark, sf_dir).count(),
     }
 
     timings: dict[str, float] = {}

@@ -1,0 +1,151 @@
+"""As-of join — an operator Spark's DataFrame API lacks natively
+(pandas has merge_asof; DuckDB has ASOF JOIN): for every left row,
+attach the latest right row with the same key and right.ts <= left.ts.
+Canonical training-pipeline / event-analytics use: attribute each
+conversion to the most recent prior interaction.
+
+Spark-first formulation (no UDF, no per-key collect): tag both sides,
+union, and run one window per key ordered by (ts, side) carrying the
+right side's payload forward with ``last(..., ignorenulls=True)``. One
+shuffle on the key — the same exchange a plain equi-join would need —
+and the sort is per-key within partitions (Spark's window sort), so
+the plan scales like groupBy(key).
+
+Tie semantics: a right row with ts equal to the left's matches (the
+<= convention, matching DuckDB ASOF). The right side is first deduped
+to one row per (key, ts) — keeping the max event id — so both engines
+resolve equal-timestamp duplicates identically.
+
+Skew note: one hot key serializes into one window partition. At 100 TB
+the fix is range-bucketing ts into coarse buckets per key and carrying
+each bucket's closing state into the next (two window passes);
+unnecessary at the driver-testdata scales.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """ASOF LEFT JOIN: every left row, plus [matched_event_id, r_ts,
+    r_value] of the latest right row at-or-before it (nulls when no
+    prior right row exists).
+
+    Expects both sides to carry [event_id, key, ts, value]. The ts
+    column is ordered but otherwise opaque (the testdata's
+    TIMESTAMP(NANOS) arrives in Spark as a raw long — see
+    streaming/windows.py's timestamp note)."""
+    r = (
+        right.groupBy(key, ts)
+        .agg(
+            F.max("event_id").alias("r_event_id"),
+            F.max_by("value", "event_id").alias("r_value"),
+        )
+        .select(
+            key,
+            F.col(ts).alias("r_ts"),
+            "r_event_id",
+            "r_value",
+            F.lit(0).alias("side"),
+        )
+    )
+    l = left.select(
+        key,
+        F.col(ts).alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+        F.col("value").alias("l_value"),
+        F.lit(1).alias("side"),
+    )
+    tagged = r.select(
+        key,
+        F.col("r_ts").alias("order_ts"),
+        F.lit(None).cast("long").alias("l_event_id"),
+        F.lit(None).cast("double").alias("l_value"),
+        "r_event_id",
+        "r_ts",
+        "r_value",
+        "side",
+    ).unionByName(
+        l.select(
+            key,
+            F.col("l_ts").alias("order_ts"),
+            "l_event_id",
+            "l_value",
+            F.lit(None).cast("long").alias("r_event_id"),
+            F.lit(None).cast(l.schema["l_ts"].dataType).alias("r_ts"),
+            F.lit(None).cast("double").alias("r_value"),
+            "side",
+        )
+    )
+    # right rows sort before left rows at equal ts → ts-equal matches
+    w = (
+        Window.partitionBy(key)
+        .orderBy("order_ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.select(
+            key,
+            "order_ts",
+            "l_event_id",
+            "l_value",
+            "side",
+            F.last("r_event_id", ignorenulls=True).over(w).alias("matched_event_id"),
+            F.last("r_ts", ignorenulls=True).over(w).alias("r_ts"),
+            F.last("r_value", ignorenulls=True).over(w).alias("r_value"),
+        )
+        .filter(F.col("side") == 1)
+        .select(
+            F.col("l_event_id").alias("event_id"),
+            key,
+            F.col("order_ts").alias("l_ts"),
+            "l_value",
+            "matched_event_id",
+            "r_ts",
+            "r_value",
+        )
+    )
+
+
+def click_attribution(events: DataFrame) -> DataFrame:
+    """[event_id, user_id, l_ts_us, l_value, matched_event_id,
+    r_ts_us, r_value] — every purchase attributed to the user's most
+    recent click at-or-before it. Epoch-microsecond timestamps (the
+    nanos→micros convention of streaming/windows.py) so the
+    cross-engine value hash is exact."""
+    purchases = events.filter(F.col("event_type") == "purchase")
+    clicks = events.filter(F.col("event_type") == "click")
+    out = asof_join(purchases, clicks)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.expr("l_ts div 1000").alias("l_ts_us"),
+        F.round("l_value", 6).alias("l_value"),
+        "matched_event_id",
+        F.expr("r_ts div 1000").alias("r_ts_us"),
+        F.round("r_value", 6).alias("r_value"),
+    )
+
+
+CLICK_ATTRIBUTION_SQL = (
+    "WITH r0 AS (SELECT user_id, ts, MAX(event_id) AS r_event_id,"
+    " arg_max(value, event_id) AS r_value"
+    " FROM events WHERE event_type = 'click' GROUP BY user_id, ts),"
+    " l AS (SELECT event_id, user_id, ts, value FROM events"
+    " WHERE event_type = 'purchase')"
+    " SELECT l.event_id, l.user_id,"
+    " epoch_us(l.ts) AS l_ts_us,"
+    " ROUND(l.value, 6) AS l_value,"
+    " r0.r_event_id AS matched_event_id,"
+    " epoch_us(r0.ts) AS r_ts_us,"
+    " ROUND(r0.r_value, 6) AS r_value"
+    " FROM l ASOF LEFT JOIN r0"
+    " ON l.user_id = r0.user_id AND l.ts >= r0.ts"
+)

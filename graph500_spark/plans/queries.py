@@ -25,6 +25,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from graph500_spark.operators import asof as asof_mod
 from graph500_spark.operators import bfs as bfs_mod
 from graph500_spark.operators import components as components_mod
 from graph500_spark.operators import corpus as corpus_mod
@@ -844,6 +845,15 @@ def q_event_window_counts(spark, sf_dir):
     return event_window_counts(td.load_table(spark, sf_dir, "events"))
 
 
+def q_click_attribution(spark, sf_dir):
+    """As-of join over the events stream (operators/asof.py): each
+    purchase attributed to the most recent prior click per user.
+    Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from graph500_spark.operators.asof import click_attribution
+
+    return click_attribution(td.load_table(spark, sf_dir, "events"))
+
+
 def q_sessionize(spark, sf_dir):
     from graph500_spark.streaming.sessions import sessionize
 
@@ -913,6 +923,7 @@ QUERIES: dict[str, QueryFn] = {
     "media_resize_features": q_media_resize_features,
     "event_window_counts": q_event_window_counts,
     "sessionize": q_sessionize,
+    "click_attribution": q_click_attribution,
 }
 
 
@@ -1114,6 +1125,7 @@ def _late_oracles() -> dict[str, str]:
         "media_resize_features": MEDIA_RESIZE_FEATURES_SQL,
         "event_window_counts": event_window_counts_sql(),
         "sessionize": sessionize_sql(),
+        "click_attribution": asof_mod.CLICK_ATTRIBUTION_SQL,
     }
 
 
