@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graph500_spark.operators import asof as asof_mod
+from graph500_spark.operators import rangejoin as rangejoin_mod
 from graph500_spark.operators import bfs as bfs_mod
 from graph500_spark.operators import components as components_mod
 from graph500_spark.operators import corpus as corpus_mod
@@ -854,6 +855,15 @@ def q_click_attribution(spark, sf_dir):
     return click_attribution(td.load_table(spark, sf_dir, "events"))
 
 
+def q_error_context(spark, sf_dir):
+    """Bucketed range join over the events stream
+    (operators/rangejoin.py): per-error same-user context aggregate in
+    the preceding 10 minutes."""
+    from graph500_spark.operators.rangejoin import error_context
+
+    return error_context(td.load_table(spark, sf_dir, "events"))
+
+
 def q_sessionize(spark, sf_dir):
     from graph500_spark.streaming.sessions import sessionize
 
@@ -924,6 +934,7 @@ QUERIES: dict[str, QueryFn] = {
     "event_window_counts": q_event_window_counts,
     "sessionize": q_sessionize,
     "click_attribution": q_click_attribution,
+    "error_context": q_error_context,
 }
 
 
@@ -1126,6 +1137,7 @@ def _late_oracles() -> dict[str, str]:
         "event_window_counts": event_window_counts_sql(),
         "sessionize": sessionize_sql(),
         "click_attribution": asof_mod.CLICK_ATTRIBUTION_SQL,
+        "error_context": rangejoin_mod.error_context_sql(),
     }
 
 

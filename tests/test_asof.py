@@ -35,3 +35,27 @@ def test_asof_join_semantics(spark):
     assert out[102]["matched_event_id"] == 202  # ts-equal (<=) matches
     assert out[103]["matched_event_id"] == 204  # key isolation
     assert len(out) == 4  # left join: every left row survives
+
+
+def test_range_join_boundaries_and_bucket_spanning(spark):
+    from graph500_spark.operators.rangejoin import range_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 1000, 0.0)], "event_id long, user_id long, ts long, value double"
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 1, 899, 1.0),   # ts + lower - 1 → excluded
+            (11, 1, 900, 2.0),   # ts + lower → included (closed)
+            (12, 1, 999, 3.0),   # just below upper → included
+            (13, 1, 1000, 4.0),  # ts + upper → excluded (open)
+            (14, 2, 950, 5.0),   # other key → excluded
+        ],
+        "event_id long, user_id long, ts long, value double",
+    )
+    # window [ts-100, ts): buckets of width 100 — right rows 899/900
+    # fall in a different bucket than 999, so a match spanning both
+    # buckets proves the left-side explode works
+    out = range_join(left, right, "user_id", "ts", -100, 0)
+    got = sorted(r["r_event_id"] for r in out.collect())
+    assert got == [11, 12]
