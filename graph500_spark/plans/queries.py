@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from graph500_spark.operators import asof as asof_mod
 from graph500_spark.operators import rangejoin as rangejoin_mod
+from graph500_spark.streaming import windows as windows_mod
 from graph500_spark.operators import bfs as bfs_mod
 from graph500_spark.operators import components as components_mod
 from graph500_spark.operators import corpus as corpus_mod
@@ -855,6 +856,14 @@ def q_click_attribution(spark, sf_dir):
     return click_attribution(td.load_table(spark, sf_dir, "events"))
 
 
+def q_event_rollup(spark, sf_dir):
+    """Hypertable-style minute/hour/day continuous-aggregate rollup in
+    one GROUPING SETS pass (streaming/windows.py::event_rollup)."""
+    from graph500_spark.streaming.windows import event_rollup
+
+    return event_rollup(spark, td.load_table(spark, sf_dir, "events"))
+
+
 def q_error_context(spark, sf_dir):
     """Bucketed range join over the events stream
     (operators/rangejoin.py): per-error same-user context aggregate in
@@ -935,6 +944,7 @@ QUERIES: dict[str, QueryFn] = {
     "sessionize": q_sessionize,
     "click_attribution": q_click_attribution,
     "error_context": q_error_context,
+    "event_rollup": q_event_rollup,
 }
 
 
@@ -1138,6 +1148,7 @@ def _late_oracles() -> dict[str, str]:
         "sessionize": sessionize_sql(),
         "click_attribution": asof_mod.CLICK_ATTRIBUTION_SQL,
         "error_context": rangejoin_mod.error_context_sql(),
+        "event_rollup": windows_mod.event_rollup_sql(),
     }
 
 

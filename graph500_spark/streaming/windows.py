@@ -53,6 +53,44 @@ def event_window_counts_sql(minutes: int = 5) -> str:
     ).format(w=win_us)
 
 
+# Hypertable-style continuous-aggregate rollup: one scan, three
+# granularities, via GROUPING SETS (the Spark/ANSI idiom for
+# multi-resolution rollup tables — a timeseries store's 1m/1h/1d
+# continuous aggregates computed in a single grouped pass with
+# map-side partial aggregation, instead of three scans).
+_ROLLUP_US = {"minute": 60_000_000, "hour": 3_600_000_000, "day": 86_400_000_000}
+
+
+def _rollup_sql(ts_us_expr: str) -> str:
+    m, h, d = (_ROLLUP_US[k] for k in ("minute", "hour", "day"))
+    return (
+        f"WITH base AS (SELECT {ts_us_expr} AS ts_us, event_type, value"
+        " FROM events),"
+        " b AS (SELECT ts_us - ts_us % {m} AS w_minute,"
+        "  ts_us - ts_us % {h} AS w_hour, ts_us - ts_us % {d} AS w_day,"
+        "  event_type, value FROM base)"
+        " SELECT CASE WHEN GROUPING(w_minute) = 0 THEN 'minute'"
+        "  WHEN GROUPING(w_hour) = 0 THEN 'hour' ELSE 'day' END"
+        "  AS granularity,"
+        " COALESCE(w_minute, w_hour, w_day) AS window_start_us,"
+        " event_type, COUNT(*) AS n_events,"
+        " ROUND(SUM(value), 6) AS sum_value"
+        " FROM b GROUP BY GROUPING SETS ((w_minute, event_type),"
+        " (w_hour, event_type), (w_day, event_type))"
+    ).format(m=m, h=h, d=d)
+
+
+def event_rollup(spark: SparkSession, events: DataFrame) -> DataFrame:
+    """[granularity, window_start_us, event_type, n_events, sum_value]
+    — minute/hour/day rollups in one GROUPING SETS pass."""
+    events.createOrReplaceTempView("events")
+    return spark.sql(_rollup_sql("ts div 1000"))
+
+
+def event_rollup_sql() -> str:
+    return _rollup_sql("epoch_us(ts)")
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (same schema as the
     batch read). In production this is a Kafka/queue source; the

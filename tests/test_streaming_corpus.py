@@ -75,3 +75,25 @@ def test_corpus_ingest_converges_to_batch(spark, tmp_path):
     assert rows[2]["lang_pred"] == "de"
     assert rows[5]["lang_pred"] == "es"
     assert 0.0 <= rows[2]["quality_score"] <= 1.0
+
+
+def test_event_rollup_grains_consistent(spark):
+    """Rollup invariants: each grain's totals equal the raw count, and
+    coarser grains have fewer-or-equal windows."""
+    from graph500_spark.sources import testdata as td
+    from graph500_spark.streaming.windows import event_rollup
+
+    events = td.load_table(spark, "/root/testdata/sf0.001", "events")
+    out = event_rollup(spark, events).collect()
+    n = events.count()
+    by_grain = {}
+    for r in out:
+        g = by_grain.setdefault(r["granularity"], {"n": 0, "wins": set()})
+        g["n"] += r["n_events"]
+        g["wins"].add(r["window_start_us"])
+    assert set(by_grain) == {"minute", "hour", "day"}
+    for g in by_grain.values():
+        assert g["n"] == n  # every grain partitions all events
+    assert (len(by_grain["day"]["wins"])
+            <= len(by_grain["hour"]["wins"])
+            <= len(by_grain["minute"]["wins"]))
