@@ -38,6 +38,50 @@ def read_edges_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+# Interchange formats a migrating user's edge data may arrive in.
+# Parquet/ORC carry their schema; CSV/JSON reads take the schema
+# EXPLICITLY — schema inference is a second full scan of the data,
+# unacceptable at 100 TB (and type-unstable for empty partitions).
+EDGE_FORMATS = ("parquet", "orc", "csv", "json")
+EDGE_SCHEMA_DDL = "src long, dst long"
+WEIGHTED_EDGE_SCHEMA_DDL = "src long, dst long, weight int"
+
+
+def write_edges(
+    edges: DataFrame, path: str, format: str = "parquet"
+) -> None:
+    """Edge list to any supported interchange format."""
+    if format not in EDGE_FORMATS:
+        raise ValueError(f"unsupported edge format: {format}")
+    w = edges.write.mode("overwrite").format(format)
+    if format == "csv":
+        w = w.option("header", "true")
+    w.save(path)
+
+
+def read_edges(
+    spark: SparkSession,
+    path: str,
+    format: str = "parquet",
+    weighted: bool = False,
+) -> DataFrame:
+    """Edge list from any supported format, schema-explicit (no
+    inference scan) and column-ordered identically across formats."""
+    if format not in EDGE_FORMATS:
+        raise ValueError(f"unsupported edge format: {format}")
+    ddl = WEIGHTED_EDGE_SCHEMA_DDL if weighted else EDGE_SCHEMA_DDL
+    r = spark.read.format(format)
+    if format in ("csv", "json"):
+        r = r.schema(ddl)
+        if format == "csv":
+            r = r.option("header", "true")
+    df = r.load(path)
+    cols = ["src", "dst"] + (["weight"] if weighted else [])
+    return df.select(*[df[c].cast(t) for c, t in zip(
+        cols, ["long", "long", "int"]
+    )])
+
+
 def write_bucketed_edges(
     edges: DataFrame,
     table: str,

@@ -61,3 +61,19 @@ def test_bucketed_join_has_no_shuffle(spark):
         assert joined.count() == sum(20 * 20 for _ in range(50))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_edge_roundtrip_all_formats(spark, tmp_path):
+    from graph500_spark.sources.io import EDGE_FORMATS, read_edges, write_edges
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (5, 3)], "src long, dst long"
+    )
+    expect = sorted(map(tuple, edges.collect()))
+    for fmt in EDGE_FORMATS:
+        path = str(tmp_path / f"edges_{fmt}")
+        write_edges(edges, path, format=fmt)
+        got = sorted(map(tuple, read_edges(spark, path, format=fmt).collect()))
+        assert got == expect, fmt
+        schema = read_edges(spark, path, format=fmt).schema.simpleString()
+        assert schema == "struct<src:bigint,dst:bigint>", fmt
