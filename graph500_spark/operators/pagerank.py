@@ -1,0 +1,108 @@
+"""PageRank by fixed-iteration power method.
+
+Engine capability beyond the reference's own surface: the reference's
+only traversal is single-root BFS (/root/reference/mpi/bfs.hpp:2651-2940)
+plus an empty SSSP stub (mpi/bfs.hpp:2569-2571). PageRank is the
+canonical "second query" over the same cleaned adjacency and exercises
+the identical Spark shape — per-round shuffle-on-src join against the
+edge table with driver-controlled lineage truncation — so it shares all
+the scale machinery the BFS/SSSP/CC loops established.
+
+Determinism & oracle-checkability: a FIXED iteration count (not a
+convergence epsilon) makes the result an exact algebraic function of
+the input, so a DuckDB oracle can unroll the same iterations as CTEs
+(plans/queries.py::pagerank_sql). Ranks are reported normalized
+(rank × n_vertices, average 1.0) and rounded so both engines agree to
+the hash digit despite floating-point summation-order differences.
+
+Scale notes (100 TB): each iteration is ONE shuffle — the contribution
+join on src re-uses the edge table's partitioning (bucketed-by-src
+storage via sources/io.py makes it exchange-free on the edge side) and
+the groupBy(dst) sum is partially aggregated map-side. The rank vector
+is O(|V|) and localCheckpoint'ed each round so the plan stays O(1)
+deep; hub skew in the groupBy is AQE-skew-splittable. Dangling
+vertices cannot occur on a symmetrized graph (every vertex has
+out-degree ≥ 1), so no dangling-mass redistribution term is needed —
+asserted in the docstring contract rather than silently wrong on
+directed inputs: pass symmetrized edges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    spark: SparkSession,
+    edges_clean: DataFrame,
+    n_iterations: int = 10,
+    damping: float = 0.85,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """[vertex, norm_rank] over a symmetrized, deduped edge list after
+    `n_iterations` power-method steps from the uniform vector.
+    norm_rank = rank × n_vertices (average exactly 1.0), rounded to 5
+    decimals — the same cross-engine float convention as
+    operators/simsearch.py.
+    """
+    edges = edges_clean.select("src", "dst")
+
+    saved_sp = None
+    if shuffle_partitions is not None:
+        saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+
+    try:
+        # Out-degrees double as the vertex universe (symmetrized graph:
+        # src covers every non-isolated vertex). Cached once — reused
+        # by every iteration's contribution join.
+        deg = (
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("outdeg"))
+            .withColumnRenamed("src", "vertex")
+            .persist()
+        )
+        n_vertices = deg.count()
+
+        ranks = deg.select(
+            "vertex", (F.lit(1.0) / F.lit(float(n_vertices))).alias("rank")
+        ).localCheckpoint(eager=True)
+
+        teleport = (1.0 - damping) / float(n_vertices)
+        for _ in range(n_iterations):
+            contribs = (
+                edges.join(
+                    ranks.join(deg, "vertex").select(
+                        F.col("vertex").alias("src"),
+                        (F.col("rank") / F.col("outdeg")).alias("contrib"),
+                    ),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("vertex"))
+                .agg(F.sum("contrib").alias("mass"))
+            )
+            new_ranks = contribs.select(
+                "vertex",
+                (F.lit(teleport) + F.lit(damping) * F.col("mass")).alias(
+                    "rank"
+                ),
+            )
+            # Leaf-ify per round: O(1) plan depth regardless of
+            # n_iterations (same lineage discipline as operators/bfs.py).
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+            ranks = new_ranks
+
+        out = ranks.select(
+            "vertex",
+            F.round(F.col("rank") * F.lit(float(n_vertices)), 5).alias(
+                "norm_rank"
+            ),
+        )
+        # Materialize before unpersisting the degree table the lineage
+        # no longer needs (ranks is already a checkpoint leaf).
+        deg.unpersist()
+        return out
+    finally:
+        if saved_sp is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", saved_sp)

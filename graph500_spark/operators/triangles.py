@@ -1,0 +1,83 @@
+"""Triangle counting via degree-ordered edge orientation.
+
+Engine capability beyond the reference's own surface (its workload is
+BFS only — /root/reference/mpi/bfs.hpp:2651-2940); triangle counting is
+the standard clustering query over the same cleaned symmetric edge
+table.
+
+Algorithm (the MapReduce-classic of Suri & Vassilvitskii, WWW'11):
+orient each undirected edge from its lower-(degree, id) endpoint to the
+higher one. The orientation is a strict total order, so every triangle
+{a,b,c} survives as exactly one directed path a→b→c plus the closing
+edge a→c: wedges (join oriented edges on the middle vertex) semi-joined
+against the oriented edge set enumerate each triangle exactly once.
+
+Why degree-ordered (the scale argument): with arbitrary orientation a
+hub of degree d generates O(d²) wedges — at 100 TB a single
+10⁶-neighbor hub is 10¹² wedge rows. Ordering by degree bounds every
+vertex's out-degree by O(√|E|) (each out-neighbor has ≥ its degree),
+so wedge volume is O(|E|^{3/2}) worst-case — the optimal bound — and
+the wedge join's skew collapses. Per-vertex counts are
+orientation-INVARIANT (each triangle contributes once to each of its
+three corners no matter how it was oriented), which is what makes the
+simple src<dst DuckDB oracle valid against the degree-oriented engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def orient_edges(edges_clean: DataFrame) -> DataFrame:
+    """[lo, hi]: each undirected edge once, directed from the endpoint
+    with smaller (degree, vertex) to the larger — acyclic by
+    construction."""
+    edges = edges_clean.select("src", "dst")
+    deg = edges.groupBy(F.col("src").alias("vertex")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    half = edges.filter(F.col("src") < F.col("dst"))
+    ranked = (
+        half.join(deg.select(F.col("vertex").alias("src"),
+                             F.col("degree").alias("sdeg")), "src")
+        .join(deg.select(F.col("vertex").alias("dst"),
+                         F.col("degree").alias("ddeg")), "dst")
+    )
+    fwd = F.struct("sdeg", "src") < F.struct("ddeg", "dst")
+    return ranked.select(
+        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("lo"),
+        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("hi"),
+    )
+
+
+def triangles(edges_clean: DataFrame) -> DataFrame:
+    """[a, b, c]: every triangle exactly once (a→b→c in orientation
+    order)."""
+    oriented = orient_edges(edges_clean)
+    ab = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    bc = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    ac = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    return ab.join(bc, "b").join(ac, ["a", "c"], "left_semi").select(
+        "a", "b", "c"
+    )
+
+
+def triangle_counts(edges_clean: DataFrame) -> DataFrame:
+    """[vertex, triangles]: number of triangles each vertex belongs to
+    (vertices in no triangle are omitted, matching the engine's
+    reached-set convention)."""
+    tri = triangles(edges_clean)
+    corners = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("vertex")
+    )
+    return corners.groupBy("vertex").agg(
+        F.count(F.lit(1)).alias("triangles")
+    )
+
+
+def global_triangle_count(edges_clean: DataFrame) -> DataFrame:
+    """[n_triangles]: single-row global triangle count."""
+    return triangles(edges_clean).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )

@@ -33,7 +33,9 @@ from graph500_spark.operators import components as components_mod
 from graph500_spark.operators import corpus as corpus_mod
 from graph500_spark.operators import dedup as dedup_mod
 from graph500_spark.operators import graph_build as gb
+from graph500_spark.operators import pagerank as pagerank_mod
 from graph500_spark.operators import roots as roots_mod
+from graph500_spark.operators import triangles as triangles_mod
 from graph500_spark.operators import simsearch as simsearch_mod
 from graph500_spark.operators import sssp as sssp_mod
 from graph500_spark.operators import stats as stats_mod
@@ -185,6 +187,63 @@ def sssp_sql(clean_sql: str, root: int, dist_bound: int = 400) -> str:
         f" WHERE d.vertex <> {root} GROUP BY d.vertex, d.dist"
         f" UNION ALL SELECT CAST({root} AS BIGINT), CAST(0 AS BIGINT),"
         f" CAST({root} AS BIGINT)"
+    )
+
+
+def pagerank_sql(
+    clean_sql: str, n_iterations: int = 10, damping: float = 0.85
+) -> str:
+    """PageRank oracle: the engine's fixed-iteration power method
+    unrolled as CTEs (same init, same teleport term, same normalized
+    rounded output — operators/pagerank.py)."""
+    parts = [
+        f"WITH clean AS ({clean_sql})",
+        "deg AS (SELECT src AS vertex, COUNT(*) AS outdeg"
+        " FROM clean GROUP BY src)",
+        "nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg)",
+        "r0 AS (SELECT vertex, 1.0 / (SELECT n FROM nv) AS rank FROM deg)",
+    ]
+    for i in range(1, n_iterations + 1):
+        parts.append(
+            f"r{i} AS (SELECT e.dst AS vertex,"
+            f" ({1.0 - damping:.17g}) / (SELECT n FROM nv)"
+            f" + {damping:.17g} * SUM(r.rank / d.outdeg) AS rank"
+            f" FROM clean e JOIN r{i-1} r ON r.vertex = e.src"
+            " JOIN deg d ON d.vertex = e.src GROUP BY e.dst)"
+        )
+    return (
+        ", ".join(parts)
+        + " SELECT vertex, CAST(ROUND(rank * (SELECT n FROM nv), 5)"
+        f" AS DOUBLE) AS norm_rank FROM r{n_iterations}"
+    )
+
+
+_TRIANGLES_SQL_TEMPLATE = (
+    "WITH clean AS ({clean}),"
+    " half AS (SELECT src AS a, dst AS b FROM clean WHERE src < dst),"
+    " tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c"
+    "  FROM half e1 JOIN half e2 ON e2.a = e1.b"
+    "  JOIN half e3 ON e3.a = e1.a AND e3.b = e2.b)"
+)
+
+
+def triangle_counts_sql(clean_sql: str) -> str:
+    """Per-vertex triangle oracle with the simple id orientation —
+    valid against the engine's degree orientation because per-corner
+    counts are orientation-invariant (operators/triangles.py)."""
+    return (
+        _TRIANGLES_SQL_TEMPLATE.format(clean=clean_sql)
+        + ", corners AS (SELECT a AS vertex FROM tri"
+        "  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)"
+        " SELECT vertex, COUNT(*) AS triangles FROM corners"
+        " GROUP BY vertex"
+    )
+
+
+def global_triangle_count_sql(clean_sql: str) -> str:
+    return (
+        _TRIANGLES_SQL_TEMPLATE.format(clean=clean_sql)
+        + " SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM tri"
     )
 
 
@@ -623,6 +682,30 @@ def q_connected_components(spark, sf_dir):
     )
 
 
+def q_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank over the mod997 graph; normalized
+    (average-1.0) ranks rounded to 5 decimals on both engines."""
+    return pagerank_mod.pagerank(
+        spark,
+        gb.build_clean_edges(mod997_edges(spark, sf_dir)),
+        shuffle_partitions=8,
+    )
+
+
+def q_triangle_counts(spark, sf_dir):
+    """Per-vertex triangle membership counts (degree-ordered
+    orientation; oracle uses id orientation — same counts)."""
+    return triangles_mod.triangle_counts(
+        gb.build_clean_edges(mod997_edges(spark, sf_dir))
+    )
+
+
+def q_global_triangle_count(spark, sf_dir):
+    return triangles_mod.global_triangle_count(
+        gb.build_clean_edges(mod997_edges(spark, sf_dir))
+    )
+
+
 def q_validate_sssp_summary(spark, sf_dir):
     """Clean-path SSSP validation: the engine's own shortest-path tree
     must pass all 4 checks (dist ranges, root, tree-weight consistency,
@@ -909,6 +992,9 @@ QUERIES: dict[str, QueryFn] = {
     "find_roots": q_find_roots,
     "sssp": q_sssp,
     "connected_components": q_connected_components,
+    "pagerank": q_pagerank,
+    "triangle_counts": q_triangle_counts,
+    "global_triangle_count": q_global_triangle_count,
     "degree_distribution": q_degree_distribution,
     "top_degrees": q_top_degrees,
     "kronecker_s8_weighted": q_kronecker_s8_weighted,
@@ -1087,6 +1173,9 @@ ORACLE_SQL: dict[str, str] = {
     "find_roots": find_roots_values_sql(8, 16, 8),
     "sssp": sssp_sql(_CLEAN_MOD997, SSSP_ROOT),
     "connected_components": connected_components_sql(_CLEAN_MOD997),
+    "pagerank": pagerank_sql(_CLEAN_MOD997),
+    "triangle_counts": triangle_counts_sql(_CLEAN_MOD997),
+    "global_triangle_count": global_triangle_count_sql(_CLEAN_MOD997),
     "degree_distribution": (
         f"WITH clean AS ({_CLEAN_MOD997}),"
         " deg AS (SELECT src AS vertex, COUNT(*) AS degree"

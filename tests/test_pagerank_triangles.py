@@ -1,0 +1,95 @@
+"""Unit tests for PageRank and triangle counting on hand-checkable
+graphs, plus invariants the power method must preserve."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from graph500_spark.operators.graph_build import build_clean_edges
+from graph500_spark.operators.pagerank import pagerank
+from graph500_spark.operators.triangles import (
+    global_triangle_count,
+    orient_edges,
+    triangle_counts,
+    triangles,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src: long, dst: long")
+
+
+def _clean(spark, pairs):
+    return build_clean_edges(_edges(spark, pairs))
+
+
+class TestTriangles:
+    def test_k4_counts(self, spark):
+        k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+        counts = {
+            r.vertex: r.triangles
+            for r in triangle_counts(_clean(spark, k4)).collect()
+        }
+        # K4 has C(4,3)=4 triangles; each vertex sits in C(3,2)=3.
+        assert counts == {0: 3, 1: 3, 2: 3, 3: 3}
+        assert global_triangle_count(_clean(spark, k4)).collect()[0][
+            "n_triangles"
+        ] == 4
+
+    def test_triangle_free_path(self, spark):
+        path = [(0, 1), (1, 2), (2, 3)]
+        assert triangle_counts(_clean(spark, path)).count() == 0
+        assert global_triangle_count(_clean(spark, path)).collect()[0][
+            "n_triangles"
+        ] == 0
+
+    def test_single_triangle_with_pendant(self, spark):
+        g = [(0, 1), (1, 2), (2, 0), (2, 9)]
+        tri = triangles(_clean(spark, g)).collect()
+        assert len(tri) == 1
+        assert sorted([tri[0].a, tri[0].b, tri[0].c]) == [0, 1, 2]
+        counts = {
+            r.vertex: r.triangles
+            for r in triangle_counts(_clean(spark, g)).collect()
+        }
+        assert counts == {0: 1, 1: 1, 2: 1}  # pendant 9 omitted
+
+    def test_orientation_is_acyclic_and_complete(self, spark):
+        g = [(a, b) for a in range(6) for b in range(6) if a < b]
+        oriented = orient_edges(_clean(spark, g)).collect()
+        # one row per undirected edge
+        assert len(oriented) == 15
+        # strict order ⇒ no edge appears in both directions
+        seen = {(r.lo, r.hi) for r in oriented}
+        assert all((hi, lo) not in seen for lo, hi in seen)
+
+
+class TestPageRank:
+    def test_ranks_sum_to_one(self, spark):
+        g = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)]
+        out = pagerank(spark, _clean(spark, g), n_iterations=8)
+        rows = out.collect()
+        n = len(rows)
+        total = sum(r.norm_rank for r in rows)
+        assert math.isclose(total, n, rel_tol=0, abs_tol=1e-3)
+
+    def test_uniform_on_regular_graph(self, spark):
+        # A cycle is 2-regular: PageRank stays exactly uniform, so
+        # every normalized rank is exactly 1.0 at any iteration count.
+        cyc = [(i, (i + 1) % 8) for i in range(8)]
+        out = pagerank(spark, _clean(spark, cyc), n_iterations=5)
+        assert [r.norm_rank for r in out.collect()] == [1.0] * 8
+
+    def test_hub_outranks_leaves(self, spark):
+        star = [(0, i) for i in range(1, 9)]
+        ranks = {
+            r.vertex: r.norm_rank
+            for r in pagerank(
+                spark, _clean(spark, star), n_iterations=10
+            ).collect()
+        }
+        assert ranks[0] > max(v for k, v in ranks.items() if k != 0)
+        leaf_vals = {v for k, v in ranks.items() if k != 0}
+        assert len(leaf_vals) == 1  # symmetry preserved
