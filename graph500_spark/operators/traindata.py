@@ -1,0 +1,248 @@
+"""Training-set preparation operators: deterministic train/test
+split, TF-IDF vocabulary statistics, and concat-and-chunk sequence
+packing.
+
+Beyond the graph500 reference surface (first-class engine capability
+for the 100 TB training-data use case, like operators/text.py and
+operators/dedup.py). All three are pure Column algebra with
+mechanically mirrored DuckDB SQL, so they sit in the oracle-checked
+tier of the driver contract.
+
+Scale notes:
+  * split: a narrow per-row projection on a multiplicative hash of the
+    stable doc id — no shuffle, stable under appends (a doc's split
+    never changes when the corpus grows), exact expected proportions.
+  * tf-idf: one explode + two hash aggregations; the term dimension is
+    the shuffle key, which is zipf-skewed — AQE skew splitting handles
+    the head terms, and the per-doc top-k window partitions by doc_id
+    (never a global sort).
+  * packing: the industry-standard pretraining layout (concatenate
+    token streams in order, cut every `budget` tokens). A naive
+    implementation is a GLOBAL running sum = one partition; here the
+    corpus is hash-sharded first and the running sum windows WITHIN
+    each shard, so packing parallelizes shard-wise and chunk ids are
+    (shard, chunk-in-shard) pairs — the same layout a 1000-executor
+    job would write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from graph500_spark.operators.text import DUCK_TOKENS, SPARK_TOKENS
+
+# Knuth multiplicative hash on the doc id — identical integer
+# arithmetic in both engines (doc_id ⋅ K stays far below 2^63 for any
+# realistic id space).
+SPLIT_HASH_K = 2654435761
+SPLIT_HASH_MOD = 1000000007
+SPLIT_BUCKETS = 1000
+
+
+def train_test_split(docs: DataFrame, test_permille: int = 100) -> DataFrame:
+    """[doc_id, bucket, split]: stable hash-bucket split; bucket <
+    test_permille (of 1000) ⇒ 'test', else 'train'."""
+    bucket = (
+        (F.col("doc_id") * F.lit(SPLIT_HASH_K)) % F.lit(SPLIT_HASH_MOD)
+    ) % F.lit(SPLIT_BUCKETS)
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < F.lit(test_permille), F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+def train_test_split_sql(test_permille: int = 100) -> str:
+    return (
+        "SELECT doc_id,"
+        f" (doc_id * {SPLIT_HASH_K}) % {SPLIT_HASH_MOD} % {SPLIT_BUCKETS}"
+        " AS bucket,"
+        " CASE WHEN (doc_id * {k}) % {m} % {b} < {p} THEN 'test'"
+        " ELSE 'train' END AS split FROM documents".format(
+            k=SPLIT_HASH_K,
+            m=SPLIT_HASH_MOD,
+            b=SPLIT_BUCKETS,
+            p=test_permille,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF
+# ---------------------------------------------------------------------------
+
+
+def _terms(docs: DataFrame) -> DataFrame:
+    """[doc_id, term, tf] — lowercased alnum tokens."""
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.expr(f"transform({SPARK_TOKENS}, t -> lower(t))")).alias(
+                "term"
+            ),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+_DUCK_TERMS = (
+    "SELECT doc_id, term, COUNT(*) AS tf FROM ("
+    " SELECT doc_id, lower(unnest({tokens})) AS term FROM documents)"
+    " GROUP BY doc_id, term"
+).format(tokens=DUCK_TOKENS)
+
+
+def term_doc_frequency(docs: DataFrame) -> DataFrame:
+    """[term, df, idf]: document frequency per term and smoothed
+    idf = ln((N+1)/(df+1)) + 1, rounded to 5 (cross-engine float
+    convention)."""
+    n_docs = docs.count()  # driver-known scalar, like the BFS counts
+    terms = _terms(docs)
+    return (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select(
+            "term",
+            "df",
+            F.round(
+                F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0))
+                + 1.0,
+                5,
+            ).alias("idf"),
+        )
+    )
+
+
+def term_doc_frequency_sql() -> str:
+    return (
+        f"WITH terms AS ({_DUCK_TERMS}),"
+        " n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents)"
+        " SELECT term, COUNT(*) AS df,"
+        " CAST(ROUND(ln(((SELECT n_docs FROM n) + 1.0)"
+        " / (COUNT(*) + 1.0)) + 1.0, 5) AS DOUBLE) AS idf"
+        " FROM terms GROUP BY term"
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """[doc_id, term, tfidf, rank]: each document's k highest-scoring
+    terms, tfidf = tf × idf, deterministic tie-break (score desc, term
+    asc)."""
+    n_docs = docs.count()
+    terms = _terms(docs)
+    idf = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select(
+            "term",
+            (
+                F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0))
+                + 1.0
+            ).alias("idf_raw"),
+        )
+    )
+    scored = terms.join(idf, "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.col("idf_raw")).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "term",
+            F.round("score", 5).alias("tfidf"),
+            "rank",
+        )
+    )
+
+
+def tfidf_top_terms_sql(k: int = 3) -> str:
+    return (
+        f"WITH terms AS ({_DUCK_TERMS}),"
+        " n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),"
+        " idf AS (SELECT term,"
+        "  ln(((SELECT n_docs FROM n) + 1.0) / (COUNT(*) + 1.0)) + 1.0"
+        "  AS idf_raw FROM terms GROUP BY term),"
+        " scored AS (SELECT t.doc_id, t.term, t.tf * i.idf_raw AS score"
+        "  FROM terms t JOIN idf i USING (term)),"
+        " ranked AS (SELECT doc_id, term, score, ROW_NUMBER() OVER"
+        "  (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank"
+        "  FROM scored)"
+        " SELECT doc_id, term, CAST(ROUND(score, 5) AS DOUBLE) AS tfidf,"
+        f" CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= {k}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Concat-and-chunk sequence packing
+# ---------------------------------------------------------------------------
+
+PACK_SHARDS = 16
+
+
+def pack_chunks(docs: DataFrame, budget: int = 512) -> DataFrame:
+    """[doc_id, shard, start_chunk, end_chunk]: the pretraining
+    concat-and-chunk layout. Docs are hash-sharded; within a shard the
+    token streams are concatenated in doc_id order and cut every
+    `budget` tokens; a doc occupies chunks [start_chunk, end_chunk]
+    of its shard (end inclusive; docs may span cuts — that is the
+    point of the layout). Empty docs (0 tokens) sit at their cut
+    position with end = start."""
+    shard = (
+        (F.col("doc_id") * F.lit(SPLIT_HASH_K)) % F.lit(SPLIT_HASH_MOD)
+    ) % F.lit(PACK_SHARDS)
+    toks = docs.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.size(F.expr(SPARK_TOKENS)).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn("cum_incl", F.sum("n_tokens").over(w))
+    return cum.select(
+        "doc_id",
+        "shard",
+        F.floor((F.col("cum_incl") - F.col("n_tokens")) / F.lit(budget))
+        .cast("bigint")
+        .alias("start_chunk"),
+        F.floor(
+            F.greatest(
+                F.col("cum_incl") - 1, F.col("cum_incl") - F.col("n_tokens")
+            )
+            / F.lit(budget)
+        )
+        .cast("bigint")
+        .alias("end_chunk"),
+    )
+
+
+def pack_chunks_sql(budget: int = 512) -> str:
+    return (
+        "WITH toks AS (SELECT doc_id,"
+        f" (doc_id * {SPLIT_HASH_K}) % {SPLIT_HASH_MOD} % {PACK_SHARDS}"
+        " AS shard,"
+        f" len({DUCK_TOKENS}) AS n_tokens FROM documents),"
+        " cum AS (SELECT doc_id, shard, n_tokens,"
+        "  SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id"
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_incl"
+        "  FROM toks)"
+        " SELECT doc_id, shard,"
+        f" CAST(FLOOR((cum_incl - n_tokens) / {budget}.0) AS BIGINT)"
+        " AS start_chunk,"
+        " CAST(FLOOR(GREATEST(cum_incl - 1, cum_incl - n_tokens)"
+        f" / {budget}.0) AS BIGINT) AS end_chunk"
+        " FROM cum"
+    )

@@ -40,6 +40,7 @@ from graph500_spark.operators import simsearch as simsearch_mod
 from graph500_spark.operators import sssp as sssp_mod
 from graph500_spark.operators import stats as stats_mod
 from graph500_spark.operators import text as text_mod
+from graph500_spark.operators import traindata as traindata_mod
 from graph500_spark.operators import validate as V
 from graph500_spark.sources import generator
 from graph500_spark.sources import testdata as td
@@ -682,6 +683,36 @@ def q_connected_components(spark, sf_dir):
     )
 
 
+def q_train_test_split(spark, sf_dir):
+    """Stable hash-bucket train/test split of the documents corpus —
+    a doc's split never changes as the corpus grows."""
+    return traindata_mod.train_test_split(
+        td.load_table(spark, sf_dir, "documents")
+    )
+
+
+def q_term_doc_frequency(spark, sf_dir):
+    """Per-term document frequency + smoothed idf over the corpus."""
+    return traindata_mod.term_doc_frequency(
+        td.load_table(spark, sf_dir, "documents")
+    )
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Each document's top-3 TF-IDF terms (deterministic tie-break)."""
+    return traindata_mod.tfidf_top_terms(
+        td.load_table(spark, sf_dir, "documents")
+    )
+
+
+def q_pack_chunks(spark, sf_dir):
+    """Concat-and-chunk pretraining layout: hash-sharded, in-order
+    token concatenation cut every 512 tokens."""
+    return traindata_mod.pack_chunks(
+        td.load_table(spark, sf_dir, "documents")
+    )
+
+
 def q_pagerank(spark, sf_dir):
     """Fixed-iteration PageRank over the mod997 graph; normalized
     (average-1.0) ranks rounded to 5 decimals on both engines."""
@@ -1017,6 +1048,10 @@ QUERIES: dict[str, QueryFn] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "embedding_near_duplicates": q_embedding_near_duplicates,
     "corpus_clean": q_corpus_clean,
+    "train_test_split": q_train_test_split,
+    "term_doc_frequency": q_term_doc_frequency,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "pack_chunks": q_pack_chunks,
     "cosine_topk": q_cosine_topk,
     "lsh_buckets": q_lsh_buckets,
     "cosine_topk_lsh": q_cosine_topk_lsh,
@@ -1217,6 +1252,10 @@ ORACLE_SQL: dict[str, str] = {
     "ngram_jaccard_pairs": dedup_mod.ngram_jaccard_pairs_sql(),
     "embedding_near_duplicates": dedup_mod.embedding_near_duplicates_sql(0.2),
     "corpus_clean": corpus_mod.corpus_clean_sql(),
+    "train_test_split": traindata_mod.train_test_split_sql(),
+    "term_doc_frequency": traindata_mod.term_doc_frequency_sql(),
+    "tfidf_top_terms": traindata_mod.tfidf_top_terms_sql(),
+    "pack_chunks": traindata_mod.pack_chunks_sql(),
     "cosine_topk": simsearch_mod.cosine_topk_sql(),
     "lsh_buckets": simsearch_mod.lsh_buckets_sql(),
     "cosine_topk_lsh": simsearch_mod.cosine_topk_lsh_sql(),

@@ -1,0 +1,83 @@
+"""Unit tests for training-set preparation operators (split
+stability, TF-IDF ordering, concat-and-chunk packing invariants)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graph500_spark.operators.traindata import (
+    PACK_SHARDS,
+    pack_chunks,
+    term_doc_frequency,
+    tfidf_top_terms,
+    train_test_split,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+class TestSplit:
+    def test_split_is_stable_under_appends(self, spark):
+        small = _docs(spark, [(i, "x") for i in range(50)])
+        big = _docs(spark, [(i, "x") for i in range(100)])
+        s_small = {
+            r.doc_id: r.split for r in train_test_split(small).collect()
+        }
+        s_big = {r.doc_id: r.split for r in train_test_split(big).collect()}
+        assert all(s_big[d] == s for d, s in s_small.items())
+
+    def test_proportion_roughly_holds(self, spark):
+        docs = _docs(spark, [(i, "x") for i in range(2000)])
+        out = train_test_split(docs, test_permille=250)
+        n_test = out.filter(F.col("split") == "test").count()
+        assert 0.18 < n_test / 2000 < 0.32
+
+
+class TestTfidf:
+    DOCS = [
+        (1, "apple banana apple"),
+        (2, "banana cherry"),
+        (3, "cherry cherry cherry durian"),
+    ]
+
+    def test_df_counts(self, spark):
+        out = {
+            r.term: r.df
+            for r in term_doc_frequency(_docs(spark, self.DOCS)).collect()
+        }
+        assert out == {"apple": 1, "banana": 2, "cherry": 2, "durian": 1}
+
+    def test_rare_term_tops_its_doc(self, spark):
+        top = tfidf_top_terms(_docs(spark, self.DOCS), k=1).collect()
+        best = {r.doc_id: r.term for r in top}
+        # doc 1: apple tf=2 and rarer than banana; doc 3: cherry tf=3
+        # dominates even though durian is rarer.
+        assert best[1] == "apple"
+        assert best[2] == "cherry" or best[2] == "banana"
+        assert best[3] == "cherry"
+
+
+class TestPacking:
+    def test_chunks_cover_token_stream(self, spark):
+        rows = [(i, " ".join(["tok"] * (3 * i % 7 + 1))) for i in range(40)]
+        out = pack_chunks(_docs(spark, rows), budget=5).collect()
+        assert len(out) == 40
+        by_shard: dict[int, list] = {}
+        for r in out:
+            assert 0 <= r.shard < PACK_SHARDS
+            assert r.end_chunk >= r.start_chunk
+            by_shard.setdefault(r.shard, []).append(r)
+        # within a shard, chunk intervals are non-decreasing in doc_id
+        # order and contiguous (next start == prev end or prev end + 1
+        # when the cut falls exactly on the boundary)
+        for rows_ in by_shard.values():
+            rows_.sort(key=lambda r: r.doc_id)
+            for a, b in zip(rows_, rows_[1:]):
+                assert b.start_chunk in (a.end_chunk, a.end_chunk + 1)
+
+    def test_doc_longer_than_budget_spans_chunks(self, spark):
+        rows = [(7, " ".join(["tok"] * 23))]
+        r = pack_chunks(_docs(spark, rows), budget=5).collect()[0]
+        assert r.end_chunk - r.start_chunk == 4  # 23 tokens / 5 ⇒ 5 chunks
