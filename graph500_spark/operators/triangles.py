@@ -53,8 +53,14 @@ def orient_edges(edges_clean: DataFrame) -> DataFrame:
 
 def triangles(edges_clean: DataFrame) -> DataFrame:
     """[a, b, c]: every triangle exactly once (a→b→c in orientation
-    order)."""
-    oriented = orient_edges(edges_clean)
+    order).
+
+    The oriented edge table is persisted: it feeds all three join
+    branches (ab/bc/ac) and Catalyst does not common-subexpression
+    across plan branches, so without the cache the whole
+    clean→degree→orient subtree (2 shuffles + the source scan) runs
+    three times."""
+    oriented = orient_edges(edges_clean).persist()
     ab = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     bc = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
     ac = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
