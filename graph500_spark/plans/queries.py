@@ -34,6 +34,7 @@ from graph500_spark.operators import corpus as corpus_mod
 from graph500_spark.operators import dedup as dedup_mod
 from graph500_spark.operators import graph_build as gb
 from graph500_spark.operators import pagerank as pagerank_mod
+from graph500_spark.operators import pregel as pregel_mod
 from graph500_spark.operators import roots as roots_mod
 from graph500_spark.operators import triangles as triangles_mod
 from graph500_spark.operators import simsearch as simsearch_mod
@@ -245,6 +246,29 @@ def global_triangle_count_sql(clean_sql: str) -> str:
     return (
         _TRIANGLES_SQL_TEMPLATE.format(clean=clean_sql)
         + " SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM tri"
+    )
+
+
+def label_propagation_sql(clean_sql: str, n_supersteps: int = 5) -> str:
+    """Label-propagation oracle: the engine's fixed-round synchronous
+    max-label supersteps unrolled as CTEs (operators/pregel.py)."""
+    parts = [
+        f"WITH clean AS ({clean_sql})",
+        "l0 AS (SELECT vertex, vertex AS label FROM"
+        " (SELECT DISTINCT src AS vertex FROM clean))",
+    ]
+    for i in range(1, n_supersteps + 1):
+        parts.append(
+            f"l{i} AS (SELECT o.vertex,"
+            " GREATEST(o.label, COALESCE(m.max_msg, o.label)) AS label"
+            f" FROM l{i-1} o LEFT JOIN"
+            " (SELECT e.dst AS vertex, MAX(r.label) AS max_msg"
+            f"  FROM clean e JOIN l{i-1} r ON r.vertex = e.src"
+            "  GROUP BY e.dst) m USING (vertex))"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT vertex, label FROM l{n_supersteps}"
     )
 
 
@@ -713,6 +737,16 @@ def q_pack_chunks(spark, sf_dir):
     )
 
 
+def q_label_propagation(spark, sf_dir):
+    """Fixed-round synchronous max-label propagation expressed as a
+    vertex program on the generic Pregel loop (operators/pregel.py)."""
+    return pregel_mod.label_propagation(
+        spark,
+        gb.build_clean_edges(mod997_edges(spark, sf_dir)),
+        shuffle_partitions=8,
+    )
+
+
 def q_pagerank(spark, sf_dir):
     """Fixed-iteration PageRank over the mod997 graph; normalized
     (average-1.0) ranks rounded to 5 decimals on both engines."""
@@ -1024,6 +1058,7 @@ QUERIES: dict[str, QueryFn] = {
     "sssp": q_sssp,
     "connected_components": q_connected_components,
     "pagerank": q_pagerank,
+    "label_propagation": q_label_propagation,
     "triangle_counts": q_triangle_counts,
     "global_triangle_count": q_global_triangle_count,
     "degree_distribution": q_degree_distribution,
@@ -1209,6 +1244,7 @@ ORACLE_SQL: dict[str, str] = {
     "sssp": sssp_sql(_CLEAN_MOD997, SSSP_ROOT),
     "connected_components": connected_components_sql(_CLEAN_MOD997),
     "pagerank": pagerank_sql(_CLEAN_MOD997),
+    "label_propagation": label_propagation_sql(_CLEAN_MOD997),
     "triangle_counts": triangle_counts_sql(_CLEAN_MOD997),
     "global_triangle_count": global_triangle_count_sql(_CLEAN_MOD997),
     "degree_distribution": (
