@@ -46,9 +46,13 @@ def main() -> int:
         "connected_components": lambda: Q.q_connected_components(
             spark, sf_dir
         ).count(),
+        "pagerank": lambda: Q.q_pagerank(spark, sf_dir).count(),
+        "triangle_counts": lambda: Q.q_triangle_counts(spark, sf_dir).count(),
         "cosine_topk": lambda: Q.q_cosine_topk(spark, sf_dir).count(),
         "cosine_topk_ivf": lambda: Q.q_cosine_topk_ivf(spark, sf_dir).count(),
         "corpus_clean": lambda: Q.q_corpus_clean(spark, sf_dir).count(),
+        "tfidf_top_terms": lambda: Q.q_tfidf_top_terms(spark, sf_dir).count(),
+        "pack_chunks": lambda: Q.q_pack_chunks(spark, sf_dir).count(),
         "sessionize": lambda: Q.q_sessionize(spark, sf_dir).count(),
         "click_attribution": lambda: Q.q_click_attribution(spark, sf_dir).count(),
     }

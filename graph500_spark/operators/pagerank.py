@@ -39,6 +39,7 @@ def pagerank(
     n_iterations: int = 10,
     damping: float = 0.85,
     shuffle_partitions: int | None = None,
+    broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """[vertex, norm_rank] over a symmetrized, deduped edge list after
     `n_iterations` power-method steps from the uniform vector.
@@ -46,7 +47,10 @@ def pagerank(
     decimals — the same cross-engine float convention as
     operators/simsearch.py.
     """
-    edges = edges_clean.select("src", "dst")
+    # Persist the edge table once: every iteration joins against it,
+    # and without the cache the upstream construction (2 shuffles +
+    # the source scan) would re-execute per iteration.
+    edges = edges_clean.select("src", "dst").persist()
 
     saved_sp = None
     if shuffle_partitions is not None:
@@ -71,14 +75,19 @@ def pagerank(
 
         teleport = (1.0 - damping) / float(n_vertices)
         for _ in range(n_iterations):
+            # Checkpointed rank state carries no Catalyst stats, so
+            # without the driver-known-count hint every iteration
+            # would shuffle the (large, stationary) edge table; with
+            # it the rank vector ships map-side and the edges never
+            # move (same strategy as operators/bfs.py).
+            rank_side = ranks.join(deg, "vertex").select(
+                F.col("vertex").alias("src"),
+                (F.col("rank") / F.col("outdeg")).alias("contrib"),
+            )
+            if n_vertices <= broadcast_rows:
+                rank_side = F.broadcast(rank_side)
             contribs = (
-                edges.join(
-                    ranks.join(deg, "vertex").select(
-                        F.col("vertex").alias("src"),
-                        (F.col("rank") / F.col("outdeg")).alias("contrib"),
-                    ),
-                    "src",
-                )
+                edges.join(rank_side, "src")
                 .groupBy(F.col("dst").alias("vertex"))
                 .agg(F.sum("contrib").alias("mass"))
             )
@@ -99,9 +108,9 @@ def pagerank(
                 "norm_rank"
             ),
         )
-        # Materialize before unpersisting the degree table the lineage
-        # no longer needs (ranks is already a checkpoint leaf).
+        # ranks is a checkpoint leaf, so the caches feeding it can go.
         deg.unpersist()
+        edges.unpersist()
         return out
     finally:
         if saved_sp is not None:

@@ -58,6 +58,9 @@ def pregel(
         saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
 
+    # The edge table is stationary across supersteps — cache it so the
+    # upstream construction doesn't re-execute per round.
+    edges = edges.persist()
     state = vertices.localCheckpoint(eager=True)
     n_state = state.count()
 
@@ -87,6 +90,7 @@ def pregel(
                 old = state
                 state = new_state
                 old.unpersist()
+        edges.unpersist()
         return state
     finally:
         if saved_sp is not None:

@@ -57,17 +57,13 @@ def train_test_split(docs: DataFrame, test_permille: int = 100) -> DataFrame:
 
 
 def train_test_split_sql(test_permille: int = 100) -> str:
+    bucket = (
+        f"(doc_id * {SPLIT_HASH_K}) % {SPLIT_HASH_MOD} % {SPLIT_BUCKETS}"
+    )
     return (
-        "SELECT doc_id,"
-        f" (doc_id * {SPLIT_HASH_K}) % {SPLIT_HASH_MOD} % {SPLIT_BUCKETS}"
-        " AS bucket,"
-        " CASE WHEN (doc_id * {k}) % {m} % {b} < {p} THEN 'test'"
-        " ELSE 'train' END AS split FROM documents".format(
-            k=SPLIT_HASH_K,
-            m=SPLIT_HASH_MOD,
-            b=SPLIT_BUCKETS,
-            p=test_permille,
-        )
+        f"SELECT doc_id, {bucket} AS bucket,"
+        f" CASE WHEN {bucket} < {test_permille} THEN 'test'"
+        " ELSE 'train' END AS split FROM documents"
     )
 
 

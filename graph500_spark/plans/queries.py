@@ -272,6 +272,35 @@ def label_propagation_sql(clean_sql: str, n_supersteps: int = 5) -> str:
     )
 
 
+def k_core_sql(clean_sql: str, k: int, n_rounds: int = 16) -> str:
+    """k-core oracle: the peeling fixpoint unrolled to the same round
+    budget as operators/kcore.py (rounds past convergence are no-ops
+    on both sides)."""
+    # MATERIALIZED is load-bearing: each round references the previous
+    # one three times, so DuckDB's default CTE inlining would expand
+    # the plan 3^n_rounds-fold (manifests as "too many open files" on
+    # the leaf scans).
+    parts = [
+        f"WITH clean AS MATERIALIZED ({clean_sql})",
+        "e0 AS MATERIALIZED (SELECT * FROM clean)",
+    ]
+    for i in range(1, n_rounds + 1):
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT src AS vertex FROM e{i-1}"
+            f" GROUP BY src HAVING COUNT(*) >= {k})"
+        )
+        parts.append(
+            f"e{i} AS MATERIALIZED (SELECT e.src, e.dst FROM e{i-1} e"
+            f" WHERE e.src IN (SELECT vertex FROM s{i})"
+            f" AND e.dst IN (SELECT vertex FROM s{i}))"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT src AS vertex, COUNT(*) AS degree FROM e{n_rounds}"
+        f" GROUP BY src HAVING COUNT(*) >= {k}"
+    )
+
+
 def connected_components_sql(clean_sql: str) -> str:
     """CC oracle: transitive min-label closure as a recursive CTE."""
     return (
@@ -737,6 +766,20 @@ def q_pack_chunks(spark, sf_dir):
     )
 
 
+K_CORE_K = 20  # at sf0.01 (degrees 16-48) this peels 4 rounds to a
+# nontrivial 975-vertex core — neither a no-op nor empty
+
+
+def q_k_core(spark, sf_dir):
+    """20-core of the mod997 graph: iterative peeling to the deletion
+    fixpoint; [vertex, within-core degree]."""
+    from graph500_spark.operators import kcore as kcore_mod
+
+    return kcore_mod.k_core(
+        gb.build_clean_edges(mod997_edges(spark, sf_dir)), K_CORE_K
+    )
+
+
 def q_label_propagation(spark, sf_dir):
     """Fixed-round synchronous max-label propagation expressed as a
     vertex program on the generic Pregel loop (operators/pregel.py)."""
@@ -1059,6 +1102,7 @@ QUERIES: dict[str, QueryFn] = {
     "connected_components": q_connected_components,
     "pagerank": q_pagerank,
     "label_propagation": q_label_propagation,
+    "k_core": q_k_core,
     "triangle_counts": q_triangle_counts,
     "global_triangle_count": q_global_triangle_count,
     "degree_distribution": q_degree_distribution,
@@ -1245,6 +1289,7 @@ ORACLE_SQL: dict[str, str] = {
     "connected_components": connected_components_sql(_CLEAN_MOD997),
     "pagerank": pagerank_sql(_CLEAN_MOD997),
     "label_propagation": label_propagation_sql(_CLEAN_MOD997),
+    "k_core": k_core_sql(_CLEAN_MOD997, K_CORE_K),
     "triangle_counts": triangle_counts_sql(_CLEAN_MOD997),
     "global_triangle_count": global_triangle_count_sql(_CLEAN_MOD997),
     "degree_distribution": (
