@@ -1064,6 +1064,14 @@ def q_error_context(spark, sf_dir):
     return error_context(td.load_table(spark, sf_dir, "events"))
 
 
+def q_purchase_click_pairs(spark, sf_dir):
+    """Bounded-interval purchase×click pairs (batch equivalent of the
+    watermarked stream-stream join in streaming/joins.py)."""
+    from graph500_spark.streaming.joins import purchase_click_pairs
+
+    return purchase_click_pairs(td.load_table(spark, sf_dir, "events"))
+
+
 def q_sessionize(spark, sf_dir):
     from graph500_spark.streaming.sessions import sessionize
 
@@ -1143,6 +1151,7 @@ QUERIES: dict[str, QueryFn] = {
     "event_window_counts": q_event_window_counts,
     "sessionize": q_sessionize,
     "click_attribution": q_click_attribution,
+    "purchase_click_pairs": q_purchase_click_pairs,
     "error_context": q_error_context,
     "event_rollup": q_event_rollup,
 }
@@ -1350,12 +1359,18 @@ def _late_oracles() -> dict[str, str]:
     from graph500_spark.streaming.sessions import sessionize_sql
     from graph500_spark.streaming.windows import event_window_counts_sql
 
+    def _purchase_click_pairs_sql() -> str:
+        from graph500_spark.streaming.joins import PURCHASE_CLICK_PAIRS_SQL
+
+        return PURCHASE_CLICK_PAIRS_SQL
+
     return {
         "multimodal_features": MULTIMODAL_FEATURES_SQL,
         "media_resize_features": MEDIA_RESIZE_FEATURES_SQL,
         "event_window_counts": event_window_counts_sql(),
         "sessionize": sessionize_sql(),
         "click_attribution": asof_mod.CLICK_ATTRIBUTION_SQL,
+        "purchase_click_pairs": _purchase_click_pairs_sql(),
         "error_context": rangejoin_mod.error_context_sql(),
         "event_rollup": windows_mod.event_rollup_sql(),
     }
