@@ -814,6 +814,17 @@ def q_global_triangle_count(spark, sf_dir):
     )
 
 
+def q_connected_components_stars(spark, sf_dir):
+    """Large-star/small-star CC (the O(log²n)-round scale path for
+    huge-diameter graphs) — same [vertex, component] contract and
+    oracle as the delta-propagation implementation."""
+    return components_mod.connected_components_stars(
+        spark,
+        gb.build_clean_edges(mod997_edges(spark, sf_dir)),
+        shuffle_partitions=8,
+    )
+
+
 def q_validate_sssp_summary(spark, sf_dir):
     """Clean-path SSSP validation: the engine's own shortest-path tree
     must pass all 4 checks (dist ranges, root, tree-weight consistency,
@@ -1108,6 +1119,7 @@ QUERIES: dict[str, QueryFn] = {
     "find_roots": q_find_roots,
     "sssp": q_sssp,
     "connected_components": q_connected_components,
+    "connected_components_stars": q_connected_components_stars,
     "pagerank": q_pagerank,
     "label_propagation": q_label_propagation,
     "k_core": q_k_core,
@@ -1296,6 +1308,7 @@ ORACLE_SQL: dict[str, str] = {
     "find_roots": find_roots_values_sql(8, 16, 8),
     "sssp": sssp_sql(_CLEAN_MOD997, SSSP_ROOT),
     "connected_components": connected_components_sql(_CLEAN_MOD997),
+    "connected_components_stars": connected_components_sql(_CLEAN_MOD997),
     "pagerank": pagerank_sql(_CLEAN_MOD997),
     "label_propagation": label_propagation_sql(_CLEAN_MOD997),
     "k_core": k_core_sql(_CLEAN_MOD997, K_CORE_K),
