@@ -177,3 +177,43 @@ def build_adjacency(edges_clean: DataFrame) -> DataFrame:
         F.sort_array(F.collect_list("dst")).alias("neighbors"),
         F.count(F.lit(1)).alias("degree"),
     )
+
+
+def bipartite_project(
+    bipartite: DataFrame, min_weight: int = 1, max_group: int | None = None
+) -> DataFrame:
+    """One-mode projection of a bipartite edge list [item, grp]:
+    [src, dst, weight] where src < dst are items sharing ≥ min_weight
+    groups and weight = number of shared groups.
+
+    The standard graph-construction step the reference's fixed pipeline
+    never needs but any graph ETL engine does (e.g. part–part
+    co-occurrence from order lineitems). Implementation is a self-join
+    on the group key + pair aggregation — two shuffles total.
+
+    Scale notes: a group with g members emits g·(g−1)/2 pairs, so one
+    hub group dominates the output quadratically. `max_group` caps
+    membership (groups above it are dropped BEFORE the self-join —
+    the standard mitigation, since mega-group co-occurrence carries
+    ~no signal); with the cap the join's per-key fan-out is bounded
+    and AQE handles residual skew.
+    """
+    b = bipartite.select("item", "grp")
+    if max_group is not None:
+        sizes = b.groupBy("grp").agg(F.count(F.lit(1)).alias("g_size"))
+        b = (
+            b.join(
+                F.broadcast(sizes.filter(F.col("g_size") <= max_group)),
+                "grp",
+            )
+            .select("item", "grp")
+        )
+    left = b.select(F.col("item").alias("src"), "grp")
+    right = b.select(F.col("item").alias("dst"), "grp")
+    return (
+        left.join(right, "grp")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .filter(F.col("weight") >= min_weight)
+    )

@@ -482,6 +482,29 @@ def q_apply_vertex_map(spark, sf_dir):
     return gb.apply_vertex_map(clean, vmap)
 
 
+def q_copart_projection(spark, sf_dir):
+    """Bipartite projection: part–part co-occurrence (weight = shared
+    orders, ≥2) from the lineitem order↔part incidence; groups capped
+    at 10 members before the self-join (the quadratic-hub guard)."""
+    _register_views(spark, sf_dir)
+    bipartite = spark.sql(
+        "SELECT CAST(l_partkey AS BIGINT) AS item,"
+        " CAST(l_orderkey AS BIGINT) AS grp FROM lineitem"
+    )
+    return gb.bipartite_project(bipartite, min_weight=2, max_group=10)
+
+
+COPART_PROJECTION_SQL = (
+    "WITH b AS (SELECT CAST(l_partkey AS BIGINT) AS item,"
+    " CAST(l_orderkey AS BIGINT) AS grp FROM lineitem),"
+    " keep AS (SELECT grp FROM b GROUP BY grp HAVING COUNT(*) <= 10),"
+    " bk AS (SELECT item, grp FROM b WHERE grp IN (SELECT grp FROM keep))"
+    " SELECT l.item AS src, r.item AS dst, COUNT(*) AS weight"
+    " FROM bk l JOIN bk r ON l.grp = r.grp AND l.item < r.item"
+    " GROUP BY l.item, r.item HAVING COUNT(*) >= 2"
+)
+
+
 def q_adjacency_strings(spark, sf_dir):
     """Adjacency lists serialized to strings so the value-hash is
     engine-portable (array typing differs between Spark and DuckDB)."""
@@ -1094,6 +1117,7 @@ QUERIES: dict[str, QueryFn] = {
     "symmetrize": q_symmetrize,
     "dedup_edges": q_dedup_edges,
     "clean_edges": q_clean_edges,
+    "copart_projection": q_copart_projection,
     "degrees": q_degrees,
     "max_vertex": q_max_vertex,
     "count_vertices": q_count_vertices,
@@ -1186,6 +1210,7 @@ ORACLE_SQL: dict[str, str] = {
         " UNION ALL SELECT dst AS src, src AS dst FROM raw"
     ),
     "dedup_edges": f"SELECT DISTINCT src, dst FROM ({MOD997_EDGES_SQL})",
+    "copart_projection": COPART_PROJECTION_SQL,
     "clean_edges": _CLEAN_MOD997,
     "degrees": (
         f"WITH clean AS ({_CLEAN_MOD997})"
