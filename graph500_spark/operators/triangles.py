@@ -82,6 +82,29 @@ def triangle_counts(edges_clean: DataFrame) -> DataFrame:
     )
 
 
+def clustering_coefficient(edges_clean: DataFrame) -> DataFrame:
+    """[vertex, degree, coeff]: local clustering coefficient
+    triangles(v) / C(deg(v), 2) for vertices with degree ≥ 2 (vertices
+    in no triangle get coeff 0.0). Rounded to 5 — the cross-engine
+    float convention."""
+    deg = edges_clean.groupBy(F.col("src").alias("vertex")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    tri = triangle_counts(edges_clean)
+    pairs = (F.col("degree") * (F.col("degree") - 1) / 2.0)
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tri, "vertex", "left")
+        .select(
+            "vertex",
+            "degree",
+            F.round(
+                F.coalesce(F.col("triangles"), F.lit(0)) / pairs, 5
+            ).alias("coeff"),
+        )
+    )
+
+
 def global_triangle_count(edges_clean: DataFrame) -> DataFrame:
     """[n_triangles]: single-row global triangle count."""
     return triangles(edges_clean).agg(

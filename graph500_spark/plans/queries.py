@@ -831,6 +831,14 @@ def q_triangle_counts(spark, sf_dir):
     )
 
 
+def q_clustering_coefficient(spark, sf_dir):
+    """Local clustering coefficient over the mod997 graph (composes
+    the triangle and degree operators)."""
+    return triangles_mod.clustering_coefficient(
+        gb.build_clean_edges(mod997_edges(spark, sf_dir))
+    )
+
+
 def q_global_triangle_count(spark, sf_dir):
     return triangles_mod.global_triangle_count(
         gb.build_clean_edges(mod997_edges(spark, sf_dir))
@@ -1149,6 +1157,7 @@ QUERIES: dict[str, QueryFn] = {
     "k_core": q_k_core,
     "triangle_counts": q_triangle_counts,
     "global_triangle_count": q_global_triangle_count,
+    "clustering_coefficient": q_clustering_coefficient,
     "degree_distribution": q_degree_distribution,
     "top_degrees": q_top_degrees,
     "kronecker_s8_weighted": q_kronecker_s8_weighted,
@@ -1339,6 +1348,19 @@ ORACLE_SQL: dict[str, str] = {
     "k_core": k_core_sql(_CLEAN_MOD997, K_CORE_K),
     "triangle_counts": triangle_counts_sql(_CLEAN_MOD997),
     "global_triangle_count": global_triangle_count_sql(_CLEAN_MOD997),
+    "clustering_coefficient": (
+        _TRIANGLES_SQL_TEMPLATE.format(clean=_CLEAN_MOD997)
+        + ", corners AS (SELECT a AS vertex FROM tri"
+        "  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),"
+        " tc AS (SELECT vertex, COUNT(*) AS triangles FROM corners"
+        "  GROUP BY vertex),"
+        " deg AS (SELECT src AS vertex, COUNT(*) AS degree FROM clean"
+        "  GROUP BY src)"
+        " SELECT d.vertex, d.degree,"
+        " CAST(ROUND(COALESCE(t.triangles, 0)"
+        " / (d.degree * (d.degree - 1) / 2.0), 5) AS DOUBLE) AS coeff"
+        " FROM deg d LEFT JOIN tc t USING (vertex) WHERE d.degree >= 2"
+    ),
     "degree_distribution": (
         f"WITH clean AS ({_CLEAN_MOD997}),"
         " deg AS (SELECT src AS vertex, COUNT(*) AS degree"
