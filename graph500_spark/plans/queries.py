@@ -661,6 +661,29 @@ def q_top_degrees(spark, sf_dir):
     return deg.orderBy(F.desc("degree"), F.asc("vertex")).limit(100)
 
 
+def q_degree_quantiles(spark, sf_dir):
+    """A8-style diagnostic: exact interpolated degree quantiles (both
+    engines use the linear-interpolation definition)."""
+    deg = gb.degrees(gb.build_clean_edges(mod997_edges(spark, sf_dir)))
+    return deg.agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.round(F.expr("percentile(degree, 0.25)"), 5).alias("p25"),
+        F.round(F.expr("percentile(degree, 0.5)"), 5).alias("p50"),
+        F.round(F.expr("percentile(degree, 0.75)"), 5).alias("p75"),
+        F.max("degree").alias("max_degree"),
+    )
+
+
+def q_count_vertices_approx(spark, sf_dir):
+    """A3's sketch-tier path: HyperLogLog++ distinct-vertex count
+    (rows-only check — HLL estimates differ across engines by design;
+    at 100 TB this replaces the exact distinct's full shuffle with a
+    constant-size mergeable sketch)."""
+    return gb.count_vertices(
+        gb.build_clean_edges(mod997_edges(spark, sf_dir)), approx=True
+    )
+
+
 def q_kronecker_s8_weighted(spark, sf_dir):
     """S1 + weight stream (spec2012 semantics): value-checked like
     kronecker_s8 via a driver-side NumPy VALUES oracle."""
@@ -1159,6 +1182,8 @@ QUERIES: dict[str, QueryFn] = {
     "global_triangle_count": q_global_triangle_count,
     "clustering_coefficient": q_clustering_coefficient,
     "degree_distribution": q_degree_distribution,
+    "degree_quantiles": q_degree_quantiles,
+    "count_vertices_approx": q_count_vertices_approx,
     "top_degrees": q_top_degrees,
     "kronecker_s8_weighted": q_kronecker_s8_weighted,
     "random_edges_s8": q_random_edges_s8,
@@ -1366,6 +1391,16 @@ ORACLE_SQL: dict[str, str] = {
         " deg AS (SELECT src AS vertex, COUNT(*) AS degree"
         "         FROM clean GROUP BY src)"
         " SELECT degree, COUNT(*) AS n_vertices FROM deg GROUP BY degree"
+    ),
+    "degree_quantiles": (
+        f"WITH clean AS ({_CLEAN_MOD997}),"
+        " deg AS (SELECT src AS vertex, COUNT(*) AS degree"
+        "         FROM clean GROUP BY src)"
+        " SELECT COUNT(*) AS n_vertices,"
+        " CAST(ROUND(quantile_cont(degree, 0.25), 5) AS DOUBLE) AS p25,"
+        " CAST(ROUND(quantile_cont(degree, 0.5), 5) AS DOUBLE) AS p50,"
+        " CAST(ROUND(quantile_cont(degree, 0.75), 5) AS DOUBLE) AS p75,"
+        " MAX(degree) AS max_degree FROM deg"
     ),
     "top_degrees": (
         f"WITH clean AS ({_CLEAN_MOD997}),"
