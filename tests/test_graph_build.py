@@ -80,3 +80,23 @@ def test_adjacency(spark):
     )
     adj = {r["src"]: r["neighbors"] for r in gb.build_adjacency(e).collect()}
     assert adj == {1: [2, 3], 2: [1, 3], 3: [1, 2]}
+
+
+class TestBipartiteProject:
+    def test_cooccurrence_weights(self, spark):
+        from graph500_spark.operators.graph_build import bipartite_project
+
+        rows = [(1, 10), (2, 10), (3, 10), (1, 20), (2, 20), (4, 30)]
+        b = spark.createDataFrame(rows, "item: long, grp: long")
+        out = {(r.src, r.dst): r.weight
+               for r in bipartite_project(b).collect()}
+        assert out == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
+
+    def test_hub_group_cap_drops_megagroup(self, spark):
+        from graph500_spark.operators.graph_build import bipartite_project
+
+        rows = [(i, 99) for i in range(10)] + [(1, 10), (2, 10)]
+        b = spark.createDataFrame(rows, "item: long, grp: long")
+        out = {(r.src, r.dst): r.weight
+               for r in bipartite_project(b, max_group=5).collect()}
+        assert out == {(1, 2): 1}  # group 99 filtered pre-join

@@ -93,3 +93,20 @@ class TestPageRank:
         assert ranks[0] > max(v for k, v in ranks.items() if k != 0)
         leaf_vals = {v for k, v in ranks.items() if k != 0}
         assert len(leaf_vals) == 1  # symmetry preserved
+
+
+class TestClusteringCoefficient:
+    def test_k4_is_fully_clustered(self, spark):
+        from graph500_spark.operators.triangles import clustering_coefficient
+
+        k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+        out = clustering_coefficient(_clean(spark, k4)).collect()
+        assert {r.vertex: r.coeff for r in out} == {v: 1.0 for v in range(4)}
+
+    def test_path_center_is_open(self, spark):
+        from graph500_spark.operators.triangles import clustering_coefficient
+
+        path = [(0, 1), (1, 2)]
+        out = {r.vertex: r.coeff for r in clustering_coefficient(
+            _clean(spark, path)).collect()}
+        assert out == {1: 0.0}  # endpoints have degree 1 → excluded
