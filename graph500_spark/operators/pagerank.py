@@ -40,12 +40,20 @@ def pagerank(
     damping: float = 0.85,
     shuffle_partitions: int | None = None,
     broadcast_rows: int = 2_000_000,
+    sources: list[int] | None = None,
 ) -> DataFrame:
     """[vertex, norm_rank] over a symmetrized, deduped edge list after
     `n_iterations` power-method steps from the uniform vector.
     norm_rank = rank × n_vertices (average exactly 1.0), rounded to 5
     decimals — the same cross-engine float convention as
     operators/simsearch.py.
+
+    With `sources`, computes PERSONALIZED PageRank: both the initial
+    vector and the teleport mass are uniform over `sources` instead of
+    over all vertices (rank ≡ stationary probability of a
+    random-walk-with-restart from the source set — the standard
+    seed-expansion / related-items primitive). Identical plan shape;
+    only the two teleport expressions change.
     """
     # Persist the edge table once: every iteration joins against it,
     # and without the cache the upstream construction (2 shuffles +
@@ -69,11 +77,20 @@ def pagerank(
         )
         n_vertices = deg.count()
 
-        ranks = deg.select(
-            "vertex", (F.lit(1.0) / F.lit(float(n_vertices))).alias("rank")
-        ).localCheckpoint(eager=True)
-
-        teleport = (1.0 - damping) / float(n_vertices)
+        if sources is None:
+            init = F.lit(1.0) / F.lit(float(n_vertices))
+            teleport_col = F.lit((1.0 - damping) / float(n_vertices))
+        else:
+            in_s = F.col("vertex").isin([int(s) for s in sources])
+            init = F.when(in_s, F.lit(1.0 / len(sources))).otherwise(
+                F.lit(0.0)
+            )
+            teleport_col = F.when(
+                in_s, F.lit((1.0 - damping) / len(sources))
+            ).otherwise(F.lit(0.0))
+        ranks = deg.select("vertex", init.alias("rank")).localCheckpoint(
+            eager=True
+        )
         for _ in range(n_iterations):
             # Checkpointed rank state carries no Catalyst stats, so
             # without the driver-known-count hint every iteration
@@ -93,7 +110,7 @@ def pagerank(
             )
             new_ranks = contribs.select(
                 "vertex",
-                (F.lit(teleport) + F.lit(damping) * F.col("mass")).alias(
+                (teleport_col + F.lit(damping) * F.col("mass")).alias(
                     "rank"
                 ),
             )

@@ -193,22 +193,39 @@ def sssp_sql(clean_sql: str, root: int, dist_bound: int = 400) -> str:
 
 
 def pagerank_sql(
-    clean_sql: str, n_iterations: int = 10, damping: float = 0.85
+    clean_sql: str,
+    n_iterations: int = 10,
+    damping: float = 0.85,
+    sources: list[int] | None = None,
 ) -> str:
     """PageRank oracle: the engine's fixed-iteration power method
     unrolled as CTEs (same init, same teleport term, same normalized
-    rounded output — operators/pagerank.py)."""
+    rounded output — operators/pagerank.py). With `sources`, the
+    personalized variant (init + teleport uniform over the set)."""
+    if sources is None:
+        init = "1.0 / (SELECT n FROM nv)"
+        tele = f"({1.0 - damping:.17g}) / (SELECT n FROM nv)"
+    else:
+        s_list = ", ".join(str(int(s)) for s in sources)
+        init = (
+            f"CASE WHEN vertex IN ({s_list})"
+            f" THEN {1.0 / len(sources):.17g} ELSE 0.0 END"
+        )
+        tele = (
+            f"CASE WHEN e.dst IN ({s_list})"
+            f" THEN {(1.0 - damping) / len(sources):.17g} ELSE 0.0 END"
+        )
     parts = [
         f"WITH clean AS ({clean_sql})",
         "deg AS (SELECT src AS vertex, COUNT(*) AS outdeg"
         " FROM clean GROUP BY src)",
         "nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg)",
-        "r0 AS (SELECT vertex, 1.0 / (SELECT n FROM nv) AS rank FROM deg)",
+        f"r0 AS (SELECT vertex, {init} AS rank FROM deg)",
     ]
     for i in range(1, n_iterations + 1):
         parts.append(
             f"r{i} AS (SELECT e.dst AS vertex,"
-            f" ({1.0 - damping:.17g}) / (SELECT n FROM nv)"
+            f" {tele}"
             f" + {damping:.17g} * SUM(r.rank / d.outdeg) AS rank"
             f" FROM clean e JOIN r{i-1} r ON r.vertex = e.src"
             " JOIN deg d ON d.vertex = e.src GROUP BY e.dst)"
@@ -826,6 +843,20 @@ def q_k_core(spark, sf_dir):
     )
 
 
+PPR_SOURCES = [1, 2, 3]
+
+
+def q_pagerank_personalized(spark, sf_dir):
+    """Personalized PageRank (random walk with restart) from a 3-seed
+    source set — the seed-expansion primitive."""
+    return pagerank_mod.pagerank(
+        spark,
+        gb.build_clean_edges(mod997_edges(spark, sf_dir)),
+        shuffle_partitions=8,
+        sources=PPR_SOURCES,
+    )
+
+
 def q_label_propagation(spark, sf_dir):
     """Fixed-round synchronous max-label propagation expressed as a
     vertex program on the generic Pregel loop (operators/pregel.py)."""
@@ -1176,6 +1207,7 @@ QUERIES: dict[str, QueryFn] = {
     "connected_components": q_connected_components,
     "connected_components_stars": q_connected_components_stars,
     "pagerank": q_pagerank,
+    "pagerank_personalized": q_pagerank_personalized,
     "label_propagation": q_label_propagation,
     "k_core": q_k_core,
     "triangle_counts": q_triangle_counts,
@@ -1369,6 +1401,7 @@ ORACLE_SQL: dict[str, str] = {
     "connected_components": connected_components_sql(_CLEAN_MOD997),
     "connected_components_stars": connected_components_sql(_CLEAN_MOD997),
     "pagerank": pagerank_sql(_CLEAN_MOD997),
+    "pagerank_personalized": pagerank_sql(_CLEAN_MOD997, sources=PPR_SOURCES),
     "label_propagation": label_propagation_sql(_CLEAN_MOD997),
     "k_core": k_core_sql(_CLEAN_MOD997, K_CORE_K),
     "triangle_counts": triangle_counts_sql(_CLEAN_MOD997),

@@ -110,3 +110,29 @@ class TestClusteringCoefficient:
         out = {r.vertex: r.coeff for r in clustering_coefficient(
             _clean(spark, path)).collect()}
         assert out == {1: 0.0}  # endpoints have degree 1 → excluded
+
+
+class TestPersonalizedPageRank:
+    def test_mass_concentrates_near_seed(self, spark):
+        # two triangles joined by one bridge edge; seed in triangle A
+        g = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 3)]
+        ranks = {
+            r.vertex: r.norm_rank
+            for r in pagerank(
+                spark, _clean(spark, g), n_iterations=12, sources=[0]
+            ).collect()
+        }
+        assert min(ranks[v] for v in (0, 1, 2)) > max(
+            ranks[v] for v in (4, 5)
+        )
+
+    def test_unreached_component_gets_zero(self, spark):
+        g = [(0, 1), (10, 11)]  # seed component {0,1}; island {10,11}
+        ranks = {
+            r.vertex: r.norm_rank
+            for r in pagerank(
+                spark, _clean(spark, g), n_iterations=6, sources=[0]
+            ).collect()
+        }
+        assert ranks[10] == 0.0 and ranks[11] == 0.0
+        assert ranks[0] > 0 and ranks[1] > 0
