@@ -186,17 +186,24 @@ def tfidf_top_terms_sql(k: int = 3) -> str:
 PACK_SHARDS = 16
 
 
-def pack_chunks(docs: DataFrame, budget: int = 512) -> DataFrame:
+def pack_chunks(
+    docs: DataFrame, budget: int = 512, n_shards: int = PACK_SHARDS
+) -> DataFrame:
     """[doc_id, shard, start_chunk, end_chunk]: the pretraining
     concat-and-chunk layout. Docs are hash-sharded; within a shard the
     token streams are concatenated in doc_id order and cut every
     `budget` tokens; a doc occupies chunks [start_chunk, end_chunk]
     of its shard (end inclusive; docs may span cuts — that is the
     point of the layout). Empty docs (0 tokens) sit at their cut
-    position with end = start."""
+    position with end = start.
+
+    `n_shards` is the packing parallelism AND part of the output
+    contract (chunk ids are per-shard): the default suits test scale;
+    a production run sizes it to O(executor count) so each shard's
+    window sort fits one task."""
     shard = (
         (F.col("doc_id") * F.lit(SPLIT_HASH_K)) % F.lit(SPLIT_HASH_MOD)
-    ) % F.lit(PACK_SHARDS)
+    ) % F.lit(n_shards)
     toks = docs.select(
         "doc_id",
         shard.alias("shard"),
@@ -225,10 +232,10 @@ def pack_chunks(docs: DataFrame, budget: int = 512) -> DataFrame:
     )
 
 
-def pack_chunks_sql(budget: int = 512) -> str:
+def pack_chunks_sql(budget: int = 512, n_shards: int = PACK_SHARDS) -> str:
     return (
         "WITH toks AS (SELECT doc_id,"
-        f" (doc_id * {SPLIT_HASH_K}) % {SPLIT_HASH_MOD} % {PACK_SHARDS}"
+        f" (doc_id * {SPLIT_HASH_K}) % {SPLIT_HASH_MOD} % {n_shards}"
         " AS shard,"
         f" len({DUCK_TOKENS}) AS n_tokens FROM documents),"
         " cum AS (SELECT doc_id, shard, n_tokens,"
