@@ -289,6 +289,52 @@ def label_propagation_sql(clean_sql: str, n_supersteps: int = 5) -> str:
     )
 
 
+def hits_sql(raw_sql: str, n_iterations: int = 5) -> str:
+    """HITS oracle: the engine's half-steps unrolled (same init, same
+    L1 normalization, same ×n rounded output — operators/hits.py).
+    Runs on the DIRECTED dedup'd graph."""
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM"
+        f" ({raw_sql}) WHERE src <> dst)",
+        "v AS MATERIALIZED (SELECT src AS vertex FROM e"
+        " UNION SELECT dst FROM e)",
+        "nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v)",
+        "a0 AS MATERIALIZED (SELECT vertex,"
+        " 1.0 / (SELECT n FROM nv) AS score FROM v)",
+    ]
+    for i in range(1, n_iterations + 1):
+        parts.append(
+            f"h{i}r AS MATERIALIZED (SELECT vv.vertex,"
+            " COALESCE(s.r, 0.0) AS raw FROM v vv LEFT JOIN"
+            " (SELECT e.src AS vertex, SUM(a.score) AS r FROM e"
+            f"  JOIN a{i-1} a ON a.vertex = e.dst GROUP BY e.src) s"
+            " USING (vertex))"
+        )
+        parts.append(
+            f"h{i} AS MATERIALIZED (SELECT vertex,"
+            f" raw / (SELECT SUM(raw) FROM h{i}r) AS score FROM h{i}r)"
+        )
+        parts.append(
+            f"a{i}r AS MATERIALIZED (SELECT vv.vertex,"
+            " COALESCE(s.r, 0.0) AS raw FROM v vv LEFT JOIN"
+            " (SELECT e.dst AS vertex, SUM(h.score) AS r FROM e"
+            f"  JOIN h{i} h ON h.vertex = e.src GROUP BY e.dst) s"
+            " USING (vertex))"
+        )
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT vertex,"
+            f" raw / (SELECT SUM(raw) FROM a{i}r) AS score FROM a{i}r)"
+        )
+    k = n_iterations
+    return (
+        ", ".join(parts)
+        + f" SELECT h.vertex,"
+        " CAST(ROUND(h.score * (SELECT n FROM nv), 5) AS DOUBLE) AS hub,"
+        " CAST(ROUND(a.score * (SELECT n FROM nv), 5) AS DOUBLE) AS auth"
+        f" FROM h{k} h JOIN a{k} a USING (vertex)"
+    )
+
+
 def random_walks_sql(clean_sql: str, walk_len: int = 4) -> str:
     """Walk oracle: the engine's deterministic hash-argmin steps
     unrolled (operators/walks.py — same score arithmetic, same packed
@@ -884,6 +930,17 @@ def q_pagerank_personalized(spark, sf_dir):
     )
 
 
+def q_hits(spark, sf_dir):
+    """HITS hubs/authorities on the DIRECTED dedup'd mod997 graph
+    (directed so hub ≢ auth)."""
+    from graph500_spark.operators import hits as hits_mod
+
+    directed = gb.dedup_edges(
+        gb.remove_self_loops(mod997_edges(spark, sf_dir))
+    )
+    return hits_mod.hits(spark, directed)
+
+
 def q_random_walks(spark, sf_dir):
     """Deterministic random-walk corpus (one 4-step walk per vertex)
     over the mod997 graph — the DeepWalk training-data primitive."""
@@ -1247,6 +1304,7 @@ QUERIES: dict[str, QueryFn] = {
     "pagerank_personalized": q_pagerank_personalized,
     "label_propagation": q_label_propagation,
     "k_core": q_k_core,
+    "hits": q_hits,
     "random_walks": q_random_walks,
     "triangle_counts": q_triangle_counts,
     "global_triangle_count": q_global_triangle_count,
@@ -1443,6 +1501,7 @@ ORACLE_SQL: dict[str, str] = {
     "label_propagation": label_propagation_sql(_CLEAN_MOD997),
     "k_core": k_core_sql(_CLEAN_MOD997, K_CORE_K),
     "random_walks": random_walks_sql(_CLEAN_MOD997),
+    "hits": hits_sql(MOD997_EDGES_SQL),
     "triangle_counts": triangle_counts_sql(_CLEAN_MOD997),
     "global_triangle_count": global_triangle_count_sql(_CLEAN_MOD997),
     "clustering_coefficient": (
