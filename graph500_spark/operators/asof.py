@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from graph500_spark.functions.eventtime import event_micros
+
 
 def asof_join(
     left: DataFrame,
@@ -39,9 +41,9 @@ def asof_join(
     prior right row exists).
 
     Expects both sides to carry [event_id, key, ts, value]. The ts
-    column is ordered but otherwise opaque (the testdata's
-    TIMESTAMP(NANOS) arrives in Spark as a raw long — see
-    streaming/windows.py's timestamp note)."""
+    column is ordered but otherwise opaque — any orderable type works
+    (callers on the events table pre-convert TIMESTAMP to epoch micros
+    via functions/eventtime.py)."""
     r = (
         right.groupBy(key, ts)
         .agg(
@@ -117,19 +119,26 @@ def asof_join(
 def click_attribution(events: DataFrame) -> DataFrame:
     """[event_id, user_id, l_ts_us, l_value, matched_event_id,
     r_ts_us, r_value] — every purchase attributed to the user's most
-    recent click at-or-before it. Epoch-microsecond timestamps (the
-    nanos→micros convention of streaming/windows.py) so the
-    cross-engine value hash is exact."""
-    purchases = events.filter(F.col("event_type") == "purchase")
-    clicks = events.filter(F.col("event_type") == "click")
+    recent click at-or-before it. Event time is converted to epoch
+    micros up front (functions/eventtime.py) so the asof window orders
+    plain longs and the cross-engine value hash is exact."""
+    ev = events.select(
+        "event_id",
+        "user_id",
+        event_micros(events).alias("ts"),
+        "value",
+        "event_type",
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
     out = asof_join(purchases, clicks)
     return out.select(
         "event_id",
         "user_id",
-        F.expr("l_ts div 1000").alias("l_ts_us"),
+        F.col("l_ts").alias("l_ts_us"),
         F.round("l_value", 6).alias("l_value"),
         "matched_event_id",
-        F.expr("r_ts div 1000").alias("r_ts_us"),
+        F.col("r_ts").alias("r_ts_us"),
         F.round("r_value", 6).alias("r_value"),
     )
 

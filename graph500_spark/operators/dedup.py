@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graph500_spark.operators.text import (
+    DEFAULT_HASH,
     DUCK_TOKENS,
     HASH_MOD,
     SPARK_TOKENS,
@@ -39,10 +40,16 @@ SHINGLE_N = 3
 K_MINHASH = 16
 N_BANDS = 4
 ROWS_PER_BAND = 4
-SIMHASH_BITS = 16
+# 60-bit fingerprints (matching the 60-bit md5 hash tier): Manku
+# blocking at max_hamming=3 gets 4 chunks x 15 bits = 32768 buckets
+# per chunk index — real selectivity at corpus scale (the round-1
+# 16-bit/4-bit version degenerated toward all-pairs).
+SIMHASH_BITS = 60
 
 # Deterministic universal-hash parameters (inlined identically in both
-# dialects): h_j(x) = (a_j * x + b_j) mod 2^31-1
+# dialects): h_j(x) = (a_j * (x mod M) + b_j) mod M, M = 2^31-1.
+# x is reduced BEFORE the multiply: shingle hashes are 60-bit, so
+# a_j * x would overflow int64 in both engines.
 MINHASH_A = [(1103515245 * (j + 1)) % HASH_MOD for j in range(K_MINHASH)]
 MINHASH_B = [(12345 + 777 * j) % HASH_MOD for j in range(K_MINHASH)]
 
@@ -115,7 +122,7 @@ def _spark_minhash_cols() -> list[str]:
         a, b = MINHASH_A[j], MINHASH_B[j]
         cols.append(
             f"coalesce(array_min(transform(shingles,"
-            f" x -> ({a}L * x + {b}L) % {HASH_MOD})), 0L)"
+            f" x -> ({a}L * (x % {HASH_MOD}) + {b}L) % {HASH_MOD})), 0L)"
         )
     return cols
 
@@ -126,7 +133,7 @@ def _duck_minhash_cols() -> list[str]:
         a, b = MINHASH_A[j], MINHASH_B[j]
         cols.append(
             f"coalesce(list_min(list_transform(shingles,"
-            f" x -> ({a} * x + {b}) % {HASH_MOD})), 0)"
+            f" x -> ({a} * (x % {HASH_MOD}) + {b}) % {HASH_MOD})), 0)"
         )
     return cols
 
@@ -252,21 +259,21 @@ def minhash_near_duplicates_sql(threshold: float = 0.5) -> str:
 # ---------------------------------------------------------------------------
 
 
-def _simhash_expr(engine: str) -> str:
-    """16-bit simhash over token hashes (with multiplicity): bit b is 1
-    iff sum over tokens of (2*((h>>b)&1) - 1) > 0."""
+def _simhash_bits_expr(engine: str) -> str:
+    """Simhash over a precomputed token-hash array column ``th`` (with
+    multiplicity): bit b is 1 iff sum over tokens of (2*((h>>b)&1) - 1)
+    > 0. The array is hashed ONCE per row (the round-1 version inlined
+    the hash into every bit term — SIMHASH_BITS rehashes per token)."""
     if engine == "spark":
-        tok_hashes = f"transform({SPARK_TOKENS}, t -> {spark_strhash('t')})"
         bits = [
-            f"CASE WHEN aggregate({tok_hashes}, 0L,"
+            f"CASE WHEN aggregate(th, 0L,"
             f" (acc, h) -> acc + 2 * ((h div {1 << b}) % 2) - 1) > 0"
             f" THEN {1 << b}L ELSE 0L END"
             for b in range(SIMHASH_BITS)
         ]
     else:
-        tok_hashes = f"list_transform({DUCK_TOKENS}, t -> {duck_strhash('t')})"
         bits = [
-            f"CASE WHEN list_reduce([CAST(0 AS BIGINT)] || {tok_hashes},"
+            f"CASE WHEN list_reduce([CAST(0 AS BIGINT)] || th,"
             f" (acc, h) -> acc + 2 * ((h // {1 << b}) % 2) - 1) > 0"
             f" THEN {1 << b} ELSE 0 END"
             for b in range(SIMHASH_BITS)
@@ -274,21 +281,27 @@ def _simhash_expr(engine: str) -> str:
     return " + ".join(bits)
 
 
-def simhash(docs: DataFrame) -> DataFrame:
-    """[doc_id, simhash] — 16-bit simhash of the token stream."""
-    return docs.select(
-        "doc_id", F.expr(_simhash_expr("spark")).cast("long").alias("simhash")
-    )
-
-
-def simhash_sql() -> str:
+def simhash(docs: DataFrame, fn: str = DEFAULT_HASH) -> DataFrame:
+    """[doc_id, simhash] — 60-bit simhash of the token stream."""
+    th = f"transform({SPARK_TOKENS}, t -> {spark_strhash('t', fn)})"
     return (
-        f"SELECT doc_id, CAST({_simhash_expr('duck')} AS BIGINT) AS simhash"
-        " FROM documents"
+        docs.select("doc_id", F.expr(th).alias("th"))
+        .select(
+            "doc_id",
+            F.expr(_simhash_bits_expr("spark")).cast("long").alias("simhash"),
+        )
     )
 
 
-def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_sql(fn: str = DEFAULT_HASH) -> str:
+    th = f"list_transform({DUCK_TOKENS}, t -> {duck_strhash('t', fn)})"
+    return (
+        f"SELECT doc_id, CAST({_simhash_bits_expr('duck')} AS BIGINT) AS simhash"
+        f" FROM (SELECT doc_id, {th} AS th FROM documents)"
+    )
+
+
+def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
     """[doc_a, doc_b, hamming] — within-source pairs with simhash
     hamming distance <= max_hamming (source is the blocking key)."""
     sh = simhash(docs).join(docs.select("doc_id", "source"), "doc_id")
@@ -311,11 +324,14 @@ def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
-def simhash_near_duplicates_sql(max_hamming: int = 3) -> str:
+def simhash_near_duplicates_sql(max_hamming: int = 8) -> str:
     return (
-        f"WITH sh AS (SELECT d.doc_id, d.source,"
-        f" CAST({_simhash_expr('duck')} AS BIGINT) AS simhash"
-        " FROM documents d)"
+        f"WITH sh AS (SELECT doc_id, source, simhash FROM"
+        f" (SELECT doc_id, source,"
+        f" CAST({_simhash_bits_expr('duck')} AS BIGINT) AS simhash"
+        f" FROM (SELECT doc_id, source,"
+        f" list_transform({DUCK_TOKENS}, t -> {duck_strhash('t')}) AS th"
+        " FROM documents)))"
         " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
         " CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming"
         " FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id"
@@ -334,11 +350,12 @@ def simhash_near_duplicates_blocked(
     (chunk_index, chunk_value) — never an all-pairs product.
 
     Scale shape: the chunk table is 4 rows/doc; the candidate join
-    shuffles on a 2-column key whose fan-in per bucket is the chunk
-    collision rate (tiny at 64-bit production fingerprints); the
-    hamming verify is one bit_count over the joined pair. This is the
-    100 TB path; ``simhash_near_duplicates`` (quadratic within a
-    blocking key) is the small-block verifier."""
+    shuffles on a 2-column key with 15-bit chunk values (32768 buckets
+    per chunk index at SIMHASH_BITS=60), so per-bucket fan-in stays
+    bounded at corpus scale; the hamming verify is one bit_count over
+    the joined pair. This is the 100 TB path;
+    ``simhash_near_duplicates`` (quadratic within a blocking key) is
+    the small-block verifier."""
     n_chunks = max_hamming + 1
     assert SIMHASH_BITS % n_chunks == 0, "chunks must tile the fingerprint"
     chunk_bits = SIMHASH_BITS // n_chunks
@@ -384,8 +401,10 @@ def simhash_near_duplicates_blocked_sql(max_hamming: int = 3) -> str:
     )
     return (
         f"WITH sh AS (SELECT doc_id,"
-        f" CAST({_simhash_expr('duck')} AS BIGINT) AS simhash"
-        " FROM documents),"
+        f" CAST({_simhash_bits_expr('duck')} AS BIGINT) AS simhash"
+        f" FROM (SELECT doc_id,"
+        f" list_transform({DUCK_TOKENS}, t -> {duck_strhash('t')}) AS th"
+        " FROM documents)),"
         f" chunks AS ({chunk_selects}),"
         " cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b"
         " FROM chunks a JOIN chunks b"

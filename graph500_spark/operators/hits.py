@@ -11,11 +11,13 @@ half-steps (plans/queries.py::hits_sql).
 Scale notes: each half-step is one equi-join of the (broadcastable
 under driver-known count) score vector against the stationary cached
 edge table + a map-side-partial sum — the PageRank iteration's plan,
-twice per round. The L1 norms are driver scalars (one tiny agg job
-each, the same driver-boundary crossing as the loop counts the BFS
-family already does); score state is localCheckpoint'ed per round.
-Output scaled ×n_vertices and rounded to 5 (the cross-engine float
-convention) so the hash has discrimination left after rounding.
+twice per round. The L1 norm stays IN the dataflow: the 1-row total
+is broadcast-cross-joined back onto the scores (Spark reuses the
+shuffle between the two branches), so the only driver sync per
+half-step is the eager localCheckpoint that bounds plan depth — no
+scalar ``collect``s. Output scaled ×n_vertices and rounded to 5 (the
+cross-engine float convention) so the hash has discrimination left
+after rounding.
 """
 
 from __future__ import annotations
@@ -63,10 +65,14 @@ def hits(
         full = verts.join(raw, "vertex", "left").select(
             "vertex", F.coalesce("raw", F.lit(0.0)).alias("raw")
         )
-        total = full.agg(F.sum("raw")).collect()[0][0]
-        return full.select(
-            "vertex", (F.col("raw") / F.lit(float(total))).alias("score")
-        ).localCheckpoint(eager=True)
+        total = full.agg(F.sum("raw").alias("l1_total"))
+        return (
+            full.crossJoin(F.broadcast(total))
+            .select(
+                "vertex", (F.col("raw") / F.col("l1_total")).alias("score")
+            )
+            .localCheckpoint(eager=True)
+        )
 
     for _ in range(n_iterations):
         new_hub = half_step(auth, out_edges=True)

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graph500_spark.functions.eventtime import event_micros
+
 # 10 minutes in the events table's nanosecond timestamps
 WINDOW_NS = 600 * 10**9
 
@@ -73,11 +75,10 @@ def error_context(events: DataFrame, window_ns: int = WINDOW_NS) -> DataFrame:
     preceding window (strictly before the error), and their value sum.
     Errors with no context appear with zeros (left join).
 
-    Comparisons run on micros (nanos div 1000, the engine-wide
-    convention): DuckDB truncates TIMESTAMP(NANOS) to micros, so
-    comparing at nanos would disagree on sub-microsecond boundaries."""
+    Comparisons run on epoch micros (functions/eventtime.py — the
+    engine-wide convention, exact vs DuckDB's ``epoch_us``)."""
     window_us = window_ns // 1000
-    ts_us = F.expr("ts div 1000").alias("ts_us")
+    ts_us = event_micros(events).alias("ts_us")
     errors = events.filter(F.col("event_type") == "error").select(
         "event_id", "user_id", ts_us
     )

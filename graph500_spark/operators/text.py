@@ -28,28 +28,53 @@ HASH_BASE = 131
 # ---------------------------------------------------------------------------
 # Shared expression fragments — Spark SQL spelling and DuckDB spelling.
 # Both compute identical integer/float arithmetic.
+#
+# String-hash tiers (pluggable; the SAME tier must be used on both
+# engines for value-parity):
+#   * "md5"  (default): top 60 bits of md5, decoded from the hex digest
+#     — a single codegen'd JVM intrinsic per row in Spark and a native
+#     function in DuckDB. Oracle-matched AND production-fast; 60 bits
+#     so the bigint conversion never overflows in either engine.
+#   * "poly": legacy 31-bit rolling polynomial (h = h*131 + char mod
+#     2^31-1) — O(len) interpreted lambda per string; kept for
+#     backward compatibility with round-1 fixtures. Orders of
+#     magnitude slower; do not use in hot paths.
+#   * "xxhash64": Spark-only fastest tier (no DuckDB mirror) for
+#     pure-production pipelines that don't need the cross-engine gate.
 # ---------------------------------------------------------------------------
 
-# rolling polynomial hash of a string expression {s}:
-# h = fold(chars, h*131 + ascii(char)) mod 2^31-1
-SPARK_STRHASH = (
-    "aggregate(sequence(1, length({s})), 0L,"
-    " (acc, i) -> (acc * {base} + ascii(substr({s}, i, 1))) % {mod})"
-)
-DUCK_STRHASH = (
-    "list_reduce([CAST(0 AS BIGINT)]"
-    " || list_transform(generate_series(1, length({s})),"
-    " i -> CAST(ascii(substr({s}, i, 1)) AS BIGINT)),"
-    " (acc, x) -> (acc * {base} + x) % {mod})"
-)
+DEFAULT_HASH = "md5"
+HASH_BITS = {"md5": 60, "poly": 31, "xxhash64": 64}
+
+_SPARK_HASH_FNS = {
+    "md5": "cast(conv(substr(md5({s}), 1, 15), 16, 10) as bigint)",
+    "poly": (
+        "aggregate(sequence(1, length({s})), 0L,"
+        " (acc, i) -> (acc * {base} + ascii(substr({s}, i, 1))) % {mod})"
+    ),
+    "xxhash64": "xxhash64({s})",
+}
+_DUCK_HASH_FNS = {
+    "md5": "CAST(('0x' || substr(md5({s}), 1, 15)) AS BIGINT)",
+    "poly": (
+        "list_reduce([CAST(0 AS BIGINT)]"
+        " || list_transform(generate_series(1, length({s})),"
+        " i -> CAST(ascii(substr({s}, i, 1)) AS BIGINT)),"
+        " (acc, x) -> (acc * {base} + x) % {mod})"
+    ),
+}
+
+# round-1 spellings, kept importable
+SPARK_STRHASH = _SPARK_HASH_FNS["poly"]
+DUCK_STRHASH = _DUCK_HASH_FNS["poly"]
 
 
-def spark_strhash(s: str) -> str:
-    return SPARK_STRHASH.format(s=s, base=HASH_BASE, mod=HASH_MOD)
+def spark_strhash(s: str, fn: str = DEFAULT_HASH) -> str:
+    return _SPARK_HASH_FNS[fn].format(s=s, base=HASH_BASE, mod=HASH_MOD)
 
 
-def duck_strhash(s: str) -> str:
-    return DUCK_STRHASH.format(s=s, base=HASH_BASE, mod=HASH_MOD)
+def duck_strhash(s: str, fn: str = DEFAULT_HASH) -> str:
+    return _DUCK_HASH_FNS[fn].format(s=s, base=HASH_BASE, mod=HASH_MOD)
 
 
 SPARK_TOKENS = f"regexp_extract_all(text, '{TOKEN_REGEX}', 0)"
@@ -226,12 +251,13 @@ LANGUAGE_ID_SQL = (
 # ---------------------------------------------------------------------------
 
 
-def fingerprint(docs: DataFrame) -> DataFrame:
-    """[doc_id, fingerprint] — rolling polynomial hash of the raw text
-    (deterministic 31-bit; collisions fine for dedup candidate keys)."""
+def fingerprint(docs: DataFrame, fn: str = DEFAULT_HASH) -> DataFrame:
+    """[doc_id, fingerprint] — deterministic content hash of the raw
+    text (60-bit md5 by default; collisions fine for dedup candidate
+    keys). ``fn`` picks the hash tier (see module header)."""
     return docs.select(
         "doc_id",
-        F.expr(spark_strhash("text")).cast("long").alias("fingerprint"),
+        F.expr(spark_strhash("text", fn)).cast("long").alias("fingerprint"),
     )
 
 

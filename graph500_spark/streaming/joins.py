@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from graph500_spark.functions.eventtime import event_micros, event_time
 from graph500_spark.streaming.windows import stream_events
 
 WINDOW_MINUTES = 10
@@ -34,16 +35,17 @@ def purchase_click_pairs(events: DataFrame) -> DataFrame:
     """[purchase_id, user_id, click_id, p_ts_us, gap_us]: every
     (purchase, click) pair of the same user with the click at most
     WINDOW_MINUTES before (or equal to) the purchase. Epoch-micro
-    timestamps (the nanos→micros convention of windows.py)."""
+    timestamps (the eventtime.py convention)."""
+    ts_us = event_micros(events)
     p = events.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         "user_id",
-        F.expr("ts div 1000").alias("p_ts_us"),
+        ts_us.alias("p_ts_us"),
     )
     c = events.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"),
         F.col("user_id").alias("c_user_id"),
-        F.expr("ts div 1000").alias("c_ts_us"),
+        ts_us.alias("c_ts_us"),
     )
     gap = F.col("p_ts_us") - F.col("c_ts_us")
     return (
@@ -84,12 +86,13 @@ def stream_purchase_click_pairs(
     clicks are kept only until the watermark passes their eviction
     horizon (join window + late-data allowance)."""
     ev = stream_events(spark, sf_dir)
+    ev_time = event_time(ev)
     p = (
         ev.filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
             "user_id",
-            F.timestamp_micros(F.expr("ts div 1000")).alias("p_time"),
+            ev_time.alias("p_time"),
         )
         .withWatermark("p_time", "10 minutes")
     )
@@ -98,7 +101,7 @@ def stream_purchase_click_pairs(
         .select(
             F.col("event_id").alias("click_id"),
             F.col("user_id").alias("c_user_id"),
-            F.timestamp_micros(F.expr("ts div 1000")).alias("c_time"),
+            ev_time.alias("c_time"),
         )
         .withWatermark("c_time", "10 minutes")
     )

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from graph500_spark.functions.eventtime import event_micros, pandas_micros
+
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
 
 
@@ -26,8 +28,7 @@ def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
     session_id is 1-based per user, ordered by event time; ties broken
     by event_id for determinism.
     """
-    # integer division keeps nanos→micros exact (double would round)
-    ts_us = F.expr("ts div 1000")
+    ts_us = event_micros(events)
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     marked = (
         events.select("user_id", "event_id", ts_us.alias("ts_us"))
@@ -93,7 +94,7 @@ def sessionize_stream(
         else:
             ts_list = []
             for pdf in pdfs:
-                ts_list.extend((pdf["ts"] // 1000).astype("int64").tolist())
+                ts_list.extend(pandas_micros(pdf["ts"]).tolist())
             ts_list.sort()
             if state.exists:
                 start_us, last_us, n = state.get

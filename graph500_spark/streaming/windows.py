@@ -7,10 +7,11 @@ BFS — SURVEY.md §2.7); streaming ingest is engine capability beyond
 reference parity, built the Spark-first way: readStream → event-time
 window aggregation → sink, with late data bounded by a watermark.
 
-Timestamp note: the testdata events carry TIMESTAMP(NANOS); Spark reads
-them as int64 nanos (see sources/testdata.py). All window math is done
-on microseconds so Spark and DuckDB (which truncates to micros) agree
-exactly.
+Timestamp note: the testdata events carry a real TIMESTAMP column
+(microsecond precision in both Spark and DuckDB). All window math runs
+on epoch microseconds via functions/eventtime.py — the single source
+of truth for the conversion — so Spark and the DuckDB oracle
+(``epoch_us``) agree exactly.
 """
 
 from __future__ import annotations
@@ -18,6 +19,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from graph500_spark.functions.eventtime import (
+    event_micros,
+    event_micros_sql,
+    event_time,
+)
 from graph500_spark.sources import testdata as td
 
 
@@ -27,8 +33,7 @@ def event_window_counts(events: DataFrame, minutes: int = 5) -> DataFrame:
     window_start_us = event time truncated to the window, in epoch
     microseconds."""
     win_us = 60_000_000 * minutes
-    # integer division keeps nanos→micros exact (double would round)
-    ts_us = F.expr("ts div 1000")
+    ts_us = event_micros(events)
     return (
         events.select(
             (ts_us - ts_us % F.lit(win_us)).alias("window_start_us"),
@@ -84,7 +89,7 @@ def event_rollup(spark: SparkSession, events: DataFrame) -> DataFrame:
     """[granularity, window_start_us, event_type, n_events, sum_value]
     — minute/hour/day rollups in one GROUPING SETS pass."""
     events.createOrReplaceTempView("events")
-    return spark.sql(_rollup_sql("ts div 1000"))
+    return spark.sql(_rollup_sql(event_micros_sql(events)))
 
 
 def event_rollup_sql() -> str:
@@ -112,9 +117,7 @@ def windowed_stream(events_stream: DataFrame, minutes: int = 5) -> DataFrame:
     evicted once the watermark passes — this is what makes the operator
     run forever at scale.
     """
-    with_ts = events_stream.withColumn(
-        "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    with_ts = events_stream.withColumn("event_time", event_time(events_stream))
     return (
         with_ts.withWatermark("event_time", "10 minutes")
         .groupBy(
