@@ -55,6 +55,18 @@ def main() -> int:
         "pack_chunks": lambda: Q.q_pack_chunks(spark, sf_dir).count(),
         "sessionize": lambda: Q.q_sessionize(spark, sf_dir).count(),
         "click_attribution": lambda: Q.q_click_attribution(spark, sf_dir).count(),
+        "exact_duplicates": lambda: Q.q_exact_duplicates(spark, sf_dir).count(),
+        "minhash_near_duplicates": lambda: Q.q_minhash_near_duplicates(
+            spark, sf_dir
+        ).count(),
+        "simhash_near_duplicates_blocked":
+            lambda: Q.q_simhash_near_duplicates_blocked(spark, sf_dir).count(),
+        "event_rollup": lambda: Q.q_event_rollup(spark, sf_dir).count(),
+        "purchase_click_pairs": lambda: Q.q_purchase_click_pairs(
+            spark, sf_dir
+        ).count(),
+        "error_context": lambda: Q.q_error_context(spark, sf_dir).count(),
+        "hits": lambda: Q.q_hits(spark, sf_dir).count(),
     }
 
     timings: dict[str, float] = {}

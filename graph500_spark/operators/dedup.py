@@ -24,6 +24,7 @@ Scale notes (100 TB design point):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -138,9 +139,57 @@ def _duck_minhash_cols() -> list[str]:
     return cols
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """[doc_id, mh00..mh15] — K=16 minhash values over shingle hashes."""
+def _minhash_vec_udf():
+    """Arrow-vectorized minhash kernel: all K universal hashes + mins
+    in one numpy broadcast per row. EXACTLY the expression tier's
+    int64 arithmetic ((a*(x mod M)+b) mod M; products < 2^62, no
+    overflow), so the two tiers are value-identical — measured ~10x
+    over the interpreted higher-order-function lambdas (7 us per
+    element-eval adds up: K x shingles x docs evals)."""
+    import numpy as np
+
+    a_col = np.array(MINHASH_A, dtype=np.int64)[:, None]
+    b_col = np.array(MINHASH_B, dtype=np.int64)[:, None]
+    empty = [0] * K_MINHASH
+
+    @F.pandas_udf("array<long>")
+    def mh(shingles: pd.Series) -> pd.Series:
+        out = []
+        for arr in shingles:
+            if arr is None or len(arr) == 0:
+                out.append(empty)
+            else:
+                x = np.asarray(arr, dtype=np.int64) % HASH_MOD
+                out.append(
+                    ((a_col * x[None, :] + b_col) % HASH_MOD)
+                    .min(axis=1)
+                    .tolist()
+                )
+        return pd.Series(out)
+
+    return mh
+
+
+def minhash_signatures(docs: DataFrame, vectorized: bool = True) -> DataFrame:
+    """[doc_id, mh00..mh15] — K=16 minhash values over shingle hashes.
+
+    ``vectorized=True`` (default) computes the K mins in one Arrow
+    batch kernel (ExtractPythonUDFs materializes it once as its own
+    ArrowEvalPython node — the element_at projections below read the
+    attribute, they cannot re-trigger it); ``False`` keeps the pure
+    Column-algebra tier (identical values, interpreted per element)."""
     sh = shingle_hashes(docs)
+    if vectorized:
+        withmh = sh.select(
+            "doc_id", _minhash_vec_udf()(F.col("shingles")).alias("mh")
+        )
+        return withmh.select(
+            "doc_id",
+            *[
+                F.element_at("mh", j + 1).cast("long").alias(f"mh{j:02d}")
+                for j in range(K_MINHASH)
+            ],
+        )
     return sh.select(
         "doc_id",
         *[
@@ -176,12 +225,14 @@ def _band_key_exprs() -> list[str]:
 def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     """[doc_a, doc_b] — pairs sharing at least one full LSH band.
     doc_a < doc_b; distinct across bands."""
-    # The banded table is built in ONE pass over the signatures
-    # (posexplode of the band-key array) and cached: Catalyst does not
-    # common-subexpression-eliminate across join branches, so without
-    # the cache the shingle+minhash expressions are evaluated once per
-    # band per join side (~8x).
-    sig = minhash_signatures(docs)
+    # The SIGNATURES are cached (the natural persist point of a
+    # production LSH pipeline): without the cache barrier Catalyst's
+    # CollapseProject inlines each mh column into the band-key concat,
+    # re-evaluating the full shingle+hash pipeline once per mh (16x —
+    # measured 5.5s vs 0.4s at sf0.1). Band keys derived from the
+    # cached signatures are cheap attribute concats, so the banded
+    # table needs no second cache even though both join sides read it.
+    sig = minhash_signatures(docs).cache()
     keys = F.array(
         *[
             F.expr(key.replace("VARCHAR", "STRING"))
@@ -190,7 +241,7 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     )
     bands = sig.select(
         "doc_id", F.posexplode(keys).alias("band", "key")
-    ).cache()
+    )
     left = bands.select("band", "key", F.col("doc_id").alias("doc_a"))
     right = bands.select("band", "key", F.col("doc_id").alias("doc_b"))
     return (
@@ -281,15 +332,44 @@ def _simhash_bits_expr(engine: str) -> str:
     return " + ".join(bits)
 
 
-def simhash(docs: DataFrame, fn: str = DEFAULT_HASH) -> DataFrame:
+def _simhash_vec_udf():
+    """Arrow-vectorized simhash kernel over the (JVM-computed) token
+    hash array: one numpy bit-matrix per row instead of SIMHASH_BITS
+    interpreted array folds. Bit-exact vs the expression tier: bit b
+    set iff sum over tokens of (2*((h>>b)&1) - 1) > 0."""
+    import numpy as np
+
+    shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
+    weights = (np.int64(1) << shifts).astype(np.int64)
+
+    @F.pandas_udf("long")
+    def sh(th: pd.Series) -> pd.Series:
+        out = np.zeros(len(th), dtype=np.int64)
+        for i, arr in enumerate(th):
+            if arr is None or len(arr) == 0:
+                continue
+            x = np.asarray(arr, dtype=np.int64)
+            bits = (x[:, None] >> shifts[None, :]) & 1
+            votes = (2 * bits - 1).sum(axis=0)
+            out[i] = int(weights[votes > 0].sum())
+        return pd.Series(out)
+
+    return sh
+
+
+def simhash(
+    docs: DataFrame, fn: str = DEFAULT_HASH, vectorized: bool = True
+) -> DataFrame:
     """[doc_id, simhash] — 60-bit simhash of the token stream."""
     th = f"transform({SPARK_TOKENS}, t -> {spark_strhash('t', fn)})"
-    return (
-        docs.select("doc_id", F.expr(th).alias("th"))
-        .select(
-            "doc_id",
-            F.expr(_simhash_bits_expr("spark")).cast("long").alias("simhash"),
+    with_th = docs.select("doc_id", F.expr(th).alias("th"))
+    if vectorized:
+        return with_th.select(
+            "doc_id", _simhash_vec_udf()(F.col("th")).alias("simhash")
         )
+    return with_th.select(
+        "doc_id",
+        F.expr(_simhash_bits_expr("spark")).cast("long").alias("simhash"),
     )
 
 

@@ -1066,12 +1066,26 @@ def find_roots_values_sql(
     )
 
 
+def _spread(spark, df):
+    """Small-input parallelization guard: parquet can't split inside a
+    row group, so a small single-row-group file scans as ONE task and
+    serializes every CPU-heavy per-row operator (shingling, hashing,
+    embedding math) onto one core. If the scan yields fewer partitions
+    than the cluster has slots, repartition (a few MB of shuffle);
+    at 100 TB the scan already has thousands of splits and this is a
+    no-op — no shuffle is added on real data."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _docs(spark, sf_dir):
-    return td.load_table(spark, sf_dir, "documents")
+    return _spread(spark, td.load_table(spark, sf_dir, "documents"))
 
 
 def _embs(spark, sf_dir):
-    return td.load_table(spark, sf_dir, "embeddings")
+    return _spread(spark, td.load_table(spark, sf_dir, "embeddings"))
 
 
 def q_token_count(spark, sf_dir):
@@ -1163,9 +1177,11 @@ def q_multimodal_features(spark, sf_dir):
 
 
 def q_media_extract_features(spark, sf_dir):
-    """Arrow-batched featurizer over binary payloads (rows-only: the
-    kernel is Python-side by design — the production body swaps in a
-    real decoder; tests pin the deterministic fallback values)."""
+    """Arrow-batched featurizer over binary payloads, value-checked:
+    the deterministic fallback featurizer is a pure function of the
+    payload bytes, which the oracle re-derives from the text column
+    (the production body swaps in a real decoder behind the same
+    mapInPandas schema)."""
     from graph500_spark.operators.multimodal import (
         attach_fake_media,
         extract_features,
@@ -1175,14 +1191,19 @@ def q_media_extract_features(spark, sf_dir):
 
 
 def q_frame_sample(spark, sf_dir):
-    """Per-video frame sampling (rows-only: Python kernel; row
-    explosion doc → n_frames rows is the production shape)."""
+    """Per-video frame sampling, value-checked: frames are contiguous
+    byte slices of the (ASCII) payload, projected back to strings so
+    the DuckDB oracle can re-derive them with substr arithmetic. The
+    row explosion doc → n_frames rows is the production shape."""
     from graph500_spark.operators.multimodal import (
         attach_fake_media,
         frame_sample,
     )
 
-    return frame_sample(attach_fake_media(_docs(spark, sf_dir)))
+    frames = frame_sample(attach_fake_media(_docs(spark, sf_dir)))
+    return frames.select(
+        "doc_id", "frame_idx", F.decode("frame", "UTF-8").alias("frame_text")
+    )
 
 
 def q_media_resize_features(spark, sf_dir):
@@ -1196,6 +1217,22 @@ def q_media_resize_features(spark, sf_dir):
     )
 
     return extract_features(resize_media(attach_fake_media(_docs(spark, sf_dir))))
+
+
+# Oracle for frame_sample(n_frames=4) on the fake-media table: video
+# docs (doc_id % 3 == 2), step = max(n // 4, 1), frame i is the byte
+# slice [min(i*step, n), min(i*step, n) + step) — contiguous, so
+# substr re-derives it from the (ASCII) text.
+FRAME_SAMPLE_SQL = (
+    "WITH v AS (SELECT doc_id, text, length(text) AS n FROM documents"
+    "  WHERE doc_id % 3 = 2 AND length(text) > 0),"
+    " f AS (SELECT doc_id, i AS frame_idx,"
+    "  greatest(n // 4, 1) AS step, n, text"
+    "  FROM v, (SELECT unnest([0, 1, 2, 3]) AS i))"
+    " SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,"
+    " substr(text, least(frame_idx * step, n) + 1, step) AS frame_text"
+    " FROM f"
+)
 
 
 # Oracle for resize(target=32) → featurize: python payload[::stride][:32]
@@ -1592,6 +1629,8 @@ def _late_oracles() -> dict[str, str]:
 
     return {
         "multimodal_features": MULTIMODAL_FEATURES_SQL,
+        "media_extract_features": MULTIMODAL_FEATURES_SQL,
+        "frame_sample": FRAME_SAMPLE_SQL,
         "media_resize_features": MEDIA_RESIZE_FEATURES_SQL,
         "event_window_counts": event_window_counts_sql(),
         "sessionize": sessionize_sql(),

@@ -30,20 +30,14 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # events.parquet carries TIMESTAMP(NANOS), which Spark rejects by
-    # default; read it as int64 nanos (runtime-settable session conf)
-    # and convert with ts_as_timestamp() where timestamp semantics are
-    # needed.
+    # The driver testdata stores micros TIMESTAMP (arrives as
+    # TIMESTAMP_NTZ; functions/eventtime.py owns the epoch conversion).
+    # The legacy conf only matters if an input ever carries
+    # TIMESTAMP(NANOS): it reads as int64 nanos, which eventtime.py's
+    # integral branch (`div 1000`) handles with the same micros
+    # convention.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
-
-
-def ts_as_timestamp(df: DataFrame, col: str = "ts") -> DataFrame:
-    """Convert an int64-nanos column (see load_table) to a proper
-    TIMESTAMP column (microsecond precision, matching DuckDB's read)."""
-    return df.withColumn(
-        col, F.timestamp_micros((F.col(col) / F.lit(1000)).cast("long"))
-    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
