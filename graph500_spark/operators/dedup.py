@@ -79,11 +79,19 @@ _DUCK_SHINGLE_HASHES = (
 )
 
 
-def shingle_hashes(docs: DataFrame) -> DataFrame:
-    """[doc_id, shingles: array<long>] — distinct hashed token 3-grams."""
-    return docs.select(
+def shingle_hashes(docs: DataFrame, cached: bool = True) -> DataFrame:
+    """[doc_id, shingles: array<long>] — distinct hashed token 3-grams.
+
+    Cached by default: the shingle sets are the shared intermediate of
+    the whole dedup family (minhash signatures, LSH verify, n-gram
+    Jaccard), and Spark's cache manager dedups the identical plan
+    across call sites, so tokenize+shingle+hash runs ONCE per corpus
+    no matter how many stages consume it. At 100 TB this is the
+    standard LSH persist point (MEMORY_AND_DISK, spills)."""
+    out = docs.select(
         "doc_id", F.expr(_SPARK_SHINGLE_HASHES).alias("shingles")
     )
+    return out.cache() if cached else out
 
 
 # ---------------------------------------------------------------------------
@@ -272,8 +280,8 @@ def minhash_near_duplicates(
     """LSH candidates verified by exact Jaccard over distinct shingle
     sets: [doc_a, doc_b, jaccard] with jaccard >= threshold."""
     cands = lsh_candidate_pairs(docs)
-    # cached: referenced by both sides of the verification join
-    sh = shingle_hashes(docs).cache()
+    # shingle_hashes is cached (plan-deduped with the signature path)
+    sh = shingle_hashes(docs)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     joined = cands.join(a, "doc_a").join(b, "doc_b")
