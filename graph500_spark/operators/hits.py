@@ -3,21 +3,22 @@
 Companion centrality to operators/pagerank.py over a DIRECTED edge
 list (on a symmetrized graph HITS degenerates to hub ≡ auth, so the
 registry runs it on the directed dedup'd fixture): auth(v) = Σ hub(u)
-over in-edges, hub(u) = Σ auth(v) over out-edges, L1-normalized after
-each half-step. Fixed iteration count ⇒ the result is an exact
-algebraic function of the input and the DuckDB oracle unrolls the same
-half-steps (plans/queries.py::hits_sql).
+over in-edges, hub(u) = Σ auth(v) over out-edges; HITS is linear so
+the L1 normalization is deferred to the final output (a pure scale
+factor per half-step that cancels). Fixed iteration count ⇒ the
+result is an exact algebraic function of the input and the DuckDB
+oracle unrolls the same deferred arithmetic
+(plans/queries.py::hits_sql).
 
 Scale notes: each half-step is one equi-join of the (broadcastable
 under driver-known count) score vector against the stationary cached
 edge table + a map-side-partial sum — the PageRank iteration's plan,
-twice per round. The L1 norm stays IN the dataflow: the 1-row total
-is broadcast-cross-joined back onto the scores (Spark reuses the
-shuffle between the two branches), so the only driver sync per
-half-step is the eager localCheckpoint that bounds plan depth — no
-scalar ``collect``s. Output scaled ×n_vertices and rounded to 5 (the
-cross-engine float convention) so the hash has discrimination left
-after rounding.
+twice per round — and the eager localCheckpoint bounding plan depth
+is the ONLY driver barrier: no per-step totals, no scalar
+``collect``s. The two L1 totals are broadcast-cross-joined once at
+the end, inside the dataflow. Output scaled ×n_vertices and rounded
+to 5 (the cross-engine float convention) so the hash has
+discrimination left after rounding.
 """
 
 from __future__ import annotations
@@ -48,8 +49,21 @@ def hits(
     ).localCheckpoint(eager=True)
     hub = auth
 
+    # HITS is linear, so per-half-step L1 normalization is a pure
+    # scale factor that cancels in the final normalized output —
+    # DEFER it: each half-step is just join + map-side-partial sum +
+    # left-join + eager checkpoint (the only driver barrier), with no
+    # per-step total agg or broadcast build. Both L1 divisions happen
+    # once at the end, inside the dataflow. The DuckDB oracle
+    # (plans/queries.py::hits_sql) unrolls the identical deferred
+    # arithmetic so the float sequences match. Magnitudes stay finite:
+    # raw ~ (avg_degree)^k / n, ~1e12 for k=10 at sf0.1 — well inside
+    # double. Eager checkpointing per half-step is load-bearing: a
+    # lazy nested half-step re-evaluates its input subtree through
+    # every consuming branch (measured 16s vs 9s at sf0.1).
     def half_step(scores: DataFrame, out_edges: bool) -> DataFrame:
-        """sum scores over (out_edges ? dst : src) neighbors, L1-norm."""
+        """sum scores over (out_edges ? dst : src) neighbors (raw,
+        unnormalized)."""
         s = scores.withColumnRenamed(
             "vertex", "dst" if out_edges else "src"
         )
@@ -62,20 +76,10 @@ def hits(
             )
             .agg(F.sum("score").alias("raw"))
         )
-        full = verts.join(raw, "vertex", "left").select(
-            "vertex", F.coalesce("raw", F.lit(0.0)).alias("raw")
-        )
-        total = full.agg(F.sum("raw").alias("l1_total"))
-        # eager checkpoint per half-step: `full` feeds both the total
-        # agg and the main branch, so a lazy half-step would re-evaluate
-        # its input subtree through both — nesting the hub step lazily
-        # inside the auth step measured 16s vs 9s at sf0.1. The
-        # checkpoint is the ONLY driver barrier per half-step (the L1
-        # total never leaves the dataflow).
         return (
-            full.crossJoin(F.broadcast(total))
+            verts.join(raw, "vertex", "left")
             .select(
-                "vertex", (F.col("raw") / F.col("l1_total")).alias("score")
+                "vertex", F.coalesce("raw", F.lit(0.0)).alias("score")
             )
             .localCheckpoint(eager=True)
         )
@@ -88,13 +92,21 @@ def hits(
         auth.unpersist()
         auth = new_auth
 
+    h_total = hub.agg(F.sum("score").alias("h_total"))
+    a_total = auth.agg(F.sum("score").alias("a_total"))
     out = (
         hub.withColumnRenamed("score", "h")
         .join(auth.withColumnRenamed("score", "a"), "vertex")
+        .crossJoin(F.broadcast(h_total))
+        .crossJoin(F.broadcast(a_total))
         .select(
             "vertex",
-            F.round(F.col("h") * F.lit(float(n)), 5).alias("hub"),
-            F.round(F.col("a") * F.lit(float(n)), 5).alias("auth"),
+            F.round(
+                F.col("h") / F.col("h_total") * F.lit(float(n)), 5
+            ).alias("hub"),
+            F.round(
+                F.col("a") / F.col("a_total") * F.lit(float(n)), 5
+            ).alias("auth"),
         )
     )
     edges.unpersist()

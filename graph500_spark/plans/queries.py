@@ -290,8 +290,9 @@ def label_propagation_sql(clean_sql: str, n_supersteps: int = 5) -> str:
 
 
 def hits_sql(raw_sql: str, n_iterations: int = 5) -> str:
-    """HITS oracle: the engine's half-steps unrolled (same init, same
-    L1 normalization, same ×n rounded output — operators/hits.py).
+    """HITS oracle: the engine's half-steps unrolled with the SAME
+    deferred L1 normalization (raw mutual-reinforcement sums per
+    half-step, both divisions once at the end — operators/hits.py).
     Runs on the DIRECTED dedup'd graph."""
     parts = [
         "WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM"
@@ -304,34 +305,28 @@ def hits_sql(raw_sql: str, n_iterations: int = 5) -> str:
     ]
     for i in range(1, n_iterations + 1):
         parts.append(
-            f"h{i}r AS MATERIALIZED (SELECT vv.vertex,"
-            " COALESCE(s.r, 0.0) AS raw FROM v vv LEFT JOIN"
+            f"h{i} AS MATERIALIZED (SELECT vv.vertex,"
+            " COALESCE(s.r, 0.0) AS score FROM v vv LEFT JOIN"
             " (SELECT e.src AS vertex, SUM(a.score) AS r FROM e"
             f"  JOIN a{i-1} a ON a.vertex = e.dst GROUP BY e.src) s"
             " USING (vertex))"
         )
         parts.append(
-            f"h{i} AS MATERIALIZED (SELECT vertex,"
-            f" raw / (SELECT SUM(raw) FROM h{i}r) AS score FROM h{i}r)"
-        )
-        parts.append(
-            f"a{i}r AS MATERIALIZED (SELECT vv.vertex,"
-            " COALESCE(s.r, 0.0) AS raw FROM v vv LEFT JOIN"
+            f"a{i} AS MATERIALIZED (SELECT vv.vertex,"
+            " COALESCE(s.r, 0.0) AS score FROM v vv LEFT JOIN"
             " (SELECT e.dst AS vertex, SUM(h.score) AS r FROM e"
             f"  JOIN h{i} h ON h.vertex = e.src GROUP BY e.dst) s"
             " USING (vertex))"
         )
-        parts.append(
-            f"a{i} AS MATERIALIZED (SELECT vertex,"
-            f" raw / (SELECT SUM(raw) FROM a{i}r) AS score FROM a{i}r)"
-        )
     k = n_iterations
     return (
         ", ".join(parts)
-        + f" SELECT h.vertex,"
-        " CAST(ROUND(h.score * (SELECT n FROM nv), 5) AS DOUBLE) AS hub,"
-        " CAST(ROUND(a.score * (SELECT n FROM nv), 5) AS DOUBLE) AS auth"
-        f" FROM h{k} h JOIN a{k} a USING (vertex)"
+        + " SELECT h.vertex,"
+        " CAST(ROUND(h.score / (SELECT SUM(score) FROM h{k})"
+        " * (SELECT n FROM nv), 5) AS DOUBLE) AS hub,"
+        " CAST(ROUND(a.score / (SELECT SUM(score) FROM a{k})"
+        " * (SELECT n FROM nv), 5) AS DOUBLE) AS auth"
+        " FROM h{k} h JOIN a{k} a USING (vertex)".format(k=k)
     )
 
 
