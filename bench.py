@@ -37,6 +37,16 @@ def main() -> int:
     # cost reported by the 'construction' entry.
     Q.hetero_edges(spark, sf_dir).count()
     Q.clean_hetero_graph(spark, sf_dir)
+    # The reference's default benchmark workload (SCALE=16, ef=16 —
+    # mpi/main.cc:211-212): construction happens once here (timed
+    # separately at s14 by kronecker_s14_gen_construct); the bench
+    # entry times one BFS traversal over the built graph, mirroring
+    # the reference's construct-once / 64-roots procedure.
+    from graph500_spark.operators.graph_build import build_clean_edges
+    from graph500_spark.sources.generator import generate_kronecker_edges
+
+    kron16 = build_clean_edges(generate_kronecker_edges(spark, 16, 16)).persist()
+    kron16.count()
 
     bench_queries = {
         "construction": lambda: Q.q_clean_edges(spark, sf_dir).count(),
@@ -71,6 +81,7 @@ def main() -> int:
         ).count(),
         "error_context": lambda: Q.q_error_context(spark, sf_dir).count(),
         "hits": lambda: Q.q_hits(spark, sf_dir).count(),
+        "bfs_kron_s16": lambda: _bfs16(spark, kron16),
     }
 
     timings: dict[str, float] = {}
@@ -104,6 +115,12 @@ def _kron(spark) -> int:
     from graph500_spark.sources.generator import generate_kronecker_edges
 
     return build_clean_edges(generate_kronecker_edges(spark, 14, 16)).count()
+
+
+def _bfs16(spark, kron16) -> int:
+    from graph500_spark.operators.bfs import bfs
+
+    return bfs(spark, kron16, root=2).count()
 
 
 if __name__ == "__main__":
