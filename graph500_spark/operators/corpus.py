@@ -79,3 +79,108 @@ def corpus_clean_sql(
         f" AND qual.quality_score >= {min_quality}"
         " AND lang.lang_pred <> 'und'"
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: train docs sharing long n-grams with the
+# eval split. The standard pretraining hygiene pass (eval contamination
+# detection via n-gram overlap): explode n-gram hashes on both sides,
+# equi-join on the hash, count shared grams per (train, eval) pair.
+# Scale shape: ONE hash shuffle on the n-gram key (same exchange as any
+# inverted-index build); n >= 5 keeps the key selective so the join
+# fan-in stays bounded. No all-pairs product anywhere.
+# ---------------------------------------------------------------------------
+
+DECON_N = 5  # 5-gram overlap — long enough to be evidence, not chance
+EVAL_MOD = 97  # deterministic eval split: doc_id % EVAL_MOD == 0
+
+
+def decontaminate(
+    docs: DataFrame, n: int = DECON_N, eval_mod: int = EVAL_MOD,
+    min_shared: int = 1,
+) -> DataFrame:
+    """[train_doc, eval_doc, n_shared] — training documents that share
+    >= min_shared distinct token n-grams with an eval-split document."""
+    grams = docs.select(
+        "doc_id", F.explode(F.expr(dd.spark_shingle_hashes(n))).alias("g")
+    )
+    is_eval = F.col("doc_id") % eval_mod == 0
+    train = grams.filter(~is_eval).select(
+        F.col("doc_id").alias("train_doc"), "g"
+    )
+    ev = grams.filter(is_eval).select(F.col("doc_id").alias("eval_doc"), "g")
+    return (
+        train.join(ev, "g")
+        .groupBy("train_doc", "eval_doc")
+        # per-doc gram hashes are array_distinct'd, so plain COUNT is
+        # the distinct-shared-gram count
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def decontaminate_sql(
+    n: int = DECON_N, eval_mod: int = EVAL_MOD, min_shared: int = 1
+) -> str:
+    return (
+        f"WITH grams AS (SELECT doc_id, unnest({dd.duck_shingle_hashes(n)})"
+        " AS g FROM documents),"
+        f" t AS (SELECT doc_id AS train_doc, g FROM grams"
+        f" WHERE doc_id % {eval_mod} <> 0),"
+        f" e AS (SELECT doc_id AS eval_doc, g FROM grams"
+        f" WHERE doc_id % {eval_mod} = 0)"
+        " SELECT train_doc, eval_doc, COUNT(*) AS n_shared"
+        " FROM t JOIN e USING (g) GROUP BY 1, 2"
+        f" HAVING COUNT(*) >= {min_shared}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate clusters: connected components over the verified
+# near-dup pair graph — the principled alternative to corpus_clean's
+# keep-first greedy rule (pairs a~b, b~c collapse into ONE cluster even
+# when a~c was never verified). Composes the text pipeline with the
+# graph engine's CC operator: the pair list becomes an edge list, the
+# delta-iterated min-label loop runs unchanged.
+# ---------------------------------------------------------------------------
+
+
+def dup_clusters(
+    spark, docs: DataFrame, jaccard_threshold: float = NEAR_DUP_JACCARD
+) -> DataFrame:
+    """[doc_id, cluster] for EVERY document: cluster = min doc_id of
+    its near-duplicate connected component (singletons cluster with
+    themselves)."""
+    from graph500_spark.operators.components import connected_components
+
+    pairs = dd.minhash_near_duplicates(docs, jaccard_threshold)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    cc = connected_components(spark, edges)
+    return (
+        docs.select("doc_id")
+        .join(cc.withColumnRenamed("vertex", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("component", "doc_id").alias("cluster")
+        )
+    )
+
+
+def dup_clusters_sql(jaccard_threshold: float = NEAR_DUP_JACCARD) -> str:
+    return (
+        "WITH RECURSIVE nd AS MATERIALIZED"
+        f" ({dd.minhash_near_duplicates_sql(jaccard_threshold)}),"
+        " ed AS (SELECT doc_a AS src, doc_b AS dst FROM nd"
+        " UNION ALL SELECT doc_b, doc_a FROM nd),"
+        " reach(vertex, label) AS ("
+        "  SELECT src, src FROM ed"
+        "  UNION"
+        "  SELECT e.dst, r.label FROM ed e JOIN reach r ON e.src = r.vertex),"
+        " cc AS (SELECT vertex, MIN(label) AS component FROM reach"
+        " GROUP BY vertex)"
+        " SELECT d.doc_id, COALESCE(cc.component, d.doc_id) AS cluster"
+        " FROM documents d LEFT JOIN cc ON cc.vertex = d.doc_id"
+    )

@@ -60,23 +60,34 @@ MINHASH_B = [(12345 + 777 * j) % HASH_MOD for j in range(K_MINHASH)]
 
 # guard: sequence(1, n) with n<1 must yield no shingles (Spark's
 # sequence(1,0) counts DOWN, so the CASE is load-bearing)
-_SPARK_SHINGLES = (
-    f"CASE WHEN size({SPARK_TOKENS}) < {SHINGLE_N} THEN array()"
-    f" ELSE transform(sequence(1, size({SPARK_TOKENS}) - {SHINGLE_N - 1}),"
-    f" i -> concat_ws(' ', slice({SPARK_TOKENS}, i, {SHINGLE_N}))) END"
-)
-_DUCK_SHINGLES = (
-    f"CASE WHEN len({DUCK_TOKENS}) < {SHINGLE_N} THEN []"
-    f" ELSE list_transform(generate_series(1, len({DUCK_TOKENS}) - {SHINGLE_N - 1}),"
-    f" i -> array_to_string({DUCK_TOKENS}[i:i + {SHINGLE_N - 1}], ' ')) END"
-)
 
-_SPARK_SHINGLE_HASHES = (
-    f"array_distinct(transform({_SPARK_SHINGLES}, s -> {spark_strhash('s')}))"
-)
-_DUCK_SHINGLE_HASHES = (
-    f"list_distinct(list_transform({_DUCK_SHINGLES}, s -> {duck_strhash('s')}))"
-)
+
+def spark_shingles(n: int) -> str:
+    return (
+        f"CASE WHEN size({SPARK_TOKENS}) < {n} THEN array()"
+        f" ELSE transform(sequence(1, size({SPARK_TOKENS}) - {n - 1}),"
+        f" i -> concat_ws(' ', slice({SPARK_TOKENS}, i, {n}))) END"
+    )
+
+
+def duck_shingles(n: int) -> str:
+    return (
+        f"CASE WHEN len({DUCK_TOKENS}) < {n} THEN []"
+        f" ELSE list_transform(generate_series(1, len({DUCK_TOKENS}) - {n - 1}),"
+        f" i -> array_to_string({DUCK_TOKENS}[i:i + {n - 1}], ' ')) END"
+    )
+
+
+def spark_shingle_hashes(n: int) -> str:
+    return f"array_distinct(transform({spark_shingles(n)}, s -> {spark_strhash('s')}))"
+
+
+def duck_shingle_hashes(n: int) -> str:
+    return f"list_distinct(list_transform({duck_shingles(n)}, s -> {duck_strhash('s')}))"
+
+
+_SPARK_SHINGLE_HASHES = spark_shingle_hashes(SHINGLE_N)
+_DUCK_SHINGLE_HASHES = duck_shingle_hashes(SHINGLE_N)
 
 
 def shingle_hashes(docs: DataFrame, cached: bool = True) -> DataFrame:

@@ -1254,6 +1254,24 @@ MEDIA_RESIZE_FEATURES_SQL = (
 )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: train docs sharing >=1 distinct
+    5-gram with the deterministic eval split (corpus.py::decontaminate)
+    — one hash shuffle on the n-gram key, no all-pairs product."""
+    from graph500_spark.operators.corpus import decontaminate
+
+    return decontaminate(_docs(spark, sf_dir))
+
+
+def q_dup_clusters(spark, sf_dir):
+    """Near-dup connected-component clusters over the verified minhash
+    pair graph (corpus.py::dup_clusters) — the text pipeline composed
+    with the graph engine's CC loop."""
+    from graph500_spark.operators.corpus import dup_clusters
+
+    return dup_clusters(spark, _docs(spark, sf_dir))
+
+
 def q_event_window_counts(spark, sf_dir):
     from graph500_spark.streaming.windows import event_window_counts
 
@@ -1378,6 +1396,8 @@ QUERIES: dict[str, QueryFn] = {
     "media_extract_features": q_media_extract_features,
     "frame_sample": q_frame_sample,
     "media_resize_features": q_media_resize_features,
+    "decontaminate": q_decontaminate,
+    "dup_clusters": q_dup_clusters,
     "event_window_counts": q_event_window_counts,
     "sessionize": q_sessionize,
     "click_attribution": q_click_attribution,
@@ -1600,6 +1620,8 @@ ORACLE_SQL: dict[str, str] = {
     "ngram_jaccard_pairs": dedup_mod.ngram_jaccard_pairs_sql(),
     "embedding_near_duplicates": dedup_mod.embedding_near_duplicates_sql(0.2),
     "corpus_clean": corpus_mod.corpus_clean_sql(),
+    "decontaminate": corpus_mod.decontaminate_sql(),
+    "dup_clusters": corpus_mod.dup_clusters_sql(),
     "train_test_split": traindata_mod.train_test_split_sql(),
     "term_doc_frequency": traindata_mod.term_doc_frequency_sql(),
     "tfidf_top_terms": traindata_mod.tfidf_top_terms_sql(),

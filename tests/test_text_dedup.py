@@ -201,3 +201,40 @@ def test_simhash_blocked_equals_global_bruteforce(docs):
     }
     assert got == brute
     assert any(h == 0 for _, _, h in got)  # the exact-dup pair (0,1)
+
+
+def test_decontaminate_known_overlap(spark):
+    from graph500_spark.operators.corpus import decontaminate
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        (0, base, "en", "s0", len(base)),                 # eval (0 % 97 == 0)
+        (1, base + " extra tail words", "en", "s0", 1),   # contaminated train
+        (2, "totally unrelated content words only", "en", "s1", 1),
+    ]
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+    out = {(r["train_doc"], r["eval_doc"]): r["n_shared"]
+           for r in decontaminate(docs).collect()}
+    # doc 1 contains all 4 of doc 0's 5-grams; doc 2 shares none
+    assert out == {(1, 0): 4}
+
+
+def test_dup_clusters_transitive(spark):
+    from graph500_spark.operators.corpus import dup_clusters
+
+    base = (
+        "the alpha and bravo of charlie in delta for echo on foxtrot"
+        " golf hotel india juliet kilo lima mike november oscar papa"
+    )
+    rows = [
+        (10, base, "en", "s0", len(base)),
+        (11, base.replace("papa", "p1"), "en", "s0", 1),   # ~10
+        (12, base.replace("alpha", "a2"), "en", "s0", 1),  # ~10 (and ~11 via 10)
+        (13, "completely different text about something else entirely here",
+         "en", "s1", 1),
+    ]
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+    out = {r["doc_id"]: r["cluster"] for r in dup_clusters(spark, docs).collect()}
+    # 10/11/12 collapse transitively into one cluster labeled min id
+    assert out[10] == out[11] == out[12] == 10
+    assert out[13] == 13  # singleton clusters with itself
