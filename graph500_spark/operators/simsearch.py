@@ -394,3 +394,139 @@ def cosine_topk_lsh_sql(k: int = 5, query_filter: str = "vec_id % 50 = 0") -> st
         f" SELECT query_id, neighbor_id, cosine, rank FROM ranked"
         f" WHERE rank <= {k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained coarse quantizer: spherical k-means (Lloyd) that IS
+# value-hash-checkable across engines. The float obstruction (group
+# means are summation-order-dependent) is removed by construction:
+#   * inputs are quantized to INTEGER-valued doubles
+#     (round(x * 10^6)), so per-dimension group SUMS are exact
+#     (magnitudes << 2^53) — shuffle order cannot change them;
+#   * cosine is scale-invariant, so centroids stay as the raw integer
+#     sum vectors — no division ever happens;
+#   * dot products / norms are sequential folds over the same index
+#     order in both engines (the module-wide convention), so their
+#     rounding is identical.
+# Assignment ties break by centroid id; cell labels are the seed
+# centroid ids (stable across iterations); centroids that lose all
+# members drop out deterministically.
+# ---------------------------------------------------------------------------
+
+KMEANS_SCALE = 1_000_000
+KMEANS_ITER = 2
+
+
+def _quantized(embeddings: DataFrame) -> DataFrame:
+    q = f"transform(v, x -> round(x * {KMEANS_SCALE}.0))"
+    return (
+        embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .select("vec_id", F.expr(q).alias("qv"))
+        .withColumn(
+            "nq", F.expr(_spark_dot("qv", "qv")).alias("d")
+        )
+        .withColumn("nq", F.sqrt("nq"))
+    )
+
+
+def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """[vec_id, cell] — nearest centroid by round(cos, 5), tie → min cid."""
+    cos = F.round(
+        F.expr(_spark_dot("qv", "vc")) / (F.col("nq") * F.col("nc")), 5
+    ).cast("double")
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("c").desc(), F.col("cid").asc()
+    )
+    return (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cid", cos.alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cell"))
+    )
+
+
+def kmeans_cells(
+    embeddings: DataFrame,
+    n_iter: int = KMEANS_ITER,
+    centroid_filter: str = IVF_CENTROID_FILTER,
+    dim: int = 64,
+) -> DataFrame:
+    """[vec_id, cell] after ``n_iter`` Lloyd rounds from the medoid
+    seeds: assign to max-cosine centroid, recompute centroids as exact
+    integer sum vectors of their members, reassign.
+
+    Scale shape per round: one broadcast of the (≈√N) centroid table +
+    one corpus scan for assignment, one hash shuffle on cell for the
+    64 per-dimension sums. The corpus is scanned, never collected."""
+    e = _quantized(embeddings).cache()
+    cents = e.filter(F.expr(centroid_filter)).select(
+        F.col("vec_id").alias("cid"),
+        F.col("qv").alias("vc"),
+        F.col("nq").alias("nc"),
+    )
+    for _ in range(n_iter):
+        assign = _assign(e, cents)
+        sums = (
+            assign.join(e, "vec_id")
+            .groupBy("cell")
+            .agg(
+                *[
+                    F.sum(F.element_at("qv", i + 1)).alias(f"s{i}")
+                    for i in range(dim)
+                ]
+            )
+        )
+        cents = sums.select(
+            F.col("cell").alias("cid"),
+            F.array(*[F.col(f"s{i}") for i in range(dim)]).alias("vc"),
+        ).withColumn("nc", F.sqrt(F.expr(_spark_dot("vc", "vc"))))
+    return _assign(e, cents)
+
+
+def kmeans_cells_sql(
+    n_iter: int = KMEANS_ITER,
+    centroid_filter: str = IVF_CENTROID_FILTER,
+    dim: int = 64,
+) -> str:
+    """Unrolled Lloyd rounds mirroring kmeans_cells exactly."""
+    dot = _duck_dot("A.qv", "B.vc")
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings),"
+        f" q0 AS (SELECT vec_id, list_transform(v, x ->"
+        f" round(x * {KMEANS_SCALE}.0)) AS qv FROM e),"
+        " qn AS MATERIALIZED (SELECT vec_id, qv,"
+        f" sqrt({_duck_dot('qv', 'qv')}) AS nq FROM q0),"
+        " c0 AS (SELECT vec_id AS cid, qv AS vc, nq AS nc FROM qn"
+        f" WHERE {centroid_filter})",
+    ]
+    for r in range(1, n_iter + 2):
+        parts.append(
+            f"a{r} AS MATERIALIZED (SELECT vec_id, cid AS cell FROM ("
+            " SELECT A.vec_id, B.cid, ROW_NUMBER() OVER ("
+            "  PARTITION BY A.vec_id ORDER BY"
+            f"  CAST(ROUND(({dot}) / (A.nq * B.nc), 5) AS DOUBLE) DESC,"
+            "  B.cid ASC) AS rn"
+            f" FROM qn A CROSS JOIN c{r-1} B) WHERE rn = 1)"
+        )
+        if r == n_iter + 1:
+            break
+        parts.append(
+            f"s{r} AS (SELECT a.cell, t.i, SUM(qn.qv[t.i]) AS s"
+            f" FROM a{r} a JOIN qn USING (vec_id)"
+            f" CROSS JOIN generate_series(1, {dim}) t(i)"
+            " GROUP BY a.cell, t.i)"
+        )
+        parts.append(
+            f"c{r} AS (SELECT cell AS cid, vc,"
+            f" sqrt({_duck_dot('vc', 'vc')}) AS nc FROM"
+            f" (SELECT cell, LIST(s ORDER BY i) AS vc FROM s{r}"
+            " GROUP BY cell))"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT vec_id, cell FROM a{n_iter + 1}"
+    )

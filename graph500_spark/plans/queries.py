@@ -1254,6 +1254,16 @@ MEDIA_RESIZE_FEATURES_SQL = (
 )
 
 
+def q_kmeans_cells(spark, sf_dir):
+    """Trained IVF coarse quantizer: spherical k-means over quantized
+    integer-valued embeddings (simsearch.py::kmeans_cells) — exact
+    group sums + scale-free cosine make Lloyd rounds value-hash
+    checkable across engines."""
+    from graph500_spark.operators.simsearch import kmeans_cells
+
+    return kmeans_cells(_embs(spark, sf_dir))
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: train docs sharing >=1 distinct
     5-gram with the deterministic eval split (corpus.py::decontaminate)
@@ -1396,6 +1406,7 @@ QUERIES: dict[str, QueryFn] = {
     "media_extract_features": q_media_extract_features,
     "frame_sample": q_frame_sample,
     "media_resize_features": q_media_resize_features,
+    "kmeans_cells": q_kmeans_cells,
     "decontaminate": q_decontaminate,
     "dup_clusters": q_dup_clusters,
     "event_window_counts": q_event_window_counts,
@@ -1631,6 +1642,7 @@ ORACLE_SQL: dict[str, str] = {
     "cosine_topk_lsh": simsearch_mod.cosine_topk_lsh_sql(),
     "ivf_cells": simsearch_mod.ivf_cells_sql(),
     "cosine_topk_ivf": simsearch_mod.cosine_topk_ivf_sql(),
+    "kmeans_cells": simsearch_mod.kmeans_cells_sql(),
 }
 
 

@@ -238,3 +238,31 @@ def test_dup_clusters_transitive(spark):
     # 10/11/12 collapse transitively into one cluster labeled min id
     assert out[10] == out[11] == out[12] == 10
     assert out[13] == 13  # singleton clusters with itself
+
+
+def test_kmeans_cells_recovers_clusters_and_is_partition_invariant(spark):
+    from graph500_spark.operators.simsearch import kmeans_cells
+
+    # two well-separated directions in R^4; ids 7 and 68 are the medoid
+    # seeds (vec_id % 61 == 7)
+    a = [1.0, 0.05, 0.0, 0.0]
+    b = [0.0, 0.02, 1.0, 0.1]
+    rows = [(7, a), (68, b)]
+    rows += [(i, [1.0, 0.05 + i * 0.01, 0.02 * i, 0.0]) for i in range(1, 6)]
+    rows += [(i, [0.01, 0.0, 1.0, 0.1 + (i - 60) * 0.01]) for i in range(61, 66)]
+    embs = spark.createDataFrame(
+        [(i, v) for i, v in rows], "vec_id long, embedding array<float>"
+    )
+    out = {r["vec_id"]: r["cell"] for r in kmeans_cells(embs, dim=4).collect()}
+    a_ids = [7] + list(range(1, 6))
+    b_ids = [68] + list(range(61, 66))
+    assert len({out[i] for i in a_ids}) == 1
+    assert len({out[i] for i in b_ids}) == 1
+    assert out[7] != out[68]
+    # exact integer sums + fixed-order folds => identical assignment
+    # under any physical partitioning
+    out2 = {
+        r["vec_id"]: r["cell"]
+        for r in kmeans_cells(embs.repartition(7), dim=4).collect()
+    }
+    assert out == out2
