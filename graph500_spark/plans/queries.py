@@ -1297,6 +1297,15 @@ def q_click_attribution(spark, sf_dir):
     return click_attribution(td.load_table(spark, sf_dir, "events"))
 
 
+def q_event_gapfill(spark, sf_dir):
+    """Gap-filled hourly downsample with LOCF
+    (streaming/windows.py::event_gapfill) — dense per-type bucket axis
+    via per-key sequence() explode, carry-forward window."""
+    from graph500_spark.streaming.windows import event_gapfill
+
+    return event_gapfill(td.load_table(spark, sf_dir, "events"))
+
+
 def q_event_rollup(spark, sf_dir):
     """Hypertable-style minute/hour/day continuous-aggregate rollup in
     one GROUPING SETS pass (streaming/windows.py::event_rollup)."""
@@ -1415,6 +1424,7 @@ QUERIES: dict[str, QueryFn] = {
     "purchase_click_pairs": q_purchase_click_pairs,
     "error_context": q_error_context,
     "event_rollup": q_event_rollup,
+    "event_gapfill": q_event_gapfill,
 }
 
 
@@ -1667,6 +1677,7 @@ def _late_oracles() -> dict[str, str]:
         "purchase_click_pairs": _purchase_click_pairs_sql(),
         "error_context": rangejoin_mod.error_context_sql(),
         "event_rollup": windows_mod.event_rollup_sql(),
+        "event_gapfill": windows_mod.event_gapfill_sql(),
     }
 
 

@@ -153,3 +153,86 @@ def run_stream_to_memory(
     )
     q.awaitTermination(120)
     return spark.table(table)
+
+
+# ---------------------------------------------------------------------------
+# Gap-filled downsampling (the hypertable time_bucket_gapfill +
+# locf): dense per-type bucket series — buckets with no events appear
+# with n_events = 0 and carry the last observed rolling value forward.
+#
+# Spark-first shape: one groupBy for the sparse aggregates, a per-key
+# sequence() explode to materialize the dense bucket axis (no driver
+# loop, no cross join against a global calendar — each key generates
+# exactly its own [min, max] range), and one per-key window for the
+# carry-forward. Two shuffles total (agg + window share the key).
+# ---------------------------------------------------------------------------
+
+
+def event_gapfill(events: DataFrame, minutes: int = 60) -> DataFrame:
+    """[event_type, bucket_start_us, n_events, filled_sum] — dense
+    bucket series per event_type; empty buckets carry the last
+    non-empty bucket's sum_value forward (0.0 before the first)."""
+    from pyspark.sql import Window
+
+    win_us = 60_000_000 * minutes
+    ts_us = event_micros(events)
+    sparse = (
+        events.select(
+            "event_type",
+            (ts_us - ts_us % F.lit(win_us)).alias("bucket"),
+            "value",
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+    axis = (
+        sparse.groupBy("event_type")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.lit(win_us))
+            ).alias("bucket"),
+        )
+    )
+    return (
+        axis.join(sparse, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            F.col("bucket").alias("bucket_start_us"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce(
+                F.last("sum_value", ignorenulls=True).over(
+                    Window.partitionBy("event_type")
+                    .orderBy("bucket")
+                    .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+                F.lit(0.0),
+            ).alias("filled_sum"),
+        )
+    )
+
+
+def event_gapfill_sql(minutes: int = 60) -> str:
+    win_us = 60_000_000 * minutes
+    return (
+        "WITH sparse AS ("
+        f" SELECT event_type, epoch_us(ts) - epoch_us(ts) % {win_us}"
+        "  AS bucket, COUNT(*) AS n_events,"
+        "  ROUND(SUM(value), 6) AS sum_value"
+        " FROM events GROUP BY 1, 2),"
+        " axis AS (SELECT event_type, unnest(generate_series("
+        f" MIN(bucket), MAX(bucket), {win_us})) AS bucket"
+        " FROM sparse GROUP BY event_type)"
+        " SELECT a.event_type, a.bucket AS bucket_start_us,"
+        " COALESCE(s.n_events, 0) AS n_events,"
+        " COALESCE(LAST_VALUE(s.sum_value IGNORE NULLS) OVER ("
+        "  PARTITION BY a.event_type ORDER BY a.bucket"
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)"
+        "  AS filled_sum"
+        " FROM axis a LEFT JOIN sparse s"
+        " ON s.event_type = a.event_type AND s.bucket = a.bucket"
+    )

@@ -97,3 +97,33 @@ def test_event_rollup_grains_consistent(spark):
     assert (len(by_grain["day"]["wins"])
             <= len(by_grain["hour"]["wins"])
             <= len(by_grain["minute"]["wins"]))
+
+
+def test_event_gapfill_locf(spark):
+    """Holes materialize with n_events=0 and carry the last sum forward."""
+    from graph500_spark.streaming.windows import event_gapfill
+
+    h_ns = 3_600_000_000_000  # one hour in nanos (bigint-nanos fixture path)
+    rows = [
+        # type 'a': events in hours 0 and 3 — hours 1, 2 are holes
+        (1, 0 * h_ns, 1, "a", 10.0, "{}"),
+        (2, 3 * h_ns + 5, 1, "a", 7.0, "{}"),
+        # type 'b': single event
+        (3, 1 * h_ns, 2, "b", 1.5, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {
+        (r["event_type"], r["bucket_start_us"]): (r["n_events"], r["filled_sum"])
+        for r in event_gapfill(events, minutes=60).collect()
+    }
+    h_us = 3_600_000_000
+    assert out[("a", 0)] == (1, 10.0)
+    assert out[("a", 1 * h_us)] == (0, 10.0)  # hole, carried forward
+    assert out[("a", 2 * h_us)] == (0, 10.0)
+    assert out[("a", 3 * h_us)] == (1, 7.0)
+    assert out[("b", 1 * h_us)] == (1, 1.5)
+    assert ("b", 0) not in out  # axis spans each key's own range only
