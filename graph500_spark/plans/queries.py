@@ -1337,6 +1337,14 @@ def q_sessionize(spark, sf_dir):
     return sessionize(td.load_table(spark, sf_dir, "events"))
 
 
+def q_sessionize_native(spark, sf_dir):
+    """Spark's built-in session_window operator, boundary-aligned to
+    the lag-window formulation (streaming/sessions.py)."""
+    from graph500_spark.streaming.sessions import sessionize_native
+
+    return sessionize_native(td.load_table(spark, sf_dir, "events"))
+
+
 QUERIES: dict[str, QueryFn] = {
     "self_loop_filter": q_self_loop_filter,
     "symmetrize": q_symmetrize,
@@ -1420,6 +1428,7 @@ QUERIES: dict[str, QueryFn] = {
     "dup_clusters": q_dup_clusters,
     "event_window_counts": q_event_window_counts,
     "sessionize": q_sessionize,
+    "sessionize_native": q_sessionize_native,
     "click_attribution": q_click_attribution,
     "purchase_click_pairs": q_purchase_click_pairs,
     "error_context": q_error_context,
@@ -1658,6 +1667,7 @@ ORACLE_SQL: dict[str, str] = {
 
 def _late_oracles() -> dict[str, str]:
     from graph500_spark.operators.multimodal import MULTIMODAL_FEATURES_SQL
+    from graph500_spark.streaming import sessions as sessions_mod
     from graph500_spark.streaming.sessions import sessionize_sql
     from graph500_spark.streaming.windows import event_window_counts_sql
 
@@ -1673,6 +1683,7 @@ def _late_oracles() -> dict[str, str]:
         "media_resize_features": MEDIA_RESIZE_FEATURES_SQL,
         "event_window_counts": event_window_counts_sql(),
         "sessionize": sessionize_sql(),
+        "sessionize_native": sessions_mod.sessionize_native_sql(),
         "click_attribution": asof_mod.CLICK_ATTRIBUTION_SQL,
         "purchase_click_pairs": _purchase_click_pairs_sql(),
         "error_context": rangejoin_mod.error_context_sql(),

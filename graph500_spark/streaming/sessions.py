@@ -1,5 +1,9 @@
 """Sessionization — the custom stateful operator the reference has no
-analogue for (its only iteration is the BFS loop); built both ways:
+analogue for (its only iteration is the BFS loop); built three ways:
+
+  * ``sessionize_native`` — Spark's built-in ``session_window``
+    operator (gap-merged windows), boundary-aligned to the lag-window
+    formulation.
 
   * ``sessionize`` — batch formulation: a lag window over (user, time)
     marks session starts, a running sum assigns session ids. Pure
@@ -126,3 +130,56 @@ def sessionize_stream(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def sessionize_native(
+    events: DataFrame, gap_us: int = SESSION_GAP_US
+) -> DataFrame:
+    """[user_id, session_start_us, session_end_us, n_events] via
+    Spark's NATIVE ``session_window`` operator — the third
+    formulation next to the lag-window batch ``sessionize`` and the
+    ``applyInPandasWithState`` stream. Must produce exactly the
+    sessions of ``sessionize`` (asserted by the oracle and tests).
+
+    Boundary alignment: Spark merges an event into the open session
+    when its distance from the last event is <= gap (touching session
+    windows merge — verified by the boundary unit test), which is
+    exactly ``sessionize``'s rule (``> gap`` starts a new session), so
+    the gap passes through unchanged."""
+    from graph500_spark.functions.eventtime import event_time
+
+    t = event_time(events)
+    win = F.session_window(F.col("et"), f"{gap_us} microseconds")
+    return (
+        events.select("user_id", t.alias("et"))
+        .groupBy("user_id", win.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            (F.unix_micros("w.end") - F.lit(gap_us)).alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+def sessionize_native_sql(gap_us: int = SESSION_GAP_US) -> str:
+    """Oracle: the lag-window sessionization (sessionize_sql's
+    arithmetic) projected to the session_window output shape."""
+    return (
+        "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us"
+        " FROM events),"
+        " marked AS (SELECT user_id, event_id, ts_us,"
+        " LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)"
+        "  AS prev_ts FROM e),"
+        " flagged AS (SELECT user_id, ts_us,"
+        " CAST(CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > {g}"
+        "  THEN 1 ELSE 0 END AS BIGINT) AS new_session, event_id"
+        " FROM marked),"
+        " sess AS (SELECT user_id, ts_us,"
+        " CAST(SUM(new_session) OVER (PARTITION BY user_id"
+        "  ORDER BY ts_us, event_id) AS BIGINT) AS session_id FROM flagged)"
+        " SELECT user_id, MIN(ts_us) AS session_start_us,"
+        " MAX(ts_us) AS session_end_us, COUNT(*) AS n_events"
+        " FROM sess GROUP BY user_id, session_id"
+    ).format(g=gap_us)

@@ -127,3 +127,34 @@ def test_event_gapfill_locf(spark):
     assert out[("a", 3 * h_us)] == (1, 7.0)
     assert out[("b", 1 * h_us)] == (1, 1.5)
     assert ("b", 0) not in out  # axis spans each key's own range only
+
+
+def test_sessionize_native_boundary_alignment(spark):
+    """An event at EXACTLY the gap stays in-session in both
+    formulations (the session_window gap+1 alignment)."""
+    from graph500_spark.streaming.sessions import (
+        SESSION_GAP_US,
+        sessionize,
+        sessionize_native,
+    )
+
+    g_ns = SESSION_GAP_US * 1000
+    rows = [
+        (1, 0, 7, "click", 0.0, "{}"),
+        (2, g_ns, 7, "click", 0.0, "{}"),          # exactly gap later: SAME
+        (3, 2 * g_ns + 1000, 7, "click", 0.0, "{}"),  # gap+1us later: NEW
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, event_type string,"
+        " value double, props string",
+    )
+    lag = sorted(
+        (r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in sessionize(events).collect()
+    )
+    native = sorted(
+        (r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in sessionize_native(events).collect()
+    )
+    assert lag == native == [(0, SESSION_GAP_US, 2), (2 * SESSION_GAP_US + 1, 2 * SESSION_GAP_US + 1, 1)]
