@@ -184,3 +184,40 @@ def dup_clusters_sql(jaccard_threshold: float = NEAR_DUP_JACCARD) -> str:
         " SELECT d.doc_id, COALESCE(cc.component, d.doc_id) AS cluster"
         " FROM documents d LEFT JOIN cc ON cc.vertex = d.doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset mixing: per-source epoch repetition. Pretraining mixtures
+# up-weight scarce/high-quality sources by repeating their documents
+# an integer number of epochs; the explode(sequence(1, w)) form keeps
+# the repetition a narrow per-row op (no shuffle, no driver loop) that
+# the writer downstream re-shards.
+# ---------------------------------------------------------------------------
+
+# demo weight: sources 'srcN' cycle through 1..3 epochs; any integer
+# Column expression works (both engines compute it identically)
+MIX_WEIGHT_SPARK = "cast(substr(source, 4) as int) % 3 + 1"
+MIX_WEIGHT_DUCK = "CAST(substr(source, 4) AS INT) % 3 + 1"
+
+
+def corpus_mix(
+    docs: DataFrame, weight_expr: str = MIX_WEIGHT_SPARK
+) -> DataFrame:
+    """[doc_id, source, epoch] — each document repeated weight(source)
+    times, epoch = 1..weight. Downstream packing/sharding treats each
+    (doc, epoch) copy as an independent row."""
+    return docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.sequence(F.lit(1), F.expr(weight_expr).cast("int"))
+        ).alias("epoch"),
+    )
+
+
+def corpus_mix_sql(weight_expr: str = MIX_WEIGHT_DUCK) -> str:
+    return (
+        "SELECT doc_id, source,"
+        f" CAST(unnest(generate_series(1, {weight_expr})) AS INTEGER)"
+        " AS epoch FROM documents"
+    )

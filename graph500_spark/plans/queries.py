@@ -1254,6 +1254,14 @@ MEDIA_RESIZE_FEATURES_SQL = (
 )
 
 
+def q_corpus_mix(spark, sf_dir):
+    """Per-source epoch repetition for dataset mixing
+    (corpus.py::corpus_mix) — narrow explode, no shuffle."""
+    from graph500_spark.operators.corpus import corpus_mix
+
+    return corpus_mix(_docs(spark, sf_dir))
+
+
 def q_kmeans_cells(spark, sf_dir):
     """Trained IVF coarse quantizer: spherical k-means over quantized
     integer-valued embeddings (simsearch.py::kmeans_cells) — exact
@@ -1423,6 +1431,7 @@ QUERIES: dict[str, QueryFn] = {
     "media_extract_features": q_media_extract_features,
     "frame_sample": q_frame_sample,
     "media_resize_features": q_media_resize_features,
+    "corpus_mix": q_corpus_mix,
     "kmeans_cells": q_kmeans_cells,
     "decontaminate": q_decontaminate,
     "dup_clusters": q_dup_clusters,
@@ -1650,6 +1659,7 @@ ORACLE_SQL: dict[str, str] = {
     "ngram_jaccard_pairs": dedup_mod.ngram_jaccard_pairs_sql(),
     "embedding_near_duplicates": dedup_mod.embedding_near_duplicates_sql(0.2),
     "corpus_clean": corpus_mod.corpus_clean_sql(),
+    "corpus_mix": corpus_mod.corpus_mix_sql(),
     "decontaminate": corpus_mod.decontaminate_sql(),
     "dup_clusters": corpus_mod.dup_clusters_sql(),
     "train_test_split": traindata_mod.train_test_split_sql(),
