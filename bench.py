@@ -82,6 +82,11 @@ def main() -> int:
         "error_context": lambda: Q.q_error_context(spark, sf_dir).count(),
         "hits": lambda: Q.q_hits(spark, sf_dir).count(),
         "bfs_kron_s16": lambda: _bfs16(spark, kron16),
+        "sessionize_native": lambda: Q.q_sessionize_native(spark, sf_dir).count(),
+        "event_gapfill": lambda: Q.q_event_gapfill(spark, sf_dir).count(),
+        "decontaminate": lambda: Q.q_decontaminate(spark, sf_dir).count(),
+        "dup_clusters": lambda: Q.q_dup_clusters(spark, sf_dir).count(),
+        "kmeans_cells": lambda: Q.q_kmeans_cells(spark, sf_dir).count(),
     }
 
     timings: dict[str, float] = {}
