@@ -21,11 +21,13 @@ from graph500_spark.operators.validate import edge_visit_count
 from graph500_spark.sources.generator import generate_kronecker_edges
 
 # pf_nedge[scale], mpi/utils.hpp:3663-3708; 16 is the reference's
-# default CLI workload (mpi/main.cc:211)
-PF_NEDGE = {10: 16_383, 12: 65_535, 16: 1_048_570}
+# default CLI workload (mpi/main.cc:211); 20 (16.8M generated edges,
+# 31.4M clean rows) is the large-scale spot check — ~40s, the
+# slowest test in the suite by design
+PF_NEDGE = {10: 16_383, 12: 65_535, 16: 1_048_570, 20: 16_776_976}
 
 
-@pytest.mark.parametrize("scale", [10, 12, 16])
+@pytest.mark.parametrize("scale", [10, 12, 16, 20])
 def test_edge_visit_count_matches_reference_golden(spark, scale):
     raw = generate_kronecker_edges(spark, scale, 16).persist()
     raw.count()
