@@ -1,11 +1,15 @@
 """Deduplication operators for training-data pipelines: exact,
 MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
 
-All hot paths are pure Column algebra (whole-stage codegen; no Python
-UDFs): shingling and hashing are higher-order array expressions, LSH
-banding is an explode + hash-shuffle groupBy, pair verification is an
-equi-join on bucket keys. Each operator has a mechanically mirrored
-DuckDB SQL (the *_SQL constants / builders) for the oracle gate.
+Shingling and hashing are JVM Column algebra (md5 intrinsic +
+higher-order array expressions); the per-row signature kernels
+(minhash mins, simhash bit votes) are Arrow-vectorized pandas_udfs by
+default — numpy broadcasts beat interpreted lambda folds ~10× — with
+a pure-Column tier behind ``vectorized=False`` that computes
+identical values. LSH banding is an explode + hash-shuffle groupBy,
+pair verification is an equi-join on bucket keys. Each operator has a
+mechanically mirrored DuckDB SQL (the *_SQL constants / builders) for
+the oracle gate.
 
 Scale notes (100 TB design point):
   * Exact dedup: one hash shuffle on the text hash — map-side partial
