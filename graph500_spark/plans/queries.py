@@ -111,7 +111,7 @@ def bfs_fixed_depth_sql(edges_raw_sql: str, root: int, k: int) -> str:
     parts = [
         f"WITH raw AS ({edges_raw_sql})",
         "nl AS (SELECT src, dst FROM raw WHERE src <> dst)",
-        "clean AS (SELECT DISTINCT src, dst FROM"
+        "clean AS MATERIALIZED (SELECT DISTINCT src, dst FROM"
         " (SELECT src, dst FROM nl UNION ALL"
         "  SELECT dst AS src, src AS dst FROM nl))",
         f"d0 AS (SELECT CAST({root} AS BIGINT) AS vertex,"
@@ -120,15 +120,15 @@ def bfs_fixed_depth_sql(edges_raw_sql: str, root: int, k: int) -> str:
     ]
     for i in range(1, k + 1):
         parts.append(
-            f"n{i} AS (SELECT e.dst AS vertex, MIN(e.src) AS pred"
+            f"n{i} AS MATERIALIZED (SELECT e.dst AS vertex, MIN(e.src) AS pred"
             f" FROM clean e JOIN d{i-1} f ON e.src = f.vertex GROUP BY e.dst)"
         )
         parts.append(
-            f"d{i} AS (SELECT vertex, pred, CAST({i} AS INTEGER) AS depth"
+            f"d{i} AS MATERIALIZED (SELECT vertex, pred, CAST({i} AS INTEGER) AS depth"
             f" FROM n{i} WHERE vertex NOT IN (SELECT vertex FROM r{i-1}))"
         )
         parts.append(
-            f"r{i} AS (SELECT vertex FROM r{i-1}"
+            f"r{i} AS MATERIALIZED (SELECT vertex FROM r{i-1}"
             f" UNION ALL SELECT vertex FROM d{i})"
         )
     union = " UNION ALL ".join(f"SELECT * FROM d{i}" for i in range(k + 1))
@@ -224,7 +224,7 @@ def pagerank_sql(
     ]
     for i in range(1, n_iterations + 1):
         parts.append(
-            f"r{i} AS (SELECT e.dst AS vertex,"
+            f"r{i} AS MATERIALIZED (SELECT e.dst AS vertex,"
             f" {tele}"
             f" + {damping:.17g} * SUM(r.rank / d.outdeg) AS rank"
             f" FROM clean e JOIN r{i-1} r ON r.vertex = e.src"
@@ -276,7 +276,7 @@ def label_propagation_sql(clean_sql: str, n_supersteps: int = 5) -> str:
     ]
     for i in range(1, n_supersteps + 1):
         parts.append(
-            f"l{i} AS (SELECT o.vertex,"
+            f"l{i} AS MATERIALIZED (SELECT o.vertex,"
             " GREATEST(o.label, COALESCE(m.max_msg, o.label)) AS label"
             f" FROM l{i-1} o LEFT JOIN"
             " (SELECT e.dst AS vertex, MAX(r.label) AS max_msg"
