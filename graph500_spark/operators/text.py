@@ -265,3 +265,40 @@ FINGERPRINT_SQL = (
     f"SELECT doc_id, CAST({duck_strhash('text')} AS BIGINT) AS fingerprint"
     " FROM documents"
 )
+
+
+# ---------------------------------------------------------------------------
+# Detailed token counting: whitespace tier + BPE-ish tier. The BPE-ish
+# pattern approximates GPT-2-style pretokenization WITHOUT lookaheads
+# (DuckDB's RE2 has none): letter runs | digit runs | non-alnum
+# non-space punctuation runs. Both engines use the identical pattern.
+# ---------------------------------------------------------------------------
+
+BPE_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]+"
+
+
+def token_count_detailed(docs: DataFrame) -> DataFrame:
+    """[doc_id, n_tokens_ws, n_tokens_bpe, n_chars_calc] — whitespace
+    split count and BPE-ish pretoken count (letter/digit/punct runs)."""
+    ws = (
+        "CASE WHEN length(trim(text)) = 0 THEN 0"
+        " ELSE size(split(trim(text), '[ \\t\\n]+')) END"
+    )
+    bpe = f"size(regexp_extract_all(text, '{BPE_REGEX}', 0))"
+    return docs.select(
+        "doc_id",
+        F.expr(ws).cast("long").alias("n_tokens_ws"),
+        F.expr(bpe).cast("long").alias("n_tokens_bpe"),
+        F.length("text").cast("long").alias("n_chars_calc"),
+    )
+
+
+TOKEN_COUNT_DETAILED_SQL = (
+    "SELECT doc_id,"
+    " CAST(CASE WHEN length(trim(text)) = 0 THEN 0"
+    " ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n]+')) END"
+    "  AS BIGINT) AS n_tokens_ws,"
+    f" CAST(len(regexp_extract_all(text, '{BPE_REGEX}')) AS BIGINT)"
+    "  AS n_tokens_bpe,"
+    " CAST(length(text) AS BIGINT) AS n_chars_calc FROM documents"
+)

@@ -1254,6 +1254,14 @@ MEDIA_RESIZE_FEATURES_SQL = (
 )
 
 
+def q_token_count_detailed(spark, sf_dir):
+    """Whitespace + BPE-ish pretoken counts (text.py, lookahead-free
+    pattern so Spark's Java regex and DuckDB's RE2 agree)."""
+    from graph500_spark.operators.text import token_count_detailed
+
+    return token_count_detailed(_docs(spark, sf_dir))
+
+
 def q_corpus_mix(spark, sf_dir):
     """Per-source epoch repetition for dataset mixing
     (corpus.py::corpus_mix) — narrow explode, no shuffle."""
@@ -1431,6 +1439,7 @@ QUERIES: dict[str, QueryFn] = {
     "media_extract_features": q_media_extract_features,
     "frame_sample": q_frame_sample,
     "media_resize_features": q_media_resize_features,
+    "token_count_detailed": q_token_count_detailed,
     "corpus_mix": q_corpus_mix,
     "kmeans_cells": q_kmeans_cells,
     "decontaminate": q_decontaminate,
@@ -1645,6 +1654,7 @@ ORACLE_SQL: dict[str, str] = {
     ),
     # --- training-data-pipeline operators ---
     "token_count": text_mod.TOKEN_COUNT_SQL,
+    "token_count_detailed": text_mod.TOKEN_COUNT_DETAILED_SQL,
     "text_quality": text_mod.TEXT_QUALITY_SQL,
     "language_id": text_mod.LANGUAGE_ID_SQL,
     "fingerprint": text_mod.FINGERPRINT_SQL,

@@ -139,3 +139,23 @@ def test_simhash_vectorized_equals_expression(spark, docs):
     a = sorted(map(tuple, dedup.simhash(docs, vectorized=True).collect()))
     b = sorted(map(tuple, dedup.simhash(docs, vectorized=False).collect()))
     assert a == b
+
+
+def test_token_count_detailed_semantics(spark):
+    from graph500_spark.operators.text import token_count_detailed
+
+    rows = [
+        (0, "hello world", "en", "s", 11),
+        (1, "", "en", "s", 0),
+        (2, "a-b c3d!!", "en", "s", 9),  # bpe: a,-,b,c,3,d,!! = 7 runs
+        (3, "  padded   out  ", "en", "s", 16),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["doc_id"]: (r["n_tokens_ws"], r["n_tokens_bpe"])
+           for r in token_count_detailed(docs).collect()}
+    assert out[0] == (2, 2)
+    assert out[1] == (0, 0)
+    assert out[2] == (2, 7)
+    assert out[3] == (2, 2)
