@@ -249,3 +249,68 @@ def pack_chunks_sql(budget: int = 512, n_shards: int = PACK_SHARDS) -> str:
         f" / {budget}.0) AS BIGINT) AS end_chunk"
         " FROM cum"
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality scoring: a linear model over term features —
+# the inference shape of a fastText-style quality classifier in a
+# pretraining pipeline. The per-term weight here is a deterministic
+# pure function of the term's 60-bit hash (stand-in for a learned
+# weight TABLE, which would broadcast-join into the same plan), so the
+# DuckDB oracle reproduces the score exactly. Length-normalized:
+# score = Σ tf·w(term) / Σ tf.
+# ---------------------------------------------------------------------------
+
+
+def model_quality_scores(docs: DataFrame) -> DataFrame:
+    """[doc_id, model_score_e5] for every document -- the score in
+    1e-5 fixed point (tokenless docs score 0). One shuffle on (doc_id, term) for tf, one on doc_id for the
+    weighted sum — a real model swaps the weight expression for a
+    broadcast weight-table join, same plan otherwise."""
+    from graph500_spark.operators.text import spark_strhash
+
+    # Fixed-point THROUGHOUT: non-negative integer weights make the
+    # weighted sum exact under any shuffle order, and the final
+    # half-up rounding to 5 decimals is integer arithmetic
+    # ((200*num + n) div (2*n)) -- no float op ever happens, so the
+    # engines cannot disagree even at rounding boundaries (a float
+    # formulation lost one doc in 500 to a half-ulp tie).
+    w = f"({spark_strhash('term')} % 2001)"
+    scored = (
+        _terms(docs)
+        .withColumn("w", F.expr(w))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("w")).alias("num"),
+            F.sum("tf").alias("den"),
+        )
+        .select(
+            "doc_id",
+            F.expr("(200 * num + den) div (2 * den)").alias("model_score_e5"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("model_score_e5", F.lit(0))
+            .cast("long")
+            .alias("model_score_e5"),
+        )
+    )
+
+
+def model_quality_scores_sql() -> str:
+    from graph500_spark.operators.text import duck_strhash
+
+    w = f"({duck_strhash('term')} % 2001)"
+    return (
+        f"WITH terms AS ({_DUCK_TERMS}),"
+        f" scored AS (SELECT doc_id, (200 * SUM(tf * ({w})) + SUM(tf))"
+        "  // (2 * SUM(tf)) AS model_score_e5"
+        "  FROM terms GROUP BY doc_id)"
+        " SELECT d.doc_id,"
+        " CAST(COALESCE(s.model_score_e5, 0) AS BIGINT) AS model_score_e5"
+        " FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id"
+    )

@@ -1254,6 +1254,15 @@ MEDIA_RESIZE_FEATURES_SQL = (
 )
 
 
+def q_model_quality_scores(spark, sf_dir):
+    """Linear-model quality scoring over term features
+    (traindata.py::model_quality_scores) — the classifier-inference
+    plan shape with a deterministic stand-in weight function."""
+    from graph500_spark.operators.traindata import model_quality_scores
+
+    return model_quality_scores(_docs(spark, sf_dir))
+
+
 def q_token_count_detailed(spark, sf_dir):
     """Whitespace + BPE-ish pretoken counts (text.py, lookahead-free
     pattern so Spark's Java regex and DuckDB's RE2 agree)."""
@@ -1440,6 +1449,7 @@ QUERIES: dict[str, QueryFn] = {
     "frame_sample": q_frame_sample,
     "media_resize_features": q_media_resize_features,
     "token_count_detailed": q_token_count_detailed,
+    "model_quality_scores": q_model_quality_scores,
     "corpus_mix": q_corpus_mix,
     "kmeans_cells": q_kmeans_cells,
     "decontaminate": q_decontaminate,
@@ -1676,6 +1686,7 @@ ORACLE_SQL: dict[str, str] = {
     "term_doc_frequency": traindata_mod.term_doc_frequency_sql(),
     "tfidf_top_terms": traindata_mod.tfidf_top_terms_sql(),
     "pack_chunks": traindata_mod.pack_chunks_sql(),
+    "model_quality_scores": traindata_mod.model_quality_scores_sql(),
     "cosine_topk": simsearch_mod.cosine_topk_sql(),
     "lsh_buckets": simsearch_mod.lsh_buckets_sql(),
     "cosine_topk_lsh": simsearch_mod.cosine_topk_lsh_sql(),
