@@ -87,6 +87,12 @@ def main() -> int:
         "decontaminate": lambda: Q.q_decontaminate(spark, sf_dir).count(),
         "dup_clusters": lambda: Q.q_dup_clusters(spark, sf_dir).count(),
         "kmeans_cells": lambda: Q.q_kmeans_cells(spark, sf_dir).count(),
+        "token_count_detailed": lambda: Q.q_token_count_detailed(
+            spark, sf_dir
+        ).count(),
+        "model_quality_scores": lambda: Q.q_model_quality_scores(
+            spark, sf_dir
+        ).count(),
     }
 
     timings: dict[str, float] = {}
