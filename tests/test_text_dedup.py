@@ -266,3 +266,23 @@ def test_kmeans_cells_recovers_clusters_and_is_partition_invariant(spark):
         for r in kmeans_cells(embs.repartition(7), dim=4).collect()
     }
     assert out == out2
+
+
+def test_corpus_mix_epoch_counts(spark):
+    from graph500_spark.operators.corpus import corpus_mix
+
+    rows = [
+        (0, "t", "src0", "en", 1),  # 0 % 3 + 1 = 1 epoch
+        (1, "t", "src1", "en", 1),  # 2 epochs
+        (2, "t", "src2", "en", 1),  # 3 epochs
+    ]
+    docs = spark.createDataFrame(
+        [(d, t, l, s, n) for d, t, s, l, n in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {}
+    for r in corpus_mix(docs).collect():
+        out.setdefault(r["doc_id"], []).append(r["epoch"])
+    assert sorted(out[0]) == [1]
+    assert sorted(out[1]) == [1, 2]
+    assert sorted(out[2]) == [1, 2, 3]
