@@ -9,6 +9,17 @@ Python-worker spin-up for Arrow kernels, cache materialization) and
 local-mode timings vary ±50% run-to-run — the min is the stable
 statistic for a 2x regression gate. Timing covers the full job (plan +
 shuffle + action).
+
+Warm-cache disclosure (per round-2 advice): timings are STEADY-STATE
+numbers over pre-built inputs. Graph construction is its own timed
+phase (`construction`, `construction_mod997`), mirroring the
+reference's construct-once / traverse-64-roots procedure
+(mpi/main.cc:60-105) — the traversal-family entries measure traversal
+over the session-cached constructed graph. Library-level caches the
+dedup family populates (shingle hashes, minhash signatures) likewise
+make those entries steady-state warm-cache measurements; the one-time
+compute is visible in the first (discarded) run. The JSON carries a
+`timing_note` field stating this.
 """
 
 from __future__ import annotations
@@ -48,8 +59,17 @@ def main() -> int:
     kron16 = build_clean_edges(generate_kronecker_edges(spark, 16, 16)).persist()
     kron16.count()
 
+    # Construct-once mod997 graphs for the iterative family (timed
+    # below as construction_mod997, like the reference's construction
+    # phase).
+    t0 = time.monotonic()
+    Q.clean_mod997_graph(spark, sf_dir)
+    Q.directed_mod997_graph(spark, sf_dir)
+    mod997_construct_sec = time.monotonic() - t0
+
     bench_queries = {
         "construction": lambda: Q.q_clean_edges(spark, sf_dir).count(),
+        "construction_mod997": None,  # pre-measured above
         "degrees": lambda: Q.q_degrees(spark, sf_dir).count(),
         "degree_order_map": lambda: Q.q_degree_order_map(spark, sf_dir).count(),
         "bfs_full": lambda: Q.q_bfs_full(spark, sf_dir).count(),
@@ -98,11 +118,14 @@ def main() -> int:
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in bench_queries.items():
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.monotonic()
-            fn()
-            best = min(best, time.monotonic() - t0)
+        if fn is None:
+            best = mod997_construct_sec
+        else:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.monotonic()
+                fn()
+                best = min(best, time.monotonic() - t0)
         timings[name] = round(best, 3)
         total += best
 
@@ -115,6 +138,11 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "timing_note": (
+                    "min-of-2 steady-state; construction timed"
+                    " separately (construction, construction_mod997);"
+                    " dedup-family entries are warm-cache"
+                ),
             }
         )
     )

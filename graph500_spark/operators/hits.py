@@ -13,15 +13,31 @@ oracle unrolls the same deferred arithmetic
 Scale notes: each half-step is one equi-join of the (broadcastable
 under driver-known count) score vector against the stationary cached
 edge table + a map-side-partial sum — the PageRank iteration's plan,
-twice per round — and the eager localCheckpoint bounding plan depth
-is the ONLY driver barrier: no per-step totals, no scalar
-``collect``s. The two L1 totals are broadcast-cross-joined once at
-the end, inside the dataflow. Output scaled ×n_vertices and rounded
-to 5 (the cross-engine float convention) so the hash has
-discrimination left after rounding.
+twice per round. The hub half-step stays LAZY inside the iteration
+(it has exactly one consumer, the auth half-step), so each iteration
+costs ONE driver barrier (the eager auth localCheckpoint), not two —
+the two shuffles pipeline inside a single job. Only the final
+iteration checkpoints the hub as well, so the returned plan depends
+only on checkpoint leaves (the edge cache can be dropped). No
+per-step totals, no scalar ``collect``s; the two L1 totals are
+broadcast-cross-joined once at the end, inside the dataflow.
+
+Numerical stability for large n_iterations: raw deferred scores grow
+~avg_degree per half-step, so after each iteration the auth vector is
+rescaled by 2**-(2*round(log2(avg_degree))) — an EXACT power of two.
+Power-of-two factors commute with IEEE-754 rounding (they shift the
+exponent only), so every intermediate float equals the unscaled
+value times an exact power of two, magnitudes stay Θ(1/n) for any
+iteration count (no overflow/underflow), and the normalized output is
+bit-identical to the unscaled arithmetic the oracle unrolls.
+
+Output scaled ×n_vertices and rounded to 5 (the cross-engine float
+convention) so the hash has discrimination left after rounding.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -43,27 +59,21 @@ def hits(
         .localCheckpoint(eager=True)
     )
     n = verts.count()
+    m = edges.count()  # also materializes the edge cache
+
+    # Exact power-of-two per-iteration rescale (see module docstring).
+    shift = max(0, round(math.log2(max(m / n, 1.0))))
+    iter_scale = math.ldexp(1.0, -2 * shift)
 
     auth = verts.select(
         "vertex", (F.lit(1.0) / F.lit(float(n))).alias("score")
     ).localCheckpoint(eager=True)
-    hub = auth
 
-    # HITS is linear, so per-half-step L1 normalization is a pure
-    # scale factor that cancels in the final normalized output —
-    # DEFER it: each half-step is just join + map-side-partial sum +
-    # left-join + eager checkpoint (the only driver barrier), with no
-    # per-step total agg or broadcast build. Both L1 divisions happen
-    # once at the end, inside the dataflow. The DuckDB oracle
-    # (plans/queries.py::hits_sql) unrolls the identical deferred
-    # arithmetic so the float sequences match. Magnitudes stay finite:
-    # raw ~ (avg_degree)^k / n, ~1e12 for k=10 at sf0.1 — well inside
-    # double. Eager checkpointing per half-step is load-bearing: a
-    # lazy nested half-step re-evaluates its input subtree through
-    # every consuming branch (measured 16s vs 9s at sf0.1).
-    def half_step(scores: DataFrame, out_edges: bool) -> DataFrame:
+    def half_step(
+        scores: DataFrame, out_edges: bool, scale: float = 1.0
+    ) -> DataFrame:
         """sum scores over (out_edges ? dst : src) neighbors (raw,
-        unnormalized)."""
+        unnormalized, LAZY — caller decides where to checkpoint)."""
         s = scores.withColumnRenamed(
             "vertex", "dst" if out_edges else "src"
         )
@@ -76,36 +86,55 @@ def hits(
             )
             .agg(F.sum("score").alias("raw"))
         )
-        return (
-            verts.join(raw, "vertex", "left")
-            .select(
-                "vertex", F.coalesce("raw", F.lit(0.0)).alias("score")
-            )
-            .localCheckpoint(eager=True)
-        )
+        score_col = F.col("raw")
+        if scale != 1.0:
+            score_col = score_col * F.lit(scale)
+        # SPARSE representation: vertices absent from `raw` have score
+        # 0 and contribute nothing to the next half-step's sum, so the
+        # zero-fill left-join against `verts` is deferred to the final
+        # output (2 fewer joins per iteration).
+        return raw.select("vertex", score_col.alias("score"))
 
-    for _ in range(n_iterations):
-        new_hub = half_step(auth, out_edges=True)
-        hub.unpersist()
-        hub = new_hub
-        new_auth = half_step(hub, out_edges=False)
-        auth.unpersist()
-        auth = new_auth
+    hub = auth
+    for it in range(n_iterations):
+        last = it == n_iterations - 1
+        # Hub stays lazy mid-loop: its only consumer is the auth
+        # half-step below, so both shuffles run in the auth
+        # checkpoint's single job. The final iteration checkpoints it
+        # (it outlives the loop into the returned plan, and the edge
+        # cache is dropped on return).
+        hub = half_step(auth, out_edges=True)
+        if last:
+            hub = hub.localCheckpoint(eager=True)
+        prev_auth = auth
+        auth = half_step(
+            hub, out_edges=False, scale=iter_scale
+        ).localCheckpoint(eager=True)
+        # Safe to drop: mid-loop the lazy hub tree referencing it is
+        # superseded next iteration; on the last iteration hub was
+        # checkpointed above, truncating its lineage.
+        prev_auth.unpersist()
 
     h_total = hub.agg(F.sum("score").alias("h_total"))
     a_total = auth.agg(F.sum("score").alias("a_total"))
     out = (
-        hub.withColumnRenamed("score", "h")
-        .join(auth.withColumnRenamed("score", "a"), "vertex")
+        verts.join(hub.withColumnRenamed("score", "h"), "vertex", "left")
+        .join(auth.withColumnRenamed("score", "a"), "vertex", "left")
         .crossJoin(F.broadcast(h_total))
         .crossJoin(F.broadcast(a_total))
         .select(
             "vertex",
             F.round(
-                F.col("h") / F.col("h_total") * F.lit(float(n)), 5
+                F.coalesce("h", F.lit(0.0))
+                / F.col("h_total")
+                * F.lit(float(n)),
+                5,
             ).alias("hub"),
             F.round(
-                F.col("a") / F.col("a_total") * F.lit(float(n)), 5
+                F.coalesce("a", F.lit(0.0))
+                / F.col("a_total")
+                * F.lit(float(n)),
+                5,
             ).alias("auth"),
         )
     )

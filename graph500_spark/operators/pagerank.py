@@ -91,7 +91,7 @@ def pagerank(
         ranks = deg.select("vertex", init.alias("rank")).localCheckpoint(
             eager=True
         )
-        for _ in range(n_iterations):
+        for it in range(n_iterations):
             # Checkpointed rank state carries no Catalyst stats, so
             # without the driver-known-count hint every iteration
             # would shuffle the (large, stationary) edge table; with
@@ -114,9 +114,14 @@ def pagerank(
                     "rank"
                 ),
             )
-            # Leaf-ify per round: O(1) plan depth regardless of
+            # Leaf-ify every SECOND round (and on the last): the lazy
+            # odd-round plan has exactly one consumer (the next
+            # round's contribution join), so two iterations' shuffles
+            # pipeline into one job — half the driver barriers — while
+            # plan depth stays O(1) (≤2 rounds deep) regardless of
             # n_iterations (same lineage discipline as operators/bfs.py).
-            new_ranks = new_ranks.localCheckpoint(eager=True)
+            if it % 2 == 1 or it == n_iterations - 1:
+                new_ranks = new_ranks.localCheckpoint(eager=True)
             ranks = new_ranks
 
         out = ranks.select(
