@@ -1222,6 +1222,16 @@ def q_media_extract_features(spark, sf_dir):
     return extract_features(attach_fake_media(_docs(spark, sf_dir)))
 
 
+def q_media_decode_stats(spark, sf_dir):
+    """REAL-codec round trip: deterministic PNG/WAV payloads encoded
+    then decoded by the actual stdlib decoders (zlib inflate + PNG
+    filter reconstruction; PCM16 WAV framing); decoded shapes and
+    content sums must match the oracle's generator arithmetic."""
+    from graph500_spark.operators.multimodal import media_decode_stats
+
+    return media_decode_stats(_docs(spark, sf_dir))
+
+
 def q_frame_sample(spark, sf_dir):
     """Per-video frame sampling, value-checked: frames are contiguous
     byte slices of the (ASCII) payload, projected back to strings so
@@ -1436,6 +1446,7 @@ QUERIES: dict[str, QueryFn] = {
     "cosine_topk_ivf": q_cosine_topk_ivf,
     "multimodal_features": q_multimodal_features,
     "media_extract_features": q_media_extract_features,
+    "media_decode_stats": q_media_decode_stats,
     "frame_sample": q_frame_sample,
     "media_resize_features": q_media_resize_features,
     "token_count_detailed": q_token_count_detailed,
@@ -1737,7 +1748,10 @@ ORACLE_SQL: dict[str, str] = {
 
 
 def _late_oracles() -> dict[str, str]:
-    from graph500_spark.operators.multimodal import MULTIMODAL_FEATURES_SQL
+    from graph500_spark.operators.multimodal import (
+        MEDIA_DECODE_STATS_SQL,
+        MULTIMODAL_FEATURES_SQL,
+    )
     from graph500_spark.streaming import sessions as sessions_mod
     from graph500_spark.streaming.sessions import sessionize_sql
     from graph500_spark.streaming.windows import event_window_counts_sql
@@ -1750,6 +1764,7 @@ def _late_oracles() -> dict[str, str]:
     return {
         "multimodal_features": MULTIMODAL_FEATURES_SQL,
         "media_extract_features": MULTIMODAL_FEATURES_SQL,
+        "media_decode_stats": MEDIA_DECODE_STATS_SQL,
         "frame_sample": FRAME_SAMPLE_SQL,
         "media_resize_features": MEDIA_RESIZE_FEATURES_SQL,
         "event_window_counts": event_window_counts_sql(),
