@@ -620,6 +620,76 @@ def embedding_near_duplicates(
     )
 
 
+def embedding_near_duplicates_ivf(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    centroid_filter: str | None = None,
+    dim: int = 64,
+) -> DataFrame:
+    """[vec_a, vec_b, cosine] — near-dup pairs blocked by LEARNED IVF
+    cells (simsearch.py::kmeans_cells) instead of the label column, so
+    the path needs no pre-existing block key at scale: the coarse
+    quantizer is trained on the corpus itself, candidates form only
+    within a cell (equi-join on cell, never all-pairs), and the
+    verifier is the same exact cosine as embedding_near_duplicates.
+    Recall is bounded by the quantizer (straddling pairs are missed) —
+    the standard IVF trade the oracle mirrors exactly."""
+    from graph500_spark.operators.simsearch import (
+        IVF_CENTROID_FILTER,
+        kmeans_cells,
+    )
+
+    cells = kmeans_cells(
+        embeddings,
+        centroid_filter=centroid_filter or IVF_CENTROID_FILTER,
+        dim=dim,
+    )
+    e = (
+        embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .join(cells, "vec_id")
+        .withColumn("norm", F.expr(_SPARK_NORM.format(v="v")))
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("norm").alias("na"),
+        "cell",
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("norm").alias("nb"),
+        "cell",
+    )
+    joined = a.join(b, "cell").filter(F.col("vec_a") < F.col("vec_b"))
+    cos = F.expr(_SPARK_DOT) / (F.col("na") * F.col("nb"))
+    return joined.select(
+        "vec_a", "vec_b", F.round(cos, 5).cast("double").alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
+
+
+def embedding_near_duplicates_ivf_sql(threshold: float = 0.9) -> str:
+    from graph500_spark.operators.simsearch import kmeans_cells_sql
+
+    norm = _DUCK_NORM.format(v="v")
+    return (
+        f"WITH cells AS ({kmeans_cells_sql()}),"
+        " e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings),"
+        f" en AS (SELECT e.vec_id, cells.cell, v, {norm} AS norm"
+        " FROM e JOIN cells USING (vec_id))"
+        " SELECT vec_a, vec_b, cosine FROM ("
+        " SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,"
+        " CAST(ROUND(("
+        + _DUCK_DOT.replace("va", "a.v").replace("vb", "b.v")
+        + ") / (a.norm * b.norm), 5) AS DOUBLE) AS cosine"
+        " FROM en a JOIN en b ON a.cell = b.cell AND a.vec_id < b.vec_id)"
+        f" WHERE cosine >= {threshold}"
+    )
+
+
 def embedding_near_duplicates_sql(threshold: float = 0.9) -> str:
     norm = _DUCK_NORM.format(v="v")
     return (

@@ -1176,6 +1176,15 @@ def q_embedding_near_duplicates(spark, sf_dir):
     )
 
 
+def q_embedding_near_duplicates_ivf(spark, sf_dir):
+    """Embedding near-dup blocked by the TRAINED IVF coarse quantizer
+    (no label column needed — the 100 TB composition of kmeans_cells
+    with the cosine verifier)."""
+    return dedup_mod.embedding_near_duplicates_ivf(
+        _embs(spark, sf_dir), threshold=0.2
+    )
+
+
 def q_cosine_topk(spark, sf_dir):
     return simsearch_mod.cosine_topk(_embs(spark, sf_dir))
 
@@ -1434,6 +1443,7 @@ QUERIES: dict[str, QueryFn] = {
     "simhash_near_duplicates_blocked": q_simhash_near_duplicates_blocked,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "embedding_near_duplicates": q_embedding_near_duplicates,
+    "embedding_near_duplicates_ivf": q_embedding_near_duplicates_ivf,
     "corpus_clean": q_corpus_clean,
     "train_test_split": q_train_test_split,
     "term_doc_frequency": q_term_doc_frequency,
@@ -1729,6 +1739,8 @@ ORACLE_SQL: dict[str, str] = {
         dedup_mod.simhash_near_duplicates_blocked_sql(),
     "ngram_jaccard_pairs": dedup_mod.ngram_jaccard_pairs_sql(),
     "embedding_near_duplicates": dedup_mod.embedding_near_duplicates_sql(0.2),
+    "embedding_near_duplicates_ivf":
+        dedup_mod.embedding_near_duplicates_ivf_sql(0.2),
     "corpus_clean": corpus_mod.corpus_clean_sql(),
     "corpus_mix": corpus_mod.corpus_mix_sql(),
     "decontaminate": corpus_mod.decontaminate_sql(),

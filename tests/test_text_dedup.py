@@ -126,6 +126,29 @@ def test_embedding_near_duplicates(embs):
     assert (0, 2) not in nd
 
 
+def test_embedding_near_duplicates_ivf(embs):
+    """Label-free path: pairs form only within learned kmeans cells
+    and every reported pair passes the exact cosine verifier."""
+    from graph500_spark.operators.simsearch import kmeans_cells
+
+    nd = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in dedup.embedding_near_duplicates_ivf(
+            embs, threshold=0.9, centroid_filter="vec_id IN (0, 2)", dim=4
+        ).collect()
+    }
+    assert all(c >= 0.9 for c in nd.values())
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in kmeans_cells(
+            embs, centroid_filter="vec_id IN (0, 2)", dim=4
+        ).collect()
+    }
+    assert all(cells[a] == cells[b] for a, b in nd)
+    # the near-identical pair lands in one cell and is found
+    assert (0, 1) in nd and nd[(0, 1)] > 0.99
+
+
 def test_cosine_topk(embs):
     out = simsearch.cosine_topk(embs, k=2, query_filter="vec_id = 0").collect()
     ranked = sorted(out, key=lambda r: r["rank"])
