@@ -67,6 +67,26 @@ def main() -> int:
     Q.directed_mod997_graph(spark, sf_dir)
     mod997_construct_sec = time.monotonic() - t0
 
+    # Storage-path A/B for the 100 TB co-location story: the same s16
+    # graph written as plain parquet (BFS must repartition+persist it)
+    # vs bucketed-by-src (exchange-free: the bucketed layout IS the
+    # partitioning the per-level join needs). Writes happen here
+    # (storage prep, not query time).
+    from graph500_spark.sources.io import (
+        read_edges_parquet,
+        read_table,
+        write_bucketed_edges,
+        write_edges_parquet,
+    )
+
+    plain_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "spark-warehouse",
+        "bench_kron16_plain",
+    )
+    write_edges_parquet(kron16, plain_path)
+    write_bucketed_edges(kron16, "bench_kron16_bucketed", num_buckets=8)
+
     bench_queries = {
         "construction": lambda: Q.q_clean_edges(spark, sf_dir).count(),
         "construction_mod997": None,  # pre-measured above
@@ -102,6 +122,13 @@ def main() -> int:
         "error_context": lambda: Q.q_error_context(spark, sf_dir).count(),
         "hits": lambda: Q.q_hits(spark, sf_dir).count(),
         "bfs_kron_s16": lambda: _bfs16(spark, kron16),
+        "bfs_s16_plain_storage": lambda: _bfs_storage(
+            spark, read_edges_parquet(spark, plain_path), prepartition=True
+        ),
+        "bfs_s16_bucketed": lambda: _bfs_storage(
+            spark, read_table(spark, "bench_kron16_bucketed"),
+            prepartition=False,
+        ),
         "sessionize_native": lambda: Q.q_sessionize_native(spark, sf_dir).count(),
         "event_gapfill": lambda: Q.q_event_gapfill(spark, sf_dir).count(),
         "decontaminate": lambda: Q.q_decontaminate(spark, sf_dir).count(),
@@ -160,6 +187,22 @@ def _bfs16(spark, kron16) -> int:
     from graph500_spark.operators.bfs import bfs
 
     return bfs(spark, kron16, root=2).count()
+
+
+def _bfs_storage(spark, edges, prepartition: bool) -> int:
+    """Storage-path BFS: read from disk each run (that's the thing
+    being measured). Bucketed input skips the repartition: its layout
+    already hash-distributes by src, so we persist it as-is and the
+    per-level join is exchange-free on the edge side."""
+    from graph500_spark.operators.bfs import bfs
+
+    if prepartition:
+        return bfs(spark, edges, root=2, prepartition=True).count()
+    cached = edges.persist()
+    try:
+        return bfs(spark, cached, root=2, prepartition=False).count()
+    finally:
+        cached.unpersist()
 
 
 if __name__ == "__main__":

@@ -94,6 +94,31 @@ _SPARK_SHINGLE_HASHES = spark_shingle_hashes(SHINGLE_N)
 _DUCK_SHINGLE_HASHES = duck_shingle_hashes(SHINGLE_N)
 
 
+# Caches created by this module (shingle sets, minhash signatures,
+# simhash fingerprints) are TRACKED here. Lifecycle contract: the
+# CALLER owns cache release — the returned DataFrames are lazy, so the
+# operators cannot unpersist what their consumers haven't evaluated
+# yet. A long-lived session processing many distinct corpora should
+# call release_caches() between corpora (or spark.catalog.clearCache()
+# for a blunt global reset); short-lived jobs can ignore this — blocks
+# evict LRU and die with the session.
+_TRACKED_CACHES: list[DataFrame] = []
+
+
+def _track(df: DataFrame) -> DataFrame:
+    _TRACKED_CACHES.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every cache this module has created (see the
+    lifecycle note above). Returns the number released."""
+    n = len(_TRACKED_CACHES)
+    while _TRACKED_CACHES:
+        _TRACKED_CACHES.pop().unpersist()
+    return n
+
+
 def shingle_hashes(docs: DataFrame, cached: bool = True) -> DataFrame:
     """[doc_id, shingles: array<long>] — distinct hashed token 3-grams.
 
@@ -102,11 +127,12 @@ def shingle_hashes(docs: DataFrame, cached: bool = True) -> DataFrame:
     Jaccard), and Spark's cache manager dedups the identical plan
     across call sites, so tokenize+shingle+hash runs ONCE per corpus
     no matter how many stages consume it. At 100 TB this is the
-    standard LSH persist point (MEMORY_AND_DISK, spills)."""
+    standard LSH persist point (MEMORY_AND_DISK, spills). Cache
+    lifecycle is caller-owned — see release_caches()."""
     out = docs.select(
         "doc_id", F.expr(_SPARK_SHINGLE_HASHES).alias("shingles")
     )
-    return out.cache() if cached else out
+    return _track(out.cache()) if cached else out
 
 
 # ---------------------------------------------------------------------------
@@ -255,7 +281,7 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     # measured 5.5s vs 0.4s at sf0.1). Band keys derived from the
     # cached signatures are cheap attribute concats, so the banded
     # table needs no second cache even though both join sides read it.
-    sig = minhash_signatures(docs).cache()
+    sig = _track(minhash_signatures(docs).cache())
     keys = F.array(
         *[
             F.expr(key.replace("VARCHAR", "STRING"))
@@ -462,7 +488,7 @@ def simhash_near_duplicates_blocked(
     n_chunks = max_hamming + 1
     assert SIMHASH_BITS % n_chunks == 0, "chunks must tile the fingerprint"
     chunk_bits = SIMHASH_BITS // n_chunks
-    sh = simhash(docs).cache()
+    sh = _track(simhash(docs).cache())
     chunk_vals = F.array(
         *[
             F.expr(

@@ -461,7 +461,11 @@ def kmeans_cells(
     Scale shape per round: one broadcast of the (≈√N) centroid table +
     one corpus scan for assignment, one hash shuffle on cell for the
     64 per-dimension sums. The corpus is scanned, never collected."""
-    e = _quantized(embeddings).cache()
+    # caller-owned cache lifecycle — tracked in the dedup module's
+    # registry, released by dedup.release_caches()
+    from graph500_spark.operators.dedup import _track
+
+    e = _track(_quantized(embeddings).cache())
     cents = e.filter(F.expr(centroid_filter)).select(
         F.col("vec_id").alias("cid"),
         F.col("qv").alias("vc"),

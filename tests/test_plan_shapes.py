@@ -79,10 +79,29 @@ def test_range_join_is_equi_join(spark):
 
 
 def test_bfs_edges_partitioned_once(spark):
-    """bfs_full's per-level joins reuse the edge table's src
-    partitioning; the stationary side must be InMemory/persisted."""
+    """A BFS level join must read the edge table from cache
+    (InMemoryTableScan) and broadcast the frontier (BroadcastHashJoin)
+    — i.e. the stationary edge side is persisted and NEVER re-shuffled
+    per level. Asserted on a reconstructed level-1 plan (the real
+    loop's per-level plans are checkpoint-truncated and invisible in
+    the final explain), plus an end-to-end smoke of the loop itself."""
+    import pyspark.sql.functions as F
+
     from graph500_spark.operators.bfs import bfs
 
-    edges = Q.clean_hetero_graph(spark, SF)
-    out = bfs(spark, edges, root=Q.BFS_ROOT if hasattr(Q, "BFS_ROOT") else 1)
+    edges = Q.clean_hetero_graph(spark, SF)  # persisted, repartitioned(src)
+    frontier = spark.createDataFrame(
+        [(Q.BFS_ROOT,)], "vertex long"
+    ).localCheckpoint(eager=True)
+    level = edges.join(
+        F.broadcast(frontier.select(F.col("vertex").alias("src"))), "src"
+    ).select(F.col("dst").alias("vertex"), F.col("src").alias("pred"))
+    plan = plan_of(level)
+    assert "InMemoryTableScan" in plan  # edge side read from cache
+    assert "BroadcastHashJoin" in plan  # frontier ships, edges stay
+    # no shuffle exchange anywhere in the level plan: the edge table's
+    # cached partitioning is reused as-is
+    assert "Exchange hashpartitioning" not in plan
+
+    out = bfs(spark, edges, root=Q.BFS_ROOT)
     assert out.count() > 0  # loop executes end to end at test scale
