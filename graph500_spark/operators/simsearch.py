@@ -534,3 +534,213 @@ def kmeans_cells_sql(
         ", ".join(parts)
         + f" SELECT vec_id, cell FROM a{n_iter + 1}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): split the 64-dim space into PQ_M
+# subspaces, encode every vector as PQ_M small codeword ids, and
+# answer top-k by asymmetric distance computation (ADC): the query
+# builds a lookup table of dot products against each subspace
+# codebook, and candidate scoring touches only the CODES table —
+# PQ_M smallints per vector instead of 64 floats, a 32× scan-size
+# reduction, which is the point of PQ at 100 TB.
+#
+# Cross-engine exactness (same construction as kmeans_cells): vectors
+# are quantized to integer-valued doubles (round(x·10^6)), so every
+# subspace dot product / squared distance is an exact integer
+# (≤ 16·(2·10^6)² ≈ 6.4e13 « 2^53) and the ADC sum over PQ_M parts is
+# order-free — groupBy summation order cannot change it. Codebooks are
+# deterministic medoid subsets (a trained variant would plug
+# kmeans_cells-style Lloyd rounds per subspace into the same shape).
+# Assignment ties break by codeword id; cosine uses the exact query
+# norm and the reconstruction norm sqrt(Σ_m ‖codeword_m‖²).
+# ---------------------------------------------------------------------------
+
+PQ_M = 4
+PQ_SUBDIM = 16
+PQ_CODEBOOK_FILTER = "vec_id % 53 = 3"
+
+
+def _spark_l2(a: str, b: str) -> str:
+    return (
+        f"aggregate(sequence(1, size({a})), cast(0.0 as double),"
+        f" (acc, i) -> acc + (element_at({a}, i) - element_at({b}, i))"
+        f" * (element_at({a}, i) - element_at({b}, i)))"
+    )
+
+
+def _duck_l2(a: str, b: str) -> str:
+    return (
+        "list_reduce([CAST(0.0 AS DOUBLE)] ||"
+        f" list_transform(generate_series(1, len({a})),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (acc, x) -> acc + x)"
+    )
+
+
+def _subvectors(df: DataFrame, id_col: str) -> DataFrame:
+    """Explode [id, qv] into PQ_M rows [id, m, sv] (m 0-based)."""
+    slices = F.array(
+        *[
+            F.expr(f"slice(qv, {m * PQ_SUBDIM + 1}, {PQ_SUBDIM})")
+            for m in range(PQ_M)
+        ]
+    )
+    return df.select(
+        id_col, F.posexplode(slices).alias("m", "sv")
+    )
+
+
+def _codebook(embeddings: DataFrame, codebook_filter: str) -> DataFrame:
+    """[m, cid, cv, cv_sq] — per-subspace codewords from the medoid
+    seed set (cv_sq is the exact-integer squared norm)."""
+    seeds = _quantized(embeddings).filter(F.expr(codebook_filter)).select(
+        F.col("vec_id").alias("cid"), "qv"
+    )
+    return _subvectors(seeds, "cid").select(
+        "m",
+        "cid",
+        F.col("sv").alias("cv"),
+        F.expr(_spark_dot("sv", "sv")).alias("cv_sq"),
+    )
+
+
+def pq_codes(
+    embeddings: DataFrame, codebook_filter: str = PQ_CODEBOOK_FILTER
+) -> DataFrame:
+    """[vec_id, m, code] — each vector's nearest codeword (min exact-L2,
+    tie → min cid) per subspace.
+
+    Scale shape: the codebook (PQ_M·√N rows) broadcasts; encoding is
+    one corpus scan with a per-(vec_id, m) argmin — no shuffle of the
+    vectors beyond the window's hash partitioning on vec_id."""
+    subs = _subvectors(_quantized(embeddings), "vec_id")
+    pairs = subs.join(
+        F.broadcast(_codebook(embeddings, codebook_filter)), "m"
+    )
+    d = F.expr(_spark_l2("sv", "cv")).alias("d")
+    w = Window.partitionBy("vec_id", "m").orderBy(
+        F.col("d").asc(), F.col("cid").asc()
+    )
+    return (
+        pairs.select("vec_id", "m", "cid", d)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("cid").alias("code"))
+    )
+
+
+def cosine_topk_pq(
+    embeddings: DataFrame,
+    k: int = 5,
+    query_filter: str = QUERY_FILTER_SPARK,
+    codebook_filter: str = PQ_CODEBOOK_FILTER,
+) -> DataFrame:
+    """ADC top-k over PQ codes: [query_id, neighbor_id, cosine, rank]
+    with cosine ≈ dot(q, reconstruction) / (‖q‖·‖reconstruction‖).
+    Approximate (quantization error) like the LSH/IVF variants.
+
+    Scale shape: per query one broadcast LUT join against the codes
+    table (PQ_M ints per corpus vector — the raw embeddings are never
+    rescanned for scoring), then an exact-integer groupBy sum."""
+    e = _quantized(embeddings)
+    q = e.filter(F.expr(query_filter)).select(
+        F.col("vec_id").alias("query_id"), "qv", F.col("nq").alias("na")
+    )
+    # LUT: dot of each query subvector with each codeword (exact ints)
+    lut = (
+        _subvectors(q.select(F.col("query_id").alias("qid_"), "qv"), "qid_")
+        .join(F.broadcast(_codebook(embeddings, codebook_filter)), "m")
+        .select(
+            F.col("qid_").alias("query_id"),
+            "m",
+            F.col("cid").alias("code"),
+            F.expr(_spark_dot("sv", "cv")).alias("dpart"),
+            "cv_sq",
+        )
+    )
+    codes = pq_codes(embeddings, codebook_filter)
+    scored = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            F.sum("dpart").alias("adot"), F.sum("cv_sq").alias("asq")
+        )
+    )
+    qn = q.select("query_id", "na")
+    cos = F.round(
+        F.col("adot") / (F.col("na") * F.sqrt(F.col("asq"))), 5
+    ).cast("double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.join(F.broadcast(qn), "query_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _duck_pq_common(codebook_filter: str) -> str:
+    sub = f"qv[t.m * {PQ_SUBDIM} + 1 : t.m * {PQ_SUBDIM} + {PQ_SUBDIM}]"
+    return (
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings),"
+        " qn AS MATERIALIZED (SELECT vec_id,"
+        f" list_transform(v, x -> round(x * {KMEANS_SCALE}.0)) AS qv"
+        " FROM e),"
+        " subs AS MATERIALIZED (SELECT vec_id, t.m,"
+        f" {sub} AS sv"
+        f" FROM qn CROSS JOIN generate_series(0, {PQ_M - 1}) t(m)),"
+        " cb AS MATERIALIZED (SELECT m, vec_id AS cid, sv AS cv,"
+        f" {_duck_dot('sv', 'sv')} AS cv_sq FROM subs"
+        f" WHERE {codebook_filter}),"
+        " codes AS MATERIALIZED (SELECT vec_id, m, cid AS code FROM ("
+        " SELECT s.vec_id, s.m, c.cid, ROW_NUMBER() OVER ("
+        "  PARTITION BY s.vec_id, s.m ORDER BY"
+        f"  {_duck_l2('s.sv', 'c.cv')} ASC, c.cid ASC) AS rn"
+        " FROM subs s JOIN cb c ON s.m = c.m) WHERE rn = 1)"
+    )
+
+
+def pq_codes_sql(codebook_filter: str = PQ_CODEBOOK_FILTER) -> str:
+    return (
+        "WITH "
+        + _duck_pq_common(codebook_filter)
+        + " SELECT vec_id, CAST(m AS INTEGER) AS m,"
+        " CAST(code AS BIGINT) AS code FROM codes"
+    )
+
+
+def cosine_topk_pq_sql(
+    k: int = 5,
+    query_filter: str = "vec_id % 50 = 0",
+    codebook_filter: str = PQ_CODEBOOK_FILTER,
+) -> str:
+    return (
+        "WITH "
+        + _duck_pq_common(codebook_filter)
+        + ","
+        " q AS (SELECT vec_id AS query_id, qv,"
+        f" sqrt({_duck_dot('qv', 'qv')}) AS na FROM qn"
+        f" WHERE {query_filter}),"
+        " lut AS (SELECT s.vec_id AS query_id, s.m, c.cid AS code,"
+        f" {_duck_dot('s.sv', 'c.cv')} AS dpart, c.cv_sq"
+        " FROM subs s JOIN cb c ON s.m = c.m"
+        f" WHERE s.vec_id IN (SELECT query_id FROM q)),"
+        " scored AS (SELECT l.query_id, cd.vec_id AS neighbor_id,"
+        " SUM(l.dpart) AS adot, SUM(l.cv_sq) AS asq"
+        " FROM codes cd JOIN lut l ON cd.m = l.m AND cd.code = l.code"
+        " WHERE cd.vec_id <> l.query_id"
+        " GROUP BY l.query_id, cd.vec_id),"
+        " ranked AS (SELECT s.query_id, s.neighbor_id,"
+        " CAST(ROUND(s.adot / (q.na * sqrt(s.asq)), 5) AS DOUBLE)"
+        "  AS cosine,"
+        " CAST(ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY"
+        " CAST(ROUND(s.adot / (q.na * sqrt(s.asq)), 5) AS DOUBLE) DESC,"
+        " s.neighbor_id ASC) AS INTEGER) AS rank"
+        " FROM scored s JOIN q ON s.query_id = q.query_id)"
+        " SELECT query_id, neighbor_id, cosine, rank FROM ranked"
+        f" WHERE rank <= {k}"
+    )

@@ -302,3 +302,126 @@ TOKEN_COUNT_DETAILED_SQL = (
     "  AS n_tokens_bpe,"
     " CAST(length(text) AS BIGINT) AS n_chars_calc FROM documents"
 )
+
+
+# ---------------------------------------------------------------------------
+# Repetition statistics — the Gopher-rules repetition family (token
+# form): documents dominated by repeated tokens / n-grams are low
+# quality for pretraining and get filtered on these signals.
+#
+#   * dup_{2,3}gram_frac: fraction of n-gram OCCURRENCES that are
+#     repeats of an earlier occurrence within the document. Pure
+#     per-row array algebra — size(g) - size(array_distinct(g)) — so
+#     it is linear per document, shuffles nothing, and pipelines with
+#     the scan (the 100 TB shape).
+#   * top_token_frac / top_2gram_frac: fraction of occurrences taken
+#     by the single most frequent token / 2-gram. Needs per-key
+#     counting, expressed as explode → (doc_id, gram) hash agg →
+#     (doc_id) agg — linear in corpus size, two map-side-combinable
+#     shuffles, never O(doc_len^2) per row (the lambda-count
+#     alternative would be quadratic for long documents).
+# ---------------------------------------------------------------------------
+
+
+def _spark_ngrams(n: int) -> str:
+    # non-distinct token n-grams (dedup.spark_shingles without the
+    # distinct-hash step)
+    return (
+        f"CASE WHEN size({SPARK_TOKENS}) < {n} THEN array()"
+        f" ELSE transform(sequence(1, size({SPARK_TOKENS}) - {n - 1}),"
+        f" i -> concat_ws(' ', slice({SPARK_TOKENS}, i, {n}))) END"
+    )
+
+
+def _duck_ngrams(n: int) -> str:
+    return (
+        f"CASE WHEN len({DUCK_TOKENS}) < {n} THEN []"
+        f" ELSE list_transform(generate_series(1, len({DUCK_TOKENS}) - {n - 1}),"
+        f" i -> array_to_string({DUCK_TOKENS}[i:i + {n - 1}], ' ')) END"
+    )
+
+
+def _dup_frac_spark(grams: str) -> str:
+    return (
+        f"round((size({grams}) - size(array_distinct({grams})))"
+        f" / greatest(size({grams}), 1), 6)"
+    )
+
+
+def _dup_frac_duck(grams: str) -> str:
+    return (
+        f"round((len({grams}) - len(list_distinct({grams})))"
+        f" / greatest(len({grams}), 1), 6)"
+    )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """[doc_id, n_tokens, dup_2gram_frac, dup_3gram_frac,
+    top_token_frac, top_2gram_frac] — repetition quality signals.
+    Zero-token documents get 0.0 everywhere."""
+    narrow = docs.select(
+        "doc_id",
+        F.expr(f"size({SPARK_TOKENS})").cast("long").alias("n_tokens"),
+        F.expr(_dup_frac_spark(_spark_ngrams(2)))
+        .cast("double")
+        .alias("dup_2gram_frac"),
+        F.expr(_dup_frac_spark(_spark_ngrams(3)))
+        .cast("double")
+        .alias("dup_3gram_frac"),
+    )
+
+    def top_frac(grams_expr: str, colname: str) -> DataFrame:
+        g = docs.select(
+            "doc_id", F.explode(F.expr(grams_expr)).alias("gram")
+        )
+        per_gram = g.groupBy("doc_id", "gram").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        return per_gram.groupBy("doc_id").agg(
+            F.round(F.max("cnt") / F.sum("cnt"), 6)
+            .cast("double")
+            .alias(colname)
+        )
+
+    out = (
+        narrow.join(top_frac(SPARK_TOKENS, "top_token_frac"), "doc_id", "left")
+        .join(top_frac(_spark_ngrams(2), "top_2gram_frac"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_2gram_frac",
+            "dup_3gram_frac",
+            F.coalesce("top_token_frac", F.lit(0.0)).alias("top_token_frac"),
+            F.coalesce("top_2gram_frac", F.lit(0.0)).alias("top_2gram_frac"),
+        )
+    )
+    return out
+
+
+def repetition_stats_sql() -> str:
+    def duck_top(grams: str, cte: str) -> str:
+        return (
+            f"{cte} AS (SELECT doc_id,"
+            " CAST(round(MAX(cnt) / CAST(SUM(cnt) AS DOUBLE), 6) AS DOUBLE)"
+            " AS frac FROM (SELECT doc_id, gram, COUNT(*) AS cnt FROM"
+            f" (SELECT doc_id, unnest({grams}) AS gram FROM documents)"
+            " GROUP BY doc_id, gram) GROUP BY doc_id)"
+        )
+
+    return (
+        "WITH narrow AS (SELECT doc_id,"
+        f" CAST(len({DUCK_TOKENS}) AS BIGINT) AS n_tokens,"
+        f" CAST({_dup_frac_duck(_duck_ngrams(2))} AS DOUBLE)"
+        "  AS dup_2gram_frac,"
+        f" CAST({_dup_frac_duck(_duck_ngrams(3))} AS DOUBLE)"
+        "  AS dup_3gram_frac FROM documents), "
+        + duck_top(DUCK_TOKENS, "t1")
+        + ", "
+        + duck_top(_duck_ngrams(2), "t2")
+        + " SELECT n.doc_id, n.n_tokens, n.dup_2gram_frac,"
+        " n.dup_3gram_frac,"
+        " CAST(COALESCE(t1.frac, 0.0) AS DOUBLE) AS top_token_frac,"
+        " CAST(COALESCE(t2.frac, 0.0) AS DOUBLE) AS top_2gram_frac"
+        " FROM narrow n LEFT JOIN t1 ON n.doc_id = t1.doc_id"
+        " LEFT JOIN t2 ON n.doc_id = t2.doc_id"
+    )

@@ -68,6 +68,71 @@ def train_test_split_sql(test_permille: int = 100) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Stratified (per-source) downsampling — dataset-mixing's sibling:
+# corpus_mix UPsamples sources by integer epoch repetition; this
+# DOWNsamples each source at its own rate. The same stable
+# multiplicative hash as train_test_split (salted by the stratum so
+# the two decisions are independent) makes the sample deterministic,
+# append-stable, and exact-rate in expectation per stratum — a narrow
+# per-row filter, no shuffle, no state, the 100 TB shape. A real
+# pipeline sets rates from token budgets per source/language.
+# ---------------------------------------------------------------------------
+
+# per-source keep rates in permille; strata absent from the map use
+# DEFAULT_SAMPLE_PERMILLE
+SAMPLE_RATES = {"src0": 1000, "src1": 500, "src2": 250}
+DEFAULT_SAMPLE_PERMILLE = 125
+# stratum salt: a small deterministic hash of the source string so
+# (doc_id, source) decisions decorrelate from the train/test split
+_SALT = "(ascii(substr(source, 1, 1)) * 131 + length(source))"
+
+
+def _sample_bucket() -> str:
+    # engine-identical integer arithmetic (cf. train_test_split)
+    return (
+        f"((doc_id + {_SALT}) * {SPLIT_HASH_K})"
+        f" % {SPLIT_HASH_MOD} % {SPLIT_BUCKETS}"
+    )
+
+
+def _rate_case(rates: dict[str, int], default: int) -> str:
+    whens = " ".join(
+        f"WHEN '{s}' THEN {p}" for s, p in sorted(rates.items())
+    )
+    return f"CASE source {whens} ELSE {default} END"
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, int] | None = None,
+    default_permille: int = DEFAULT_SAMPLE_PERMILLE,
+) -> DataFrame:
+    """[doc_id, source, bucket] — the kept subsample: rows whose salted
+    hash bucket falls below their stratum's permille rate."""
+    rates = SAMPLE_RATES if rates is None else rates
+    bucket = F.expr(_sample_bucket())
+    rate = F.expr(_rate_case(rates, default_permille))
+    return (
+        docs.select("doc_id", "source", bucket.alias("bucket"), rate.alias("r"))
+        .filter(F.col("bucket") < F.col("r"))
+        .select("doc_id", "source", "bucket")
+    )
+
+
+def stratified_sample_sql(
+    rates: dict[str, int] | None = None,
+    default_permille: int = DEFAULT_SAMPLE_PERMILLE,
+) -> str:
+    rates = SAMPLE_RATES if rates is None else rates
+    return (
+        f"SELECT doc_id, source, bucket FROM (SELECT doc_id, source,"
+        f" {_sample_bucket()} AS bucket,"
+        f" {_rate_case(rates, default_permille)} AS r FROM documents)"
+        " WHERE bucket < r"
+    )
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF
 # ---------------------------------------------------------------------------
 

@@ -1205,6 +1205,33 @@ def q_cosine_topk_ivf(spark, sf_dir):
     return simsearch_mod.cosine_topk_ivf(_embs(spark, sf_dir))
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-rules repetition signals (token form): per-row dup-ngram
+    fractions (pure array algebra, no shuffle) + top-token/2-gram
+    fractions (explode → two map-side-combinable hash aggs)."""
+    return text_mod.repetition_stats(_docs(spark, sf_dir))
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-source deterministic downsampling: salted multiplicative
+    hash bucket < the stratum's permille rate — narrow per-row filter,
+    append-stable, no shuffle."""
+    return traindata_mod.stratified_sample(_docs(spark, sf_dir))
+
+
+def q_pq_codes(spark, sf_dir):
+    """Product-quantization encoding: each vector → PQ_M codeword ids
+    (broadcast codebook + per-subspace argmin; exact-integer L2 via
+    the kmeans_cells quantization trick)."""
+    return simsearch_mod.pq_codes(_embs(spark, sf_dir))
+
+
+def q_cosine_topk_pq(spark, sf_dir):
+    """ADC top-k over PQ codes: scoring touches only the codes table
+    (PQ_M ints per vector — a 32x scan-size cut vs raw embeddings)."""
+    return simsearch_mod.cosine_topk_pq(_embs(spark, sf_dir))
+
+
 def q_corpus_clean(spark, sf_dir):
     """Composed flagship pipeline: exact dedup → MinHash near-dup
     removal → language + quality gates (operators/corpus.py)."""
@@ -1460,6 +1487,10 @@ QUERIES: dict[str, QueryFn] = {
     "frame_sample": q_frame_sample,
     "media_resize_features": q_media_resize_features,
     "token_count_detailed": q_token_count_detailed,
+    "repetition_stats": q_repetition_stats,
+    "stratified_sample": q_stratified_sample,
+    "pq_codes": q_pq_codes,
+    "cosine_topk_pq": q_cosine_topk_pq,
     "model_quality_scores": q_model_quality_scores,
     "corpus_mix": q_corpus_mix,
     "kmeans_cells": q_kmeans_cells,
@@ -1726,6 +1757,10 @@ ORACLE_SQL: dict[str, str] = {
     # --- training-data-pipeline operators ---
     "token_count": text_mod.TOKEN_COUNT_SQL,
     "token_count_detailed": text_mod.TOKEN_COUNT_DETAILED_SQL,
+    "repetition_stats": text_mod.repetition_stats_sql(),
+    "stratified_sample": traindata_mod.stratified_sample_sql(),
+    "pq_codes": simsearch_mod.pq_codes_sql(),
+    "cosine_topk_pq": simsearch_mod.cosine_topk_pq_sql(),
     "text_quality": text_mod.TEXT_QUALITY_SQL,
     "language_id": text_mod.LANGUAGE_ID_SQL,
     "fingerprint": text_mod.FINGERPRINT_SQL,

@@ -40,10 +40,18 @@ DOC_SCHEMA = T.StructType(
 )
 
 
-def document_stream(spark: SparkSession, path: str) -> DataFrame:
+def document_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream of document parquet files dropped in `path`
-    (stand-in for Kafka; the downstream plan is identical)."""
-    return spark.readStream.schema(DOC_SCHEMA).parquet(path)
+    (stand-in for Kafka; the downstream plan is identical).
+    ``max_files_per_trigger`` bounds each micro-batch — with
+    availableNow this splits a backlog into real sequenced batches
+    instead of one catch-all batch."""
+    reader = spark.readStream.schema(DOC_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
 
 
 def _clean_batch(
@@ -84,6 +92,7 @@ def start_corpus_ingest(
     accepted_out: str,
     checkpoint: str,
     min_quality: float = corpus_mod.MIN_QUALITY,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Run the incremental cleaner. Returns the StreamingQuery; callers
     drive it with availableNow + awaitTermination. Batch appends are
@@ -100,7 +109,7 @@ def start_corpus_ingest(
         out.write.mode("append").parquet(accepted_out)
 
     return (
-        document_stream(spark, source_path)
+        document_stream(spark, source_path, max_files_per_trigger)
         .writeStream.foreachBatch(merge_batch)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)

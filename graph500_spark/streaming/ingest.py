@@ -40,10 +40,18 @@ EDGE_SCHEMA = T.StructType(
 )
 
 
-def edge_stream(spark: SparkSession, path: str) -> DataFrame:
+def edge_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream of raw edge parquet files dropped in `path`
-    (stand-in for Kafka; the downstream plan is identical)."""
-    return spark.readStream.schema(EDGE_SCHEMA).parquet(path)
+    (stand-in for Kafka; the downstream plan is identical).
+    ``max_files_per_trigger`` bounds each micro-batch — with
+    availableNow this splits a backlog into real sequenced batches
+    instead of one catch-all batch."""
+    reader = spark.readStream.schema(EDGE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
 
 
 def start_ingest(
@@ -52,6 +60,7 @@ def start_ingest(
     edges_out: str,
     degrees_out: str,
     checkpoint: str,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Run the incremental constructor. Returns the StreamingQuery;
     callers drive it with availableNow/processAll + awaitTermination."""
@@ -85,7 +94,7 @@ def start_ingest(
         merged.unpersist()
 
     return (
-        edge_stream(spark, source_path)
+        edge_stream(spark, source_path, max_files_per_trigger)
         .writeStream.foreachBatch(merge_batch)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
