@@ -682,6 +682,156 @@ def cosine_topk_pq(
     )
 
 
+def cosine_topk_pq_rerank(
+    embeddings: DataFrame,
+    k: int = 5,
+    shortlist: int = 25,
+    query_filter: str = QUERY_FILTER_SPARK,
+    codebook_filter: str = PQ_CODEBOOK_FILTER,
+) -> DataFrame:
+    """Production PQ composition: ADC over the codes table produces a
+    ``shortlist`` of candidates per query (cheap — 4 ints/vector),
+    then ONLY those candidates are exact-reranked against the raw
+    embeddings. Recall ≥ pure ADC by construction at the cost of
+    |Q|·shortlist exact dot products — the standard IVF-PQ + rerank
+    serving shape.
+
+    Scale: the shortlist (|Q|·shortlist rows) broadcasts into the
+    rerank join; the raw corpus is probed by equi-join on vec_id, not
+    scanned."""
+    short = cosine_topk_pq(
+        embeddings, k=shortlist, query_filter=query_filter,
+        codebook_filter=codebook_filter,
+    ).select("query_id", "neighbor_id")
+    e = _prepared(embeddings)
+    q = e.filter(F.expr(query_filter)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    joined = F.broadcast(short).join(c, "neighbor_id").join(
+        F.broadcast(q), "query_id"
+    )
+    cos = F.round(
+        F.expr(_SPARK_DOT_AB) / (F.col("na") * F.col("nb")), 5
+    ).cast("double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_topk_pq_rerank_sql(
+    k: int = 5,
+    shortlist: int = 25,
+    query_filter: str = "vec_id % 50 = 0",
+    codebook_filter: str = PQ_CODEBOOK_FILTER,
+) -> str:
+    adc = cosine_topk_pq_sql(shortlist, query_filter, codebook_filter)
+    return (
+        "WITH e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings),"
+        f" en2 AS (SELECT vec_id, v, {_DUCK_NORM} AS norm FROM e2),"
+        f" short AS (SELECT query_id, neighbor_id FROM ({adc})),"
+        " scored AS (SELECT s.query_id, s.neighbor_id,"
+        f" CAST(ROUND(({_duck_dot('A.v', 'B.v')}) / (A.norm * B.norm), 5)"
+        "  AS DOUBLE) AS cosine"
+        " FROM short s JOIN en2 A ON A.vec_id = s.query_id"
+        " JOIN en2 B ON B.vec_id = s.neighbor_id),"
+        " reranked AS (SELECT query_id, neighbor_id, cosine,"
+        " CAST(ROW_NUMBER() OVER (PARTITION BY query_id"
+        "  ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank"
+        " FROM scored)"
+        " SELECT query_id, neighbor_id, cosine, rank FROM reranked"
+        f" WHERE rank <= {k}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality measurement: recall@k of each approximate index (LSH /
+# IVF / PQ) against the brute-force exact top-k — "measure, don't
+# guess" as a first-class operator, so index-parameter changes are
+# evaluated inside the engine instead of eyeballed. One row per
+# method; recall = |approx ∩ exact| / |exact| over all queries.
+#
+# Scale shape: each branch is the underlying index's own plan plus an
+# equi-join on (query_id, neighbor_id) against the exact list and a
+# single global count — the exact list is |Q|·k rows (small), so the
+# joins broadcast. In production the exact side comes from a sampled
+# query set for exactly this reason.
+# ---------------------------------------------------------------------------
+
+
+def ann_recall(
+    embeddings: DataFrame, k: int = 5, query_filter: str = QUERY_FILTER_SPARK
+) -> DataFrame:
+    """[method, n_hits, recall] for methods lsh / ivf / pq at the same
+    k and query set."""
+    exact = cosine_topk(embeddings, k, query_filter).select(
+        "query_id", "neighbor_id"
+    )
+    methods = {
+        "ivf": cosine_topk_ivf(embeddings, k=k, query_filter=query_filter),
+        "lsh": cosine_topk_lsh(embeddings, k=k, query_filter=query_filter),
+        "pq": cosine_topk_pq(embeddings, k=k, query_filter=query_filter),
+        "pq_rerank": cosine_topk_pq_rerank(
+            embeddings, k=k, query_filter=query_filter
+        ),
+    }
+    denom = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    rows = []
+    for name in sorted(methods):
+        ap = methods[name].select("query_id", "neighbor_id")
+        hits = exact.join(ap, ["query_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).alias("n_hits")
+        )
+        rows.append(
+            hits.crossJoin(F.broadcast(denom)).select(
+                F.lit(name).alias("method"),
+                "n_hits",
+                F.round(F.col("n_hits") / F.col("n_exact"), 6)
+                .cast("double")
+                .alias("recall"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def ann_recall_sql(k: int = 5, query_filter: str = "vec_id % 50 = 0") -> str:
+    exact = cosine_topk_sql(k, query_filter)
+    approx = {
+        "ivf": cosine_topk_ivf_sql(k, query_filter=query_filter),
+        "lsh": cosine_topk_lsh_sql(k, query_filter),
+        "pq": cosine_topk_pq_sql(k, query_filter),
+        "pq_rerank": cosine_topk_pq_rerank_sql(k, query_filter=query_filter),
+    }
+    branches = []
+    for name in sorted(approx):
+        branches.append(
+            f"SELECT '{name}' AS method,"
+            " CAST(COUNT(*) AS BIGINT) AS n_hits,"
+            " CAST(round(COUNT(*) / CAST("
+            f" (SELECT COUNT(*) FROM ({exact})) AS DOUBLE), 6)"
+            "  AS DOUBLE) AS recall"
+            f" FROM ({approx[name]}) a JOIN ({exact}) e"
+            " ON a.query_id = e.query_id"
+            " AND a.neighbor_id = e.neighbor_id"
+        )
+    return " UNION ALL ".join(branches)
+
+
 def _duck_pq_common(codebook_filter: str) -> str:
     sub = f"qv[t.m * {PQ_SUBDIM} + 1 : t.m * {PQ_SUBDIM} + {PQ_SUBDIM}]"
     return (

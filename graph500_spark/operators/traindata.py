@@ -133,6 +133,70 @@ def stratified_sample_sql(
 
 
 # ---------------------------------------------------------------------------
+# Vocabulary coverage — the first step of tokenizer/vocab induction:
+# the top-N corpus tokens by frequency with each token's share and the
+# cumulative coverage fraction (what % of all token occurrences a
+# vocab of that size captures).
+#
+# Scale shape: explode → one map-side-combinable hash agg on token
+# (zipf-skewed key → AQE skew splitting), then a DISTRIBUTED top-N
+# (orderBy().limit() is TakeOrdered: per-partition heaps + one merge —
+# never a global sort), and the cumulative window runs over only the N
+# returned rows. The naive rank-over-global-window alternative would
+# sort the whole vocabulary in one partition.
+# ---------------------------------------------------------------------------
+
+
+def vocab_coverage(docs: DataFrame, top_n: int = 100) -> DataFrame:
+    """[rank, token, cnt, frac, cum_frac] — top-N tokens by corpus
+    frequency (ties → lexicographic), with per-token and cumulative
+    shares of all token occurrences."""
+    cnts = (
+        docs.select(F.explode(F.expr(SPARK_TOKENS)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = cnts.agg(F.sum("cnt").alias("total"))
+    top = cnts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(top_n)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(w).alias("rank"),
+            "token",
+            "cnt",
+            F.round(F.col("cnt") / F.col("total"), 6)
+            .cast("double")
+            .alias("frac"),
+            F.round(F.sum("cnt").over(wsum) / F.col("total"), 6)
+            .cast("double")
+            .alias("cum_frac"),
+        )
+    )
+
+
+def vocab_coverage_sql(top_n: int = 100) -> str:
+    return (
+        "WITH tok AS (SELECT unnest("
+        + DUCK_TOKENS
+        + ") AS token FROM documents),"
+        " cnts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),"
+        " tot AS (SELECT SUM(cnt) AS total FROM cnts),"
+        " top AS (SELECT token, cnt FROM cnts"
+        f" ORDER BY cnt DESC, token ASC LIMIT {top_n})"
+        " SELECT CAST(ROW_NUMBER() OVER"
+        " (ORDER BY cnt DESC, token ASC) AS INTEGER) AS rank,"
+        " token, cnt,"
+        " CAST(round(cnt / CAST(total AS DOUBLE), 6) AS DOUBLE) AS frac,"
+        " CAST(round(SUM(cnt) OVER (ORDER BY cnt DESC, token ASC"
+        "  ROWS UNBOUNDED PRECEDING) / CAST(total AS DOUBLE), 6)"
+        "  AS DOUBLE) AS cum_frac"
+        " FROM top CROSS JOIN tot"
+    )
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF
 # ---------------------------------------------------------------------------
 

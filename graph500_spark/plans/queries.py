@@ -1232,6 +1232,35 @@ def q_cosine_topk_pq(spark, sf_dir):
     return simsearch_mod.cosine_topk_pq(_embs(spark, sf_dir))
 
 
+def q_vocab_coverage(spark, sf_dir):
+    """Tokenizer-vocab induction first step: distributed top-N token
+    frequencies (TakeOrdered, never a global sort) + cumulative
+    coverage fraction over the N returned rows."""
+    return traindata_mod.vocab_coverage(_docs(spark, sf_dir))
+
+
+def q_event_value_quantiles(spark, sf_dir):
+    """Exact interpolated per-event-type value percentiles (Spark
+    percentile ≡ DuckDB quantile_cont); approx=True swaps in the
+    mergeable-sketch tier for scale."""
+    from graph500_spark.streaming.windows import event_value_quantiles
+
+    return event_value_quantiles(td.load_table(spark, sf_dir, "events"))
+
+
+def q_cosine_topk_pq_rerank(spark, sf_dir):
+    """Production PQ serving shape: cheap ADC shortlist over the codes
+    table, exact rerank of only the shortlisted candidates."""
+    return simsearch_mod.cosine_topk_pq_rerank(_embs(spark, sf_dir))
+
+
+def q_ann_recall(spark, sf_dir):
+    """Recall@k of every approximate index (LSH/IVF/PQ) against the
+    brute-force exact top-k — index quality measured inside the
+    engine, one row per method."""
+    return simsearch_mod.ann_recall(_embs(spark, sf_dir))
+
+
 def q_corpus_clean(spark, sf_dir):
     """Composed flagship pipeline: exact dedup → MinHash near-dup
     removal → language + quality gates (operators/corpus.py)."""
@@ -1489,8 +1518,12 @@ QUERIES: dict[str, QueryFn] = {
     "token_count_detailed": q_token_count_detailed,
     "repetition_stats": q_repetition_stats,
     "stratified_sample": q_stratified_sample,
+    "vocab_coverage": q_vocab_coverage,
     "pq_codes": q_pq_codes,
     "cosine_topk_pq": q_cosine_topk_pq,
+    "cosine_topk_pq_rerank": q_cosine_topk_pq_rerank,
+    "ann_recall": q_ann_recall,
+    "event_value_quantiles": q_event_value_quantiles,
     "model_quality_scores": q_model_quality_scores,
     "corpus_mix": q_corpus_mix,
     "kmeans_cells": q_kmeans_cells,
@@ -1759,8 +1792,11 @@ ORACLE_SQL: dict[str, str] = {
     "token_count_detailed": text_mod.TOKEN_COUNT_DETAILED_SQL,
     "repetition_stats": text_mod.repetition_stats_sql(),
     "stratified_sample": traindata_mod.stratified_sample_sql(),
+    "vocab_coverage": traindata_mod.vocab_coverage_sql(),
     "pq_codes": simsearch_mod.pq_codes_sql(),
     "cosine_topk_pq": simsearch_mod.cosine_topk_pq_sql(),
+    "cosine_topk_pq_rerank": simsearch_mod.cosine_topk_pq_rerank_sql(),
+    "ann_recall": simsearch_mod.ann_recall_sql(),
     "text_quality": text_mod.TEXT_QUALITY_SQL,
     "language_id": text_mod.LANGUAGE_ID_SQL,
     "fingerprint": text_mod.FINGERPRINT_SQL,
@@ -1822,6 +1858,7 @@ def _late_oracles() -> dict[str, str]:
         "error_context": rangejoin_mod.error_context_sql(),
         "event_rollup": windows_mod.event_rollup_sql(),
         "event_gapfill": windows_mod.event_gapfill_sql(),
+        "event_value_quantiles": windows_mod.event_value_quantiles_sql(),
     }
 
 

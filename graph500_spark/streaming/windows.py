@@ -236,3 +236,51 @@ def event_gapfill_sql(minutes: int = 60) -> str:
         " FROM axis a LEFT JOIN sparse s"
         " ON s.event_type = a.event_type AND s.bucket = a.bucket"
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-type value distribution — exact interpolated percentiles of the
+# event value per event_type (the monitoring-dashboard aggregate).
+# Both engines use the linear-interpolation definition (Spark
+# `percentile` ≡ DuckDB `quantile_cont`), same convention as the A8
+# degree-quantile diagnostic. Exact percentiles sort within each
+# group; the `approx` tier swaps in percentile_approx (a mergeable
+# t-digest-style sketch, constant memory per group) for 100 TB use —
+# sketch estimates differ across engines, so that tier is rows-only
+# under the oracle gate, like the HLL vertex count.
+# ---------------------------------------------------------------------------
+
+_PCTS = (0.25, 0.5, 0.75, 0.9)
+
+
+def event_value_quantiles(events: DataFrame, approx: bool = False) -> DataFrame:
+    """[event_type, n_events, min_value, p25, p50, p75, p90,
+    max_value] — exact (or sketch-tier) per-type value percentiles."""
+    fn = "approx_percentile" if approx else "percentile"
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.min("value"), 5).cast("double").alias("min_value"),
+    ]
+    for p in _PCTS:
+        aggs.append(
+            F.round(F.expr(f"{fn}(value, {p})"), 5)
+            .cast("double")
+            .alias(f"p{int(p * 100)}")
+        )
+    aggs.append(F.round(F.max("value"), 5).cast("double").alias("max_value"))
+    return events.groupBy("event_type").agg(*aggs)
+
+
+def event_value_quantiles_sql() -> str:
+    pct_cols = ", ".join(
+        f"CAST(round(quantile_cont(value, {p}), 5) AS DOUBLE)"
+        f" AS p{int(p * 100)}"
+        for p in _PCTS
+    )
+    return (
+        "SELECT event_type, COUNT(*) AS n_events,"
+        " CAST(round(MIN(value), 5) AS DOUBLE) AS min_value,"
+        f" {pct_cols},"
+        " CAST(round(MAX(value), 5) AS DOUBLE) AS max_value"
+        " FROM events GROUP BY event_type"
+    )

@@ -140,3 +140,73 @@ class TestPQ:
             assert all(
                 rs[i].cosine >= rs[i + 1].cosine for i in range(len(rs) - 1)
             )
+
+
+class TestVocabCoverage:
+    def test_ordering_and_cumulative(self, spark):
+        from graph500_spark.operators.traindata import vocab_coverage
+
+        docs = spark.createDataFrame(
+            [(1, "a a a b b c"), (2, "a b d")],
+            "doc_id: long, text: string",
+        )
+        rows = vocab_coverage(docs, top_n=3).orderBy("rank").collect()
+        assert [(r.token, r.cnt) for r in rows] == [("a", 4), ("b", 3), ("c", 1)]
+        assert rows[0].frac == pytest.approx(4 / 9, abs=1e-6)
+        assert rows[1].cum_frac == pytest.approx(7 / 9, abs=1e-6)
+        # ranks dense from 1
+        assert [r.rank for r in rows] == [1, 2, 3]
+
+    def test_tie_breaks_lexicographic(self, spark):
+        from graph500_spark.operators.traindata import vocab_coverage
+
+        docs = spark.createDataFrame(
+            [(1, "z y z y")], "doc_id: long, text: string"
+        )
+        rows = vocab_coverage(docs, top_n=2).orderBy("rank").collect()
+        assert [r.token for r in rows] == ["y", "z"]
+
+
+class TestEventValueQuantiles:
+    def test_percentiles_match_interpolation(self, spark):
+        from graph500_spark.streaming.windows import event_value_quantiles
+
+        import datetime
+
+        ts = datetime.datetime(2024, 1, 1)
+        rows = [(i, ts, 1, "click", float(v), "{}") for i, v in
+                enumerate([1.0, 2.0, 3.0, 4.0])]
+        events = spark.createDataFrame(
+            rows,
+            "event_id: long, ts: timestamp, user_id: long,"
+            " event_type: string, value: double, props: string",
+        )
+        out = event_value_quantiles(events).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.n_events == 4
+        # linear interpolation: p25 of [1,2,3,4] = 1.75, p50 = 2.5
+        assert r.p25 == pytest.approx(1.75)
+        assert r.p50 == pytest.approx(2.5)
+        assert r.p90 == pytest.approx(3.7)
+        assert r.min_value == 1.0 and r.max_value == 4.0
+
+
+class TestAnnRecall:
+    def test_recall_bounds_and_methods(self, spark):
+        from graph500_spark.operators.simsearch import ann_recall
+
+        rows = [
+            (i, [((i * 13 + j * 5) % 17 - 8) / 8.0 for j in range(64)], 0)
+            for i in range(150)
+        ]
+        embs = spark.createDataFrame(
+            rows, "vec_id: long, embedding: array<float>, label: int"
+        )
+        out = {r.method: r for r in ann_recall(embs, k=3).collect()}
+        assert set(out) == {"ivf", "lsh", "pq", "pq_rerank"}
+        for m, r in out.items():
+            assert 0.0 <= r.recall <= 1.0, m
+            assert r.n_hits >= 0
+        # exact rerank of an ADC shortlist can only improve recall
+        assert out["pq_rerank"].recall >= out["pq"].recall
