@@ -1485,8 +1485,10 @@ def q_sessionize_native(spark, sf_dir):
 QUERIES: dict[str, QueryFn] = {
     # --- training-data-pipeline operators (front of the registry so the
     # driver's 50-entry correctness window exercises them; the §2 graph
-    # surface below is triple-verified from rounds 1-2 and rotates back) ---
-    "token_count": q_token_count,
+    # surface below is triple-verified from rounds 1-2 and rotates back,
+    # as does token_count — the one LLM entry already driver-green in
+    # CORRECTNESS_r02 — so the window covers exactly the 50 entries
+    # that have never had a driver-side row) ---
     "text_quality": q_text_quality,
     "language_id": q_language_id,
     "fingerprint": q_fingerprint,
@@ -1587,6 +1589,7 @@ QUERIES: dict[str, QueryFn] = {
     "initial_edges_tree": q_initial_edges_tree,
     "initial_edges_cycle": q_initial_edges_cycle,
     "validate_sssp_summary": q_validate_sssp_summary,
+    "token_count": q_token_count,
 }
 
 
