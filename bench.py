@@ -157,6 +157,14 @@ def main() -> int:
         "model_quality_scores": lambda: Q.q_model_quality_scores(
             spark, sf_dir
         ).count(),
+        "repetition_stats": lambda: Q.q_repetition_stats(
+            spark, sf_dir
+        ).count(),
+        "vocab_coverage": lambda: Q.q_vocab_coverage(spark, sf_dir).count(),
+        "cosine_topk_pq_rerank": lambda: Q.q_cosine_topk_pq_rerank(
+            spark, sf_dir
+        ).count(),
+        "ann_recall": lambda: Q.q_ann_recall(spark, sf_dir).count(),
     }
 
     timings: dict[str, float] = {}
@@ -309,12 +317,26 @@ def _streaming_tier(spark, kron16) -> dict[str, float]:
             n_edges / (time.monotonic() - t0), 1
         )
 
-        # corpus-cleaner stream over the sf documents
+        # corpus-cleaner stream over an 8x-duplicated document set
+        # (shifted ids): at 1x the per-batch fixed work (two joins +
+        # sink rewrite) dominates and the rows/sec number is noise;
+        # at 8x the stream is data-bound and run-to-run stable.
+        import pyspark.sql.functions as F
+
         sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        n1 = docs.count()
+        reps = spark.range(8).select(F.col("id").alias("rep"))
+        docs8 = docs.crossJoin(F.broadcast(reps)).select(
+            (F.col("doc_id") + F.col("rep") * (n1 * 2)).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
         dsrc = os.path.join(base, "docs_in")
-        docs.repartition(8).write.parquet(dsrc)
-        n_docs = docs.count()
+        docs8.repartition(8).write.parquet(dsrc)
+        n_docs = n1 * 8
         t0 = time.monotonic()
         q = start_corpus_ingest(
             spark,

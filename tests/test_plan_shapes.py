@@ -105,3 +105,42 @@ def test_bfs_edges_partitioned_once(spark):
 
     out = bfs(spark, edges, root=Q.BFS_ROOT)
     assert out.count() > 0  # loop executes end to end at test scale
+
+
+def test_repetition_stats_no_cartesian_and_pruned(spark):
+    """Repetition stats must stay explode+hash-agg shaped (no
+    cartesian), and only (doc_id, text) may reach the scan."""
+    plan = plan_of(Q.QUERIES["repetition_stats"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scans
+    for s in scans:
+        assert "lang" not in s and "source" not in s
+
+
+def test_stratified_sample_is_narrow(spark):
+    """A per-row filter: on a raw table read the operator itself must
+    add no exchange and no join, and the salted-hash predicate must
+    sit directly on the pruned scan. (The registry wrapper's fixture
+    loader adds a local-mode repartition — that is the loader, not the
+    operator, so the probe reads the parquet directly.)"""
+    from graph500_spark.operators.traindata import stratified_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(stratified_sample(docs))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scans and "doc_id" in scans[0] and "source" in scans[0]
+    assert "text" not in scans[0]
+
+
+def test_pq_scoring_broadcasts_and_avoids_raw_rescans(spark):
+    """ADC scoring must broadcast the codebook/LUT sides (any join
+    against the big codes table is a BroadcastHashJoin) and must not
+    plan a shuffle join of the raw embeddings."""
+    plan = plan_of(Q.QUERIES["cosine_topk_pq"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
