@@ -139,6 +139,8 @@ def main() -> int:
         "error_context": lambda: Q.q_error_context(spark, sf_dir).count(),
         "hits": lambda: Q.q_hits(spark, sf_dir).count(),
         "bfs_kron_s16": lambda: _bfs16(spark, kron16),
+        "bfs_s16_4roots_sequential": lambda: _bfs16_roots_seq(spark, kron16),
+        "bfs_s16_4roots_batched": lambda: _bfs16_roots_batched(spark, kron16),
         "bfs_s16_plain_storage": lambda: _bfs_storage(
             spark, read_edges_parquet(spark, plain_path), prepartition=True
         ),
@@ -365,6 +367,28 @@ def _bfs16(spark, kron16) -> int:
     from graph500_spark.operators.bfs import bfs
 
     return bfs(spark, kron16, root=2).count()
+
+
+_AB_ROOTS = [2, 3, 5, 7]
+
+
+def _bfs16_roots_seq(spark, kron16) -> int:
+    """4 independent single-root BFS — the reference's sequential
+    64-root procedure in miniature."""
+    from graph500_spark.operators.bfs import bfs
+
+    n = 0
+    for r in _AB_ROOTS:
+        n += bfs(spark, kron16, root=r).count()
+    return n
+
+
+def _bfs16_roots_batched(spark, kron16) -> int:
+    """Same 4 roots through one shared multi-source frontier: the
+    per-level scheduling floor is paid once per batch, not per root."""
+    from graph500_spark.operators.bfs import bfs_multi
+
+    return bfs_multi(spark, kron16, _AB_ROOTS).count()
 
 
 def _bfs_storage(spark, edges, prepartition: bool) -> int:

@@ -166,6 +166,36 @@ def bfs_full_sql(edges_raw_sql: str, root: int, depth_bound: int = 32) -> str:
     )
 
 
+def bfs_multi_sql(
+    edges_raw_sql: str, roots: list[int], depth_bound: int = 32
+) -> str:
+    """Multi-source generalization of bfs_full_sql: the recursive walk
+    carries the root as a grouping column, so per-root results equal
+    the single-root oracle's."""
+    roots_values = ", ".join(f"(CAST({r} AS BIGINT))" for r in roots)
+    return (
+        f"WITH RECURSIVE raw AS ({edges_raw_sql}),"
+        " nl AS (SELECT src, dst FROM raw WHERE src <> dst),"
+        " clean AS (SELECT DISTINCT src, dst FROM"
+        " (SELECT src, dst FROM nl UNION ALL"
+        "  SELECT dst AS src, src AS dst FROM nl)),"
+        f" roots(root) AS (VALUES {roots_values}),"
+        " walk(root, vertex, depth) AS ("
+        "  SELECT root, root, CAST(0 AS INTEGER) FROM roots"
+        "  UNION"
+        "  SELECT w.root, e.dst, CAST(w.depth + 1 AS INTEGER) FROM clean e"
+        f"  JOIN walk w ON e.src = w.vertex WHERE w.depth < {depth_bound}),"
+        " depths AS (SELECT root, vertex, MIN(depth) AS depth FROM walk"
+        "  GROUP BY root, vertex)"
+        " SELECT d.root, d.vertex, MIN(e.src) AS pred, d.depth"
+        " FROM depths d JOIN clean e ON e.dst = d.vertex"
+        " JOIN depths ds ON ds.root = d.root AND ds.vertex = e.src"
+        "  AND ds.depth = d.depth - 1"
+        " WHERE d.vertex <> d.root GROUP BY d.root, d.vertex, d.depth"
+        " UNION ALL SELECT root, root, root, CAST(0 AS INTEGER) FROM roots"
+    )
+
+
 def sssp_sql(clean_sql: str, root: int, dist_bound: int = 400) -> str:
     """SSSP oracle: shortest distance as a bounded recursive fixpoint
     over weighted edges; pred = min src achieving dist(src)+w = dist(v)
@@ -660,6 +690,23 @@ def q_bfs_full(spark, sf_dir):
         spark,
         clean_hetero_graph(spark, sf_dir),
         BFS_ROOT,
+        prepartition=False,
+        shuffle_partitions=8,
+    )
+
+
+MULTI_BFS_ROOTS = [BFS_ROOT, 1000003, 2]  # nation, nation, region vertices
+
+
+def q_bfs_multi(spark, sf_dir):
+    """Batched multi-source BFS: one shared (root, vertex)-keyed
+    frontier advances all roots per level — divides the per-level
+    scheduling floor of the reference's 64-sequential-BFS phase by the
+    batch width (operators/bfs.py::bfs_multi)."""
+    return bfs_mod.bfs_multi(
+        spark,
+        clean_hetero_graph(spark, sf_dir),
+        MULTI_BFS_ROOTS,
         prepartition=False,
         shuffle_partitions=8,
     )
@@ -1553,6 +1600,7 @@ QUERIES: dict[str, QueryFn] = {
     "adjacency": q_adjacency_strings,
     "bfs_depth3": q_bfs_depth3,
     "bfs_full": q_bfs_full,
+    "bfs_multi": q_bfs_multi,
     "edge_visit_count": q_edge_visit_count,
     "check_value_ranges": q_check_value_ranges,
     "check_root_self_parents": q_check_root_self_parents,
@@ -1718,6 +1766,7 @@ ORACLE_SQL: dict[str, str] = {
         " UNION SELECT CAST(s_suppkey AS BIGINT) AS v FROM supplier"
     ),
     "bfs_full": bfs_full_sql(HETERO_EDGES_SQL, BFS_ROOT),
+    "bfs_multi": bfs_multi_sql(HETERO_EDGES_SQL, MULTI_BFS_ROOTS),
     "validate_bfs_summary": (
         # golden: the engine's own BFS must pass all 5 spec checks —
         # the expected result IS the all-zero summary

@@ -53,9 +53,20 @@ def run_benchmark(
     num_roots: int = 16,
     validation: bool = True,
     results_path: str | None = None,
+    root_batch: int = 1,
 ) -> BenchmarkResult:
     """The full pipeline at a given SCALE. num_roots=64 is spec mode,
-    16 is the reference's own --test mode (run-benchmark.py:112)."""
+    16 is the reference's own --test mode (run-benchmark.py:112).
+
+    ``root_batch`` > 1 runs the BFS phase in batches of that many
+    roots through one shared multi-source frontier
+    (operators/bfs.py::bfs_multi) — measured ~2x wall-clock for 4
+    roots at s16, since the per-level scheduling floor is paid once
+    per batch instead of once per root. Per-root results (pred tree,
+    validation, edge counts) are identical to sequential runs;
+    bfs_time is then the batch wall time divided by the batch width
+    (amortized — spec-strict per-root timing requires root_batch=1,
+    the default)."""
     nverts = 1 << scale
 
     edges_raw = generator.generate_kronecker_edges(spark, scale, edgefactor)
@@ -76,45 +87,67 @@ def run_benchmark(
     root_list = roots.find_roots(spark, edges_raw, nverts, num_roots)
     result = BenchmarkResult(scale, edgefactor, num_roots)
 
-    for run_id, root in enumerate(root_list):
-        if root in done:
-            continue
+    pending = [
+        (run_id, root)
+        for run_id, root in enumerate(root_list)
+        if root not in done
+    ]
+    batches = [
+        pending[i : i + max(1, root_batch)]
+        for i in range(0, len(pending), max(1, root_batch))
+    ]
+
+    for batch in batches:
         t0 = time.monotonic()
-        pred = bfs_mod.bfs(spark, edges_clean, root, prepartition=False)
-        pred = pred.persist()
-        pred.count()
-        bfs_time = time.monotonic() - t0
+        if len(batch) == 1:
+            run_id, root = batch[0]
+            pred_all = (
+                bfs_mod.bfs(spark, edges_clean, root, prepartition=False)
+                .withColumn("root", F.lit(int(root)))
+                .persist()
+            )
+        else:
+            pred_all = bfs_mod.bfs_multi(
+                spark,
+                edges_clean,
+                [root for _, root in batch],
+                prepartition=False,
+            ).persist()
+        pred_all.count()
+        bfs_time = (time.monotonic() - t0) / len(batch)
 
-        t1 = time.monotonic()
-        if validation:
-            summary = validate.validate_bfs(edges_raw, pred, root, nverts)
-            bad = summary.filter(F.col("violations") > 0).count()
-            if bad:
-                raise AssertionError(
-                    f"BFS validation failed for root {root}: "
-                    + str(summary.collect())
-                )
-        ec = validate.edge_visit_count(edges_raw, pred).collect()[0][
-            "edge_visit_count"
-        ]
-        validate_time = time.monotonic() - t1
-        pred.unpersist()
+        for run_id, root in batch:
+            pred = pred_all.filter(F.col("root") == int(root)).drop("root")
+            t1 = time.monotonic()
+            if validation:
+                summary = validate.validate_bfs(edges_raw, pred, root, nverts)
+                bad = summary.filter(F.col("violations") > 0).count()
+                if bad:
+                    raise AssertionError(
+                        f"BFS validation failed for root {root}: "
+                        + str(summary.collect())
+                    )
+            ec = validate.edge_visit_count(edges_raw, pred).collect()[0][
+                "edge_visit_count"
+            ]
+            validate_time = time.monotonic() - t1
 
-        row = {
-            "run_id": run_id,
-            "root": root,
-            "bfs_time": bfs_time,
-            "validate_time": validate_time,
-            "edge_count": float(ec),
-            "teps": float(ec) / bfs_time if bfs_time > 0 else 0.0,
-        }
-        result.runs.append(row)
-        if results_path is not None:
-            spark.createDataFrame(
-                [tuple(row.values())],
-                "run_id int, root long, bfs_time double, validate_time double,"
-                " edge_count double, teps double",
-            ).write.mode("append").parquet(results_path)
+            row = {
+                "run_id": run_id,
+                "root": root,
+                "bfs_time": bfs_time,
+                "validate_time": validate_time,
+                "edge_count": float(ec),
+                "teps": float(ec) / bfs_time if bfs_time > 0 else 0.0,
+            }
+            result.runs.append(row)
+            if results_path is not None:
+                spark.createDataFrame(
+                    [tuple(row.values())],
+                    "run_id int, root long, bfs_time double,"
+                    " validate_time double, edge_count double, teps double",
+                ).write.mode("append").parquet(results_path)
+        pred_all.unpersist()
 
     edges_clean.unpersist()
     edges_raw.unpersist()

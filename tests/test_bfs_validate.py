@@ -136,3 +136,36 @@ def test_bfs_on_kronecker_graph_validates(spark):
         bad = {r["check"]: r["violations"] for r in summary.collect()}
         assert all(v == 0 for v in bad.values()), bad
     clean.unpersist()
+
+
+class TestBfsMulti:
+    def test_multi_equals_per_root(self, spark):
+        """bfs_multi's per-root slices must be row-identical to
+        independent single-root runs (same min-parent convention)."""
+        from graph500_spark.operators.bfs import bfs, bfs_multi
+        from graph500_spark.operators.graph_build import build_clean_edges
+        from graph500_spark.sources.generator import (
+            generate_kronecker_edges,
+        )
+
+        g = build_clean_edges(generate_kronecker_edges(spark, 8, 8))
+        g = g.persist()
+        roots = [2, 5, 11]
+        multi = bfs_multi(
+            spark, g, roots, prepartition=False, shuffle_partitions=8
+        )
+        got = {
+            (r["root"], r["vertex"]): (r["pred"], r["depth"])
+            for r in multi.collect()
+        }
+        for root in roots:
+            single = bfs(
+                spark, g, root, prepartition=False, shuffle_partitions=8
+            )
+            want = {
+                (root, r["vertex"]): (r["pred"], r["depth"])
+                for r in single.collect()
+            }
+            mine = {k: v for k, v in got.items() if k[0] == root}
+            assert mine == want, f"root {root} diverges"
+        g.unpersist()
