@@ -730,3 +730,141 @@ def embedding_near_duplicates_sql(threshold: float = 0.9) -> str:
         " FROM en a JOIN en b ON a.label = b.label AND a.vec_id < b.vec_id)"
         f" WHERE cosine >= {threshold}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicate SPANS — the scalable approximation of
+# suffix-array substring dedup ("deduplicating training data" style):
+# repeated token n-gram windows across the corpus mark removable
+# spans; the canonical (first) occurrence survives. Exact suffix
+# sorting needs a global order; the rolling-window hash form is one
+# explode + one hash shuffle on the gram key, which scales.
+#
+# Policy: an occurrence is removable iff its n-gram occurs more than
+# once corpus-wide and it is NOT the canonical occurrence (min
+# (doc_id, pos) — deterministic). merged_dup_spans then
+# interval-unions a document's removable spans (overlap-or-adjacent)
+# so downstream text surgery cuts each region once.
+#
+# Scale notes: the gram-key shuffle is zipf-skewed (boilerplate grams
+# are heavy hitters) → AQE skew splitting; the canonical choice is a
+# per-gram window (row_number), the merge is a per-doc running-max
+# window — both partition-local after their shuffle. The hash is the
+# engine-wide 60-bit tier, so a hash collision can at worst merge two
+# gram groups (making dedup slightly more aggressive), never lose a
+# span.
+# ---------------------------------------------------------------------------
+
+DUP_SPAN_N = 5
+
+
+def duplicate_spans(
+    docs: DataFrame, n: int = DUP_SPAN_N, fn: str = DEFAULT_HASH
+) -> DataFrame:
+    """[doc_id, start_pos, end_pos, gram_hash] — removable occurrences
+    of corpus-duplicated token n-grams (1-based token positions,
+    inclusive ends); the canonical first occurrence is NOT listed."""
+    from pyspark.sql import Window
+
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(F.expr(spark_shingles(n))).alias("pos0", "gram"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("start_pos"),
+        F.expr(spark_strhash("gram", fn)).cast("long").alias("gram_hash"),
+    )
+    w = Window.partitionBy("gram_hash").orderBy("doc_id", "start_pos")
+    ranked = grams.select(
+        "doc_id",
+        "start_pos",
+        "gram_hash",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("gram_hash")
+        ).alias("cnt"),
+    )
+    return (
+        ranked.filter((F.col("cnt") > 1) & (F.col("rn") > 1))
+        .select(
+            "doc_id",
+            "start_pos",
+            (F.col("start_pos") + (n - 1)).alias("end_pos"),
+            "gram_hash",
+        )
+    )
+
+
+def duplicate_spans_sql(n: int = DUP_SPAN_N, fn: str = DEFAULT_HASH) -> str:
+    return (
+        "WITH toks AS (SELECT doc_id,"
+        f" {DUCK_TOKENS} AS l FROM documents),"
+        " g0 AS (SELECT doc_id, unnest(list_transform("
+        f" generate_series(1, greatest(len(l) - {n - 1}, 0)),"
+        " i -> {'pos': i,"
+        f" 'g': array_to_string(l[i:i + {n - 1}], ' ')}})) AS u FROM toks),"
+        " grams AS (SELECT doc_id, u.pos AS start_pos,"
+        f" CAST({duck_strhash('u.g', fn)} AS BIGINT) AS gram_hash FROM g0),"
+        " ranked AS (SELECT doc_id, start_pos, gram_hash,"
+        " ROW_NUMBER() OVER (PARTITION BY gram_hash"
+        "  ORDER BY doc_id, start_pos) AS rn,"
+        " COUNT(*) OVER (PARTITION BY gram_hash) AS cnt FROM grams)"
+        " SELECT doc_id, CAST(start_pos AS BIGINT) AS start_pos,"
+        f" CAST(start_pos + {n - 1} AS BIGINT) AS end_pos, gram_hash"
+        " FROM ranked WHERE cnt > 1 AND rn > 1"
+    )
+
+
+def merged_dup_spans(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
+    """[doc_id, span_start, span_end, n_spans_merged] — per-document
+    interval union (overlap-or-adjacent) of the removable spans."""
+    from pyspark.sql import Window
+
+    spans = duplicate_spans(docs, n).select(
+        "doc_id", "start_pos", "end_pos"
+    )
+    w = Window.partitionBy("doc_id").orderBy("start_pos", "end_pos")
+    prev_max = F.max("end_pos").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = spans.withColumn(
+        "new_grp",
+        F.when(
+            prev_max.isNull() | (F.col("start_pos") > prev_max + 1),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "grp",
+        F.sum("new_grp").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return flagged.groupBy("doc_id", "grp").agg(
+        F.min("start_pos").alias("span_start"),
+        F.max("end_pos").alias("span_end"),
+        F.count(F.lit(1)).alias("n_spans_merged"),
+    ).select("doc_id", "span_start", "span_end", "n_spans_merged")
+
+
+def merged_dup_spans_sql(n: int = DUP_SPAN_N) -> str:
+    return (
+        f"WITH spans AS (SELECT doc_id, start_pos, end_pos FROM"
+        f" ({duplicate_spans_sql(n)})),"
+        " flagged AS (SELECT doc_id, start_pos, end_pos,"
+        " CASE WHEN MAX(end_pos) OVER (PARTITION BY doc_id"
+        "  ORDER BY start_pos, end_pos"
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL"
+        "  OR start_pos > MAX(end_pos) OVER (PARTITION BY doc_id"
+        "  ORDER BY start_pos, end_pos"
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1"
+        "  THEN 1 ELSE 0 END AS new_grp FROM spans),"
+        " grouped AS (SELECT doc_id, start_pos, end_pos,"
+        " SUM(new_grp) OVER (PARTITION BY doc_id"
+        "  ORDER BY start_pos, end_pos"
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp"
+        " FROM flagged)"
+        " SELECT doc_id, MIN(start_pos) AS span_start,"
+        " MAX(end_pos) AS span_end,"
+        " COUNT(*) AS n_spans_merged"
+        " FROM grouped GROUP BY doc_id, grp"
+    )

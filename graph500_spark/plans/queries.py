@@ -1279,6 +1279,19 @@ def q_cosine_topk_pq(spark, sf_dir):
     return simsearch_mod.cosine_topk_pq(_embs(spark, sf_dir))
 
 
+def q_duplicate_spans(spark, sf_dir):
+    """Cross-document duplicated-substring detection (rolling n-gram
+    windows, canonical-first-occurrence policy) — the scalable
+    approximation of suffix-array training-data dedup."""
+    return dedup_mod.duplicate_spans(_docs(spark, sf_dir))
+
+
+def q_merged_dup_spans(spark, sf_dir):
+    """Per-document interval union of removable spans (running-max
+    window grouping) — the span list text surgery actually consumes."""
+    return dedup_mod.merged_dup_spans(_docs(spark, sf_dir))
+
+
 def q_vocab_coverage(spark, sf_dir):
     """Tokenizer-vocab induction first step: distributed top-N token
     frequencies (TakeOrdered, never a global sort) + cumulative
@@ -1549,6 +1562,8 @@ QUERIES: dict[str, QueryFn] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "embedding_near_duplicates": q_embedding_near_duplicates,
     "embedding_near_duplicates_ivf": q_embedding_near_duplicates_ivf,
+    "duplicate_spans": q_duplicate_spans,
+    "merged_dup_spans": q_merged_dup_spans,
     "corpus_clean": q_corpus_clean,
     "train_test_split": q_train_test_split,
     "term_doc_frequency": q_term_doc_frequency,
@@ -1862,6 +1877,8 @@ ORACLE_SQL: dict[str, str] = {
         dedup_mod.simhash_near_duplicates_blocked_sql(),
     "ngram_jaccard_pairs": dedup_mod.ngram_jaccard_pairs_sql(),
     "embedding_near_duplicates": dedup_mod.embedding_near_duplicates_sql(0.2),
+    "duplicate_spans": dedup_mod.duplicate_spans_sql(),
+    "merged_dup_spans": dedup_mod.merged_dup_spans_sql(),
     "embedding_near_duplicates_ivf":
         dedup_mod.embedding_near_duplicates_ivf_sql(0.2),
     "corpus_clean": corpus_mod.corpus_clean_sql(),

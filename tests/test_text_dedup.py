@@ -309,3 +309,57 @@ def test_corpus_mix_epoch_counts(spark):
     assert sorted(out[0]) == [1]
     assert sorted(out[1]) == [1, 2]
     assert sorted(out[2]) == [1, 2, 3]
+
+
+class TestDuplicateSpans:
+    def test_canonical_survives_and_spans_merge(self, spark):
+        from graph500_spark.operators.dedup import (
+            duplicate_spans,
+            merged_dup_spans,
+        )
+
+        # doc 1 and doc 2 share the 5-gram 'a b c d e' (doc1 pos 1,
+        # doc2 pos 2); doc 2 repeats it at pos 8 too.
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d e x y z"),
+                (2, "q a b c d e r a b c d e"),
+                (3, "totally different words here now"),
+            ],
+            "doc_id: long, text: string",
+        )
+        spans = duplicate_spans(docs, n=5).collect()
+        got = {(r.doc_id, r.start_pos, r.end_pos) for r in spans}
+        # canonical = (doc 1, pos 1) -> not listed; removable are the
+        # doc-2 occurrences at pos 2 and pos 8
+        assert (1, 1, 5) not in got
+        assert (2, 2, 6) in got
+        assert (2, 8, 12) in got
+        assert all(r.doc_id != 3 for r in spans)
+
+        merged = {
+            (r.doc_id, r.span_start, r.span_end, r.n_spans_merged)
+            for r in merged_dup_spans(docs, n=5).collect()
+        }
+        # doc2's spans [2,6] and [8,12] are NOT adjacent (gap at 7) ->
+        # stay separate
+        assert (2, 2, 6, 1) in merged and (2, 8, 12, 1) in merged
+
+    def test_overlapping_spans_merge(self, spark):
+        from graph500_spark.operators.dedup import merged_dup_spans
+
+        # 'a b c d e f' shared by both docs -> two overlapping
+        # duplicated 5-grams in doc 2 (pos 1..5 and 2..6) merge to one
+        # interval [1, 6].
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d e f"),
+                (2, "a b c d e f"),
+            ],
+            "doc_id: long, text: string",
+        )
+        merged = {
+            (r.doc_id, r.span_start, r.span_end, r.n_spans_merged)
+            for r in merged_dup_spans(docs, n=5).collect()
+        }
+        assert merged == {(2, 1, 6, 2)}
