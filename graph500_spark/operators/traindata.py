@@ -147,6 +147,151 @@ def stratified_sample_sql(
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Naive Bayes language classifier — TRAINED inside the engine (the
+# inference-only sibling is model_quality_scores, which broadcasts a
+# pre-learned weight table). Training is counting: per-(lang, token)
+# add-one-smoothed log-likelihoods from the corpus's own labels;
+# prediction is an exploded token join + per-(doc, lang) sum + argmax.
+#
+# Cross-engine exactness: log-likelihoods are QUANTIZED to integer
+# micro-nats (round(ln(p)·10^6) as BIGINT) at train time, so the
+# prediction-time sums are exact integers — shuffle order cannot
+# change them, and the argmax ties break by language code. (Raw
+# double log-sums would be summation-order-dependent — the same
+# obstruction kmeans_cells removes by integer quantization.)
+#
+# Scale shape: training is one explode + two hash aggs (the
+# term-frequency plan); the model table is ≤ |V|·|langs| rows — a
+# broadcast-joinable dimension exactly like model_quality_scores'
+# weight table. Prediction is one explode + broadcast join + one
+# map-side-combinable (doc, lang) sum.
+# ---------------------------------------------------------------------------
+
+NB_SCALE = 1_000_000
+
+
+def nb_train(docs: DataFrame) -> DataFrame:
+    """[lang, token, ll_q] — add-one-smoothed log P(token|lang) in
+    integer micro-nats, trained on the documents' own lang labels."""
+    tok = docs.select(
+        "lang", F.explode(F.expr(SPARK_TOKENS)).alias("token")
+    )
+    counts = tok.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = tok.groupBy("lang").agg(F.count(F.lit(1)).alias("total"))
+    vocab = tok.select("token").distinct().agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    return (
+        counts.join(totals, "lang")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "lang",
+            "token",
+            F.round(
+                F.log((F.col("cnt") + 1) / (F.col("total") + F.col("v")))
+                * NB_SCALE
+            )
+            .cast("long")
+            .alias("ll_q"),
+        )
+    )
+
+
+def nb_train_sql() -> str:
+    return (
+        "WITH tok AS (SELECT lang, unnest("
+        + DUCK_TOKENS
+        + ") AS token FROM documents),"
+        " counts AS (SELECT lang, token, COUNT(*) AS cnt FROM tok"
+        "  GROUP BY lang, token),"
+        " totals AS (SELECT lang, COUNT(*) AS total FROM tok GROUP BY lang),"
+        " vocab AS (SELECT COUNT(DISTINCT token) AS v FROM tok)"
+        " SELECT c.lang, c.token,"
+        " CAST(round(ln((c.cnt + 1) / CAST(t.total + vocab.v AS DOUBLE))"
+        f" * {NB_SCALE}) AS BIGINT) AS ll_q"
+        " FROM counts c JOIN totals t ON c.lang = t.lang CROSS JOIN vocab"
+    )
+
+
+def nb_predict(docs: DataFrame) -> DataFrame:
+    """[doc_id, nb_pred, score_q] — argmax language under the
+    in-engine-trained NB model (exact integer micro-nat sums; unseen
+    (lang, token) pairs take the lang's smoothing floor
+    round(ln(1/(total+V))·10^6); ties break by language code).
+    Zero-token documents are absent (no evidence)."""
+    from pyspark.sql import Window
+
+    model = nb_train(docs)
+    tok = docs.select(
+        "doc_id", F.explode(F.expr(SPARK_TOKENS)).alias("token")
+    )
+    ttok = docs.select("lang", F.explode(F.expr(SPARK_TOKENS)).alias("t2"))
+    totals = ttok.groupBy("lang").agg(F.count(F.lit(1)).alias("total"))
+    vocab = ttok.select("t2").distinct().agg(F.count(F.lit(1)).alias("v"))
+    floors = totals.crossJoin(F.broadcast(vocab)).select(
+        "lang",
+        F.round(F.log(1 / (F.col("total") + F.col("v"))) * NB_SCALE)
+        .cast("long")
+        .alias("floor_q"),
+    )
+    # every (token occurrence × lang) gets the trained ll or the floor
+    scored = (
+        tok.crossJoin(F.broadcast(floors))
+        .join(F.broadcast(model), ["lang", "token"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("ll_q", "floor_q").alias("llv"),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("llv").alias("score_q"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_q").desc(), F.col("lang").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("nb_pred"), "score_q")
+    )
+
+
+def nb_predict_sql() -> str:
+    return (
+        "WITH tok AS (SELECT lang, unnest("
+        + DUCK_TOKENS
+        + ") AS token FROM documents),"
+        " counts AS (SELECT lang, token, COUNT(*) AS cnt FROM tok"
+        "  GROUP BY lang, token),"
+        " totals AS (SELECT lang, COUNT(*) AS total FROM tok GROUP BY lang),"
+        " vocab AS (SELECT COUNT(DISTINCT token) AS v FROM tok),"
+        " model AS (SELECT c.lang, c.token,"
+        " CAST(round(ln((c.cnt + 1) / CAST(t.total + vocab.v AS DOUBLE))"
+        f" * {NB_SCALE}) AS BIGINT) AS ll_q"
+        " FROM counts c JOIN totals t ON c.lang = t.lang CROSS JOIN vocab),"
+        " floors AS (SELECT t.lang,"
+        " CAST(round(ln(1 / CAST(t.total + vocab.v AS DOUBLE))"
+        f" * {NB_SCALE}) AS BIGINT) AS floor_q"
+        " FROM totals t CROSS JOIN vocab),"
+        " dtok AS (SELECT doc_id, unnest("
+        + DUCK_TOKENS
+        + ") AS token FROM documents),"
+        " scored AS (SELECT d.doc_id, f.lang,"
+        " SUM(COALESCE(m.ll_q, f.floor_q)) AS score_q"
+        " FROM dtok d CROSS JOIN floors f"
+        " LEFT JOIN model m ON m.lang = f.lang AND m.token = d.token"
+        " GROUP BY d.doc_id, f.lang),"
+        " ranked AS (SELECT doc_id, lang, score_q,"
+        " ROW_NUMBER() OVER (PARTITION BY doc_id"
+        "  ORDER BY score_q DESC, lang ASC) AS rn FROM scored)"
+        " SELECT doc_id, lang AS nb_pred,"
+        " CAST(score_q AS BIGINT) AS score_q FROM ranked WHERE rn = 1"
+    )
+
+
 def vocab_coverage(docs: DataFrame, top_n: int = 100) -> DataFrame:
     """[rank, token, cnt, frac, cum_frac] — top-N tokens by corpus
     frequency (ties → lexicographic), with per-token and cumulative

@@ -1266,6 +1266,20 @@ def q_stratified_sample(spark, sf_dir):
     return traindata_mod.stratified_sample(_docs(spark, sf_dir))
 
 
+def q_nb_train(spark, sf_dir):
+    """In-engine model TRAINING: per-(lang, token) add-one-smoothed
+    log-likelihoods in integer micro-nats (counting = two hash aggs;
+    the model is a broadcast-joinable dimension table)."""
+    return traindata_mod.nb_train(_docs(spark, sf_dir))
+
+
+def q_nb_predict(spark, sf_dir):
+    """Inference under the in-engine-trained NB model: exact integer
+    log-prob sums (shuffle-order-free), argmax with deterministic
+    ties."""
+    return traindata_mod.nb_predict(_docs(spark, sf_dir))
+
+
 def q_pq_codes(spark, sf_dir):
     """Product-quantization encoding: each vector → PQ_M codeword ids
     (broadcast codebook + per-subspace argmin; exact-integer L2 via
@@ -1583,6 +1597,8 @@ QUERIES: dict[str, QueryFn] = {
     "repetition_stats": q_repetition_stats,
     "stratified_sample": q_stratified_sample,
     "vocab_coverage": q_vocab_coverage,
+    "nb_train": q_nb_train,
+    "nb_predict": q_nb_predict,
     "pq_codes": q_pq_codes,
     "cosine_topk_pq": q_cosine_topk_pq,
     "cosine_topk_pq_rerank": q_cosine_topk_pq_rerank,
@@ -1860,6 +1876,8 @@ ORACLE_SQL: dict[str, str] = {
     "repetition_stats": text_mod.repetition_stats_sql(),
     "stratified_sample": traindata_mod.stratified_sample_sql(),
     "vocab_coverage": traindata_mod.vocab_coverage_sql(),
+    "nb_train": traindata_mod.nb_train_sql(),
+    "nb_predict": traindata_mod.nb_predict_sql(),
     "pq_codes": simsearch_mod.pq_codes_sql(),
     "cosine_topk_pq": simsearch_mod.cosine_topk_pq_sql(),
     "cosine_topk_pq_rerank": simsearch_mod.cosine_topk_pq_rerank_sql(),

@@ -81,3 +81,43 @@ class TestPacking:
         rows = [(7, " ".join(["tok"] * 23))]
         r = pack_chunks(_docs(spark, rows), budget=5).collect()[0]
         assert r.end_chunk - r.start_chunk == 4  # 23 tokens / 5 ⇒ 5 chunks
+
+
+class TestNaiveBayes:
+    DOCS = [
+        (1, "der hund und die katze", "de"),
+        (2, "die der und nicht ist", "de"),
+        (3, "the cat and the dog", "en"),
+        (4, "the of and to in", "en"),
+        # held-out-ish rows: label says de/en, tokens overlap training
+        (5, "der und die", "de"),
+        (6, "the and of", "en"),
+    ]
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            self.DOCS, "doc_id: long, text: string, lang: string"
+        )
+
+    def test_train_table_shape_and_monotonicity(self, spark):
+        from graph500_spark.operators.traindata import nb_train
+
+        model = nb_train(self._docs(spark)).collect()
+        rows = {(r.lang, r.token): r.ll_q for r in model}
+        # seen-token likelihood always above an unseen one would be
+        # (floor): cnt+1 >= 2 > 1
+        assert all(v < 0 for v in rows.values())
+        # 'der' appears 3x in de -> higher (less negative) than 'katze' 1x
+        assert rows[("de", "der")] > rows[("de", "katze")]
+        # no cross-label leakage rows for tokens never seen in a lang
+        assert ("en", "katze") not in rows
+
+    def test_predict_recovers_training_labels(self, spark):
+        from graph500_spark.operators.traindata import nb_predict
+
+        preds = {
+            r.doc_id: r.nb_pred
+            for r in nb_predict(self._docs(spark)).collect()
+        }
+        want = {d[0]: d[2] for d in self.DOCS}
+        assert preds == want
