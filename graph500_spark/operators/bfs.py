@@ -282,3 +282,34 @@ def bfs_fixed_depth(
         prepartition=prepartition,
         shuffle_partitions=shuffle_partitions,
     )
+
+
+HARMONIC_SCALE = 1_000_000
+
+
+def harmonic_closeness_sampled(
+    spark: SparkSession,
+    edges_clean: DataFrame,
+    roots: list[int],
+    **bfs_kwargs,
+) -> DataFrame:
+    """Sampled harmonic centrality: H(v) ≈ Σ_{r∈roots, r≠v} 1/d(r, v)
+    over a root sample — the standard scalable estimator (exact
+    closeness needs all-pairs distances). Returns [vertex, n_sources,
+    harmonic_q] with the reciprocal depths quantized to integers
+    (round(10^6/d)) so the aggregation is exact and order-free.
+
+    Built directly on ``bfs_multi``: one batched traversal provides
+    every sampled source's distances, so the estimator costs one
+    multi-frontier BFS, not |roots| sequential ones. Disconnected
+    (root, vertex) pairs contribute nothing — harmonic centrality's
+    standard treatment of unreachable nodes."""
+    depths = bfs_multi(spark, edges_clean, roots, **bfs_kwargs).filter(
+        F.col("depth") > 0
+    )
+    return depths.groupBy("vertex").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.sum(
+            F.expr(f"cast(round({HARMONIC_SCALE}.0 / depth) as bigint)")
+        ).alias("harmonic_q"),
+    )

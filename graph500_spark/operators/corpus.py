@@ -221,3 +221,43 @@ def corpus_mix_sql(weight_expr: str = MIX_WEIGHT_DUCK) -> str:
         f" CAST(unnest(generate_series(1, {weight_expr})) AS INTEGER)"
         " AS epoch FROM documents"
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation report: per-(source, lang) / per-source / global
+# document stats in ONE grouped pass via ROLLUP — the dataset-card
+# table a curation pipeline publishes. Same idiom as the event-time
+# family's hypertable rollup (streaming/windows.py::event_rollup):
+# multi-resolution aggregates share a single scan with map-side
+# partial aggregation. SUMs are integer-exact; the average is the
+# explicit sum/count quotient so both engines round identically.
+# ---------------------------------------------------------------------------
+
+
+def _corpus_rollup_sql(tokens_expr: str, len_fn: str) -> str:
+    return (
+        f"WITH base AS (SELECT source, lang,"
+        f" CAST({len_fn}({tokens_expr}) AS BIGINT) AS n_toks, n_chars"
+        " FROM documents)"
+        " SELECT CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END"
+        "  AS source_grp,"
+        " CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang_grp,"
+        " CAST(COUNT(*) AS BIGINT) AS n_docs,"
+        " CAST(SUM(n_toks) AS BIGINT) AS total_tokens,"
+        " CAST(ROUND(SUM(n_chars) / CAST(COUNT(*) AS DOUBLE), 5) AS DOUBLE)"
+        "  AS avg_chars"
+        " FROM base GROUP BY ROLLUP (source, lang)"
+    )
+
+
+def corpus_stats_rollup(docs) -> "DataFrame":
+    """[source_grp, lang_grp, n_docs, total_tokens, avg_chars] at
+    (source, lang), (source), and global grains in one pass."""
+    docs.createOrReplaceTempView("documents")
+    return docs.sparkSession.sql(
+        _corpus_rollup_sql(tx.SPARK_TOKENS, "size")
+    )
+
+
+def corpus_stats_rollup_sql() -> str:
+    return _corpus_rollup_sql(tx.DUCK_TOKENS, "len")

@@ -712,6 +712,24 @@ def q_bfs_multi(spark, sf_dir):
     )
 
 
+def q_closeness_sampled(spark, sf_dir):
+    """Sampled harmonic centrality via ONE batched multi-source BFS
+    (integer-quantized reciprocal depths — exact, order-free sums)."""
+    return bfs_mod.harmonic_closeness_sampled(
+        spark,
+        clean_hetero_graph(spark, sf_dir),
+        MULTI_BFS_ROOTS,
+        prepartition=False,
+        shuffle_partitions=8,
+    )
+
+
+def q_corpus_stats_rollup(spark, sf_dir):
+    """Dataset-card curation report: (source, lang)/(source)/global
+    stats in one ROLLUP pass — the corpus sibling of event_rollup."""
+    return corpus_mod.corpus_stats_rollup(_docs(spark, sf_dir))
+
+
 def q_edge_visit_count(spark, sf_dir):
     raw = hetero_edges(spark, sf_dir)
     pred = q_bfs_depth3(spark, sf_dir)
@@ -1578,6 +1596,8 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_near_duplicates_ivf": q_embedding_near_duplicates_ivf,
     "duplicate_spans": q_duplicate_spans,
     "merged_dup_spans": q_merged_dup_spans,
+    "corpus_stats_rollup": q_corpus_stats_rollup,
+    "closeness_sampled": q_closeness_sampled,
     "corpus_clean": q_corpus_clean,
     "train_test_split": q_train_test_split,
     "term_doc_frequency": q_term_doc_frequency,
@@ -1897,6 +1917,16 @@ ORACLE_SQL: dict[str, str] = {
     "embedding_near_duplicates": dedup_mod.embedding_near_duplicates_sql(0.2),
     "duplicate_spans": dedup_mod.duplicate_spans_sql(),
     "merged_dup_spans": dedup_mod.merged_dup_spans_sql(),
+    "corpus_stats_rollup": corpus_mod.corpus_stats_rollup_sql(),
+    "closeness_sampled": (
+        "WITH depths AS (SELECT root, vertex, depth FROM ("
+        + bfs_multi_sql(HETERO_EDGES_SQL, MULTI_BFS_ROOTS)
+        + ") WHERE depth > 0)"
+        " SELECT vertex, CAST(COUNT(*) AS BIGINT) AS n_sources,"
+        " CAST(SUM(CAST(round(1000000.0 / depth) AS BIGINT)) AS BIGINT)"
+        "  AS harmonic_q"
+        " FROM depths GROUP BY vertex"
+    ),
     "embedding_near_duplicates_ivf":
         dedup_mod.embedding_near_duplicates_ivf_sql(0.2),
     "corpus_clean": corpus_mod.corpus_clean_sql(),
