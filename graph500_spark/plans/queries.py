@@ -1346,6 +1346,15 @@ def q_cosine_topk_pq_rerank(spark, sf_dir):
     return simsearch_mod.cosine_topk_pq_rerank(_embs(spark, sf_dir))
 
 
+def q_event_props_stats(spark, sf_dir):
+    """Semi-structured payload support: JSON property extraction
+    inside codegen (get_json_object ≡ json_extract_string) over the
+    pruned (event_type, props) scan — no UDF."""
+    from graph500_spark.streaming.windows import event_props_stats
+
+    return event_props_stats(td.load_table(spark, sf_dir, "events"))
+
+
 def q_ann_recall(spark, sf_dir):
     """Recall@k of every approximate index (LSH/IVF/PQ) against the
     brute-force exact top-k — index quality measured inside the
@@ -1624,6 +1633,7 @@ QUERIES: dict[str, QueryFn] = {
     "cosine_topk_pq_rerank": q_cosine_topk_pq_rerank,
     "ann_recall": q_ann_recall,
     "event_value_quantiles": q_event_value_quantiles,
+    "event_props_stats": q_event_props_stats,
     "model_quality_scores": q_model_quality_scores,
     "corpus_mix": q_corpus_mix,
     "kmeans_cells": q_kmeans_cells,
@@ -1976,6 +1986,7 @@ def _late_oracles() -> dict[str, str]:
         "event_rollup": windows_mod.event_rollup_sql(),
         "event_gapfill": windows_mod.event_gapfill_sql(),
         "event_value_quantiles": windows_mod.event_value_quantiles_sql(),
+        "event_props_stats": windows_mod.event_props_stats_sql(),
     }
 
 

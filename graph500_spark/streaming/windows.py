@@ -284,3 +284,41 @@ def event_value_quantiles_sql() -> str:
         " CAST(round(MAX(value), 5) AS DOUBLE) AS max_value"
         " FROM events GROUP BY event_type"
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured column support: the events table carries a JSON
+# `props` string (the typical event-pipeline payload). Extraction
+# stays JVM-side (get_json_object ≡ DuckDB json_extract_string), so
+# JSON parsing happens inside codegen on the pruned (event_type,
+# props) scan — no UDF, no full-row materialization. At 100 TB the
+# move is to parse ONCE at ingest into typed columns; this operator
+# is the exploratory/ad-hoc path over raw payloads.
+# ---------------------------------------------------------------------------
+
+
+def event_props_stats(events: DataFrame) -> DataFrame:
+    """[event_type, n_events, n_with_k, sum_k, avg_k] — per-type stats
+    of the JSON property $.k extracted from the props payload."""
+    k = F.expr("CAST(get_json_object(props, '$.k') AS BIGINT)")
+    return events.select("event_type", k.alias("k")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        F.round(F.sum("k") / F.count("k"), 5).cast("double").alias("avg_k"),
+    )
+
+
+def event_props_stats_sql() -> str:
+    return (
+        "SELECT event_type, COUNT(*) AS n_events,"
+        " COUNT(k) AS n_with_k,"
+        " CAST(SUM(k) AS BIGINT) AS sum_k,"
+        " CAST(round(SUM(k) / CAST(COUNT(k) AS DOUBLE), 5) AS DOUBLE)"
+        "  AS avg_k"
+        " FROM (SELECT event_type,"
+        " CAST(json_extract_string(props, '$.k') AS BIGINT) AS k"
+        " FROM events) GROUP BY event_type"
+    )
