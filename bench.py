@@ -167,6 +167,19 @@ def main() -> int:
             spark, sf_dir
         ).count(),
         "ann_recall": lambda: Q.q_ann_recall(spark, sf_dir).count(),
+        "duplicate_spans": lambda: Q.q_duplicate_spans(
+            spark, sf_dir
+        ).count(),
+        "nb_predict": lambda: Q.q_nb_predict(spark, sf_dir).count(),
+        "corpus_stats_rollup": lambda: Q.q_corpus_stats_rollup(
+            spark, sf_dir
+        ).count(),
+        "event_props_stats": lambda: Q.q_event_props_stats(
+            spark, sf_dir
+        ).count(),
+        "closeness_sampled": lambda: Q.q_closeness_sampled(
+            spark, sf_dir
+        ).count(),
     }
 
     timings: dict[str, float] = {}

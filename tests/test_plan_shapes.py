@@ -144,3 +144,26 @@ def test_pq_scoring_broadcasts_and_avoids_raw_rescans(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_duplicate_spans_shape(spark):
+    """Span detection must stay explode + gram-hash shuffle + windows:
+    no join at all (a cartesian/self-join formulation would be the
+    O(n^2) trap), and the scan pruned to (doc_id, text)."""
+    plan = plan_of(Q.QUERIES["duplicate_spans"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scans
+    for s in scans:
+        assert "lang" not in s and "n_chars" not in s
+
+
+def test_nb_predict_model_join_broadcasts(spark):
+    """The trained model is a dimension table: its join into the
+    exploded token stream must be a BroadcastHashJoin (the intended
+    cross join with the tiny per-lang floor table is the only
+    nested-loop site)."""
+    plan = plan_of(Q.QUERIES["nb_predict"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
