@@ -379,7 +379,7 @@ def _kron(spark) -> int:
 def _bfs16(spark, kron16) -> int:
     from graph500_spark.operators.bfs import bfs
 
-    return bfs(spark, kron16, root=2).count()
+    return bfs(spark, kron16, root=2, shuffle_partitions=8).count()
 
 
 _AB_ROOTS = [2, 3, 5, 7]
@@ -392,7 +392,7 @@ def _bfs16_roots_seq(spark, kron16) -> int:
 
     n = 0
     for r in _AB_ROOTS:
-        n += bfs(spark, kron16, root=r).count()
+        n += bfs(spark, kron16, root=r, shuffle_partitions=8).count()
     return n
 
 
@@ -401,7 +401,7 @@ def _bfs16_roots_batched(spark, kron16) -> int:
     per-level scheduling floor is paid once per batch, not per root."""
     from graph500_spark.operators.bfs import bfs_multi
 
-    return bfs_multi(spark, kron16, _AB_ROOTS).count()
+    return bfs_multi(spark, kron16, _AB_ROOTS, shuffle_partitions=8).count()
 
 
 def _bfs_storage(spark, edges, prepartition: bool) -> int:
@@ -412,10 +412,12 @@ def _bfs_storage(spark, edges, prepartition: bool) -> int:
     from graph500_spark.operators.bfs import bfs
 
     if prepartition:
-        return bfs(spark, edges, root=2, prepartition=True).count()
+        return bfs(spark, edges, root=2, prepartition=True,
+                   shuffle_partitions=8).count()
     cached = edges.persist()
     try:
-        return bfs(spark, cached, root=2, prepartition=False).count()
+        return bfs(spark, cached, root=2, prepartition=False,
+                   shuffle_partitions=8).count()
     finally:
         cached.unpersist()
 

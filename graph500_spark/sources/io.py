@@ -112,3 +112,58 @@ def write_bucketed_edges(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+# ---------------------------------------------------------------------------
+# Document-corpus interchange (the text-pipeline sibling of the edge
+# formats): corpora arrive as JSONL dumps or CSV exports as often as
+# parquet. Same contract as read_edges — schema-EXPLICIT (inference is
+# a second full scan, type-unstable on empty partitions), identical
+# column order and types across formats, so every text operator
+# composes over any source format unchanged. json here is JSON-lines
+# (one document object per line), the standard corpus dump layout and
+# the only splittable JSON shape at 100 TB.
+# ---------------------------------------------------------------------------
+
+DOC_FORMATS = ("parquet", "orc", "csv", "json")
+DOC_SCHEMA_DDL = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+_DOC_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+_DOC_TYPES = ("long", "string", "string", "string", "long")
+
+
+def write_documents(
+    docs: DataFrame, path: str, format: str = "parquet"
+) -> None:
+    """Document corpus to any supported interchange format."""
+    if format not in DOC_FORMATS:
+        raise ValueError(f"unsupported document format: {format}")
+    w = docs.select(*_DOC_COLS).write.mode("overwrite").format(format)
+    if format == "csv":
+        # corpus text contains arbitrary separators/newlines: quote
+        # everything and escape quotes so the round trip is lossless
+        w = w.option("header", "true").option("quoteAll", "true").option(
+            "escape", '"'
+        )
+    w.save(path)
+
+
+def read_documents(
+    spark: SparkSession, path: str, format: str = "parquet"
+) -> DataFrame:
+    """Document corpus from any supported format, schema-explicit and
+    column-identical across formats."""
+    if format not in DOC_FORMATS:
+        raise ValueError(f"unsupported document format: {format}")
+    r = spark.read.format(format)
+    if format in ("csv", "json"):
+        r = r.schema(DOC_SCHEMA_DDL)
+        if format == "csv":
+            r = r.option("header", "true").option("quote", '"').option(
+                "escape", '"'
+            )
+    df = r.load(path)
+    return df.select(
+        *[df[c].cast(t) for c, t in zip(_DOC_COLS, _DOC_TYPES)]
+    )

@@ -77,3 +77,51 @@ def test_edge_roundtrip_all_formats(spark, tmp_path):
         assert got == expect, fmt
         schema = read_edges(spark, path, format=fmt).schema.simpleString()
         assert schema == "struct<src:bigint,dst:bigint>", fmt
+
+
+class TestDocumentFormats:
+    def test_round_trip_all_formats(self, spark, tmp_path):
+        from graph500_spark.sources.io import (
+            DOC_FORMATS,
+            read_documents,
+            write_documents,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        want = {
+            (r.doc_id, r.text, r.lang, r.source, r.n_chars)
+            for r in docs.collect()
+        }
+        for fmt in DOC_FORMATS:
+            p = str(tmp_path / f"docs_{fmt}")
+            write_documents(docs, p, fmt)
+            back = read_documents(spark, p, fmt)
+            assert back.schema.simpleString() == (
+                "struct<doc_id:bigint,text:string,lang:string,"
+                "source:string,n_chars:bigint>"
+            ), fmt
+            got = {
+                (r.doc_id, r.text, r.lang, r.source, r.n_chars)
+                for r in back.collect()
+            }
+            assert got == want, f"{fmt} round trip lost rows"
+
+    def test_text_operators_compose_over_any_format(self, spark, tmp_path):
+        from graph500_spark.operators.text import token_count
+        from graph500_spark.sources.io import (
+            read_documents,
+            write_documents,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        p = str(tmp_path / "docs_jsonl")
+        write_documents(docs, p, "json")
+        want = {
+            (r.doc_id, r.n_tokens)
+            for r in token_count(docs).collect()
+        }
+        got = {
+            (r.doc_id, r.n_tokens)
+            for r in token_count(read_documents(spark, p, "json")).collect()
+        }
+        assert got == want
