@@ -252,10 +252,39 @@ def _corpus_rollup_sql(tokens_expr: str, len_fn: str) -> str:
 
 def corpus_stats_rollup(docs) -> "DataFrame":
     """[source_grp, lang_grp, n_docs, total_tokens, avg_chars] at
-    (source, lang), (source), and global grains in one pass."""
-    docs.createOrReplaceTempView("documents")
-    return docs.sparkSession.sql(
-        _corpus_rollup_sql(tx.SPARK_TOKENS, "size")
+    (source, lang), (source), and global grains in one pass.
+
+    DataFrame-API rollup (no temp view — a library function must not
+    mutate the session's view namespace); F.grouping() distinguishes
+    the subtotal rows exactly like SQL GROUPING()."""
+    base = docs.select(
+        "source",
+        "lang",
+        F.expr(f"CAST(size({tx.SPARK_TOKENS}) AS BIGINT)").alias("n_toks"),
+        "n_chars",
+    )
+    return (
+        base.rollup("source", "lang")
+        .agg(
+            F.grouping("source").alias("gs"),
+            F.grouping("lang").alias("gl"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.round(F.sum("n_chars") / F.count(F.lit(1)), 5)
+            .cast("double")
+            .alias("avg_chars"),
+        )
+        .select(
+            F.when(F.col("gs") == 1, F.lit("ALL"))
+            .otherwise(F.col("source"))
+            .alias("source_grp"),
+            F.when(F.col("gl") == 1, F.lit("ALL"))
+            .otherwise(F.col("lang"))
+            .alias("lang_grp"),
+            "n_docs",
+            "total_tokens",
+            "avg_chars",
+        )
     )
 
 

@@ -1,0 +1,133 @@
+"""Property/differential tests for the round-3 operators: the
+repetition statistics are checked against an independent pure-Python
+reference on hypothesis-generated corpora, and the span-merge /
+sampling invariants are asserted over randomized inputs. (Cross-engine
+value parity is the oracle gate's job; these pin the semantics against
+a second implementation and against algebraic invariants.)"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from graph500_spark.operators.dedup import duplicate_spans, merged_dup_spans
+from graph500_spark.operators.text import repetition_stats
+
+TOKENS = st.lists(
+    st.sampled_from(["a", "b", "c", "dd", "e9"]), min_size=0, max_size=12
+)
+CORPUS = st.lists(TOKENS, min_size=1, max_size=5)
+
+
+def _py_repetition(tokens: list[str]) -> dict:
+    def dup_frac(n):
+        grams = [
+            " ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)
+        ]
+        if not grams:
+            return 0.0
+        return (len(grams) - len(set(grams))) / len(grams)
+
+    def top_frac(items):
+        if not items:
+            return 0.0
+        c = Counter(items)
+        return max(c.values()) / len(items)
+
+    grams2 = [" ".join(tokens[i : i + 2]) for i in range(len(tokens) - 1)]
+    return {
+        "n_tokens": len(tokens),
+        "dup_2gram_frac": dup_frac(2),
+        "dup_3gram_frac": dup_frac(3),
+        "top_token_frac": top_frac(tokens),
+        "top_2gram_frac": top_frac(grams2),
+    }
+
+
+@pytest.mark.usefixtures("spark")
+class TestRepetitionDifferential:
+    @given(CORPUS)
+    @settings(max_examples=8, deadline=None)
+    def test_matches_python_reference(self, spark, corpus):
+        docs = spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in enumerate(corpus)],
+            "doc_id: long, text: string",
+        )
+        got = {r.doc_id: r for r in repetition_stats(docs).collect()}
+        for i, toks in enumerate(corpus):
+            want = _py_repetition(toks)
+            r = got[i]
+            assert r.n_tokens == want["n_tokens"], toks
+            for k in (
+                "dup_2gram_frac",
+                "dup_3gram_frac",
+                "top_token_frac",
+                "top_2gram_frac",
+            ):
+                assert abs(getattr(r, k) - want[k]) <= 1e-6, (k, toks)
+
+
+class TestSpanInvariants:
+    def test_merged_spans_are_disjoint_sorted_and_cover(self, spark):
+        # randomized-but-deterministic corpus with heavy duplication
+        vocab = ["w%d" % (i % 7) for i in range(11)]
+        rows = [
+            (
+                d,
+                " ".join(
+                    vocab[(d * 13 + j * 5) % len(vocab)] for j in range(30)
+                ),
+            )
+            for d in range(24)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+        raw = duplicate_spans(docs, n=5).collect()
+        merged = merged_dup_spans(docs, n=5).collect()
+
+        by_doc: dict[int, list] = {}
+        for m in merged:
+            by_doc.setdefault(m.doc_id, []).append(m)
+        for d, spans in by_doc.items():
+            spans.sort(key=lambda s: s.span_start)
+            for s in spans:
+                assert 1 <= s.span_start <= s.span_end <= 30
+            # disjoint AND non-adjacent (adjacent would have merged)
+            for a, b in zip(spans, spans[1:]):
+                assert b.span_start > a.span_end + 1, (d, a, b)
+
+        # every removable raw span lies inside exactly one merged span
+        for r in raw:
+            hits = [
+                m
+                for m in by_doc.get(r.doc_id, [])
+                if m.span_start <= r.start_pos and r.end_pos <= m.span_end
+            ]
+            assert len(hits) == 1, r
+        # merged span counts add up to the raw span count
+        assert sum(m.n_spans_merged for m in merged) == len(raw)
+
+
+class TestSamplingInvariants:
+    def test_output_subset_and_bucket_under_rate(self, spark):
+        from graph500_spark.operators.traindata import stratified_sample
+
+        rows = [
+            (i, "t", "xx", f"s{i % 5}", 1) for i in range(500)
+        ]
+        docs = spark.createDataFrame(
+            rows,
+            "doc_id: long, text: string, lang: string, source: string,"
+            " n_chars: long",
+        )
+        rates = {"s0": 0, "s1": 100, "s2": 500, "s3": 900, "s4": 1000}
+        out = stratified_sample(docs, rates).collect()
+        in_ids = {r[0] for r in rows}
+        for r in out:
+            assert r.doc_id in in_ids
+            assert 0 <= r.bucket < rates[r.source]
+        assert not [r for r in out if r.source == "s0"]
+        n4 = sum(1 for r in out if r.source == "s4")
+        assert n4 == 100  # rate 1000 keeps every s4 row
