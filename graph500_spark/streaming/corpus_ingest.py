@@ -13,10 +13,11 @@ unbounded, while the sink anti-join stays an equi-join Catalyst can
 shuffle-partition — and at scale the survivors table is bucketed by
 ``text_hash`` so each micro-batch probes only matching buckets.
 
-Near-dup (MinHash) removal is deliberately batch-scoped here: its
-cross-batch form needs a persistent LSH band index, which is the
-band-bucket table ``operators/dedup.py`` already builds — a periodic
-compaction job over the survivors table, not per-batch work.
+Near-dup (MinHash) removal is deliberately NOT per-batch work: its
+cross-batch form is the periodic ``compact_near_dups`` job below — a
+MinHash/LSH pass (operators/dedup.py) over the accepted table that
+drops the non-canonical side of every verified pair, amortizing the
+banding cost over many micro-batches instead of paying it per batch.
 """
 
 from __future__ import annotations
@@ -121,3 +122,46 @@ def read_corpus(spark: SparkSession, accepted_out: str) -> DataFrame:
     """The accepted corpus as of now (batch-retry guard: keep one row
     per doc_id)."""
     return spark.read.parquet(accepted_out).dropDuplicates(["doc_id"])
+
+
+def compact_near_dups(
+    spark: SparkSession,
+    accepted_out: str,
+    doc_store: DataFrame,
+    jaccard_threshold: float | None = None,
+) -> int:
+    """The periodic NEAR-DUP compaction pass over the accepted table —
+    the cross-batch form of MinHash dedup this module's header
+    promises: per-batch ingest handles exact duplicates (sink
+    anti-join), and this job periodically removes near-duplicates
+    AMONG the accepted survivors, keeping the canonical (min doc_id)
+    of each verified pair. Returns the surviving row count.
+
+    ``doc_store`` is the full document store (the sink keeps only
+    hashes + annotations, not text — at 100 TB the text lives in the
+    corpus store and this job joins it back by doc_id). The rewrite
+    materializes before overwriting, same as the ingest degree sink;
+    a transactional table format would make it atomic. Library caches
+    populated by the dedup pass are released before returning (this
+    is a terminal job, not a lazy plan, so the compute is already
+    done)."""
+    from graph500_spark.operators import dedup as dd
+
+    kwargs = {} if jaccard_threshold is None else {
+        "threshold": jaccard_threshold
+    }
+    accepted = read_corpus(spark, accepted_out)
+    texts = doc_store.select("doc_id", "text").join(
+        accepted.select("doc_id"), "doc_id"
+    )
+    dropped = (
+        dd.minhash_near_duplicates(texts, **kwargs)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = accepted.join(dropped, "doc_id", "left_anti").cache()
+    n = kept.count()
+    kept.write.mode("overwrite").parquet(accepted_out)
+    kept.unpersist()
+    dd.release_caches()
+    return n

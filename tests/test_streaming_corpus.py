@@ -158,3 +158,51 @@ def test_sessionize_native_boundary_alignment(spark):
         for r in sessionize_native(events).collect()
     )
     assert lag == native == [(0, SESSION_GAP_US, 2), (2 * SESSION_GAP_US + 1, 2 * SESSION_GAP_US + 1, 1)]
+
+
+def test_compaction_removes_near_dups_like_batch(spark, tmp_path):
+    """Ingest (exact dedup + gates) then compact (near-dup pass) must
+    land exactly where the equivalent batch composition lands:
+    exact-dedup survivors, gated, then MinHash near-dup removal among
+    them."""
+    from graph500_spark.streaming.corpus_ingest import compact_near_dups
+
+    # two near-duplicate German docs (share most 3-gram shingles) + a
+    # distinct one; ids chosen so canonical choices are unambiguous
+    base = "der hund und die katze laufen durch das haus und der garten"
+    rows = [
+        (10, base, "de", "s", 1),
+        (20, base + " heute", "de", "s", 1),   # near-dup of 10
+        (30, "el gato y el perro en la casa que es grande y bonita",
+         "es", "s", 1),
+    ]
+    src_dir = tmp_path / "incoming"
+    src_dir.mkdir()
+    accepted_out = str(tmp_path / "accepted")
+    ckpt = str(tmp_path / "ckpt")
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+    docs.coalesce(1).write.parquet(str(src_dir / "b0"))
+    q = start_corpus_ingest(
+        spark, str(src_dir) + "/*", accepted_out, ckpt, min_quality=0.0
+    )
+    q.awaitTermination(120)
+
+    before = {r.doc_id for r in read_corpus(spark, accepted_out).collect()}
+    assert before == {10, 20, 30}  # exact dedup + gates keep all three
+
+    n = compact_near_dups(spark, accepted_out, docs, jaccard_threshold=0.5)
+    after = {r.doc_id for r in read_corpus(spark, accepted_out).collect()}
+    assert n == len(after)
+    # batch expectation: near-dup pass among accepted survivors
+    expect_dropped = {
+        r.doc_b
+        for r in dd.minhash_near_duplicates(
+            docs.filter(F.col("doc_id").isin(list(before))), 0.5
+        ).collect()
+    }
+    assert after == before - expect_dropped
+    assert after == {10, 30}  # 20 is the non-canonical near-dup
+
+    # idempotent: a second compaction changes nothing
+    n2 = compact_near_dups(spark, accepted_out, docs, jaccard_threshold=0.5)
+    assert n2 == n
