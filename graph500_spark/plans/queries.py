@@ -1607,6 +1607,7 @@ QUERIES: dict[str, QueryFn] = {
     "merged_dup_spans": q_merged_dup_spans,
     "corpus_stats_rollup": q_corpus_stats_rollup,
     "closeness_sampled": q_closeness_sampled,
+    "bfs_multi": q_bfs_multi,
     "corpus_clean": q_corpus_clean,
     "train_test_split": q_train_test_split,
     "term_doc_frequency": q_term_doc_frequency,
@@ -1661,7 +1662,6 @@ QUERIES: dict[str, QueryFn] = {
     "adjacency": q_adjacency_strings,
     "bfs_depth3": q_bfs_depth3,
     "bfs_full": q_bfs_full,
-    "bfs_multi": q_bfs_multi,
     "edge_visit_count": q_edge_visit_count,
     "check_value_ranges": q_check_value_ranges,
     "check_root_self_parents": q_check_root_self_parents,
