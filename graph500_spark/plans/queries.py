@@ -1346,6 +1346,18 @@ def q_cosine_topk_pq_rerank(spark, sf_dir):
     return simsearch_mod.cosine_topk_pq_rerank(_embs(spark, sf_dir))
 
 
+def q_event_value_quantiles_approx(spark, sf_dir):
+    """Sketch tier of event_value_quantiles (percentile_approx — a
+    mergeable constant-memory summary per group, the 100 TB path).
+    Rows-only under the gate: sketch estimates differ across engines
+    by design, like the HLL vertex count."""
+    from graph500_spark.streaming.windows import event_value_quantiles
+
+    return event_value_quantiles(
+        td.load_table(spark, sf_dir, "events"), approx=True
+    )
+
+
 def q_event_props_stats(spark, sf_dir):
     """Semi-structured payload support: JSON property extraction
     inside codegen (get_json_object ≡ json_extract_string) over the
@@ -1634,6 +1646,7 @@ QUERIES: dict[str, QueryFn] = {
     "cosine_topk_pq_rerank": q_cosine_topk_pq_rerank,
     "ann_recall": q_ann_recall,
     "event_value_quantiles": q_event_value_quantiles,
+    "event_value_quantiles_approx": q_event_value_quantiles_approx,
     "event_props_stats": q_event_props_stats,
     "model_quality_scores": q_model_quality_scores,
     "corpus_mix": q_corpus_mix,

@@ -131,3 +131,51 @@ class TestSamplingInvariants:
         assert not [r for r in out if r.source == "s0"]
         n4 = sum(1 for r in out if r.source == "s4")
         assert n4 == 100  # rate 1000 keeps every s4 row
+
+
+class TestEmptyInputs:
+    """Operators must return empty results (correct schema), not
+    crash, on an empty corpus — the behavior a pipeline stage sees
+    when a partition filter matches nothing."""
+
+    def _empty_docs(self, spark):
+        return spark.createDataFrame(
+            [],
+            "doc_id: long, text: string, lang: string, source: string,"
+            " n_chars: long",
+        )
+
+    def test_text_family_on_empty(self, spark):
+        from graph500_spark.operators.text import repetition_stats
+        from graph500_spark.operators.traindata import (
+            nb_train,
+            stratified_sample,
+            vocab_coverage,
+        )
+
+        empty = self._empty_docs(spark)
+        assert repetition_stats(empty).count() == 0
+        assert vocab_coverage(empty).count() == 0
+        assert stratified_sample(empty).count() == 0
+        assert nb_train(empty).count() == 0
+
+    def test_span_family_on_empty(self, spark):
+        from graph500_spark.operators.dedup import (
+            duplicate_spans,
+            merged_dup_spans,
+        )
+
+        empty = self._empty_docs(spark)
+        assert duplicate_spans(empty).count() == 0
+        assert merged_dup_spans(empty).count() == 0
+
+    def test_quantiles_on_empty_events(self, spark):
+        from graph500_spark.streaming.windows import event_value_quantiles
+
+        empty = spark.createDataFrame(
+            [],
+            "event_id: long, ts: timestamp, user_id: long,"
+            " event_type: string, value: double, props: string",
+        )
+        assert event_value_quantiles(empty).count() == 0
+        assert event_value_quantiles(empty, approx=True).count() == 0
