@@ -322,3 +322,55 @@ def event_props_stats_sql() -> str:
         " CAST(json_extract_string(props, '$.k') AS BIGINT) AS k"
         " FROM events) GROUP BY event_type"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded-state streaming dedup: dropDuplicatesWithinWatermark keeps
+# dedup state ONLY for keys within the event-time watermark, so state
+# is O(events per watermark window), not O(all history) — the correct
+# streaming-dedup primitive for an unbounded key space (plain
+# dropDuplicates on a stream grows state forever; the corpus-ingest
+# path solves the same problem with a sink anti-join instead, trading
+# state memory for a per-batch join). Duplicates separated by more
+# than the watermark are NOT caught — that tail is the periodic
+# compaction job's business (corpus_ingest.compact_near_dups is the
+# text-side analog).
+# ---------------------------------------------------------------------------
+
+
+def deduped_event_stream(
+    events_stream: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Exactly-once event records from an at-least-once source: drop
+    event_id duplicates arriving within ``watermark`` of each other."""
+    return events_stream.withWatermark(
+        "ts", watermark
+    ).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_deduped_events_to_memory(
+    spark: SparkSession,
+    source_path: str,
+    watermark: str = "1 hour",
+    table: str = "dedup_events",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Drain a (possibly duplicated) bounded event directory through
+    the watermarked dedup into a memory sink."""
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        deduped_event_stream(reader.parquet(source_path), watermark)
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(table)

@@ -20,3 +20,32 @@ def test_stream_join_equals_batch(spark):
     )
     assert len(expect) > 0  # fixture must actually exercise the join
     assert got == expect
+
+
+def test_watermarked_dedup_drops_cross_batch_duplicates(spark, tmp_path):
+    """An at-least-once source (every event delivered twice, split
+    across micro-batches) must come out exactly-once, and the
+    surviving rows must be the original events."""
+    from pyspark.sql import functions as F
+
+    from graph500_spark.streaming.windows import (
+        run_deduped_events_to_memory,
+    )
+
+    events = td.load_table(spark, SF_DIR, "events")
+    n = events.count()
+    src = str(tmp_path / "dup_events")
+    # two identical copies in separate files -> separate micro-batches
+    events.coalesce(1).write.parquet(src)
+    events.coalesce(1).write.mode("append").parquet(src)
+
+    out = run_deduped_events_to_memory(
+        spark, src, watermark="3650 days", max_files_per_trigger=1
+    )
+    assert out.count() == n
+    assert out.select("event_id").distinct().count() == n
+    # content round-trips, not just counts
+    diff = out.select("event_id", "event_type").exceptAll(
+        events.select("event_id", "event_type")
+    )
+    assert diff.count() == 0
