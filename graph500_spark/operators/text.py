@@ -425,3 +425,123 @@ def repetition_stats_sql() -> str:
         " FROM narrow n LEFT JOIN t1 ON n.doc_id = t1.doc_id"
         " LEFT JOIN t2 ON n.doc_id = t2.doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Pattern scrubbing (PII redaction): counts + redacted text for a
+# fixed dictionary of sensitive patterns. Regexes are restricted to
+# the dialect intersection (character classes, counted repetition —
+# no lookaround, which RE2 lacks), so Spark's Java regex and DuckDB's
+# RE2 match identically and the operator sits under the value-hash
+# gate. Narrow per-row projection: no shuffle, pipelines with the
+# scan; at 100 TB this runs inside the ingest pass.
+# ---------------------------------------------------------------------------
+
+SCRUB_PATTERNS: dict[str, str] = {
+    # order matters: EMAIL first so its local part is not first eaten
+    # by another rule; each replacement is a stable tag
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}",
+    "ssn": "[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    "phone": "[+]?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}",
+    "ipv4": "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}",
+}
+
+
+def pii_scrub(
+    docs: DataFrame, patterns: dict[str, str] | None = None
+) -> DataFrame:
+    """[doc_id, n_email, n_ssn, n_phone, n_ipv4, ..., redacted] —
+    per-pattern match counts and the text with every match replaced
+    by its <TAG> (applied in dictionary order)."""
+    patterns = SCRUB_PATTERNS if patterns is None else patterns
+    cols = ["doc_id"]
+    red = "text"
+    for name, pat in patterns.items():
+        cols.append(
+            F.expr(f"size(regexp_extract_all(text, '{pat}', 0))")
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        red = f"regexp_replace({red}, '{pat}', '<{name.upper()}>')"
+    return docs.select(*cols, F.expr(red).alias("redacted"))
+
+
+def pii_scrub_sql(patterns: dict[str, str] | None = None) -> str:
+    patterns = SCRUB_PATTERNS if patterns is None else patterns
+    cols = ["doc_id"]
+    red = "text"
+    for name, pat in patterns.items():
+        cols.append(
+            f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)"
+            f" AS n_{name}"
+        )
+        red = f"regexp_replace({red}, '{pat}', '<{name.upper()}>', 'g')"
+    return (
+        "SELECT " + ", ".join(cols) + f", {red} AS redacted FROM documents"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram log-perplexity — the LM-based quality filter's exact
+# baseline: score each document by its average negative log-prob per
+# token under the corpus's own unigram distribution (a KenLM-style
+# filter replaces the unigram model with an n-gram LM; the plan shape
+# is identical — model table broadcast-joined into the exploded token
+# stream). Log-probs are quantized to integer micro-nats at model
+# time (cf. traindata.nb_train), so the per-doc sums are exact and
+# the final division is a deterministic two-operand expression.
+# High values ⇒ surprising/rare tokens ⇒ candidate for filtering.
+# ---------------------------------------------------------------------------
+
+PPL_SCALE = 1_000_000
+
+
+def unigram_logppl(docs: DataFrame) -> DataFrame:
+    """[doc_id, n_tokens, neg_logprob_q, logppl_micro] — exact
+    integer micro-nat total and per-token average negative log-prob
+    under the corpus unigram model. Zero-token docs are absent."""
+    tok = docs.select(
+        "doc_id", F.explode(F.expr(SPARK_TOKENS)).alias("token")
+    )
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    model = counts.crossJoin(F.broadcast(total)).select(
+        "token",
+        (-F.round(F.log(F.col("cnt") / F.col("total")) * PPL_SCALE))
+        .cast("long")
+        .alias("nlp_q"),
+    )
+    return (
+        tok.join(F.broadcast(model), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("nlp_q").alias("neg_logprob_q"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "neg_logprob_q",
+            F.round(F.col("neg_logprob_q") / F.col("n_tokens"))
+            .cast("long")
+            .alias("logppl_micro"),
+        )
+    )
+
+
+def unigram_logppl_sql() -> str:
+    return (
+        "WITH tok AS (SELECT doc_id, unnest("
+        + DUCK_TOKENS
+        + ") AS token FROM documents),"
+        " counts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),"
+        " tot AS (SELECT SUM(cnt) AS total FROM counts),"
+        " model AS (SELECT token,"
+        f" CAST(-round(ln(cnt / CAST(total AS DOUBLE)) * {PPL_SCALE})"
+        " AS BIGINT) AS nlp_q FROM counts CROSS JOIN tot)"
+        " SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,"
+        " CAST(SUM(nlp_q) AS BIGINT) AS neg_logprob_q,"
+        " CAST(round(SUM(nlp_q) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)"
+        "  AS logppl_micro"
+        " FROM tok JOIN model USING (token) GROUP BY doc_id"
+    )

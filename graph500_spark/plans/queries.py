@@ -1277,6 +1277,23 @@ def q_repetition_stats(spark, sf_dir):
     return text_mod.repetition_stats(_docs(spark, sf_dir))
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII pattern scrubbing: per-pattern counts + redacted text, all
+    in the RE2∩Java regex dialect so both engines match identically.
+    (The synthetic corpus contains no PII — the unit tests inject
+    fixtures with real matches; here the gate checks the zero counts
+    and the text passthrough.)"""
+    return text_mod.pii_scrub(_docs(spark, sf_dir))
+
+
+def q_unigram_logppl(spark, sf_dir):
+    """LM-based quality filtering's exact baseline: per-doc average
+    negative log-prob under the corpus unigram model (integer
+    micro-nat sums — order-free; KenLM-style filters swap in an
+    n-gram model with the identical broadcast-join plan)."""
+    return text_mod.unigram_logppl(_docs(spark, sf_dir))
+
+
 def q_stratified_sample(spark, sf_dir):
     """Per-source deterministic downsampling: salted multiplicative
     hash bucket < the stratum's permille rate — narrow per-row filter,
@@ -1637,6 +1654,8 @@ QUERIES: dict[str, QueryFn] = {
     "media_resize_features": q_media_resize_features,
     "token_count_detailed": q_token_count_detailed,
     "repetition_stats": q_repetition_stats,
+    "pii_scrub": q_pii_scrub,
+    "unigram_logppl": q_unigram_logppl,
     "stratified_sample": q_stratified_sample,
     "vocab_coverage": q_vocab_coverage,
     "nb_train": q_nb_train,
@@ -1917,6 +1936,8 @@ ORACLE_SQL: dict[str, str] = {
     "token_count": text_mod.TOKEN_COUNT_SQL,
     "token_count_detailed": text_mod.TOKEN_COUNT_DETAILED_SQL,
     "repetition_stats": text_mod.repetition_stats_sql(),
+    "pii_scrub": text_mod.pii_scrub_sql(),
+    "unigram_logppl": text_mod.unigram_logppl_sql(),
     "stratified_sample": traindata_mod.stratified_sample_sql(),
     "vocab_coverage": traindata_mod.vocab_coverage_sql(),
     "nb_train": traindata_mod.nb_train_sql(),

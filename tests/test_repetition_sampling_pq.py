@@ -210,3 +210,52 @@ class TestAnnRecall:
             assert r.n_hits >= 0
         # exact rerank of an ADC shortlist can only improve recall
         assert out["pq_rerank"].recall >= out["pq"].recall
+
+
+class TestPiiScrub:
+    def test_counts_and_redaction(self, spark):
+        from graph500_spark.operators.text import pii_scrub
+
+        docs = _docs(
+            spark,
+            [
+                (1, "mail me at jane.doe@example.com or call 555-123-4567"),
+                (2, "ssn 123-45-6789 from host 192.168.0.1"),
+                (3, "nothing sensitive here"),
+            ],
+        )
+        rows = {r.doc_id: r for r in pii_scrub(docs).collect()}
+        r1 = rows[1]
+        assert r1.n_email == 1 and r1.n_phone == 1
+        assert "<EMAIL>" in r1.redacted and "<PHONE>" in r1.redacted
+        assert "jane.doe" not in r1.redacted
+        r2 = rows[2]
+        assert r2.n_ssn == 1 and r2.n_ipv4 == 1
+        assert "<SSN>" in r2.redacted and "<IPV4>" in r2.redacted
+        assert "123-45-6789" not in r2.redacted
+        r3 = rows[3]
+        assert (r3.n_email, r3.n_ssn, r3.n_phone, r3.n_ipv4) == (0, 0, 0, 0)
+        assert r3.redacted == "nothing sensitive here"
+
+
+class TestUnigramLogppl:
+    def test_rare_tokens_score_higher(self, spark):
+        from graph500_spark.operators.text import unigram_logppl
+
+        # 'common' dominates the corpus; doc 2 is all rare tokens
+        docs = _docs(
+            spark,
+            [
+                (1, "common common common common common common"),
+                (2, "rare1 rare2 rare3"),
+                (3, "common rare1"),
+            ],
+        )
+        rows = {r.doc_id: r for r in unigram_logppl(docs).collect()}
+        assert rows[1].logppl_micro < rows[3].logppl_micro
+        assert rows[3].logppl_micro < rows[2].logppl_micro
+        # exactness: total = n_tokens-weighted combination
+        assert rows[1].n_tokens == 6 and rows[2].n_tokens == 3
+        assert rows[1].neg_logprob_q == 6 * (
+            rows[1].neg_logprob_q // 6
+        )  # six identical tokens -> divisible total
