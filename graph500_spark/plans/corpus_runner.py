@@ -1,0 +1,130 @@
+"""End-to-end training-corpus pipeline with stage-level resume — the
+text-side sibling of ``plans/runner.py`` (whose per-root parquet sink
+mirrors the reference's checkpoint log, benchmark_helper.hpp:530-604).
+
+Stages, each materialized to its own parquet directory under
+``out_dir``:
+
+  1. ``stats``        — dataset-card ROLLUP table (pre-clean).
+  2. ``annotations``  — per-doc quality/language/PII/perplexity
+                        signals (one pass over the corpus; the scan is
+                        shared by Spark's cache only if the caller
+                        persists — each signal is a narrow projection
+                        so recompute is one scan each).
+  3. ``survivors``    — corpus_clean (exact dedup → near-dup removal →
+                        quality/language gates).
+  4. ``dup_spans``    — merged duplicate spans among survivors
+                        (substring-level dedup cut list).
+  5. ``split``        — stable train/test assignment for survivors.
+  6. ``packed``       — concat-and-chunk packing of the train split.
+
+Resume: a stage whose output directory already has Spark's _SUCCESS
+marker is SKIPPED (idempotent reruns — rerunning after a crash redoes
+only unfinished stages). Outputs are plain parquet so each stage is
+independently queryable; a transactional table format would make the
+stage writes atomic as well as idempotent.
+
+Scale: every stage is one of the already-audited operators; the
+runner adds no shuffles of its own — it only sequences writes.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graph500_spark.operators import corpus as corpus_mod
+from graph500_spark.operators import dedup as dedup_mod
+from graph500_spark.operators import text as text_mod
+from graph500_spark.operators import traindata as traindata_mod
+
+
+@dataclass
+class CorpusPipelineResult:
+    out_dir: str
+    stages: list[dict] = field(default_factory=list)
+
+    def stage(self, name: str) -> dict:
+        return next(s for s in self.stages if s["stage"] == name)
+
+
+def _done(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def run_corpus_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    min_quality: float = corpus_mod.MIN_QUALITY,
+    pack_budget: int = 512,
+) -> CorpusPipelineResult:
+    """Run (or resume) the staged corpus pipeline; returns per-stage
+    paths, row counts, and computed/skipped status."""
+    result = CorpusPipelineResult(out_dir)
+
+    def run_stage(name: str, build) -> DataFrame:
+        path = os.path.join(out_dir, name)
+        if _done(path):
+            df = spark.read.parquet(path)
+            status = "skipped"
+        else:
+            build().write.mode("overwrite").parquet(path)
+            df = spark.read.parquet(path)
+            status = "computed"
+        result.stages.append(
+            {
+                "stage": name,
+                "path": path,
+                "rows": df.count(),
+                "status": status,
+            }
+        )
+        return df
+
+    run_stage("stats", lambda: corpus_mod.corpus_stats_rollup(docs))
+
+    def annotations():
+        qual = text_mod.text_quality(docs).select(
+            "doc_id", "n_tokens", "quality_score"
+        )
+        lang = text_mod.language_id(docs).select("doc_id", "lang_pred")
+        pii = text_mod.pii_scrub(docs).drop("redacted")
+        ppl = text_mod.unigram_logppl(docs).select(
+            "doc_id", "logppl_micro"
+        )
+        return (
+            qual.join(lang, "doc_id")
+            .join(pii, "doc_id")
+            .join(ppl, "doc_id", "left")
+        )
+
+    run_stage("annotations", annotations)
+
+    survivors = run_stage(
+        "survivors", lambda: corpus_mod.corpus_clean(docs, min_quality)
+    )
+    surviving_docs = docs.join(
+        survivors.select("doc_id"), "doc_id"
+    )
+
+    run_stage(
+        "dup_spans", lambda: dedup_mod.merged_dup_spans(surviving_docs)
+    )
+    split = run_stage(
+        "split", lambda: traindata_mod.train_test_split(surviving_docs)
+    )
+    train_ids = split.filter(F.col("split") == "train").select("doc_id")
+    run_stage(
+        "packed",
+        lambda: traindata_mod.pack_chunks(
+            docs.join(train_ids, "doc_id"), budget=pack_budget
+        ),
+    )
+    # library caches populated along the way (shingle/minhash state in
+    # corpus_clean and the span pass) are released: terminal job
+    dedup_mod.release_caches()
+    return result
