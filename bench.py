@@ -296,6 +296,23 @@ def _heavy_tier(spark, sf_dir: str) -> dict[str, float]:
     dedup.release_caches()
     shot("corpus_clean_20x", lambda: corpus_mod.corpus_clean(docs20).count())
     dedup.release_caches()
+
+    # end-to-end staged pipeline (stats -> annotations -> clean ->
+    # spans -> split -> pack), INCLUDING every stage's parquet write —
+    # the composed corpus job a training run actually executes
+    import shutil
+    import tempfile
+
+    from graph500_spark.plans.corpus_runner import run_corpus_pipeline
+
+    pipe_dir = tempfile.mkdtemp(prefix="bench_pipe_")
+    try:
+        shot(
+            "corpus_pipeline_20x",
+            lambda: run_corpus_pipeline(spark, docs20, pipe_dir),
+        )
+    finally:
+        shutil.rmtree(pipe_dir, ignore_errors=True)
     docs20.unpersist()
     return out
 
