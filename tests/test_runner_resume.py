@@ -45,3 +45,22 @@ def test_no_results_path_runs_everything(spark):
     res = run_benchmark(spark, scale=6, num_roots=2, validation=False)
     assert len(res.runs) == 2
     assert all(r["teps"] > 0 for r in res.runs)
+
+
+def test_cli_main_runs_and_prints_stats(spark, capsys):
+    """`python -m graph500_spark` contract: runs the benchmark with
+    the given knobs and prints one JSON line of TEPS statistics."""
+    import json
+
+    from graph500_spark.__main__ import main
+
+    rc = main(
+        ["--scale", "7", "--edgefactor", "8", "--roots", "4",
+         "--root-batch", "2"]
+    )
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    stats = json.loads(line)
+    assert stats["scale"] == 7 and stats["completed_runs"] == 4
+    assert stats["harmonic_mean_teps"] > 0
+    assert stats["validation"] is True
