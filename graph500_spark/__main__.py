@@ -22,7 +22,48 @@ import json
 import sys
 
 
+def _corpus_main(argv: list[str]) -> int:
+    p = argparse.ArgumentParser(
+        prog="graph500_spark corpus",
+        description="Staged training-corpus pipeline with resume"
+        " (plans/corpus_runner.py): stats -> annotations -> clean ->"
+        " dup-spans -> split -> pack, each a parquet stage; rerunning"
+        " redoes only unfinished stages.",
+    )
+    p.add_argument("--docs", required=True,
+                   help="input document parquet (doc_id, text, lang,"
+                        " source, n_chars)")
+    p.add_argument("--out", required=True, help="output stage directory")
+    p.add_argument("--min-quality", type=float, default=None,
+                   help="quality-gate threshold (default: library value)")
+    p.add_argument("--pack-budget", type=int, default=512,
+                   help="tokens per packed training chunk")
+    args = p.parse_args(argv)
+
+    from graph500_spark.operators.corpus import MIN_QUALITY
+    from graph500_spark.plans.corpus_runner import run_corpus_pipeline
+    from graph500_spark.session import get_spark
+
+    spark = get_spark(app_name="graph500-spark-corpus")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(args.docs)
+    result = run_corpus_pipeline(
+        spark,
+        docs,
+        args.out,
+        min_quality=(
+            MIN_QUALITY if args.min_quality is None else args.min_quality
+        ),
+        pack_budget=args.pack_budget,
+    )
+    print(json.dumps({"out_dir": result.out_dir, "stages": result.stages}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if argv[:1] == ["corpus"]:
+        return _corpus_main(argv[1:])
     p = argparse.ArgumentParser(
         prog="graph500_spark", description=__doc__,
         formatter_class=argparse.RawDescriptionHelpFormatter,

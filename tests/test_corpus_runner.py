@@ -67,3 +67,19 @@ def test_packed_stage_covers_train_tokens(spark, tmp_path):
     # every packed row belongs to a train doc
     assert packed.select("doc_id").distinct().count() <= n_train
     assert packed.count() > 0
+
+
+def test_cli_corpus_subcommand(spark, tmp_path, capsys):
+    import json
+
+    from graph500_spark.__main__ import main
+
+    out = str(tmp_path / "cli_out")
+    rc = main(
+        ["corpus", "--docs", f"{SF}/documents.parquet", "--out", out]
+    )
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    res = json.loads(line)
+    assert [s["stage"] for s in res["stages"]] == STAGES
+    assert all(s["rows"] > 0 for s in res["stages"])
