@@ -290,3 +290,67 @@ def corpus_stats_rollup(docs) -> "DataFrame":
 
 def corpus_stats_rollup_sql() -> str:
     return _corpus_rollup_sql(tx.DUCK_TOKENS, "len")
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixing — the multilingual/multi-source standard
+# (sampling probability ∝ p_i^alpha, alpha<1 upweighting low-resource
+# sources): expressed in deterministic EPOCH form, epochs_i ∝
+# size_i^(alpha-1) normalized so the LARGEST source runs exactly one
+# epoch. Source sizes come from the corpus itself (one tiny groupBy —
+# |sources| rows — broadcast back), so the operator needs no external
+# weight table. round() lands the float power on an integer epoch
+# count, keeping the result value-hash-checkable (the power is a
+# deterministic two-operand expression per source, not an aggregation
+# order).
+# ---------------------------------------------------------------------------
+
+MIX_ALPHA = 0.5
+
+
+def corpus_mix_temperature(
+    docs: DataFrame, alpha: float = MIX_ALPHA, max_epochs: int = 10
+) -> DataFrame:
+    """[doc_id, source, epoch] with epochs_i = min(max_epochs,
+    greatest(1, round((size_i / max_size)^(alpha-1)))) — alpha=1 is
+    uniform (one epoch each); smaller alpha upsamples small sources
+    harder; max_epochs caps the repetition of tiny sources."""
+    sizes = docs.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    max_sz = sizes.agg(F.max("sz").alias("max_sz"))
+    epochs = sizes.crossJoin(F.broadcast(max_sz)).select(
+        "source",
+        F.least(
+            F.lit(max_epochs),
+            F.greatest(
+                F.lit(1),
+                F.round(
+                    F.pow(
+                        F.col("sz") / F.col("max_sz"), F.lit(alpha - 1.0)
+                    )
+                ).cast("int"),
+            ),
+        ).alias("n_epochs"),
+    )
+    return docs.join(F.broadcast(epochs), "source").select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(1), F.col("n_epochs"))).alias("epoch"),
+    )
+
+
+def corpus_mix_temperature_sql(
+    alpha: float = MIX_ALPHA, max_epochs: int = 10
+) -> str:
+    return (
+        "WITH sizes AS (SELECT source, COUNT(*) AS sz FROM documents"
+        " GROUP BY source),"
+        " mx AS (SELECT MAX(sz) AS max_sz FROM sizes),"
+        " epochs AS (SELECT source,"
+        f" LEAST({max_epochs}, GREATEST(1,"
+        f" CAST(round(pow(sz / CAST(max_sz AS DOUBLE), {alpha - 1.0}))"
+        " AS INT))) AS n_epochs"
+        " FROM sizes CROSS JOIN mx)"
+        " SELECT d.doc_id, d.source, CAST(unnest(generate_series(1,"
+        " e.n_epochs)) AS INT) AS epoch"
+        " FROM documents d JOIN epochs e ON d.source = e.source"
+    )

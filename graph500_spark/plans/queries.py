@@ -1328,6 +1328,13 @@ def q_cosine_topk_pq(spark, sf_dir):
     return simsearch_mod.cosine_topk_pq(_embs(spark, sf_dir))
 
 
+def q_corpus_mix_temperature(spark, sf_dir):
+    """Temperature-scaled dataset mixing: epochs_i ∝ size_i^(alpha-1)
+    from the corpus's own source sizes — the multilingual upsampling
+    standard in deterministic epoch form."""
+    return corpus_mod.corpus_mix_temperature(_docs(spark, sf_dir))
+
+
 def q_duplicate_spans(spark, sf_dir):
     """Cross-document duplicated-substring detection (rolling n-gram
     windows, canonical-first-occurrence policy) — the scalable
@@ -1634,6 +1641,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_near_duplicates_ivf": q_embedding_near_duplicates_ivf,
     "duplicate_spans": q_duplicate_spans,
     "merged_dup_spans": q_merged_dup_spans,
+    "corpus_mix_temperature": q_corpus_mix_temperature,
     "corpus_stats_rollup": q_corpus_stats_rollup,
     "closeness_sampled": q_closeness_sampled,
     "bfs_multi": q_bfs_multi,
@@ -1961,6 +1969,7 @@ ORACLE_SQL: dict[str, str] = {
     "embedding_near_duplicates": dedup_mod.embedding_near_duplicates_sql(0.2),
     "duplicate_spans": dedup_mod.duplicate_spans_sql(),
     "merged_dup_spans": dedup_mod.merged_dup_spans_sql(),
+    "corpus_mix_temperature": corpus_mod.corpus_mix_temperature_sql(),
     "corpus_stats_rollup": corpus_mod.corpus_stats_rollup_sql(),
     "closeness_sampled": (
         "WITH depths AS (SELECT root, vertex, depth FROM ("

@@ -363,3 +363,31 @@ class TestDuplicateSpans:
             for r in merged_dup_spans(docs, n=5).collect()
         }
         assert merged == {(2, 1, 6, 2)}
+
+
+class TestTemperatureMix:
+    def test_small_sources_upsample_and_cap(self, spark):
+        from graph500_spark.operators.corpus import corpus_mix_temperature
+
+        rows = (
+            [(i, "t", "en", "big", 1) for i in range(100)]
+            + [(200 + i, "t", "en", "small", 1) for i in range(4)]
+            + [(300, "t", "en", "tiny", 1)]
+        )
+        docs = spark.createDataFrame(
+            rows, "doc_id: long, text: string, lang: string,"
+            " source: string, n_chars: long"
+        )
+        out = corpus_mix_temperature(docs, alpha=0.5, max_epochs=6)
+        per_src = {
+            r.source: r.n
+            for r in out.groupBy("source")
+            .agg(F.countDistinct("epoch").alias("n"))
+            .collect()
+        }
+        # alpha=0.5: epochs = round((sz/max)^-0.5): big->1, small->5,
+        # tiny->10 capped at 6
+        assert per_src == {"big": 1, "small": 5, "tiny": 6}
+        # alpha=1 is uniform
+        uni = corpus_mix_temperature(docs, alpha=1.0)
+        assert uni.count() == len(rows)
