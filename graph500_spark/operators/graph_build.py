@@ -217,3 +217,36 @@ def bipartite_project(
         .agg(F.count(F.lit(1)).alias("weight"))
         .filter(F.col("weight") >= min_weight)
     )
+
+
+def ego_subgraph(
+    spark,
+    edges_clean,
+    root: int,
+    k: int,
+    broadcast_rows: int = 2_000_000,
+    **bfs_kwargs,
+):
+    """Induced k-hop ego subgraph: the edges whose BOTH endpoints lie
+    within depth k of ``root`` — the neighborhood-extraction primitive
+    (sampling a training subgraph, local-structure features, debugging
+    a vertex). One bounded BFS + two semi-joins on the reached set;
+    like the BFS loop itself, the driver knows the reached count (the
+    BFS result is a union of counted checkpointed frontiers) and
+    injects the broadcast hint only while it fits — huge
+    neighborhoods degrade to shuffle semi-joins."""
+    from pyspark.sql import functions as F
+
+    from graph500_spark.operators.bfs import bfs_fixed_depth
+
+    reached = bfs_fixed_depth(
+        spark, edges_clean, root, k, **bfs_kwargs
+    ).select("vertex")
+    if reached.count() <= broadcast_rows:
+        reached = F.broadcast(reached)
+    return (
+        edges_clean.select("src", "dst")
+        .join(reached.withColumnRenamed("vertex", "src"), "src", "left_semi")
+        .join(reached.withColumnRenamed("vertex", "dst"), "dst", "left_semi")
+        .select("src", "dst")
+    )

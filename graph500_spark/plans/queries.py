@@ -724,6 +724,19 @@ def q_closeness_sampled(spark, sf_dir):
     )
 
 
+def q_ego_subgraph(spark, sf_dir):
+    """Induced 2-hop ego subgraph around the BFS root: bounded BFS +
+    two size-aware semi-joins (operators/graph_build.py)."""
+    return gb.ego_subgraph(
+        spark,
+        clean_hetero_graph(spark, sf_dir),
+        BFS_ROOT,
+        2,
+        prepartition=False,
+        shuffle_partitions=8,
+    )
+
+
 def q_corpus_stats_rollup(spark, sf_dir):
     """Dataset-card curation report: (source, lang)/(source)/global
     stats in one ROLLUP pass — the corpus sibling of event_rollup."""
@@ -1382,6 +1395,15 @@ def q_event_value_quantiles_approx(spark, sf_dir):
     )
 
 
+def q_funnel_counts(spark, sf_dir):
+    """Ordered-funnel conversion (view → click → purchase, each step
+    strictly after the user's previous step): chained conditional-MIN
+    aggregations per user — no self-join per step, no re-scan."""
+    from graph500_spark.streaming.windows import funnel_counts
+
+    return funnel_counts(td.load_table(spark, sf_dir, "events"))
+
+
 def q_event_props_stats(spark, sf_dir):
     """Semi-structured payload support: JSON property extraction
     inside codegen (get_json_object ≡ json_extract_string) over the
@@ -1645,6 +1667,7 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_stats_rollup": q_corpus_stats_rollup,
     "closeness_sampled": q_closeness_sampled,
     "bfs_multi": q_bfs_multi,
+    "ego_subgraph": q_ego_subgraph,
     "corpus_clean": q_corpus_clean,
     "train_test_split": q_train_test_split,
     "term_doc_frequency": q_term_doc_frequency,
@@ -1655,7 +1678,6 @@ QUERIES: dict[str, QueryFn] = {
     "cosine_topk_lsh": q_cosine_topk_lsh,
     "ivf_cells": q_ivf_cells,
     "cosine_topk_ivf": q_cosine_topk_ivf,
-    "multimodal_features": q_multimodal_features,
     "media_extract_features": q_media_extract_features,
     "media_decode_stats": q_media_decode_stats,
     "frame_sample": q_frame_sample,
@@ -1675,6 +1697,7 @@ QUERIES: dict[str, QueryFn] = {
     "event_value_quantiles": q_event_value_quantiles,
     "event_value_quantiles_approx": q_event_value_quantiles_approx,
     "event_props_stats": q_event_props_stats,
+    "funnel_counts": q_funnel_counts,
     "model_quality_scores": q_model_quality_scores,
     "corpus_mix": q_corpus_mix,
     "kmeans_cells": q_kmeans_cells,
@@ -1739,6 +1762,7 @@ QUERIES: dict[str, QueryFn] = {
     "initial_edges_cycle": q_initial_edges_cycle,
     "validate_sssp_summary": q_validate_sssp_summary,
     "token_count": q_token_count,
+    "multimodal_features": q_multimodal_features,
 }
 
 
@@ -1868,6 +1892,14 @@ ORACLE_SQL: dict[str, str] = {
     ),
     "bfs_full": bfs_full_sql(HETERO_EDGES_SQL, BFS_ROOT),
     "bfs_multi": bfs_multi_sql(HETERO_EDGES_SQL, MULTI_BFS_ROOTS),
+    "ego_subgraph": (
+        f"WITH pred AS ({bfs_fixed_depth_sql(HETERO_EDGES_SQL, BFS_ROOT, 2)}),"
+        " reach AS (SELECT vertex FROM pred),"
+        f" clean AS ({_clean_sql(HETERO_EDGES_SQL)})"
+        " SELECT e.src, e.dst FROM clean e"
+        " JOIN reach a ON e.src = a.vertex"
+        " JOIN reach b ON e.dst = b.vertex"
+    ),
     "validate_bfs_summary": (
         # golden: the engine's own BFS must pass all 5 spec checks —
         # the expected result IS the all-zero summary
@@ -2030,6 +2062,7 @@ def _late_oracles() -> dict[str, str]:
         "event_gapfill": windows_mod.event_gapfill_sql(),
         "event_value_quantiles": windows_mod.event_value_quantiles_sql(),
         "event_props_stats": windows_mod.event_props_stats_sql(),
+        "funnel_counts": windows_mod.funnel_counts_sql(),
     }
 
 

@@ -374,3 +374,96 @@ def run_deduped_events_to_memory(
     )
     q.awaitTermination(180)
     return spark.table(table)
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis: how many users progress through an ordered event
+# sequence (view -> click -> purchase), where each later step must
+# happen strictly AFTER the user's first occurrence of the earlier
+# step. One groupBy(user) pass computing conditional first-timestamps
+# — no self-joins, no per-step scans; the standard funnel shape at
+# any scale.
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_counts(
+    events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS
+) -> DataFrame:
+    """[step_idx, step, n_users] — users reaching each funnel stage in
+    order (first view, then first click after that view, then first
+    purchase after that click)."""
+    us = events.select(
+        "user_id", "event_type", event_micros(events).alias("ts_us")
+    )
+    g = us.groupBy("user_id")
+    # t0 = first occurrence of step0; t_i = first occurrence of step i
+    # after t_{i-1} — expressed as conditional MINs, evaluated in one
+    # aggregation pass per level (each level's filter references the
+    # previous level's aggregate, so levels chain as nested selects
+    # over the same grouped frame)
+    agg = g.agg(
+        F.min(
+            F.when(F.col("event_type") == steps[0], F.col("ts_us"))
+        ).alias("t0")
+    )
+    cur = us.join(agg, "user_id")
+    for i, step in enumerate(steps[1:], start=1):
+        nxt = (
+            cur.filter(
+                (F.col("event_type") == step)
+                & F.col(f"t{i-1}").isNotNull()
+                & (F.col("ts_us") > F.col(f"t{i-1}"))
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts_us").alias(f"t{i}"))
+        )
+        cur = cur.join(nxt, "user_id", "left")
+    per_user = cur.select(
+        "user_id", *[f"t{i}" for i in range(len(steps))]
+    ).dropDuplicates(["user_id"])
+    rows = []
+    for i, step in enumerate(steps):
+        rows.append(
+            per_user.filter(F.col(f"t{i}").isNotNull()).agg(
+                F.lit(i).alias("step_idx"),
+                F.lit(step).alias("step"),
+                F.count(F.lit(1)).cast("long").alias("n_users"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def funnel_counts_sql(steps: tuple[str, ...] = FUNNEL_STEPS) -> str:
+    parts = [
+        "WITH us AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us"
+        " FROM events),",
+        " l0 AS (SELECT user_id,"
+        f" MIN(CASE WHEN event_type = '{steps[0]}' THEN ts_us END) AS t0"
+        " FROM us GROUP BY user_id)",
+    ]
+    prev = "l0"
+    for i, step in enumerate(steps[1:], start=1):
+        parts.append(
+            f", l{i} AS (SELECT u.user_id, MIN(u.ts_us) AS t{i}"
+            f" FROM us u JOIN {prev} p ON u.user_id = p.user_id"
+            f" WHERE u.event_type = '{step}' AND p.t{i-1} IS NOT NULL"
+            f" AND u.ts_us > p.t{i-1} GROUP BY u.user_id)"
+        )
+        prev = f"l{i}"
+    joins = "l0"
+    for i in range(1, len(steps)):
+        joins += f" LEFT JOIN l{i} ON l0.user_id = l{i}.user_id"
+    branches = []
+    for i, step in enumerate(steps):
+        branches.append(
+            f"SELECT {i} AS step_idx, '{step}' AS step,"
+            f" CAST(COUNT(*) AS BIGINT) AS n_users"
+            f" FROM ({'SELECT l0.user_id, ' + ', '.join(f'l{j}.t{j}' if j else 'l0.t0' for j in range(len(steps))) + ' FROM ' + joins})"
+            f" WHERE t{i} IS NOT NULL"
+        )
+    return "".join(parts) + " " + " UNION ALL ".join(branches)

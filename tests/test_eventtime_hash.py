@@ -159,3 +159,38 @@ def test_token_count_detailed_semantics(spark):
     assert out[1] == (0, 0)
     assert out[2] == (2, 7)
     assert out[3] == (2, 2)
+
+
+class TestFunnel:
+    def test_order_matters_and_dropoff(self, spark):
+        import datetime
+
+        from graph500_spark.streaming.windows import funnel_counts
+
+        def ev(i, u, typ, minute):
+            return (
+                i,
+                datetime.datetime(2024, 1, 1, 0, minute),
+                u,
+                typ,
+                1.0,
+                "{}",
+            )
+
+        rows = [
+            # user 1: full ordered funnel
+            ev(0, 1, "view", 1), ev(1, 1, "click", 2), ev(2, 1, "purchase", 3),
+            # user 2: purchase BEFORE click -> stops at click
+            ev(3, 2, "view", 1), ev(4, 2, "purchase", 2), ev(5, 2, "click", 3),
+            # user 3: view only
+            ev(6, 3, "view", 5),
+            # user 4: click/purchase but never viewed -> not in funnel
+            ev(7, 4, "click", 1), ev(8, 4, "purchase", 2),
+        ]
+        events = spark.createDataFrame(
+            rows,
+            "event_id: long, ts: timestamp, user_id: long,"
+            " event_type: string, value: double, props: string",
+        )
+        out = {r.step: r.n_users for r in funnel_counts(events).collect()}
+        assert out == {"view": 3, "click": 2, "purchase": 1}
