@@ -1395,6 +1395,22 @@ def q_event_value_quantiles_approx(spark, sf_dir):
     )
 
 
+def q_session_stats(spark, sf_dir):
+    """Session-length/duration distribution summary over sessionize
+    (exact interpolated percentiles, explicit-quotient averages)."""
+    from graph500_spark.streaming.sessions import session_stats
+
+    return session_stats(td.load_table(spark, sf_dir, "events"))
+
+
+def q_top_events_per_user(spark, sf_dir):
+    """Greatest-n-per-group: top-3 events by value per user (window
+    partitioned by the group key — never a global sort)."""
+    from graph500_spark.streaming.windows import top_events_per_user
+
+    return top_events_per_user(td.load_table(spark, sf_dir, "events"))
+
+
 def q_funnel_counts(spark, sf_dir):
     """Ordered-funnel conversion (view → click → purchase, each step
     strictly after the user's previous step): chained conditional-MIN
@@ -1678,9 +1694,7 @@ QUERIES: dict[str, QueryFn] = {
     "cosine_topk_lsh": q_cosine_topk_lsh,
     "ivf_cells": q_ivf_cells,
     "cosine_topk_ivf": q_cosine_topk_ivf,
-    "media_extract_features": q_media_extract_features,
     "media_decode_stats": q_media_decode_stats,
-    "frame_sample": q_frame_sample,
     "media_resize_features": q_media_resize_features,
     "token_count_detailed": q_token_count_detailed,
     "repetition_stats": q_repetition_stats,
@@ -1698,6 +1712,8 @@ QUERIES: dict[str, QueryFn] = {
     "event_value_quantiles_approx": q_event_value_quantiles_approx,
     "event_props_stats": q_event_props_stats,
     "funnel_counts": q_funnel_counts,
+    "session_stats": q_session_stats,
+    "top_events_per_user": q_top_events_per_user,
     "model_quality_scores": q_model_quality_scores,
     "corpus_mix": q_corpus_mix,
     "kmeans_cells": q_kmeans_cells,
@@ -1763,6 +1779,8 @@ QUERIES: dict[str, QueryFn] = {
     "validate_sssp_summary": q_validate_sssp_summary,
     "token_count": q_token_count,
     "multimodal_features": q_multimodal_features,
+    "media_extract_features": q_media_extract_features,
+    "frame_sample": q_frame_sample,
 }
 
 
@@ -2063,6 +2081,8 @@ def _late_oracles() -> dict[str, str]:
         "event_value_quantiles": windows_mod.event_value_quantiles_sql(),
         "event_props_stats": windows_mod.event_props_stats_sql(),
         "funnel_counts": windows_mod.funnel_counts_sql(),
+        "session_stats": sessions_mod.session_stats_sql(),
+        "top_events_per_user": windows_mod.top_events_per_user_sql(),
     }
 
 

@@ -183,3 +183,49 @@ def sessionize_native_sql(gap_us: int = SESSION_GAP_US) -> str:
         " MAX(ts_us) AS session_end_us, COUNT(*) AS n_events"
         " FROM sess GROUP BY user_id, session_id"
     ).format(g=gap_us)
+
+
+def session_stats(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """One-row session-distribution summary over sessionize():
+    [n_sessions, n_users, avg_events, p50_events, p90_events,
+    avg_duration_us, max_duration_us]. Exact interpolated percentiles
+    (Spark percentile ≡ DuckDB quantile_cont); averages are explicit
+    sum/count quotients so both engines round identically."""
+    s = sessionize(events, gap_us)
+    dur = F.col("session_end_us") - F.col("session_start_us")
+    return s.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.round(F.sum("n_events") / F.count(F.lit(1)), 5)
+        .cast("double")
+        .alias("avg_events"),
+        F.round(F.expr("percentile(n_events, 0.5)"), 5)
+        .cast("double")
+        .alias("p50_events"),
+        F.round(F.expr("percentile(n_events, 0.9)"), 5)
+        .cast("double")
+        .alias("p90_events"),
+        F.round(F.sum(dur) / F.count(F.lit(1)), 5)
+        .cast("double")
+        .alias("avg_duration_us"),
+        F.max(dur).cast("long").alias("max_duration_us"),
+    )
+
+
+def session_stats_sql(gap_us: int = SESSION_GAP_US) -> str:
+    return (
+        f"WITH s AS ({sessionize_sql(gap_us)})"
+        " SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,"
+        " CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,"
+        " CAST(round(SUM(n_events) / CAST(COUNT(*) AS DOUBLE), 5)"
+        "  AS DOUBLE) AS avg_events,"
+        " CAST(round(quantile_cont(n_events, 0.5), 5) AS DOUBLE)"
+        "  AS p50_events,"
+        " CAST(round(quantile_cont(n_events, 0.9), 5) AS DOUBLE)"
+        "  AS p90_events,"
+        " CAST(round(SUM(session_end_us - session_start_us)"
+        "  / CAST(COUNT(*) AS DOUBLE), 5) AS DOUBLE) AS avg_duration_us,"
+        " CAST(MAX(session_end_us - session_start_us) AS BIGINT)"
+        "  AS max_duration_us"
+        " FROM s"
+    )

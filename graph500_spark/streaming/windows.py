@@ -467,3 +467,37 @@ def funnel_counts_sql(steps: tuple[str, ...] = FUNNEL_STEPS) -> str:
             f" WHERE t{i} IS NOT NULL"
         )
     return "".join(parts) + " " + " UNION ALL ".join(branches)
+
+
+# ---------------------------------------------------------------------------
+# Generic per-group top-k (the "greatest-n-per-group" idiom): top
+# events by value per user. Window partitions by the group key — never
+# a global sort; at 100 TB the shuffle is one hash exchange on
+# user_id, and AQE handles hot users.
+# ---------------------------------------------------------------------------
+
+
+def top_events_per_user(events: DataFrame, k: int = 3) -> DataFrame:
+    """[user_id, event_id, event_type, value, rnk] — each user's top-k
+    events by (value desc, event_id asc)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        events.select("user_id", "event_id", "event_type", "value")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def top_events_per_user_sql(k: int = 3) -> str:
+    return (
+        "SELECT user_id, event_id, event_type, value,"
+        " CAST(rnk AS INTEGER) AS rnk FROM ("
+        " SELECT user_id, event_id, event_type, value,"
+        " ROW_NUMBER() OVER (PARTITION BY user_id"
+        "  ORDER BY value DESC, event_id ASC) AS rnk FROM events)"
+        f" WHERE rnk <= {k}"
+    )
