@@ -180,6 +180,9 @@ def main() -> int:
         "closeness_sampled": lambda: Q.q_closeness_sampled(
             spark, sf_dir
         ).count(),
+        "pii_scrub": lambda: Q.q_pii_scrub(spark, sf_dir).count(),
+        "unigram_logppl": lambda: Q.q_unigram_logppl(spark, sf_dir).count(),
+        "funnel_counts": lambda: Q.q_funnel_counts(spark, sf_dir).count(),
     }
 
     timings: dict[str, float] = {}
