@@ -106,3 +106,53 @@ def teps_summary(runs: DataFrame) -> DataFrame:
             )
         ).alias("harmonic_stddev_teps"),
     )
+
+
+def degree_assortativity(edges_clean: DataFrame, degrees: DataFrame) -> DataFrame:
+    """One-row [n_edges, sum_x, sum_y, sum_xy, sum_x2, sum_y2,
+    assortativity]: Pearson correlation of endpoint degrees over the
+    directed edge list — the standard summary of hub-to-hub vs
+    hub-to-leaf mixing (negative for Kronecker/social graphs).
+
+    Exactness: degrees are integers, so all five moment sums are
+    exact integer aggregations (shuffle-order-free); the correlation
+    is one deterministic arithmetic expression over the single result
+    row, rounded to 6. Plan: two broadcast-or-shuffle equi-joins of
+    the degree table onto the edge list + one global aggregate with
+    map-side partials."""
+    x = edges_clean.join(
+        degrees.withColumnRenamed("vertex", "src").withColumnRenamed(
+            "degree", "dx"
+        ),
+        "src",
+    ).join(
+        degrees.withColumnRenamed("vertex", "dst").withColumnRenamed(
+            "degree", "dy"
+        ),
+        "dst",
+    )
+    m = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum("dx").cast("long").alias("sum_x"),
+        F.sum("dy").cast("long").alias("sum_y"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sum_xy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sum_x2"),
+        F.sum(F.col("dy") * F.col("dy")).cast("long").alias("sum_y2"),
+    )
+    r = (
+        (F.col("n_edges") * F.col("sum_xy") - F.col("sum_x") * F.col("sum_y"))
+        / (
+            F.sqrt(
+                F.col("n_edges") * F.col("sum_x2")
+                - F.col("sum_x") * F.col("sum_x")
+            )
+            * F.sqrt(
+                F.col("n_edges") * F.col("sum_y2")
+                - F.col("sum_y") * F.col("sum_y")
+            )
+        )
+    )
+    return m.select(
+        "n_edges", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2",
+        F.round(r, 6).cast("double").alias("assortativity"),
+    )

@@ -724,6 +724,22 @@ def q_closeness_sampled(spark, sf_dir):
     )
 
 
+def q_degree_assortativity(spark, sf_dir):
+    """Pearson correlation of endpoint degrees over the edge list —
+    exact integer moment sums, one deterministic expression at the
+    end (operators/stats.py::degree_assortativity)."""
+    g = clean_mod997_graph(spark, sf_dir)
+    return stats_mod.degree_assortativity(g, gb.degrees(g))
+
+
+def q_event_anomalies(spark, sf_dir):
+    """Per-type z-score outliers (|z| > 3): one grouped stats pass
+    broadcast back onto the stream — the monitoring primitive."""
+    from graph500_spark.streaming.windows import event_anomalies
+
+    return event_anomalies(td.load_table(spark, sf_dir, "events"))
+
+
 def q_ego_subgraph(spark, sf_dir):
     """Induced 2-hop ego subgraph around the BFS root: bounded BFS +
     two size-aware semi-joins (operators/graph_build.py)."""
@@ -1671,7 +1687,6 @@ QUERIES: dict[str, QueryFn] = {
     "minhash_signatures": q_minhash_signatures,
     "lsh_candidate_pairs": q_lsh_candidate_pairs,
     "minhash_near_duplicates": q_minhash_near_duplicates,
-    "simhash": q_simhash,
     "simhash_near_duplicates": q_simhash_near_duplicates,
     "simhash_near_duplicates_blocked": q_simhash_near_duplicates_blocked,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1684,13 +1699,14 @@ QUERIES: dict[str, QueryFn] = {
     "closeness_sampled": q_closeness_sampled,
     "bfs_multi": q_bfs_multi,
     "ego_subgraph": q_ego_subgraph,
+    "degree_assortativity": q_degree_assortativity,
+    "event_anomalies": q_event_anomalies,
     "corpus_clean": q_corpus_clean,
     "train_test_split": q_train_test_split,
     "term_doc_frequency": q_term_doc_frequency,
     "tfidf_top_terms": q_tfidf_top_terms,
     "pack_chunks": q_pack_chunks,
     "cosine_topk": q_cosine_topk,
-    "lsh_buckets": q_lsh_buckets,
     "cosine_topk_lsh": q_cosine_topk_lsh,
     "ivf_cells": q_ivf_cells,
     "cosine_topk_ivf": q_cosine_topk_ivf,
@@ -1781,6 +1797,8 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_features": q_multimodal_features,
     "media_extract_features": q_media_extract_features,
     "frame_sample": q_frame_sample,
+    "lsh_buckets": q_lsh_buckets,
+    "simhash": q_simhash,
 }
 
 
@@ -1910,6 +1928,25 @@ ORACLE_SQL: dict[str, str] = {
     ),
     "bfs_full": bfs_full_sql(HETERO_EDGES_SQL, BFS_ROOT),
     "bfs_multi": bfs_multi_sql(HETERO_EDGES_SQL, MULTI_BFS_ROOTS),
+    "degree_assortativity": (
+        f"WITH clean AS ({_CLEAN_MOD997}),"
+        " deg AS (SELECT src AS vertex, COUNT(*) AS degree FROM clean"
+        "  GROUP BY src),"
+        " j AS (SELECT dx.degree AS dx, dy.degree AS dy FROM clean e"
+        " JOIN deg dx ON e.src = dx.vertex"
+        " JOIN deg dy ON e.dst = dy.vertex),"
+        " m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,"
+        " CAST(SUM(dx) AS BIGINT) AS sum_x,"
+        " CAST(SUM(dy) AS BIGINT) AS sum_y,"
+        " CAST(SUM(dx * dy) AS BIGINT) AS sum_xy,"
+        " CAST(SUM(dx * dx) AS BIGINT) AS sum_x2,"
+        " CAST(SUM(dy * dy) AS BIGINT) AS sum_y2 FROM j)"
+        " SELECT n_edges, sum_x, sum_y, sum_xy, sum_x2, sum_y2,"
+        " CAST(round((n_edges * sum_xy - sum_x * sum_y)"
+        "  / (sqrt(n_edges * sum_x2 - sum_x * sum_x)"
+        "   * sqrt(n_edges * sum_y2 - sum_y * sum_y)), 6) AS DOUBLE)"
+        "  AS assortativity FROM m"
+    ),
     "ego_subgraph": (
         f"WITH pred AS ({bfs_fixed_depth_sql(HETERO_EDGES_SQL, BFS_ROOT, 2)}),"
         " reach AS (SELECT vertex FROM pred),"
@@ -2083,6 +2120,7 @@ def _late_oracles() -> dict[str, str]:
         "funnel_counts": windows_mod.funnel_counts_sql(),
         "session_stats": sessions_mod.session_stats_sql(),
         "top_events_per_user": windows_mod.top_events_per_user_sql(),
+        "event_anomalies": windows_mod.event_anomalies_sql(),
     }
 
 

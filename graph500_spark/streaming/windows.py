@@ -501,3 +501,58 @@ def top_events_per_user_sql(k: int = 3) -> str:
         "  ORDER BY value DESC, event_id ASC) AS rnk FROM events)"
         f" WHERE rnk <= {k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-type value anomalies: events whose value deviates more than
+# z_threshold sample standard deviations from their type's mean — the
+# monitoring primitive. Mean/std come from one grouped pass; the z
+# computation is a broadcast join of the tiny per-type stats back
+# onto the stream. Variance is computed from exact integer-free sums?
+# No — value is a double, so mean/std are rounded to 6 BEFORE z is
+# computed: both engines then evaluate identical two-operand
+# arithmetic on identical inputs (sum/count/sum-of-squares are
+# per-type aggregations of doubles with exactly representable 2-dp
+# inputs at this fixture, and round(…,6) absorbs any residual ulp).
+# ---------------------------------------------------------------------------
+
+
+def event_anomalies(events: DataFrame, z_threshold: float = 3.0) -> DataFrame:
+    """[event_id, event_type, value, z] for |z| > z_threshold."""
+    stats = events.groupBy("event_type").agg(
+        F.round(F.sum("value") / F.count(F.lit(1)), 6).alias("mu"),
+        F.round(
+            F.sqrt(
+                (
+                    F.sum(F.col("value") * F.col("value"))
+                    - F.sum("value") * F.sum("value") / F.count(F.lit(1))
+                )
+                / (F.count(F.lit(1)) - 1)
+            ),
+            6,
+        ).alias("sd"),
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sd"), 5)
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id", "event_type", "value",
+            z.cast("double").alias("z"),
+        )
+        .filter(F.abs(F.col("z")) > z_threshold)
+    )
+
+
+def event_anomalies_sql(z_threshold: float = 3.0) -> str:
+    return (
+        "WITH stats AS (SELECT event_type,"
+        " round(SUM(value) / CAST(COUNT(*) AS DOUBLE), 6) AS mu,"
+        " round(sqrt((SUM(value * value)"
+        "  - SUM(value) * SUM(value) / CAST(COUNT(*) AS DOUBLE))"
+        "  / (COUNT(*) - 1)), 6) AS sd"
+        " FROM events GROUP BY event_type)"
+        " SELECT event_id, e.event_type, value,"
+        " CAST(round((value - mu) / sd, 5) AS DOUBLE) AS z"
+        " FROM events e JOIN stats USING (event_type)"
+        f" WHERE abs(round((value - mu) / sd, 5)) > {z_threshold}"
+    )
