@@ -110,3 +110,55 @@ def global_triangle_count(edges_clean: DataFrame) -> DataFrame:
     return triangles(edges_clean).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+def common_neighbors_topk(
+    edges_clean: DataFrame,
+    k: int = 100,
+    max_center_degree: int | None = None,
+) -> DataFrame:
+    """Link-prediction primitive: the k vertex pairs with the most
+    common neighbors — [u, v, n_common], u < v, ordered by (n_common
+    desc, u, v).
+
+    Exact form: one wedge self-join of the symmetric adjacency on the
+    center vertex (each shared neighbor contributes exactly one wedge)
+    + a map-side-combinable (u, v) count + distributed TakeOrdered.
+    A degree-d hub center emits O(d²) wedges, so at scale pass
+    ``max_center_degree``: hub centers beyond the cap are dropped
+    (their wedge contribution is the all-pairs trap; the top pairs of
+    interest are driven by many MODERATE shared neighbors, while a
+    10⁶-degree hub connecting everything carries almost no signal —
+    the same skew argument as the triangles orientation, traded here
+    as an explicit approximation knob instead of an exact reorder
+    because open-wedge counts, unlike triangles, are not
+    orientation-invariant)."""
+    edges = edges_clean.select("src", "dst")
+    if max_center_degree is not None:
+        deg = edges.groupBy(F.col("src").alias("w")).agg(
+            F.count(F.lit(1)).alias("wdeg")
+        )
+        centers = deg.filter(F.col("wdeg") <= max_center_degree).select("w")
+        edges = edges.join(
+            centers.withColumnRenamed("w", "src"), "src", "left_semi"
+        )
+    a = edges.select(F.col("src").alias("w"), F.col("dst").alias("u"))
+    b = edges.select(F.col("src").alias("w"), F.col("dst").alias("v"))
+    wedges = a.join(b, "w").filter(F.col("u") < F.col("v"))
+    return (
+        wedges.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .orderBy(F.col("n_common").desc(), F.col("u").asc(), F.col("v").asc())
+        .limit(k)
+    )
+
+
+def common_neighbors_topk_sql(clean_sql: str, k: int = 100) -> str:
+    return (
+        f"WITH clean AS ({clean_sql}),"
+        " wedges AS (SELECT a.dst AS u, b.dst AS v FROM clean a"
+        " JOIN clean b ON a.src = b.src AND a.dst < b.dst)"
+        " SELECT u, v, CAST(COUNT(*) AS BIGINT) AS n_common"
+        " FROM wedges GROUP BY u, v"
+        f" ORDER BY n_common DESC, u ASC, v ASC LIMIT {k}"
+    )

@@ -724,6 +724,15 @@ def q_closeness_sampled(spark, sf_dir):
     )
 
 
+def q_common_neighbors_topk(spark, sf_dir):
+    """Link-prediction scores: top vertex pairs by shared-neighbor
+    count (exact wedge join + distributed TakeOrdered; the
+    max_center_degree hub cap is the 100 TB knob)."""
+    return triangles_mod.common_neighbors_topk(
+        clean_mod997_graph(spark, sf_dir)
+    )
+
+
 def q_degree_assortativity(spark, sf_dir):
     """Pearson correlation of endpoint degrees over the edge list —
     exact integer moment sums, one deterministic expression at the
@@ -1684,7 +1693,6 @@ QUERIES: dict[str, QueryFn] = {
     "language_id": q_language_id,
     "fingerprint": q_fingerprint,
     "exact_duplicates": q_exact_duplicates,
-    "minhash_signatures": q_minhash_signatures,
     "lsh_candidate_pairs": q_lsh_candidate_pairs,
     "minhash_near_duplicates": q_minhash_near_duplicates,
     "simhash_near_duplicates": q_simhash_near_duplicates,
@@ -1701,6 +1709,7 @@ QUERIES: dict[str, QueryFn] = {
     "ego_subgraph": q_ego_subgraph,
     "degree_assortativity": q_degree_assortativity,
     "event_anomalies": q_event_anomalies,
+    "common_neighbors_topk": q_common_neighbors_topk,
     "corpus_clean": q_corpus_clean,
     "train_test_split": q_train_test_split,
     "term_doc_frequency": q_term_doc_frequency,
@@ -1799,6 +1808,7 @@ QUERIES: dict[str, QueryFn] = {
     "frame_sample": q_frame_sample,
     "lsh_buckets": q_lsh_buckets,
     "simhash": q_simhash,
+    "minhash_signatures": q_minhash_signatures,
 }
 
 
@@ -1928,6 +1938,9 @@ ORACLE_SQL: dict[str, str] = {
     ),
     "bfs_full": bfs_full_sql(HETERO_EDGES_SQL, BFS_ROOT),
     "bfs_multi": bfs_multi_sql(HETERO_EDGES_SQL, MULTI_BFS_ROOTS),
+    "common_neighbors_topk": triangles_mod.common_neighbors_topk_sql(
+        _CLEAN_MOD997
+    ),
     "degree_assortativity": (
         f"WITH clean AS ({_CLEAN_MOD997}),"
         " deg AS (SELECT src AS vertex, COUNT(*) AS degree FROM clean"

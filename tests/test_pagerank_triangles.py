@@ -136,3 +136,31 @@ class TestPersonalizedPageRank:
         }
         assert ranks[10] == 0.0 and ranks[11] == 0.0
         assert ranks[0] > 0 and ranks[1] > 0
+
+
+class TestCommonNeighbors:
+    def test_hand_graph_counts_and_hub_cap(self, spark):
+        from graph500_spark.operators.triangles import common_neighbors_topk
+
+        # path 1-2-3 plus hub 9 connected to all: N(1)∩N(3) = {2, 9}
+        und = [(1, 2), (2, 3), (9, 1), (9, 2), (9, 3)]
+        edges = spark.createDataFrame(
+            und + [(b, a) for a, b in und], "src: long, dst: long"
+        )
+        out = {
+            (r.u, r.v): r.n_common
+            for r in common_neighbors_topk(edges, k=10).collect()
+        }
+        assert out[(1, 3)] == 2          # via 2 and via 9
+        assert out[(1, 2)] == 1          # via 9 only
+        assert out[(2, 9)] == 2          # via 1 and 3
+        # hub cap 2 keeps only centers 1 and 3 (degree 2); both
+        # centers' single wedge is the pair (2, 9) — wedges through
+        # the degree-3 centers (2 and hub 9) are dropped
+        capped = {
+            (r.u, r.v): r.n_common
+            for r in common_neighbors_topk(
+                edges, k=10, max_center_degree=2
+            ).collect()
+        }
+        assert capped == {(2, 9): 2}
