@@ -162,3 +162,59 @@ def common_neighbors_topk_sql(clean_sql: str, k: int = 100) -> str:
         " FROM wedges GROUP BY u, v"
         f" ORDER BY n_common DESC, u ASC, v ASC LIMIT {k}"
     )
+
+
+AA_SCALE = 1_000_000
+
+
+def adamic_adar_topk(
+    edges_clean: DataFrame,
+    k: int = 100,
+    max_center_degree: int | None = None,
+) -> DataFrame:
+    """Adamic-Adar link prediction: like common_neighbors_topk but
+    each shared neighbor w contributes 1/ln(deg(w)) — rare shared
+    neighbors are stronger evidence than hubs. [u, v, aa_q] with the
+    weight quantized to round(10^6/ln(deg)) integers so per-pair sums
+    are exact and shuffle-order-free (degree-1 centers are excluded:
+    ln(1)=0 and a degree-1 vertex centers no wedge anyway). Same
+    wedge-join plan and hub-cap knob as the unweighted form."""
+    edges = edges_clean.select("src", "dst")
+    deg = edges.groupBy(F.col("src").alias("w")).agg(
+        F.count(F.lit(1)).alias("wdeg")
+    )
+    if max_center_degree is not None:
+        deg = deg.filter(F.col("wdeg") <= max_center_degree)
+    weights = deg.filter(F.col("wdeg") >= 2).select(
+        "w",
+        F.round(F.lit(float(AA_SCALE)) / F.log("wdeg"))
+        .cast("long")
+        .alias("w_q"),
+    )
+    a = edges.select(F.col("src").alias("w"), F.col("dst").alias("u"))
+    b = edges.select(F.col("src").alias("w"), F.col("dst").alias("v"))
+    wedges = a.join(b, "w").filter(F.col("u") < F.col("v")).join(
+        F.broadcast(weights), "w"
+    )
+    return (
+        wedges.groupBy("u", "v")
+        .agg(F.sum("w_q").alias("aa_q"))
+        .orderBy(F.col("aa_q").desc(), F.col("u").asc(), F.col("v").asc())
+        .limit(k)
+    )
+
+
+def adamic_adar_topk_sql(clean_sql: str, k: int = 100) -> str:
+    return (
+        f"WITH clean AS ({clean_sql}),"
+        " deg AS (SELECT src AS w, COUNT(*) AS wdeg FROM clean GROUP BY src),"
+        " weights AS (SELECT w,"
+        f" CAST(round({AA_SCALE}.0 / ln(wdeg)) AS BIGINT) AS w_q"
+        " FROM deg WHERE wdeg >= 2),"
+        " wedges AS (SELECT a.dst AS u, b.dst AS v, wt.w_q FROM clean a"
+        " JOIN clean b ON a.src = b.src AND a.dst < b.dst"
+        " JOIN weights wt ON wt.w = a.src)"
+        " SELECT u, v, CAST(SUM(w_q) AS BIGINT) AS aa_q"
+        " FROM wedges GROUP BY u, v"
+        f" ORDER BY aa_q DESC, u ASC, v ASC LIMIT {k}"
+    )

@@ -733,6 +733,12 @@ def q_common_neighbors_topk(spark, sf_dir):
     )
 
 
+def q_adamic_adar_topk(spark, sf_dir):
+    """Adamic-Adar link prediction: wedge join with integer-quantized
+    1/ln(deg) center weights — exact, order-free pair sums."""
+    return triangles_mod.adamic_adar_topk(clean_mod997_graph(spark, sf_dir))
+
+
 def q_degree_assortativity(spark, sf_dir):
     """Pearson correlation of endpoint degrees over the edge list —
     exact integer moment sums, one deterministic expression at the
@@ -1693,7 +1699,6 @@ QUERIES: dict[str, QueryFn] = {
     "language_id": q_language_id,
     "fingerprint": q_fingerprint,
     "exact_duplicates": q_exact_duplicates,
-    "lsh_candidate_pairs": q_lsh_candidate_pairs,
     "minhash_near_duplicates": q_minhash_near_duplicates,
     "simhash_near_duplicates": q_simhash_near_duplicates,
     "simhash_near_duplicates_blocked": q_simhash_near_duplicates_blocked,
@@ -1710,6 +1715,7 @@ QUERIES: dict[str, QueryFn] = {
     "degree_assortativity": q_degree_assortativity,
     "event_anomalies": q_event_anomalies,
     "common_neighbors_topk": q_common_neighbors_topk,
+    "adamic_adar_topk": q_adamic_adar_topk,
     "corpus_clean": q_corpus_clean,
     "train_test_split": q_train_test_split,
     "term_doc_frequency": q_term_doc_frequency,
@@ -1809,6 +1815,7 @@ QUERIES: dict[str, QueryFn] = {
     "lsh_buckets": q_lsh_buckets,
     "simhash": q_simhash,
     "minhash_signatures": q_minhash_signatures,
+    "lsh_candidate_pairs": q_lsh_candidate_pairs,
 }
 
 
@@ -1941,6 +1948,7 @@ ORACLE_SQL: dict[str, str] = {
     "common_neighbors_topk": triangles_mod.common_neighbors_topk_sql(
         _CLEAN_MOD997
     ),
+    "adamic_adar_topk": triangles_mod.adamic_adar_topk_sql(_CLEAN_MOD997),
     "degree_assortativity": (
         f"WITH clean AS ({_CLEAN_MOD997}),"
         " deg AS (SELECT src AS vertex, COUNT(*) AS degree FROM clean"
