@@ -156,3 +156,99 @@ def degree_assortativity(edges_clean: DataFrame, degrees: DataFrame) -> DataFram
         "n_edges", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2",
         F.round(r, 6).cast("double").alias("assortativity"),
     )
+
+
+def modularity(edges_clean: DataFrame, communities: DataFrame) -> DataFrame:
+    """Newman modularity of a vertex partition over the symmetric
+    clean edge list — one row [n_communities, two_m, within_rows,
+    modularity].
+
+    Q = Σ_c [ E_c/(2m) − (D_c/(2m))² ] where E_c counts directed rows
+    with both endpoints in community c and D_c sums degrees inside c.
+    Computed as ONE exact integer expression
+        (2m·ΣE_c − ΣD_c²) / (2m)²
+    so every aggregation is a shuffle-order-free integer sum and the
+    only float op is the final division (rounded to 6) — the same
+    exactness discipline as degree_assortativity. Plan: two
+    broadcast-or-shuffle joins of the community map onto the edge
+    list + one grouped integer agg per term; the community map is the
+    natural broadcast side (|communities| = |V| labels, and at 100 TB
+    the join keys are the already-partitioned vertex ids).
+
+    ``communities`` is any [vertex, community] map — compose with
+    connected_components / label_propagation output, or a hash
+    bucketing for partition-quality probes.
+    """
+    edges = edges_clean.select("src", "dst")
+    cmap = communities.select("vertex", "community")
+    deg = edges.groupBy(F.col("src").alias("vertex")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    two_m = edges.agg(F.count(F.lit(1)).cast("long").alias("two_m"))
+    within = (
+        edges.join(
+            cmap.select(
+                F.col("vertex").alias("src"), F.col("community").alias("cs")
+            ),
+            "src",
+        )
+        .join(
+            cmap.select(
+                F.col("vertex").alias("dst"), F.col("community").alias("cd")
+            ),
+            "dst",
+        )
+        .filter(F.col("cs") == F.col("cd"))
+        .agg(F.count(F.lit(1)).cast("long").alias("within_rows"))
+    )
+    dsums = (
+        deg.join(cmap, "vertex")
+        .groupBy("community")
+        .agg(F.sum("degree").cast("long").alias("d_c"))
+    )
+    dstats = dsums.agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.sum(F.col("d_c") * F.col("d_c")).cast("long").alias("sum_d2"),
+    )
+    row = two_m.crossJoin(within).crossJoin(dstats)
+    # Integer numerator keeps the value exact; the denominator is cast
+    # to double BEFORE the product so it cannot overflow long (the
+    # numerator's long products are exact up to 2m < 3·10⁹ rows —
+    # beyond that swap both products to double, still one
+    # deterministic expression).
+    q = (
+        F.col("two_m") * F.col("within_rows") - F.col("sum_d2")
+    ) / (F.col("two_m").cast("double") * F.col("two_m"))
+    return row.select(
+        "n_communities",
+        "two_m",
+        "within_rows",
+        F.round(q, 6).cast("double").alias("modularity"),
+    )
+
+
+def modularity_sql(clean_sql: str, community_expr: str) -> str:
+    """DuckDB mirror; ``community_expr`` maps a vertex id column
+    named ``vertex`` to its community label."""
+    return (
+        f"WITH clean AS ({clean_sql}),"
+        " cmap AS (SELECT vertex,"
+        f" {community_expr} AS community FROM"
+        " (SELECT DISTINCT src AS vertex FROM clean)),"
+        " deg AS (SELECT src AS vertex, CAST(COUNT(*) AS BIGINT) AS degree"
+        " FROM clean GROUP BY src),"
+        " tm AS (SELECT CAST(COUNT(*) AS BIGINT) AS two_m FROM clean),"
+        " w AS (SELECT CAST(COUNT(*) AS BIGINT) AS within_rows FROM clean e"
+        " JOIN cmap cs ON cs.vertex = e.src"
+        " JOIN cmap cd ON cd.vertex = e.dst"
+        " WHERE cs.community = cd.community),"
+        " ds AS (SELECT cm.community, CAST(SUM(d.degree) AS BIGINT) AS d_c"
+        " FROM deg d JOIN cmap cm ON cm.vertex = d.vertex"
+        " GROUP BY cm.community),"
+        " dst AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,"
+        " CAST(SUM(d_c * d_c) AS BIGINT) AS sum_d2 FROM ds)"
+        " SELECT n_communities, two_m, within_rows,"
+        " ROUND((two_m * within_rows - sum_d2)"
+        " / (CAST(two_m AS DOUBLE) * two_m), 6) AS modularity"
+        " FROM tm, w, dst"
+    )

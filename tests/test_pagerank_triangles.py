@@ -164,3 +164,120 @@ class TestCommonNeighbors:
             ).collect()
         }
         assert capped == {(2, 9): 2}
+
+
+class TestJaccardTopk:
+    def test_hand_graph_scores(self, spark):
+        from graph500_spark.operators.triangles import (
+            JACCARD_SCALE,
+            jaccard_topk,
+        )
+
+        # square 1-2-3-4-1: opposite corners share both neighbors
+        # (jaccard 2/2), adjacent corners share none.
+        und = [(1, 2), (2, 3), (3, 4), (4, 1)]
+        edges = spark.createDataFrame(
+            und + [(b, a) for a, b in und], "src: long, dst: long"
+        )
+        rows = {
+            (r.u, r.v): (r.n_common, r.union_size, r.jaccard_q)
+            for r in jaccard_topk(edges, k=10).collect()
+        }
+        assert rows == {
+            (1, 3): (2, 2, JACCARD_SCALE),
+            (2, 4): (2, 2, JACCARD_SCALE),
+        }
+
+    def test_partial_overlap_truncates(self, spark):
+        from graph500_spark.operators.triangles import jaccard_topk
+
+        # N(1)={2,3,4}, N(5)={3,4,6}: cn=2, union=4 → 500000
+        und = [(1, 2), (1, 3), (1, 4), (5, 3), (5, 4), (5, 6)]
+        edges = spark.createDataFrame(
+            und + [(b, a) for a, b in und], "src: long, dst: long"
+        )
+        rows = {
+            (r.u, r.v): r.jaccard_q
+            for r in jaccard_topk(edges, k=100).collect()
+        }
+        assert rows[(1, 5)] == 500000
+
+
+class TestKTruss:
+    def test_k4_is_a_4_truss(self, spark):
+        from graph500_spark.operators.triangles import k_truss
+
+        k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+        edges = spark.createDataFrame(k4, "src: long, dst: long")
+        out = {(r.u, r.v): r.support for r in k_truss(edges, k=4).collect()}
+        # every K4 edge sits in exactly 2 triangles
+        assert out == {
+            (0, 1): 2, (0, 2): 2, (0, 3): 2,
+            (1, 2): 2, (1, 3): 2, (2, 3): 2,
+        }
+
+    def test_pendant_triangle_peels(self, spark):
+        from graph500_spark.operators.triangles import k_truss
+
+        # K4 on {0..3} plus a pendant triangle (3,4,5): the pendant
+        # triangle's edges have support 1 < 2 and peel away; removing
+        # them does not disturb the K4 core.
+        und = (
+            [(a, b) for a in range(4) for b in range(4) if a < b]
+            + [(3, 4), (3, 5), (4, 5)]
+        )
+        edges = spark.createDataFrame(
+            und + [(b, a) for a, b in und], "src: long, dst: long"
+        )
+        out = {(r.u, r.v) for r in k_truss(edges, k=4).collect()}
+        assert out == {
+            (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)
+        }
+
+    def test_triangle_free_graph_empties(self, spark):
+        from graph500_spark.operators.triangles import k_truss
+
+        und = [(1, 2), (2, 3), (3, 4)]
+        edges = spark.createDataFrame(
+            und + [(b, a) for a, b in und], "src: long, dst: long"
+        )
+        assert k_truss(edges, k=3).count() == 0
+
+
+class TestModularity:
+    def test_two_cliques_perfect_split(self, spark):
+        from graph500_spark.operators.stats import modularity
+        import pyspark.sql.functions as F
+
+        # two disjoint triangles; community = component. Q = 1/2.
+        und = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12)]
+        edges = spark.createDataFrame(
+            und + [(b, a) for a, b in und], "src: long, dst: long"
+        )
+        cmap = (
+            edges.select(F.col("src").alias("vertex"))
+            .distinct()
+            .select("vertex", (F.col("vertex") / 10).cast("long").alias("community"))
+        )
+        row = modularity(edges, cmap).collect()[0]
+        assert row.n_communities == 2
+        assert row.two_m == 12
+        assert row.within_rows == 12
+        assert abs(row.modularity - 0.5) < 1e-9
+
+    def test_single_community_is_zero(self, spark):
+        from graph500_spark.operators.stats import modularity
+        import pyspark.sql.functions as F
+
+        und = [(0, 1), (1, 2), (0, 2)]
+        edges = spark.createDataFrame(
+            und + [(b, a) for a, b in und], "src: long, dst: long"
+        )
+        cmap = (
+            edges.select(F.col("src").alias("vertex"))
+            .distinct()
+            .select("vertex", F.lit(0).alias("community"))
+        )
+        row = modularity(edges, cmap).collect()[0]
+        # all edges internal but D_c² term cancels exactly: Q = 0
+        assert abs(row.modularity) < 1e-9
