@@ -868,3 +868,128 @@ def merged_dup_spans_sql(n: int = DUP_SPAN_N) -> str:
         " COUNT(*) AS n_spans_merged"
         " FROM grouped GROUP BY doc_id, grp"
     )
+
+
+# ---------------------------------------------------------------------------
+# Normalized exact dedup + bounded-edit-distance near-dup
+# ---------------------------------------------------------------------------
+
+# One shared normalization spelling per engine: lowercase, collapse
+# every non-alphanumeric run to a single space, trim. Spark's
+# regexp_replace is replace-all by default; DuckDB needs the 'g' flag.
+SPARK_NORM_TEXT = (
+    "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))"
+)
+DUCK_NORM_TEXT = (
+    "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+)
+
+
+def normalized_duplicates(docs: DataFrame) -> DataFrame:
+    """Normalization-aware exact dedup: groups keyed by the hash of
+    case/punctuation/whitespace-normalized text — [norm_hash,
+    rep_doc_id, n_copies, n_raw_variants].
+
+    Catches the reformatting-only duplicates exact_duplicates misses
+    (same words, different casing or punctuation); n_raw_variants > 1
+    marks groups where normalization did the work. Same single
+    hash-shuffle + map-side-partial plan as exact_duplicates — the
+    normalization is pure Column algebra inside the scan projection,
+    so it adds zero shuffles at any scale."""
+    return (
+        docs.select(
+            "doc_id",
+            F.expr(spark_strhash(SPARK_NORM_TEXT))
+            .cast("long")
+            .alias("norm_hash"),
+            F.expr(spark_strhash("text")).cast("long").alias("raw_hash"),
+        )
+        .groupBy("norm_hash")
+        .agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.countDistinct("raw_hash").cast("long").alias("n_raw_variants"),
+        )
+    )
+
+
+NORMALIZED_DUPLICATES_SQL = (
+    f"SELECT CAST({duck_strhash(DUCK_NORM_TEXT)} AS BIGINT) AS norm_hash,"
+    " MIN(doc_id) AS rep_doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies,"
+    f" CAST(COUNT(DISTINCT {duck_strhash('text')}) AS BIGINT)"
+    " AS n_raw_variants"
+    " FROM documents GROUP BY 1"
+)
+
+
+def levenshtein_near_duplicates(
+    docs: DataFrame, max_dist: int = 20, bucket: int = 64
+) -> DataFrame:
+    """Bounded-edit-distance near-dup pairs: [doc_a, doc_b, dist] for
+    same-language pairs with levenshtein(text_a, text_b) <= max_dist,
+    doc_a < doc_b.
+
+    Semantics are blocking-free (every qualifying pair is found); the
+    blocking is purely physical: qualifying pairs differ in length by
+    at most max_dist, so with length-bucket width >= max_dist each
+    pair sits in the same or adjacent buckets — the left side emits
+    (lang, b-1|b|b+1) keys, the right side its own bucket, and the
+    join is a plain equi-join (never all-pairs across the corpus).
+    A pair can match on only one key (the right doc contributes its
+    bucket once), so no post-join dedup is needed. The |len diff| <=
+    max_dist prefilter runs before the O(len²) levenshtein kernel.
+    Like ngram_jaccard_pairs this is the within-block quadratic
+    verifier tier — at 100 TB it runs on LSH candidates or exact-dup
+    survivor groups, not the raw corpus."""
+    if bucket < max_dist:
+        raise ValueError("bucket width must be >= max_dist for completeness")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.length("text").alias("n_len"),
+        (F.length("text") / bucket).cast("long").alias("b"),
+    )
+    left = base.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang"),
+        F.col("text").alias("text_a"),
+        F.col("n_len").alias("len_a"),
+        F.explode(
+            F.array(F.col("b") - 1, F.col("b"), F.col("b") + 1)
+        ).alias("bk"),
+    )
+    right = base.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang"),
+        F.col("text").alias("text_b"),
+        F.col("n_len").alias("len_b"),
+        F.col("b").alias("bk"),
+    )
+    return (
+        left.join(right, ["lang", "bk"])
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= max_dist)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("text_a", "text_b").cast("integer").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )
+
+
+def levenshtein_near_duplicates_sql(max_dist: int = 20) -> str:
+    # The oracle states the blocking-free semantics directly (naive
+    # same-lang self-join) — which is exactly why the engine's
+    # physical blocking must be complete.
+    return (
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+        " CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist"
+        " FROM documents a JOIN documents b"
+        " ON a.lang = b.lang AND a.doc_id < b.doc_id"
+        f" AND abs(length(a.text) - length(b.text)) <= {max_dist}"
+        f" WHERE levenshtein(a.text, b.text) <= {max_dist}"
+    )

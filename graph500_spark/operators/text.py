@@ -545,3 +545,43 @@ def unigram_logppl_sql() -> str:
         "  AS logppl_micro"
         " FROM tok JOIN model USING (token) GROUP BY doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-global heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def heavy_hitter_tokens(docs: DataFrame, k: int = 100) -> DataFrame:
+    """Corpus-global frequent tokens: [token, n_occurrences, n_docs],
+    ordered by (n_occurrences desc, token asc), top k.
+
+    The vocabulary-pruning / stop-list-mining primitive. Plan: explode
+    tokens → one hash shuffle on the token key with map-side partial
+    counts (+ partial distinct-doc sets) → distributed TakeOrdered for
+    the top-k; nothing is collected until the k-row result. The token
+    key is the classic Zipf-skew case — AQE's skew handling plus the
+    map-side combine keep the hot keys bounded (each map task emits
+    one partial row per distinct token, not per occurrence)."""
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(SPARK_TOKENS)).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
+def heavy_hitter_tokens_sql(k: int = 100) -> str:
+    return (
+        f"SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences,"
+        " CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs"
+        f" FROM (SELECT doc_id, unnest({DUCK_TOKENS}) AS token"
+        " FROM documents) GROUP BY token"
+        f" ORDER BY n_occurrences DESC, token ASC LIMIT {k}"
+    )

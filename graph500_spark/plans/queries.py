@@ -1275,6 +1275,25 @@ def q_exact_duplicates(spark, sf_dir):
     return dedup_mod.exact_duplicates(_docs(spark, sf_dir))
 
 
+def q_normalized_duplicates(spark, sf_dir):
+    """Normalization-aware exact dedup: case/punct/whitespace-folded
+    text hash groups — catches reformat-only duplicates; pure Column
+    normalization inside the scan, one hash shuffle."""
+    return dedup_mod.normalized_duplicates(_docs(spark, sf_dir))
+
+
+def q_levenshtein_near_duplicates(spark, sf_dir):
+    """Bounded-edit-distance near-dup pairs, length-bucket blocked
+    equi-join (blocking-free semantics, physical blocking only)."""
+    return dedup_mod.levenshtein_near_duplicates(_docs(spark, sf_dir))
+
+
+def q_heavy_hitter_tokens(spark, sf_dir):
+    """Corpus-global top tokens: explode → skew-tolerant map-side
+    partial counts → distributed TakeOrdered."""
+    return text_mod.heavy_hitter_tokens(_docs(spark, sf_dir))
+
+
 def q_minhash_signatures(spark, sf_dir):
     return dedup_mod.minhash_signatures(_docs(spark, sf_dir))
 
@@ -1790,6 +1809,9 @@ QUERIES: dict[str, QueryFn] = {
     "jaccard_topk": q_jaccard_topk,
     "k_truss": q_k_truss,
     "modularity": q_modularity,
+    "normalized_duplicates": q_normalized_duplicates,
+    "levenshtein_near_duplicates": q_levenshtein_near_duplicates,
+    "heavy_hitter_tokens": q_heavy_hitter_tokens,
     # --- graph / Graph500 §2 surface ---
     "self_loop_filter": q_self_loop_filter,
     "symmetrize": q_symmetrize,
@@ -2101,6 +2123,11 @@ ORACLE_SQL: dict[str, str] = {
     "language_id": text_mod.LANGUAGE_ID_SQL,
     "fingerprint": text_mod.FINGERPRINT_SQL,
     "exact_duplicates": dedup_mod.EXACT_DUPLICATES_SQL,
+    "normalized_duplicates": dedup_mod.NORMALIZED_DUPLICATES_SQL,
+    "levenshtein_near_duplicates": (
+        dedup_mod.levenshtein_near_duplicates_sql()
+    ),
+    "heavy_hitter_tokens": text_mod.heavy_hitter_tokens_sql(),
     "minhash_signatures": dedup_mod.MINHASH_SIGNATURES_SQL,
     "lsh_candidate_pairs": dedup_mod.lsh_candidate_pairs_sql(),
     "minhash_near_duplicates": dedup_mod.minhash_near_duplicates_sql(),

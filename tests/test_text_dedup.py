@@ -391,3 +391,99 @@ class TestTemperatureMix:
         # alpha=1 is uniform
         uni = corpus_mix_temperature(docs, alpha=1.0)
         assert uni.count() == len(rows)
+
+
+class TestNormalizedDuplicates:
+    def test_reformat_only_dups_collapse(self, spark):
+        from graph500_spark.operators.dedup import normalized_duplicates
+
+        rows = [
+            (0, "Hello, World!", "en", "s0", 13),
+            (1, "hello   world", "en", "s0", 13),   # same after norm
+            (2, "HELLO WORLD.", "en", "s0", 12),    # same after norm
+            (3, "goodbye world", "en", "s0", 13),
+        ]
+        docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+        out = {
+            r.rep_doc_id: (r.n_copies, r.n_raw_variants)
+            for r in normalized_duplicates(docs).collect()
+        }
+        assert out[0] == (3, 3)   # three raw variants, one norm group
+        assert out[3] == (1, 1)
+
+    def test_exact_dups_count_one_variant(self, spark):
+        from graph500_spark.operators.dedup import normalized_duplicates
+
+        rows = [
+            (0, "same text", "en", "s0", 9),
+            (1, "same text", "en", "s0", 9),
+        ]
+        docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+        row = normalized_duplicates(docs).collect()[0]
+        assert (row.n_copies, row.n_raw_variants) == (2, 1)
+
+
+class TestLevenshteinNearDuplicates:
+    def test_finds_cross_bucket_pair(self, spark):
+        from graph500_spark.operators.dedup import (
+            levenshtein_near_duplicates,
+        )
+
+        # texts straddle a length-bucket boundary (63 vs 65 chars with
+        # bucket=64) — the ±1 block expansion must still pair them
+        a = "x" * 63
+        b = "x" * 63 + "yz"
+        rows = [
+            (0, a, "en", "s0", len(a)),
+            (1, b, "en", "s0", len(b)),
+            (2, "totally unrelated different text", "en", "s0", 32),
+        ]
+        docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+        out = {
+            (r.doc_a, r.doc_b): r.dist
+            for r in levenshtein_near_duplicates(
+                docs, max_dist=5, bucket=64
+            ).collect()
+        }
+        assert out == {(0, 1): 2}
+
+    def test_lang_blocks_and_threshold(self, spark):
+        from graph500_spark.operators.dedup import (
+            levenshtein_near_duplicates,
+        )
+
+        rows = [
+            (0, "abcdefgh", "en", "s0", 8),
+            (1, "abcdefgx", "en", "s0", 8),   # dist 1
+            (2, "abcdefgh", "de", "s0", 8),   # same text, other lang
+        ]
+        docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+        out = {(r.doc_a, r.doc_b) for r in
+               levenshtein_near_duplicates(docs, max_dist=1, bucket=64).collect()}
+        assert out == {(0, 1)}
+
+    def test_bucket_narrower_than_dist_rejected(self, spark):
+        from graph500_spark.operators.dedup import (
+            levenshtein_near_duplicates,
+        )
+
+        with pytest.raises(ValueError):
+            levenshtein_near_duplicates(
+                spark.createDataFrame([], DOCS_SCHEMA), max_dist=64, bucket=32
+            )
+
+
+class TestHeavyHitterTokens:
+    def test_counts_and_order(self, spark):
+        from graph500_spark.operators.text import heavy_hitter_tokens
+
+        rows = [
+            (0, "apple apple banana", "en", "s0", 18),
+            (1, "apple cherry", "en", "s0", 12),
+        ]
+        docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+        out = [
+            (r.token, r.n_occurrences, r.n_docs)
+            for r in heavy_hitter_tokens(docs, k=2).collect()
+        ]
+        assert out == [("apple", 3, 2), ("banana", 1, 1)]
