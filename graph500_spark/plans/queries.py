@@ -765,6 +765,31 @@ def q_modularity(spark, sf_dir):
     return stats_mod.modularity(g, cmap)
 
 
+def q_sliding_window_counts(spark, sf_dir):
+    """Hopping-window aggregation (batch mirror of streaming
+    F.window(size, slide)): map-side explode + one combined shuffle."""
+    return windows_mod.sliding_window_counts(
+        td.load_table(spark, sf_dir, "events")
+    )
+
+
+def q_retention_cohorts(spark, sf_dir):
+    """First-seen-day cohort × activity-day-offset user counts — the
+    retention-triangle analytics staple, all map-side-combinable."""
+    return windows_mod.retention_cohorts(
+        td.load_table(spark, sf_dir, "events")
+    )
+
+
+def q_event_type_transitions(spark, sf_dir):
+    """Per-user consecutive event-type bigrams (Markov transition
+    counts): one user-partitioned window pass, total ordering via the
+    event_id tiebreak."""
+    return windows_mod.event_type_transitions(
+        td.load_table(spark, sf_dir, "events")
+    )
+
+
 def q_degree_assortativity(spark, sf_dir):
     """Pearson correlation of endpoint degrees over the edge list —
     exact integer moment sums, one deterministic expression at the
@@ -1812,6 +1837,9 @@ QUERIES: dict[str, QueryFn] = {
     "normalized_duplicates": q_normalized_duplicates,
     "levenshtein_near_duplicates": q_levenshtein_near_duplicates,
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
+    "sliding_window_counts": q_sliding_window_counts,
+    "retention_cohorts": q_retention_cohorts,
+    "event_type_transitions": q_event_type_transitions,
     # --- graph / Graph500 §2 surface ---
     "self_loop_filter": q_self_loop_filter,
     "symmetrize": q_symmetrize,
@@ -2204,6 +2232,9 @@ def _late_oracles() -> dict[str, str]:
         "session_stats": sessions_mod.session_stats_sql(),
         "top_events_per_user": windows_mod.top_events_per_user_sql(),
         "event_anomalies": windows_mod.event_anomalies_sql(),
+        "sliding_window_counts": windows_mod.sliding_window_counts_sql(),
+        "retention_cohorts": windows_mod.RETENTION_COHORTS_SQL,
+        "event_type_transitions": windows_mod.EVENT_TYPE_TRANSITIONS_SQL,
     }
 
 

@@ -556,3 +556,146 @@ def event_anomalies_sql(z_threshold: float = 3.0) -> str:
         " FROM events e JOIN stats USING (event_type)"
         f" WHERE abs(round((value - mu) / sd, 5)) > {z_threshold}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding (hopping) windows, retention cohorts, transition counts
+# ---------------------------------------------------------------------------
+
+
+def sliding_window_counts(
+    events: DataFrame, minutes: int = 10, slide_minutes: int = 5
+) -> DataFrame:
+    """Batch mirror of Structured Streaming's hopping window
+    ``F.window(ts, size, slide)``:
+    [window_start_us, event_type, n_events, sum_value], one row per
+    (window, type) — each event lands in size/slide windows.
+
+    Spelled as explicit epoch-micros arithmetic (explode k = 0..m−1 →
+    start = (t div slide)·slide − k·slide) rather than F.window's
+    struct so the result is tz-independent and DuckDB-mirrorable —
+    same values Structured Streaming would emit. The m-way explode is
+    the standard duplication cost of hopping windows; it happens
+    map-side inside the scan projection, and the one hash shuffle on
+    (window, type) carries map-side partial aggregates, so the
+    shuffled volume is bounded by distinct windows·types, not by
+    m·|events|."""
+    if minutes % slide_minutes:
+        raise ValueError("window size must be a multiple of the slide")
+    m = minutes // slide_minutes
+    slide_us = 60_000_000 * slide_minutes
+    ts_us = event_micros(events)
+    base = (ts_us - ts_us % F.lit(slide_us)).alias("s0")
+    return (
+        events.select(base, "event_type", "value")
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("k"),
+            "s0",
+            "event_type",
+            "value",
+        )
+        .select(
+            (F.col("s0") - F.col("k") * F.lit(slide_us)).alias(
+                "window_start_us"
+            ),
+            "event_type",
+            "value",
+        )
+        .groupBy("window_start_us", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+def sliding_window_counts_sql(
+    minutes: int = 10, slide_minutes: int = 5
+) -> str:
+    m = minutes // slide_minutes
+    slide_us = 60_000_000 * slide_minutes
+    return (
+        "SELECT s0 - k * {s} AS window_start_us, event_type,"
+        " COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value"
+        " FROM (SELECT epoch_us(ts) - epoch_us(ts) % {s} AS s0,"
+        " unnest(generate_series(0, {kmax})) AS k, event_type, value"
+        " FROM events) GROUP BY 1, 2"
+    ).format(s=slide_us, kmax=m - 1)
+
+
+DAY_US = 86_400_000_000
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Classic cohort-retention triangle:
+    [cohort_day, day_offset, n_users] — users grouped by their
+    first-seen day, counted on each subsequent active day.
+
+    Days are epoch-day integers (ts_us div day) — tz-independent.
+    Plan: one grouped MIN per user (hash shuffle on user_id), one
+    distinct over (user, day) that reuses the same user_id exchange,
+    one join on user_id, final count keyed by the (cohort, offset)
+    pair — every aggregation map-side combinable; nothing driver-side.
+    """
+    ts_day = (event_micros(events) / F.lit(DAY_US)).cast("long")
+    user_days = events.select(
+        "user_id", ts_day.alias("day")
+    ).distinct()
+    cohorts = user_days.groupBy("user_id").agg(
+        F.min("day").alias("cohort_day")
+    )
+    return (
+        user_days.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+RETENTION_COHORTS_SQL = (
+    "WITH ud AS (SELECT DISTINCT user_id,"
+    f" epoch_us(ts) // {DAY_US} AS day FROM events),"
+    " c AS (SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY user_id)"
+    " SELECT c.cohort_day, ud.day - c.cohort_day AS day_offset,"
+    " CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS n_users"
+    " FROM ud JOIN c USING (user_id) GROUP BY 1, 2"
+)
+
+
+def event_type_transitions(events: DataFrame) -> DataFrame:
+    """Per-user consecutive event-type bigram counts:
+    [from_type, to_type, n_transitions] — the Markov-chain /
+    next-action-model training aggregate.
+
+    One window pass partitioned by user_id ordered by (ts_us,
+    event_id) — the event_id tiebreak makes the ordering total, so
+    the lead() is deterministic cross-engine. The window exchange
+    hash-partitions on user_id only (no global sort); the bigram
+    count is a second map-side-combinable shuffle on the type pair."""
+    from pyspark.sql import Window
+
+    ts_us = event_micros(events)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = events.select(
+        "user_id", "event_id", "event_type", ts_us.alias("ts_us")
+    ).select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    return (
+        seq.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
+
+
+EVENT_TYPE_TRANSITIONS_SQL = (
+    "WITH seq AS (SELECT event_type AS from_type,"
+    " LEAD(event_type) OVER (PARTITION BY user_id"
+    " ORDER BY epoch_us(ts), event_id) AS to_type FROM events)"
+    " SELECT from_type, to_type,"
+    " CAST(COUNT(*) AS BIGINT) AS n_transitions"
+    " FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2"
+)

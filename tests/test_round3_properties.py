@@ -179,3 +179,105 @@ class TestEmptyInputs:
         )
         assert event_value_quantiles(empty).count() == 0
         assert event_value_quantiles(empty, approx=True).count() == 0
+
+
+EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double"
+)
+# ts as raw bigint NANOS (eventtime.py's legacy integral branch)
+_US = 1000  # 1 microsecond in nanos
+_MIN = 60_000_000 * _US
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, EVENTS_SCHEMA)
+
+
+class TestSlidingWindows:
+    def test_each_event_in_size_over_slide_windows(self, spark):
+        from graph500_spark.streaming.windows import sliding_window_counts
+
+        # one event at t=12min with 10min/5min windows → it belongs to
+        # starts 10min and 5min (not 0: 0+10 ≤ 12)
+        ev = _events(spark, [(0, 12 * _MIN, 1, "click", 1.0)])
+        out = sorted(
+            (r.window_start_us, r.n_events)
+            for r in sliding_window_counts(ev, 10, 5).collect()
+        )
+        assert out == [(5 * 60_000_000, 1), (10 * 60_000_000, 1)]
+
+    def test_counts_partition_events(self, spark):
+        from graph500_spark.streaming.windows import sliding_window_counts
+
+        ev = _events(
+            spark,
+            [(i, i * _MIN, 1, "click", 1.0) for i in range(0, 30)],
+        )
+        out = sliding_window_counts(ev, 10, 5).collect()
+        # every event appears in exactly 2 windows
+        assert sum(r.n_events for r in out) == 60
+
+    def test_indivisible_slide_rejected(self, spark):
+        from graph500_spark.streaming.windows import sliding_window_counts
+
+        with pytest.raises(ValueError):
+            sliding_window_counts(_events(spark, []), 10, 3)
+
+
+class TestRetentionCohorts:
+    def test_triangle(self, spark):
+        from graph500_spark.streaming.windows import (
+            DAY_US,
+            retention_cohorts,
+        )
+
+        day = DAY_US * _US  # nanos per day
+        rows = [
+            # user 1: days 0, 1, 3; user 2: days 1, 3; user 3: day 3
+            (0, 0 * day, 1, "a", 0.0),
+            (1, 1 * day, 1, "a", 0.0),
+            (2, 3 * day, 1, "a", 0.0),
+            (3, 1 * day, 2, "a", 0.0),
+            (4, 3 * day, 2, "a", 0.0),
+            (5, 3 * day, 3, "a", 0.0),
+        ]
+        out = {
+            (r.cohort_day, r.day_offset): r.n_users
+            for r in retention_cohorts(_events(spark, rows)).collect()
+        }
+        assert out == {
+            (0, 0): 1, (0, 1): 1, (0, 3): 1,
+            (1, 0): 1, (1, 2): 1,
+            (3, 0): 1,
+        }
+
+
+class TestEventTypeTransitions:
+    def test_bigrams_per_user(self, spark):
+        from graph500_spark.streaming.windows import event_type_transitions
+
+        rows = [
+            (0, 1 * _MIN, 1, "view", 0.0),
+            (1, 2 * _MIN, 1, "click", 0.0),
+            (2, 3 * _MIN, 1, "purchase", 0.0),
+            (3, 1 * _MIN, 2, "view", 0.0),
+            (4, 2 * _MIN, 2, "click", 0.0),
+        ]
+        out = {
+            (r.from_type, r.to_type): r.n_transitions
+            for r in event_type_transitions(_events(spark, rows)).collect()
+        }
+        assert out == {("view", "click"): 2, ("click", "purchase"): 1}
+
+    def test_simultaneous_ties_break_on_event_id(self, spark):
+        from graph500_spark.streaming.windows import event_type_transitions
+
+        rows = [
+            (0, 1 * _MIN, 1, "a", 0.0),
+            (1, 1 * _MIN, 1, "b", 0.0),  # same ts — event_id orders it
+        ]
+        out = {
+            (r.from_type, r.to_type): r.n_transitions
+            for r in event_type_transitions(_events(spark, rows)).collect()
+        }
+        assert out == {("a", "b"): 1}
