@@ -894,3 +894,123 @@ def cosine_topk_pq_sql(
         " SELECT query_id, neighbor_id, cosine, rank FROM ranked"
         f" WHERE rank <= {k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# k-NN label classifier + per-dimension feature statistics
+# ---------------------------------------------------------------------------
+
+
+def knn_predict(embeddings: DataFrame, k: int = 5) -> DataFrame:
+    """k-NN majority-vote label classifier over cosine similarity:
+    [query_id, true_label, predicted_label, n_votes] for the
+    deterministic query subset (vec_id % 50 = 0), voting over the k
+    nearest labeled vectors (self excluded).
+
+    The embedding-based auto-labeling / label-propagation primitive
+    for training-data curation. Plan: the brute-force scorer is the
+    broadcast(query)×corpus product (the cosine_topk baseline — swap
+    in the IVF cells for the 100 TB path); the vote is one grouped
+    count over k·|queries| rows plus a row_number pick with the
+    deterministic (votes desc, label asc) tie-break."""
+    neighbors = cosine_topk(embeddings, k=k)
+    labels = embeddings.select("vec_id", "label")
+    votes = (
+        neighbors.join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nb_label"),
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "nb_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("nb_label").asc()
+    )
+    winner = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("nb_label").alias("predicted_label"),
+            "n_votes",
+        )
+    )
+    return winner.join(
+        labels.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("true_label"),
+        ),
+        "query_id",
+    ).select("query_id", "true_label", "predicted_label", "n_votes")
+
+
+def knn_predict_sql(k: int = 5, query_filter: str = "vec_id % 50 = 0") -> str:
+    return (
+        f"WITH nb AS ({cosine_topk_sql(k=k, query_filter=query_filter)}),"
+        " votes AS (SELECT nb.query_id, e.label AS nb_label,"
+        " CAST(COUNT(*) AS BIGINT) AS n_votes"
+        " FROM nb JOIN embeddings e ON e.vec_id = nb.neighbor_id"
+        " GROUP BY 1, 2),"
+        " ranked AS (SELECT query_id, nb_label, n_votes,"
+        " ROW_NUMBER() OVER (PARTITION BY query_id"
+        " ORDER BY n_votes DESC, nb_label ASC) AS rn FROM votes)"
+        " SELECT r.query_id, q.label AS true_label,"
+        " r.nb_label AS predicted_label, r.n_votes"
+        " FROM ranked r JOIN embeddings q ON q.vec_id = r.query_id"
+        " WHERE r.rn = 1"
+    )
+
+
+def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension feature statistics for normalization tables:
+    [dim, n, mean, std] (dim 1-based; population std).
+
+    Values are integer-quantized at 10^6 before summation (the
+    kmeans_cells discipline), so the per-dimension sums are exact
+    order-free integer aggregations and the mean/std are single
+    deterministic float expressions at the end. Plan: posexplode
+    inside the scan projection → one hash shuffle on the dim key with
+    map-side partials — 64 output rows regardless of corpus size."""
+    q = _quantized(embeddings)
+    exploded = q.select(
+        F.posexplode("qv").alias("pos", "x")
+    ).select((F.col("pos") + 1).alias("dim"), F.col("x").cast("long").alias("x"))
+    agg = exploded.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    scale = float(KMEANS_SCALE)
+    mean = F.col("s") / F.col("n") / scale
+    var = (
+        F.col("s2") / F.col("n")
+        - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n"))
+    ) / (scale * scale)
+    return agg.select(
+        "dim",
+        "n",
+        F.round(mean, 6).cast("double").alias("mean"),
+        F.round(F.sqrt(var), 6).cast("double").alias("std"),
+    )
+
+
+def embedding_dim_stats_sql() -> str:
+    return (
+        "WITH q AS (SELECT vec_id, list_transform("
+        f"CAST(embedding AS DOUBLE[]), x -> CAST(round(x * {KMEANS_SCALE}.0)"
+        " AS BIGINT)) AS qv FROM embeddings),"
+        " ex AS (SELECT unnest(generate_series(1, len(qv))) AS dim,"
+        " unnest(qv) AS x FROM q),"
+        " agg AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,"
+        " CAST(SUM(x) AS BIGINT) AS s,"
+        " CAST(SUM(x * x) AS BIGINT) AS s2 FROM ex GROUP BY dim)"
+        " SELECT dim, n,"
+        f" ROUND(s / CAST(n AS DOUBLE) / {KMEANS_SCALE}.0, 6) AS mean,"
+        " ROUND(sqrt((s2 / CAST(n AS DOUBLE)"
+        " - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)))"
+        f" / ({KMEANS_SCALE}.0 * {KMEANS_SCALE}.0)), 6) AS std"
+        " FROM agg"
+    )

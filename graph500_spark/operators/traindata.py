@@ -588,3 +588,62 @@ def model_quality_scores_sql() -> str:
         " CAST(COALESCE(s.model_score_e5, 0) AS BIGINT) AS model_score_e5"
         " FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick feature vectors
+# ---------------------------------------------------------------------------
+
+FEATURE_DIM = 256
+
+
+def feature_hashing(docs: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Signed hashing-trick bag-of-tokens features (Weinberger et al.
+    2009): [doc_id, feature_idx, feature_val] sparse rows, where
+    feature_idx = h(token) mod dim and each occurrence contributes
+    sign ±1 from the next hash bit (the unbiased-estimator variant).
+    Rows whose signs cancel to 0 are dropped (sparse semantics).
+
+    The fixed-width featurizer for linear/NB models over unbounded
+    vocabularies — no vocabulary table to build, broadcast, or keep
+    consistent across a 1000-executor job; the hash IS the vocabulary.
+    Plan: explode inside the scan projection → one map-side-combinable
+    hash shuffle on (doc_id, idx). Uses the engine-wide md5 hash tier
+    so the DuckDB oracle reproduces the exact same features."""
+    from graph500_spark.operators.text import spark_strhash
+
+    # `div` (integer division) — float `/` would lose exactness above
+    # 2^53 on the 60-bit hash values.
+    h = spark_strhash("token")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(SPARK_TOKENS)).alias("token")
+    ).select(
+        "doc_id",
+        F.expr(f"cast(({h}) % {dim} as int)").alias("feature_idx"),
+        F.expr(
+            f"cast(case when (({h}) div {dim}) % 2 = 0"
+            " then 1 else -1 end as bigint)"
+        ).alias("sign"),
+    )
+    return (
+        toks.groupBy("doc_id", "feature_idx")
+        .agg(F.sum("sign").cast("long").alias("feature_val"))
+        .filter(F.col("feature_val") != 0)
+    )
+
+
+def feature_hashing_sql(dim: int = FEATURE_DIM) -> str:
+    from graph500_spark.operators.text import duck_strhash
+
+    h = duck_strhash("token")
+    return (
+        f"WITH toks AS (SELECT doc_id, unnest({DUCK_TOKENS}) AS token"
+        " FROM documents),"
+        f" feats AS (SELECT doc_id,"
+        f" CAST(({h}) % {dim} AS INTEGER) AS feature_idx,"
+        f" CASE WHEN (({h}) // {dim}) % 2 = 0 THEN 1 ELSE -1 END AS sign"
+        " FROM toks)"
+        " SELECT doc_id, feature_idx,"
+        " CAST(SUM(sign) AS BIGINT) AS feature_val"
+        " FROM feats GROUP BY 1, 2 HAVING SUM(sign) <> 0"
+    )

@@ -790,6 +790,24 @@ def q_event_type_transitions(spark, sf_dir):
     )
 
 
+def q_knn_predict(spark, sf_dir):
+    """k-NN majority-vote label classifier over cosine similarity —
+    embedding-based auto-labeling with a deterministic tie-break."""
+    return simsearch_mod.knn_predict(_embs(spark, sf_dir))
+
+
+def q_embedding_dim_stats(spark, sf_dir):
+    """Per-dimension mean/std normalization table — integer-quantized
+    exact sums, 64 output rows at any corpus size."""
+    return simsearch_mod.embedding_dim_stats(_embs(spark, sf_dir))
+
+
+def q_feature_hashing(spark, sf_dir):
+    """Signed hashing-trick features: fixed-width sparse vectors with
+    no vocabulary table (the hash IS the vocabulary)."""
+    return traindata_mod.feature_hashing(_docs(spark, sf_dir))
+
+
 def q_degree_assortativity(spark, sf_dir):
     """Pearson correlation of endpoint degrees over the edge list —
     exact integer moment sums, one deterministic expression at the
@@ -1840,6 +1858,9 @@ QUERIES: dict[str, QueryFn] = {
     "sliding_window_counts": q_sliding_window_counts,
     "retention_cohorts": q_retention_cohorts,
     "event_type_transitions": q_event_type_transitions,
+    "knn_predict": q_knn_predict,
+    "embedding_dim_stats": q_embedding_dim_stats,
+    "feature_hashing": q_feature_hashing,
     # --- graph / Graph500 §2 surface ---
     "self_loop_filter": q_self_loop_filter,
     "symmetrize": q_symmetrize,
@@ -2156,6 +2177,9 @@ ORACLE_SQL: dict[str, str] = {
         dedup_mod.levenshtein_near_duplicates_sql()
     ),
     "heavy_hitter_tokens": text_mod.heavy_hitter_tokens_sql(),
+    "knn_predict": simsearch_mod.knn_predict_sql(),
+    "embedding_dim_stats": simsearch_mod.embedding_dim_stats_sql(),
+    "feature_hashing": traindata_mod.feature_hashing_sql(),
     "minhash_signatures": dedup_mod.MINHASH_SIGNATURES_SQL,
     "lsh_candidate_pairs": dedup_mod.lsh_candidate_pairs_sql(),
     "minhash_near_duplicates": dedup_mod.minhash_near_duplicates_sql(),

@@ -121,3 +121,92 @@ class TestNaiveBayes:
         }
         want = {d[0]: d[2] for d in self.DOCS}
         assert preds == want
+
+
+class TestFeatureHashing:
+    def test_repeated_token_accumulates(self, spark):
+        from graph500_spark.operators.traindata import feature_hashing
+
+        docs = spark.createDataFrame(
+            [(0, "spark spark spark", "en", "s0", 17)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        rows = feature_hashing(docs).collect()
+        assert len(rows) == 1
+        assert abs(rows[0].feature_val) == 3
+        assert 0 <= rows[0].feature_idx < 256
+
+    def test_same_text_same_features(self, spark):
+        from graph500_spark.operators.traindata import feature_hashing
+
+        docs = spark.createDataFrame(
+            [
+                (0, "alpha bravo charlie", "en", "s0", 19),
+                (1, "alpha bravo charlie", "en", "s0", 19),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        feats = feature_hashing(docs).collect()
+        f0 = sorted((r.feature_idx, r.feature_val) for r in feats if r.doc_id == 0)
+        f1 = sorted((r.feature_idx, r.feature_val) for r in feats if r.doc_id == 1)
+        assert f0 == f1 and len(f0) >= 1
+
+    def test_dim_bounds_and_dtype(self, spark):
+        from graph500_spark.operators.traindata import feature_hashing
+
+        docs = spark.createDataFrame(
+            [(0, "one two three four five six seven eight", "en", "s0", 39)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        out = feature_hashing(docs, dim=16)
+        assert [f.name for f in out.schema.fields] == [
+            "doc_id", "feature_idx", "feature_val",
+        ]
+        assert all(0 <= r.feature_idx < 16 for r in out.collect())
+
+
+class TestKnnPredictAndDimStats:
+    def _embs(self, spark):
+        # two tight clusters on axes 0 and 1; queries are vec_id 0, 50
+        rows = []
+        for i in range(6):
+            rows.append((i * 50 if i < 2 else i + 100,
+                         [1.0, 0.01 * i, 0.0] if i % 2 == 0 else [0.0, 1.0, 0.01 * i],
+                         i % 2))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+
+    def test_knn_majority_label(self, spark):
+        from graph500_spark.operators.simsearch import knn_predict
+
+        # cluster A (label 0) along x-axis: ids 0, 102, 104
+        # cluster B (label 1) along y-axis: ids 50, 103, 105
+        rows = [
+            (0, [1.0, 0.0, 0.0], 0),
+            (102, [0.99, 0.1, 0.0], 0),
+            (104, [0.98, 0.15, 0.0], 0),
+            (50, [0.0, 1.0, 0.0], 1),
+            (103, [0.1, 0.99, 0.0], 1),
+            (105, [0.15, 0.98, 0.0], 1),
+        ]
+        embs = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        out = {
+            r.query_id: (r.true_label, r.predicted_label)
+            for r in knn_predict(embs, k=2).collect()
+        }
+        assert out == {0: (0, 0), 50: (1, 1)}
+
+    def test_dim_stats_hand_values(self, spark):
+        from graph500_spark.operators.simsearch import embedding_dim_stats
+
+        embs = spark.createDataFrame(
+            [(0, [1.0, 2.0], 0), (1, [3.0, 2.0], 0)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        out = {r.dim: (r.n, r.mean, r.std)
+               for r in embedding_dim_stats(embs).collect()}
+        assert out[1] == (2, 2.0, 1.0)   # values 1, 3
+        assert out[2] == (2, 2.0, 0.0)   # values 2, 2
