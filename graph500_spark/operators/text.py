@@ -585,3 +585,148 @@ def heavy_hitter_tokens_sql(k: int = 100) -> str:
         " FROM documents) GROUP BY token"
         f" ORDER BY n_occurrences DESC, token ASC LIMIT {k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations + per-document character entropy
+# ---------------------------------------------------------------------------
+
+
+def pmi_collocations(
+    docs: DataFrame, min_count: int = 3, k: int = 100
+) -> DataFrame:
+    """Top-k token-bigram collocations by pointwise mutual information:
+    [x, y, n_xy, pmi_q], ordered by (pmi_q desc, x, y).
+
+    PMI = ln( p(x,y) / (p(x)·p(y)) ) with p(x,y) = c_xy/N_bigrams and
+    p(x) = c_x/N_tokens — the phrase-mining / tokenizer-merge-rule
+    primitive. pmi_q quantizes to integer micro-nats via ONE log over
+    a single double expression per row (no summation of logs, so no
+    cross-engine accumulation drift — the unigram_logppl discipline).
+    The min_count floor is the standard guard against PMI's
+    rare-pair bias. Plan: positional explode inside the scan, one
+    (doc, pos) self-join for consecutive pairs, two token-keyed
+    count shuffles (Zipf-skewed — AQE + map-side partials), unigram
+    counts broadcast back, distributed TakeOrdered."""
+    tok = docs.select(
+        "doc_id", F.posexplode(F.expr(SPARK_TOKENS)).alias("pos", "token")
+    )
+    uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    nt = uni.agg(F.sum("c").alias("n_tokens"))
+    a = tok.select("doc_id", "pos", F.col("token").alias("x"))
+    b = tok.select(
+        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("token").alias("y")
+    )
+    big = (
+        a.join(b, ["doc_id", "pos"])
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+        .filter(F.col("n_xy") >= min_count)
+    )
+    nb = (
+        tok.groupBy("doc_id")
+        .agg(F.greatest(F.count(F.lit(1)) - 1, F.lit(0)).alias("nb"))
+        .agg(F.sum("nb").alias("n_bigrams"))
+    )
+    scored = (
+        big.join(F.broadcast(uni.withColumnRenamed("token", "x")
+                             .withColumnRenamed("c", "cx")), "x")
+        .join(F.broadcast(uni.withColumnRenamed("token", "y")
+                          .withColumnRenamed("c", "cy")), "y")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nb))
+    )
+    pmi_q = F.round(
+        F.log(
+            (F.col("n_xy").cast("double") * F.col("n_tokens")
+             * F.col("n_tokens"))
+            / (F.col("n_bigrams").cast("double") * F.col("cx") * F.col("cy"))
+        )
+        * PPL_SCALE
+    ).cast("long")
+    return (
+        scored.select("x", "y", "n_xy", pmi_q.alias("pmi_q"))
+        .orderBy(F.col("pmi_q").desc(), F.col("x").asc(), F.col("y").asc())
+        .limit(k)
+    )
+
+
+def pmi_collocations_sql(min_count: int = 3, k: int = 100) -> str:
+    return (
+        f"WITH toks AS (SELECT doc_id, {DUCK_TOKENS} AS ts FROM documents),"
+        " tok AS (SELECT doc_id, unnest(ts) AS token,"
+        " unnest(generate_series(1, len(ts))) AS pos FROM toks),"
+        " uni AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),"
+        " nt AS (SELECT SUM(c) AS n_tokens FROM uni),"
+        " big AS (SELECT a.token AS x, b.token AS y,"
+        " CAST(COUNT(*) AS BIGINT) AS n_xy"
+        " FROM tok a JOIN tok b"
+        " ON a.doc_id = b.doc_id AND b.pos = a.pos + 1"
+        f" GROUP BY 1, 2 HAVING COUNT(*) >= {min_count}),"
+        " nb AS (SELECT SUM(GREATEST(len(ts) - 1, 0)) AS n_bigrams"
+        " FROM toks)"
+        " SELECT x, y, n_xy,"
+        " CAST(round(ln((CAST(n_xy AS DOUBLE) * n_tokens * n_tokens)"
+        " / (CAST(n_bigrams AS DOUBLE) * ux.c * uy.c))"
+        f" * {PPL_SCALE}) AS BIGINT) AS pmi_q"
+        " FROM big JOIN uni ux ON ux.token = big.x"
+        " JOIN uni uy ON uy.token = big.y, nt, nb"
+        f" ORDER BY pmi_q DESC, x ASC, y ASC LIMIT {k}"
+    )
+
+
+def char_entropy(docs: DataFrame) -> DataFrame:
+    """Per-document character-distribution Shannon entropy (nats):
+    [doc_id, n_chars_calc, sum_clogc_q, entropy_micro] — the
+    gibberish / low-diversity quality signal (near-zero entropy =
+    one repeated character; random text ≈ ln(alphabet)).
+
+    H = ln n − (Σ c_i·ln c_i)/n over per-char counts c_i. The inner
+    sum is quantized per term to integer micro-nats (Σ c_i·round(10⁶
+    ln c_i) — exact, order-free), and the outer expression is one
+    deterministic double op — the unigram_logppl discipline applied
+    at character granularity. Plan: explode chars inside the scan →
+    one (doc, char) count shuffle → one doc-keyed sum; empty docs
+    are absent (no characters)."""
+    chars = docs.select(
+        "doc_id",
+        F.explode(F.expr("sequence(1, length(text))")).alias("i"),
+        F.col("text"),
+    ).select("doc_id", F.expr("substr(text, i, 1)").alias("ch"))
+    counts = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_chars_calc"),
+        F.sum(
+            F.col("c") * F.round(F.log("c") * PPL_SCALE).cast("long")
+        ).cast("long").alias("sum_clogc_q"),
+    )
+    ent = F.round(
+        F.log(F.col("n_chars_calc")) * PPL_SCALE
+        - F.col("sum_clogc_q") / F.col("n_chars_calc")
+    ).cast("long")
+    return per_doc.select(
+        "doc_id", "n_chars_calc", "sum_clogc_q",
+        ent.alias("entropy_micro"),
+    )
+
+
+def char_entropy_sql() -> str:
+    return (
+        "WITH chars AS (SELECT doc_id, substr(text, i, 1) AS ch"
+        " FROM (SELECT doc_id, text,"
+        " unnest(generate_series(1, length(text))) AS i"
+        " FROM documents)),"
+        " counts AS (SELECT doc_id, ch, COUNT(*) AS c"
+        " FROM chars GROUP BY 1, 2),"
+        " per_doc AS (SELECT doc_id,"
+        " CAST(SUM(c) AS BIGINT) AS n_chars_calc,"
+        f" CAST(SUM(c * CAST(round(ln(c) * {PPL_SCALE}) AS BIGINT))"
+        " AS BIGINT) AS sum_clogc_q"
+        " FROM counts GROUP BY doc_id)"
+        " SELECT doc_id, n_chars_calc, sum_clogc_q,"
+        f" CAST(round(ln(n_chars_calc) * {PPL_SCALE}"
+        " - sum_clogc_q / CAST(n_chars_calc AS DOUBLE)) AS BIGINT)"
+        " AS entropy_micro FROM per_doc"
+    )

@@ -808,6 +808,24 @@ def q_feature_hashing(spark, sf_dir):
     return traindata_mod.feature_hashing(_docs(spark, sf_dir))
 
 
+def q_pmi_collocations(spark, sf_dir):
+    """Phrase mining: top token bigrams by pointwise mutual
+    information, integer micro-nat quantized (one log per row)."""
+    return text_mod.pmi_collocations(_docs(spark, sf_dir))
+
+
+def q_char_entropy(spark, sf_dir):
+    """Character-distribution Shannon entropy per doc — the
+    gibberish/low-diversity quality signal; micro-nat exact sums."""
+    return text_mod.char_entropy(_docs(spark, sf_dir))
+
+
+def q_user_rfm(spark, sf_dir):
+    """Per-user recency/frequency/monetary features: one grouped agg
+    plus the broadcast 1-row corpus max."""
+    return windows_mod.user_rfm(td.load_table(spark, sf_dir, "events"))
+
+
 def q_degree_assortativity(spark, sf_dir):
     """Pearson correlation of endpoint degrees over the edge list —
     exact integer moment sums, one deterministic expression at the
@@ -1861,6 +1879,9 @@ QUERIES: dict[str, QueryFn] = {
     "knn_predict": q_knn_predict,
     "embedding_dim_stats": q_embedding_dim_stats,
     "feature_hashing": q_feature_hashing,
+    "pmi_collocations": q_pmi_collocations,
+    "char_entropy": q_char_entropy,
+    "user_rfm": q_user_rfm,
     # --- graph / Graph500 §2 surface ---
     "self_loop_filter": q_self_loop_filter,
     "symmetrize": q_symmetrize,
@@ -2180,6 +2201,9 @@ ORACLE_SQL: dict[str, str] = {
     "knn_predict": simsearch_mod.knn_predict_sql(),
     "embedding_dim_stats": simsearch_mod.embedding_dim_stats_sql(),
     "feature_hashing": traindata_mod.feature_hashing_sql(),
+    "pmi_collocations": text_mod.pmi_collocations_sql(),
+    "char_entropy": text_mod.char_entropy_sql(),
+    "user_rfm": windows_mod.USER_RFM_SQL,
     "minhash_signatures": dedup_mod.MINHASH_SIGNATURES_SQL,
     "lsh_candidate_pairs": dedup_mod.lsh_candidate_pairs_sql(),
     "minhash_near_duplicates": dedup_mod.minhash_near_duplicates_sql(),

@@ -699,3 +699,40 @@ EVENT_TYPE_TRANSITIONS_SQL = (
     " CAST(COUNT(*) AS BIGINT) AS n_transitions"
     " FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2"
 )
+
+
+def user_rfm(events: DataFrame) -> DataFrame:
+    """Per-user RFM behavioral features:
+    [user_id, recency_us, frequency, monetary] — time since the
+    user's last event (relative to the corpus max event time),
+    event count, and summed value (rounded 6).
+
+    The classic user-segmentation feature table (and the behavioral
+    sibling of model_quality_scores' per-doc features). Plan: one
+    user-keyed grouped agg (map-side combinable) + the 1-row global
+    max broadcast back — no second scan of the events table."""
+    ts_us = event_micros(events)
+    per_user = events.select("user_id", ts_us.alias("ts_us"), "value").groupBy(
+        "user_id"
+    ).agg(
+        F.max("ts_us").alias("last_us"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.round(F.sum("value"), 6).alias("monetary"),
+    )
+    global_max = per_user.agg(F.max("last_us").alias("corpus_max_us"))
+    return per_user.crossJoin(F.broadcast(global_max)).select(
+        "user_id",
+        (F.col("corpus_max_us") - F.col("last_us")).alias("recency_us"),
+        "frequency",
+        "monetary",
+    )
+
+
+USER_RFM_SQL = (
+    "WITH per_user AS (SELECT user_id, MAX(epoch_us(ts)) AS last_us,"
+    " CAST(COUNT(*) AS BIGINT) AS frequency,"
+    " ROUND(SUM(value), 6) AS monetary FROM events GROUP BY user_id),"
+    " gm AS (SELECT MAX(last_us) AS corpus_max_us FROM per_user)"
+    " SELECT user_id, corpus_max_us - last_us AS recency_us,"
+    " frequency, monetary FROM per_user, gm"
+)

@@ -487,3 +487,76 @@ class TestHeavyHitterTokens:
             for r in heavy_hitter_tokens(docs, k=2).collect()
         ]
         assert out == [("apple", 3, 2), ("banana", 1, 1)]
+
+
+class TestPmiCollocations:
+    def test_fixed_phrase_tops(self, spark):
+        from graph500_spark.operators.text import pmi_collocations
+
+        # "new york" always co-occurs; filler tokens are independent
+        rows = [
+            (i, f"new york w{i} x{i} y{i} z{i}", "en", "s0", 30)
+            for i in range(4)
+        ]
+        docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+        out = pmi_collocations(docs, min_count=3, k=10).collect()
+        assert [(r.x, r.y) for r in out] == [("new", "york")]
+        assert out[0].n_xy == 4
+        # p(xy)=4/20 bigrams, p(x)=p(y)=4/24 tokens → PMI=ln(7.2)
+        import math
+
+        assert out[0].pmi_q == round(math.log(0.2 / (4 / 24) ** 2) * 1e6)
+
+    def test_min_count_floors_rare_pairs(self, spark):
+        from graph500_spark.operators.text import pmi_collocations
+
+        docs = spark.createDataFrame(
+            [(0, "rare pair only once", "en", "s0", 19)], DOCS_SCHEMA
+        )
+        assert pmi_collocations(docs, min_count=2, k=10).count() == 0
+
+
+class TestCharEntropy:
+    def test_single_char_doc_is_zero(self, spark):
+        from graph500_spark.operators.text import char_entropy
+
+        docs = spark.createDataFrame(
+            [(0, "aaaa", "en", "s0", 4)], DOCS_SCHEMA
+        )
+        row = char_entropy(docs).collect()[0]
+        assert row.n_chars_calc == 4
+        # H = ln 4 - (4 ln 4)/4 = 0
+        assert row.entropy_micro == 0
+
+    def test_uniform_two_symbols(self, spark):
+        import math
+
+        from graph500_spark.operators.text import char_entropy
+
+        docs = spark.createDataFrame(
+            [(0, "abab", "en", "s0", 4)], DOCS_SCHEMA
+        )
+        row = char_entropy(docs).collect()[0]
+        # H = ln 4 - (2·2ln2 + 2·2ln2)/4... = ln2
+        assert abs(row.entropy_micro - round(math.log(2) * 1e6)) <= 1
+
+
+class TestUserRfm:
+    def test_hand_values(self, spark):
+        from graph500_spark.streaming.windows import user_rfm
+
+        _min = 60_000_000_000  # one minute in nanos (legacy int branch)
+        rows = [
+            (0, 0 * _min, 1, "a", 1.5),
+            (1, 5 * _min, 1, "a", 2.5),
+            (2, 10 * _min, 2, "a", 7.0),
+        ]
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts long, user_id long,"
+            " event_type string, value double",
+        )
+        out = {r.user_id: (r.recency_us, r.frequency, r.monetary)
+               for r in user_rfm(ev).collect()}
+        assert out[1] == (5 * 60_000_000, 2, 4.0)
+        assert out[2] == (0, 1, 7.0)
