@@ -167,3 +167,72 @@ def test_nb_predict_model_join_broadcasts(spark):
     plan = plan_of(Q.QUERIES["nb_predict"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# Continuation batch: the new operators must keep their blocked /
+# pruned / equi-join shapes too.
+NO_NESTED_LOOP_NEW = [
+    "levenshtein_near_duplicates",
+    "normalized_duplicates",
+    "heavy_hitter_tokens",
+    "jaccard_topk",
+    "sliding_window_counts",
+    "retention_cohorts",
+    "event_type_transitions",
+    "feature_hashing",
+    "char_entropy",
+]
+
+
+@pytest.mark.parametrize("name", NO_NESTED_LOOP_NEW)
+def test_no_nested_loop_join_new(spark, name):
+    plan = plan_of(Q.QUERIES[name](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, name
+    assert "CartesianProduct" not in plan, name
+
+
+def test_levenshtein_blocking_is_equi_join(spark):
+    """The edit-distance near-dup must pair docs through the
+    (lang, bucket) equi-join — the levenshtein kernel may only run
+    on block-joined candidates, never an all-pairs product."""
+    plan = plan_of(Q.QUERIES["levenshtein_near_duplicates"](spark, SF))
+    assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_heavy_hitters_scan_is_pruned(spark):
+    plan = plan_of(Q.QUERIES["heavy_hitter_tokens"](spark, SF))
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans
+    for s in scans:
+        assert "lang" not in s and "source" not in s and "n_chars" not in s
+
+
+def test_pmi_totals_are_broadcast_products(spark):
+    """pmi's N_tokens / N_bigrams one-row totals must attach as
+    broadcast products (the HITS pattern); everything keyed joins
+    through hash joins, and nothing is an unbroadcast cartesian."""
+    plan = plan_of(Q.QUERIES["pmi_collocations"](spark, SF))
+    assert "CartesianProduct" not in plan
+    # nt and nb only (each physical node prints twice: tree + details)
+    bnlj_nodes = [
+        ln for ln in plan.splitlines()
+        if ln.startswith("(") and "BroadcastNestedLoopJoin" in ln
+    ]
+    assert len(bnlj_nodes) <= 2
+    assert "BroadcastHashJoin" in plan  # unigram counts broadcast back
+
+
+def test_user_rfm_broadcasts_global_max(spark):
+    """The 1-row corpus max must ship as a broadcast, not force a
+    shuffle of the per-user table."""
+    plan = plan_of(Q.QUERIES["user_rfm"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    # events scanned once per agg branch at most (details section
+    # lists each physical node once as "(n) Scan parquet")
+    detail_scans = [
+        ln for ln in plan.splitlines()
+        if ln.startswith("(") and "Scan parquet" in ln
+    ]
+    assert len(detail_scans) <= 2
