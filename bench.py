@@ -183,6 +183,26 @@ def main() -> int:
         "pii_scrub": lambda: Q.q_pii_scrub(spark, sf_dir).count(),
         "unigram_logppl": lambda: Q.q_unigram_logppl(spark, sf_dir).count(),
         "funnel_counts": lambda: Q.q_funnel_counts(spark, sf_dir).count(),
+        "jaccard_topk": lambda: Q.q_jaccard_topk(spark, sf_dir).count(),
+        "k_truss": lambda: Q.q_k_truss(spark, sf_dir).count(),
+        "modularity": lambda: Q.q_modularity(spark, sf_dir).count(),
+        "levenshtein_near_duplicates":
+            lambda: Q.q_levenshtein_near_duplicates(spark, sf_dir).count(),
+        "heavy_hitter_tokens":
+            lambda: Q.q_heavy_hitter_tokens(spark, sf_dir).count(),
+        "sliding_window_counts":
+            lambda: Q.q_sliding_window_counts(spark, sf_dir).count(),
+        "retention_cohorts":
+            lambda: Q.q_retention_cohorts(spark, sf_dir).count(),
+        "event_type_transitions":
+            lambda: Q.q_event_type_transitions(spark, sf_dir).count(),
+        "knn_predict": lambda: Q.q_knn_predict(spark, sf_dir).count(),
+        "feature_hashing":
+            lambda: Q.q_feature_hashing(spark, sf_dir).count(),
+        "pmi_collocations":
+            lambda: Q.q_pmi_collocations(spark, sf_dir).count(),
+        "char_entropy": lambda: Q.q_char_entropy(spark, sf_dir).count(),
+        "user_rfm": lambda: Q.q_user_rfm(spark, sf_dir).count(),
     }
 
     timings: dict[str, float] = {}

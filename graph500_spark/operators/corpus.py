@@ -354,3 +354,39 @@ def corpus_mix_temperature_sql(
         " e.n_epochs)) AS INT) AS epoch"
         " FROM documents d JOIN epochs e ON d.source = e.source"
     )
+
+
+def source_overlap_matrix(docs: DataFrame) -> DataFrame:
+    """Cross-source contamination matrix: [source_a, source_b,
+    n_shared_texts] — distinct exact-text hashes present in BOTH
+    sources, for every source pair (a < b) with overlap.
+
+    The provenance-audit primitive: a hot cell means two suppliers
+    ship the same content (double-counted training mass, or one
+    scraping the other). Plan: distinct (hash, source) pairs — one
+    shuffle — then a self-equi-join on the hash key (bounded fan-out:
+    a hash joins only its own sources) and a count keyed by the
+    source pair; never a doc×doc product."""
+    hs = docs.select(
+        F.expr(tx.spark_strhash("text")).cast("long").alias("h"), "source"
+    ).distinct()
+    a = hs.select("h", F.col("source").alias("source_a"))
+    b = hs.select("h", F.col("source").alias("source_b"))
+    return (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.countDistinct("h").cast("long").alias("n_shared_texts"))
+    )
+
+
+def source_overlap_matrix_sql() -> str:
+    return (
+        "WITH hs AS (SELECT DISTINCT"
+        f" CAST({tx.duck_strhash('text')} AS BIGINT) AS h, source"
+        " FROM documents)"
+        " SELECT a.source AS source_a, b.source AS source_b,"
+        " CAST(COUNT(DISTINCT a.h) AS BIGINT) AS n_shared_texts"
+        " FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source"
+        " GROUP BY 1, 2"
+    )

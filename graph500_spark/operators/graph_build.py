@@ -250,3 +250,58 @@ def ego_subgraph(
         .join(reached.withColumnRenamed("vertex", "dst"), "dst", "left_semi")
         .select("src", "dst")
     )
+
+
+def graph_summary(edges_clean: DataFrame) -> DataFrame:
+    """One-row dataset card for a cleaned symmetric graph:
+    [n_vertices, n_directed_rows, n_undirected_edges, max_degree,
+    avg_degree, density].
+
+    All counts are exact integer aggregations from ONE scan (max
+    degree via a grouped count that reuses the same exchange);
+    avg_degree = 2m/n and density = m_und / C(n,2) are single float
+    expressions rounded to 6 — the degree_assortativity exactness
+    discipline applied to the global summary."""
+    deg = edges_clean.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    agg = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices"),
+        F.sum("d").cast("long").alias("n_directed_rows"),
+        F.max("d").cast("long").alias("max_degree"),
+    )
+    return agg.select(
+        "n_vertices",
+        "n_directed_rows",
+        (F.col("n_directed_rows") / 2).cast("long").alias(
+            "n_undirected_edges"
+        ),
+        "max_degree",
+        F.round(
+            F.col("n_directed_rows") / F.col("n_vertices").cast("double"), 6
+        ).alias("avg_degree"),
+        F.round(
+            F.col("n_directed_rows")
+            / (
+                F.col("n_vertices").cast("double")
+                * (F.col("n_vertices") - 1)
+            ),
+            6,
+        ).alias("density"),
+    )
+
+
+def graph_summary_sql(clean_sql: str) -> str:
+    return (
+        f"WITH clean AS ({clean_sql}),"
+        " deg AS (SELECT src, COUNT(*) AS d FROM clean GROUP BY src),"
+        " agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,"
+        " CAST(SUM(d) AS BIGINT) AS n_directed_rows,"
+        " CAST(MAX(d) AS BIGINT) AS max_degree FROM deg)"
+        " SELECT n_vertices, n_directed_rows,"
+        " CAST(n_directed_rows // 2 AS BIGINT) AS n_undirected_edges,"
+        " max_degree,"
+        " ROUND(n_directed_rows / CAST(n_vertices AS DOUBLE), 6)"
+        " AS avg_degree,"
+        " ROUND(n_directed_rows / (CAST(n_vertices AS DOUBLE)"
+        " * (n_vertices - 1)), 6) AS density"
+        " FROM agg"
+    )

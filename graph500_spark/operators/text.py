@@ -730,3 +730,87 @@ def char_entropy_sql() -> str:
         " - sum_clogc_q / CAST(n_chars_calc AS DOUBLE)) AS BIGINT)"
         " AS entropy_micro FROM per_doc"
     )
+
+
+def bigram_logppl(docs: DataFrame) -> DataFrame:
+    """[doc_id, n_bigrams, neg_logprob_q, logppl_micro] — per-doc
+    average negative log-prob under the corpus BIGRAM model with
+    add-one smoothing: p(y|x) = (c_xy + 1) / (c_x + V).
+
+    The strictly-better sibling of unigram_logppl (context-aware
+    perplexity filtering — the KenLM-shaped quality gate with the
+    same exact integer micro-nat discipline: one log per model row,
+    order-free per-doc integer sums). Every doc bigram exists in the
+    model by construction (trained on the same corpus), so the join
+    never drops rows. Docs with < 2 tokens are absent. Plan: one
+    positional self-join for bigrams, two count shuffles, model
+    broadcast back onto the bigram stream."""
+    tok = docs.select(
+        "doc_id", F.posexplode(F.expr(SPARK_TOKENS)).alias("pos", "token")
+    )
+    uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cx"))
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    a = tok.select("doc_id", "pos", F.col("token").alias("x"))
+    b = tok.select(
+        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("token").alias("y")
+    )
+    bigrams = a.join(b, ["doc_id", "pos"])
+    counts = bigrams.groupBy("x", "y").agg(
+        F.count(F.lit(1)).alias("cxy")
+    )
+    model = (
+        counts.join(F.broadcast(uni.withColumnRenamed("token", "x")), "x")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "x",
+            "y",
+            (-F.round(
+                F.log(
+                    (F.col("cxy") + 1).cast("double")
+                    / (F.col("cx") + F.col("v"))
+                )
+                * PPL_SCALE
+            ))
+            .cast("long")
+            .alias("nlp_q"),
+        )
+    )
+    return (
+        bigrams.join(F.broadcast(model), ["x", "y"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("nlp_q").cast("long").alias("neg_logprob_q"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "neg_logprob_q",
+            F.round(F.col("neg_logprob_q") / F.col("n_bigrams"))
+            .cast("long")
+            .alias("logppl_micro"),
+        )
+    )
+
+
+def bigram_logppl_sql() -> str:
+    return (
+        f"WITH toks AS (SELECT doc_id, {DUCK_TOKENS} AS ts FROM documents),"
+        " tok AS (SELECT doc_id, unnest(ts) AS token,"
+        " unnest(generate_series(1, len(ts))) AS pos FROM toks),"
+        " uni AS (SELECT token, COUNT(*) AS cx FROM tok GROUP BY token),"
+        " voc AS (SELECT COUNT(*) AS v FROM uni),"
+        " big AS (SELECT a.doc_id, a.token AS x, b.token AS y"
+        " FROM tok a JOIN tok b"
+        " ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),"
+        " counts AS (SELECT x, y, COUNT(*) AS cxy FROM big GROUP BY 1, 2),"
+        " model AS (SELECT x, y,"
+        " CAST(-round(ln((cxy + 1) / CAST(cx + v AS DOUBLE))"
+        f" * {PPL_SCALE}) AS BIGINT) AS nlp_q"
+        " FROM counts JOIN uni ON uni.token = counts.x CROSS JOIN voc)"
+        " SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,"
+        " CAST(SUM(m.nlp_q) AS BIGINT) AS neg_logprob_q,"
+        " CAST(round(SUM(m.nlp_q) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)"
+        " AS logppl_micro"
+        " FROM big JOIN model m USING (x, y) GROUP BY doc_id"
+    )

@@ -826,6 +826,42 @@ def q_user_rfm(spark, sf_dir):
     return windows_mod.user_rfm(td.load_table(spark, sf_dir, "events"))
 
 
+def q_bigram_logppl(spark, sf_dir):
+    """Context-aware perplexity filtering: per-doc avg negative
+    log-prob under the corpus add-one-smoothed bigram model (exact
+    integer micro-nats — the KenLM-shaped quality gate)."""
+    return text_mod.bigram_logppl(_docs(spark, sf_dir))
+
+
+def q_source_overlap_matrix(spark, sf_dir):
+    """Cross-source contamination matrix: shared exact-text hashes
+    per source pair — hash-keyed self-join, never doc×doc."""
+    return corpus_mod.source_overlap_matrix(_docs(spark, sf_dir))
+
+
+def q_graph_summary(spark, sf_dir):
+    """One-row graph dataset card (n, m, max/avg degree, density) —
+    exact integer counts, two final float expressions."""
+    return gb.graph_summary(clean_mod997_graph(spark, sf_dir))
+
+
+def q_eccentricity_sampled(spark, sf_dir):
+    """Per-root eccentricity + reach from ONE batched multi-source
+    BFS (the diameter-lower-bound estimator): [root, n_reached,
+    eccentricity]."""
+    pred = bfs_mod.bfs_multi(
+        spark,
+        clean_hetero_graph(spark, sf_dir),
+        MULTI_BFS_ROOTS,
+        prepartition=False,
+        shuffle_partitions=8,
+    )
+    return pred.groupBy("root").agg(
+        F.count(F.lit(1)).cast("long").alias("n_reached"),
+        F.max("depth").cast("integer").alias("eccentricity"),
+    )
+
+
 def q_degree_assortativity(spark, sf_dir):
     """Pearson correlation of endpoint degrees over the edge list —
     exact integer moment sums, one deterministic expression at the
@@ -1882,6 +1918,10 @@ QUERIES: dict[str, QueryFn] = {
     "pmi_collocations": q_pmi_collocations,
     "char_entropy": q_char_entropy,
     "user_rfm": q_user_rfm,
+    "bigram_logppl": q_bigram_logppl,
+    "source_overlap_matrix": q_source_overlap_matrix,
+    "graph_summary": q_graph_summary,
+    "eccentricity_sampled": q_eccentricity_sampled,
     # --- graph / Graph500 §2 surface ---
     "self_loop_filter": q_self_loop_filter,
     "symmetrize": q_symmetrize,
@@ -2204,6 +2244,15 @@ ORACLE_SQL: dict[str, str] = {
     "pmi_collocations": text_mod.pmi_collocations_sql(),
     "char_entropy": text_mod.char_entropy_sql(),
     "user_rfm": windows_mod.USER_RFM_SQL,
+    "bigram_logppl": text_mod.bigram_logppl_sql(),
+    "source_overlap_matrix": corpus_mod.source_overlap_matrix_sql(),
+    "graph_summary": gb.graph_summary_sql(_CLEAN_MOD997),
+    "eccentricity_sampled": (
+        f"WITH pred AS ({bfs_multi_sql(HETERO_EDGES_SQL, MULTI_BFS_ROOTS)})"
+        " SELECT root, CAST(COUNT(*) AS BIGINT) AS n_reached,"
+        " CAST(MAX(depth) AS INTEGER) AS eccentricity"
+        " FROM pred GROUP BY root"
+    ),
     "minhash_signatures": dedup_mod.MINHASH_SIGNATURES_SQL,
     "lsh_candidate_pairs": dedup_mod.lsh_candidate_pairs_sql(),
     "minhash_near_duplicates": dedup_mod.minhash_near_duplicates_sql(),

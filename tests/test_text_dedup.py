@@ -560,3 +560,76 @@ class TestUserRfm:
                for r in user_rfm(ev).collect()}
         assert out[1] == (5 * 60_000_000, 2, 4.0)
         assert out[2] == (0, 1, 7.0)
+
+
+class TestBigramLogppl:
+    def test_hand_model(self, spark):
+        import math
+
+        from graph500_spark.operators.text import bigram_logppl
+
+        # corpus = one doc "a b a b": bigrams ab, ba, ab
+        # c(ab)=2 c(ba)=1 c(a)=2 c(b)=2 V=2
+        docs = spark.createDataFrame(
+            [(0, "a b a b", "en", "s0", 7)], DOCS_SCHEMA
+        )
+        row = bigram_logppl(docs).collect()[0]
+        assert row.n_bigrams == 3
+        nlp_ab = -round(math.log(3 / 4) * 1e6)
+        nlp_ba = -round(math.log(2 / 4) * 1e6)
+        assert row.neg_logprob_q == 2 * nlp_ab + nlp_ba
+        assert row.logppl_micro == round(row.neg_logprob_q / 3)
+
+    def test_single_token_doc_absent(self, spark):
+        from graph500_spark.operators.text import bigram_logppl
+
+        docs = spark.createDataFrame(
+            [(0, "lonely", "en", "s0", 6), (1, "two tokens", "en", "s0", 10)],
+            DOCS_SCHEMA,
+        )
+        assert [r.doc_id for r in bigram_logppl(docs).collect()] == [1]
+
+
+class TestSourceOverlapMatrix:
+    def test_shared_and_unshared(self, spark):
+        from graph500_spark.operators.corpus import source_overlap_matrix
+
+        rows = [
+            (0, "shared text", "en", "sA", 11),
+            (1, "shared text", "en", "sB", 11),
+            (2, "shared text", "en", "sC", 11),
+            (3, "only in A", "en", "sA", 9),
+        ]
+        docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+        out = {
+            (r.source_a, r.source_b): r.n_shared_texts
+            for r in source_overlap_matrix(docs).collect()
+        }
+        assert out == {
+            ("sA", "sB"): 1, ("sA", "sC"): 1, ("sB", "sC"): 1,
+        }
+
+    def test_within_source_dups_do_not_count(self, spark):
+        from graph500_spark.operators.corpus import source_overlap_matrix
+
+        rows = [
+            (0, "dup", "en", "sA", 3),
+            (1, "dup", "en", "sA", 3),
+        ]
+        docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+        assert source_overlap_matrix(docs).count() == 0
+
+
+class TestGraphSummary:
+    def test_triangle(self, spark):
+        from graph500_spark.operators.graph_build import graph_summary
+
+        und = [(0, 1), (1, 2), (0, 2)]
+        edges = spark.createDataFrame(
+            und + [(b, a) for a, b in und], "src: long, dst: long"
+        )
+        row = graph_summary(edges).collect()[0]
+        assert (row.n_vertices, row.n_directed_rows,
+                row.n_undirected_edges, row.max_degree) == (3, 6, 3, 2)
+        assert row.avg_degree == 2.0
+        assert row.density == 1.0
