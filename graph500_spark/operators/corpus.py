@@ -390,3 +390,34 @@ def source_overlap_matrix_sql() -> str:
         " FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source"
         " GROUP BY 1, 2"
     )
+
+
+def decontaminate_salted(
+    docs: DataFrame, n: int = DECON_N, eval_mod: int = EVAL_MOD,
+    min_shared: int = 1, n_salt: int = 8,
+) -> DataFrame:
+    """decontaminate() with the gram-key join pre-salted
+    (functions/skew.py::salted_join): identical rows, but the hottest
+    gram key's probe rows spread over n_salt reducers instead of one.
+
+    The explicitly-planned alternative to relying on AQE skew-split
+    for the known-Zipf gram key — at 100 TB the head gram can carry
+    millions of train-side rows while the eval side stays small
+    enough to replicate 8×. Same oracle as decontaminate (the salt
+    never changes the join result)."""
+    from graph500_spark.functions.skew import salted_join
+
+    grams = docs.select(
+        "doc_id", F.explode(F.expr(dd.spark_shingle_hashes(n))).alias("g")
+    )
+    is_eval = F.col("doc_id") % eval_mod == 0
+    train = grams.filter(~is_eval).select(
+        F.col("doc_id").alias("train_doc"), "g"
+    )
+    ev = grams.filter(is_eval).select(F.col("doc_id").alias("eval_doc"), "g")
+    return (
+        salted_join(train, ev, ["g"], n_salt=n_salt)
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -862,6 +862,54 @@ def q_eccentricity_sampled(spark, sf_dir):
     )
 
 
+def q_decontaminate_salted(spark, sf_dir):
+    """decontaminate with the Zipf-skewed gram key pre-salted 8 ways
+    (functions/skew.py) — row-identical, hot key sheared."""
+    return corpus_mod.decontaminate_salted(_docs(spark, sf_dir))
+
+
+def q_cc_sizes(spark, sf_dir):
+    """Component-size histogram: [size, n_components] — the
+    connectivity dataset card over the CC labeling."""
+    cc = components_mod.connected_components(
+        spark, clean_mod997_graph(spark, sf_dir), shuffle_partitions=8
+    )
+    sizes = cc.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("size")
+    )
+    return sizes.groupBy("size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_components")
+    )
+
+
+def q_best_match_per_doc(spark, sf_dir):
+    """Per-doc best near-duplicate partner: symmetrized verified
+    near-dup pairs → greatest-per-group pick (jaccard desc, partner
+    asc) — the 'show me this doc's duplicate' serving shape."""
+    pairs = dedup_mod.minhash_near_duplicates(_docs(spark, sf_dir))
+    sym = pairs.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("partner"),
+        "jaccard",
+    ).unionAll(
+        pairs.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("partner"),
+            "jaccard",
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("jaccard").desc(), F.col("partner").asc()
+    )
+    return (
+        sym.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "partner", "jaccard")
+    )
+
+
 def q_degree_assortativity(spark, sf_dir):
     """Pearson correlation of endpoint degrees over the edge list —
     exact integer moment sums, one deterministic expression at the
@@ -1922,6 +1970,9 @@ QUERIES: dict[str, QueryFn] = {
     "source_overlap_matrix": q_source_overlap_matrix,
     "graph_summary": q_graph_summary,
     "eccentricity_sampled": q_eccentricity_sampled,
+    "decontaminate_salted": q_decontaminate_salted,
+    "cc_sizes": q_cc_sizes,
+    "best_match_per_doc": q_best_match_per_doc,
     # --- graph / Graph500 §2 surface ---
     "self_loop_filter": q_self_loop_filter,
     "symmetrize": q_symmetrize,
@@ -2252,6 +2303,25 @@ ORACLE_SQL: dict[str, str] = {
         " SELECT root, CAST(COUNT(*) AS BIGINT) AS n_reached,"
         " CAST(MAX(depth) AS INTEGER) AS eccentricity"
         " FROM pred GROUP BY root"
+    ),
+    # same oracle as decontaminate: the salt is physical only
+    "decontaminate_salted": corpus_mod.decontaminate_sql(),
+    "cc_sizes": (
+        f"WITH cc AS ({connected_components_sql(_CLEAN_MOD997)}),"
+        " sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS size"
+        " FROM cc GROUP BY component)"
+        " SELECT size, CAST(COUNT(*) AS BIGINT) AS n_components"
+        " FROM sizes GROUP BY size"
+    ),
+    "best_match_per_doc": (
+        f"WITH pairs AS ({dedup_mod.minhash_near_duplicates_sql()}),"
+        " sym AS (SELECT doc_a AS doc_id, doc_b AS partner, jaccard"
+        " FROM pairs UNION ALL"
+        " SELECT doc_b AS doc_id, doc_a AS partner, jaccard FROM pairs),"
+        " ranked AS (SELECT doc_id, partner, jaccard,"
+        " ROW_NUMBER() OVER (PARTITION BY doc_id"
+        " ORDER BY jaccard DESC, partner ASC) AS rn FROM sym)"
+        " SELECT doc_id, partner, jaccard FROM ranked WHERE rn = 1"
     ),
     "minhash_signatures": dedup_mod.MINHASH_SIGNATURES_SQL,
     "lsh_candidate_pairs": dedup_mod.lsh_candidate_pairs_sql(),

@@ -633,3 +633,75 @@ class TestGraphSummary:
                 row.n_undirected_edges, row.max_degree) == (3, 6, 3, 2)
         assert row.avg_degree == 2.0
         assert row.density == 1.0
+
+
+class TestSaltedJoin:
+    def test_row_identical_to_plain_join(self, spark):
+        from graph500_spark.functions.skew import salted_join
+        import pyspark.sql.functions as F
+
+        left = spark.createDataFrame(
+            [(k % 3, i) for i, k in enumerate(range(30))], "k: long, v: long"
+        )
+        right = spark.createDataFrame(
+            [(0, "a"), (1, "b"), (1, "c")], "k: long, tag: string"
+        )
+        plain = sorted(
+            map(tuple, left.join(right, ["k"]).collect())
+        )
+        salted = sorted(
+            map(tuple, salted_join(left, right, ["k"], n_salt=4).collect())
+        )
+        assert salted == plain and len(plain) > 0
+
+    def test_left_join_preserves_unmatched(self, spark):
+        from graph500_spark.functions.skew import salted_join
+
+        left = spark.createDataFrame([(1, 10), (2, 20)], "k: long, v: long")
+        right = spark.createDataFrame([(1, "x")], "k: long, tag: string")
+        out = sorted(
+            map(tuple, salted_join(left, right, ["k"], n_salt=4,
+                                   how="left").collect())
+        )
+        assert out == [(1, 10, "x"), (2, 20, None)]
+
+    def test_rejects_other_join_types(self, spark):
+        from graph500_spark.functions.skew import salted_join
+
+        df = spark.createDataFrame([(1, 1)], "k: long, v: long")
+        with pytest.raises(ValueError):
+            salted_join(df, df, ["k"], how="full")
+
+
+class TestDecontaminateSalted:
+    def test_equals_unsalted(self, spark, docs):
+        from graph500_spark.operators.corpus import (
+            decontaminate,
+            decontaminate_salted,
+        )
+
+        plain = sorted(map(tuple, decontaminate(docs).collect()))
+        salted = sorted(map(tuple, decontaminate_salted(docs).collect()))
+        assert salted == plain
+
+
+class TestBestMatchSemantics:
+    def test_greatest_per_group_tiebreak(self, spark):
+        # pure-logic check of the greatest-per-group used by
+        # best_match_per_doc: highest jaccard wins, tie -> min partner
+        import pyspark.sql.functions as F
+        from pyspark.sql import Window
+
+        sym = spark.createDataFrame(
+            [(1, 2, 0.9), (1, 3, 0.9), (1, 4, 0.5)],
+            "doc_id long, partner long, jaccard double",
+        )
+        w = Window.partitionBy("doc_id").orderBy(
+            F.col("jaccard").desc(), F.col("partner").asc()
+        )
+        best = (
+            sym.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .collect()[0]
+        )
+        assert (best.doc_id, best.partner) == (1, 2)
