@@ -158,3 +158,66 @@ CLICK_ATTRIBUTION_SQL = (
     " FROM l ASOF LEFT JOIN r0"
     " ON l.user_id = r0.user_id AND l.ts >= r0.ts"
 )
+
+
+def multi_touch_attribution(
+    events: DataFrame, window_minutes: int = 60
+) -> DataFrame:
+    """Linear multi-touch attribution: every purchase's value is split
+    equally across ALL the user's clicks in the lookback window
+    [purchase − window, purchase] —
+    [purchase_id, click_id, n_touches, credit].
+
+    The many-row generalization of click_attribution's last-touch
+    as-of join. Plan: user-keyed equi-join (per-user bounded fan-out,
+    never a global product) + range filter + a purchase-keyed count
+    window to split the credit; credit = round(value/n, 6) is one
+    deterministic division per row."""
+    win_us = 60_000_000 * window_minutes
+    ev = events.select(
+        "event_id", "user_id", event_micros(events).alias("ts"),
+        "value", "event_type",
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
+    )
+    touches = p.join(c, "user_id").filter(
+        (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.lit(win_us))
+    )
+    w = Window.partitionBy("purchase_id")
+    return touches.select(
+        "purchase_id",
+        "click_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_touches"),
+        F.round(
+            F.col("value") / F.count(F.lit(1)).over(w), 6
+        ).alias("credit"),
+    )
+
+
+def multi_touch_attribution_sql(window_minutes: int = 60) -> str:
+    win_us = 60_000_000 * window_minutes
+    return (
+        "WITH p AS (SELECT event_id AS purchase_id, user_id,"
+        " epoch_us(ts) AS p_ts, value FROM events"
+        " WHERE event_type = 'purchase'),"
+        " c AS (SELECT event_id AS click_id, user_id,"
+        " epoch_us(ts) AS c_ts FROM events WHERE event_type = 'click'),"
+        " touches AS (SELECT p.purchase_id, c.click_id, p.value"
+        " FROM p JOIN c ON p.user_id = c.user_id"
+        f" AND c.c_ts <= p.p_ts AND c.c_ts >= p.p_ts - {win_us})"
+        " SELECT purchase_id, click_id,"
+        " CAST(COUNT(*) OVER (PARTITION BY purchase_id) AS BIGINT)"
+        " AS n_touches,"
+        " ROUND(value / COUNT(*) OVER (PARTITION BY purchase_id), 6)"
+        " AS credit FROM touches"
+    )

@@ -814,3 +814,29 @@ def bigram_logppl_sql() -> str:
         " AS logppl_micro"
         " FROM big JOIN model m USING (x, y) GROUP BY doc_id"
     )
+
+
+def lang_confusion(docs: DataFrame) -> DataFrame:
+    """Label-vs-classifier confusion matrix: [lang, lang_pred,
+    n_docs] — the labeled `lang` column crossed with language_id's
+    marker-heuristic prediction.
+
+    The label-quality audit for a labeled corpus (hot off-diagonal
+    cells = mislabeled shards or a weak classifier for that
+    language). Plan: the classifier is a pure projection, so the
+    whole matrix is one scan + one tiny grouped count."""
+    pred = language_id(docs).select("doc_id", "lang_pred")
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+LANG_CONFUSION_SQL = (
+    f"WITH pred AS ({LANGUAGE_ID_SQL})"
+    " SELECT d.lang, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs"
+    " FROM documents d JOIN pred p USING (doc_id)"
+    " GROUP BY 1, 2"
+)

@@ -647,3 +647,59 @@ def feature_hashing_sql(dim: int = FEATURE_DIM) -> str:
         " CAST(SUM(sign) AS BIGINT) AS feature_val"
         " FROM feats GROUP BY 1, 2 HAVING SUM(sign) <> 0"
     )
+
+
+def pack_efficiency(
+    docs: DataFrame, budget: int = 512, n_shards: int = PACK_SHARDS
+) -> DataFrame:
+    """Packing-layout utilization report over pack_chunks:
+    [shard, n_docs, total_tokens, n_chunks, fill_ratio] — how full
+    each shard's chunks are (fill_ratio < 1 means tail padding waste;
+    the knob-tuning readout for budget / n_shards).
+
+    total_tokens is the exact integer per-shard sum; n_chunks =
+    max(end_chunk)+1; fill_ratio = total_tokens / (n_chunks·budget)
+    is one deterministic division rounded to 6. Plan: reuses
+    pack_chunks' shard window output — one grouped agg on the shard
+    key, no additional scan of the text column."""
+    chunks = pack_chunks(docs, budget=budget, n_shards=n_shards)
+    toks = docs.select(
+        "doc_id", F.size(F.expr(SPARK_TOKENS)).cast("long").alias("n_tokens")
+    )
+    per_shard = (
+        chunks.join(toks, "doc_id")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            (F.max("end_chunk") + 1).cast("long").alias("n_chunks"),
+        )
+    )
+    return per_shard.select(
+        "shard",
+        "n_docs",
+        "total_tokens",
+        "n_chunks",
+        F.round(
+            F.col("total_tokens")
+            / (F.col("n_chunks").cast("double") * budget),
+            6,
+        ).alias("fill_ratio"),
+    )
+
+
+def pack_efficiency_sql(
+    budget: int = 512, n_shards: int = PACK_SHARDS
+) -> str:
+    return (
+        f"WITH chunks AS ({pack_chunks_sql(budget, n_shards)}),"
+        f" toks AS (SELECT doc_id, CAST(len({DUCK_TOKENS}) AS BIGINT)"
+        " AS n_tokens FROM documents),"
+        " per_shard AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,"
+        " CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,"
+        " CAST(MAX(end_chunk) + 1 AS BIGINT) AS n_chunks"
+        " FROM chunks JOIN toks USING (doc_id) GROUP BY shard)"
+        " SELECT shard, n_docs, total_tokens, n_chunks,"
+        f" ROUND(total_tokens / (CAST(n_chunks AS DOUBLE) * {budget}), 6)"
+        " AS fill_ratio FROM per_shard"
+    )

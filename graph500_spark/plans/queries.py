@@ -910,6 +910,27 @@ def q_best_match_per_doc(spark, sf_dir):
     )
 
 
+def q_multi_touch_attribution(spark, sf_dir):
+    """Linear multi-touch attribution: purchase value split equally
+    over the lookback window's clicks — user-keyed bounded-fan-out
+    join, one count window for the split."""
+    return asof_mod.multi_touch_attribution(
+        td.load_table(spark, sf_dir, "events")
+    )
+
+
+def q_lang_confusion(spark, sf_dir):
+    """Label-vs-classifier confusion matrix — one scan + tiny
+    grouped count (the label-quality audit)."""
+    return text_mod.lang_confusion(_docs(spark, sf_dir))
+
+
+def q_pack_efficiency(spark, sf_dir):
+    """Packing utilization per shard (fill_ratio readout for the
+    budget/shards knobs) — reuses the pack_chunks window output."""
+    return traindata_mod.pack_efficiency(_docs(spark, sf_dir))
+
+
 def q_degree_assortativity(spark, sf_dir):
     """Pearson correlation of endpoint degrees over the edge list —
     exact integer moment sums, one deterministic expression at the
@@ -1973,6 +1994,9 @@ QUERIES: dict[str, QueryFn] = {
     "decontaminate_salted": q_decontaminate_salted,
     "cc_sizes": q_cc_sizes,
     "best_match_per_doc": q_best_match_per_doc,
+    "multi_touch_attribution": q_multi_touch_attribution,
+    "lang_confusion": q_lang_confusion,
+    "pack_efficiency": q_pack_efficiency,
     # --- graph / Graph500 §2 surface ---
     "self_loop_filter": q_self_loop_filter,
     "symmetrize": q_symmetrize,
@@ -2306,6 +2330,9 @@ ORACLE_SQL: dict[str, str] = {
     ),
     # same oracle as decontaminate: the salt is physical only
     "decontaminate_salted": corpus_mod.decontaminate_sql(),
+    "multi_touch_attribution": asof_mod.multi_touch_attribution_sql(),
+    "lang_confusion": text_mod.LANG_CONFUSION_SQL,
+    "pack_efficiency": traindata_mod.pack_efficiency_sql(),
     "cc_sizes": (
         f"WITH cc AS ({connected_components_sql(_CLEAN_MOD997)}),"
         " sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS size"

@@ -281,3 +281,61 @@ class TestEventTypeTransitions:
             for r in event_type_transitions(_events(spark, rows)).collect()
         }
         assert out == {("a", "b"): 1}
+
+
+class TestMultiTouchAttribution:
+    def test_equal_split_within_window(self, spark):
+        from graph500_spark.operators.asof import multi_touch_attribution
+
+        _min = 60_000_000_000  # one minute in nanos
+        rows = [
+            (0, 10 * _min, 1, "click", 0.0),
+            (1, 30 * _min, 1, "click", 0.0),
+            (2, 40 * _min, 1, "purchase", 9.0),
+            (3, 200 * _min, 1, "click", 0.0),   # after the purchase
+            (4, 35 * _min, 2, "click", 0.0),    # other user
+        ]
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts long, user_id long,"
+            " event_type string, value double",
+        )
+        out = {
+            r.click_id: (r.n_touches, r.credit)
+            for r in multi_touch_attribution(ev, 60).collect()
+        }
+        assert out == {0: (2, 4.5), 1: (2, 4.5)}
+
+    def test_lookback_window_bounds(self, spark):
+        from graph500_spark.operators.asof import multi_touch_attribution
+
+        _min = 60_000_000_000
+        rows = [
+            (0, 0 * _min, 1, "click", 0.0),      # 100 min before
+            (1, 100 * _min, 1, "purchase", 5.0),
+        ]
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts long, user_id long,"
+            " event_type string, value double",
+        )
+        assert multi_touch_attribution(ev, 60).count() == 0
+
+
+class TestPackEfficiency:
+    def test_fill_ratio_hand_values(self, spark):
+        from graph500_spark.operators.traindata import pack_efficiency
+
+        # single shard (n_shards=1): docs of 3 + 4 tokens, budget 4
+        # → cum 7 → chunks 0..1 (2 chunks), fill = 7/8
+        docs = spark.createDataFrame(
+            [
+                (0, "a b c", "en", "s0", 5),
+                (1, "d e f g", "en", "s0", 7),
+            ],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+        row = pack_efficiency(docs, budget=4, n_shards=1).collect()[0]
+        assert (row.n_docs, row.total_tokens, row.n_chunks) == (2, 7, 2)
+        assert row.fill_ratio == 0.875
