@@ -1014,3 +1014,118 @@ def embedding_dim_stats_sql() -> str:
         f" / ({KMEANS_SCALE}.0 * {KMEANS_SCALE}.0)), 6) AS std"
         " FROM agg"
     )
+
+
+def cosine_topk_filtered(
+    embeddings: DataFrame, k: int = 5
+) -> DataFrame:
+    """Metadata-filtered vector search: brute-force cosine top-k where
+    neighbors must share the query's label — [query_id, neighbor_id,
+    cosine, rank] for the standard query subset.
+
+    The 'filtered ANN' serving shape (vector search + WHERE clause).
+    Because the filter is an equality on a corpus column, the plan
+    IMPROVES over unfiltered search: the query×corpus product becomes
+    a label-keyed equi-join (each query only scores its own label
+    partition) — the filter is the block key, the same trick as
+    embedding_near_duplicates. Range/set filters compose the same way
+    via a pre-filter on the corpus side."""
+    e = _prepared(embeddings).join(
+        embeddings.select("vec_id", "label"), "vec_id"
+    )
+    q = e.filter(F.expr(QUERY_FILTER_SPARK)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("va"),
+        F.col("norm").alias("na"),
+        "label",
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("vb"),
+        F.col("norm").alias("nb"),
+        "label",
+    )
+    joined = F.broadcast(q).join(c, "label").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    cos = F.round(
+        F.expr(_SPARK_DOT_AB) / (F.col("na") * F.col("nb")), 5
+    ).cast("double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_topk_filtered_sql(
+    k: int = 5, query_filter: str = "vec_id % 50 = 0"
+) -> str:
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,"
+        " label FROM embeddings),"
+        f" en AS (SELECT vec_id, v, label, {_DUCK_NORM} AS norm FROM e),"
+        " scored AS (SELECT A.vec_id AS query_id, B.vec_id AS neighbor_id,"
+        f" CAST(ROUND(({_DUCK_DOT_AB}) / (A.norm * B.norm), 5) AS DOUBLE)"
+        "  AS cosine"
+        f" FROM en A JOIN en B ON A.{query_filter}"
+        "  AND A.label = B.label AND A.vec_id <> B.vec_id),"
+        " ranked AS (SELECT query_id, neighbor_id, cosine,"
+        " CAST(ROW_NUMBER() OVER (PARTITION BY query_id"
+        "  ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank"
+        " FROM scored)"
+        f" SELECT query_id, neighbor_id, cosine, rank FROM ranked"
+        f" WHERE rank <= {k}"
+    )
+
+
+def label_prototypes(embeddings: DataFrame) -> DataFrame:
+    """Class prototypes (nearest-centroid classifier training):
+    [label, dim, n, mean_q] — per-label per-dimension mean of the
+    10^6-quantized embedding values (mean_q in quantized units,
+    round(sum/n): one deterministic division over exact integer
+    sums).
+
+    |labels|·dim output rows at any corpus size; the prototype table
+    is the broadcast-joinable model for centroid classification and
+    the drift monitor for embedding pipelines."""
+    q = _quantized(embeddings).join(
+        embeddings.select("vec_id", "label"), "vec_id"
+    )
+    exploded = q.select(
+        "label", F.posexplode("qv").alias("pos", "x")
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.col("x").cast("long").alias("x"),
+    )
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").alias("s"),
+        )
+        .select(
+            "label",
+            "dim",
+            "n",
+            F.round(F.col("s") / F.col("n")).cast("long").alias("mean_q"),
+        )
+    )
+
+
+def label_prototypes_sql() -> str:
+    return (
+        "WITH q AS (SELECT vec_id, label, list_transform("
+        f"CAST(embedding AS DOUBLE[]), x -> CAST(round(x * {KMEANS_SCALE}.0)"
+        " AS BIGINT)) AS qv FROM embeddings),"
+        " ex AS (SELECT label, unnest(generate_series(1, len(qv))) AS dim,"
+        " unnest(qv) AS x FROM q)"
+        " SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n,"
+        " CAST(round(SUM(x) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)"
+        " AS mean_q"
+        " FROM ex GROUP BY label, dim"
+    )

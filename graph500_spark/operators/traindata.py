@@ -703,3 +703,69 @@ def pack_efficiency_sql(
         f" ROUND(total_tokens / (CAST(n_chunks AS DOUBLE) * {budget}), 6)"
         " AS fill_ratio FROM per_shard"
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding token chunks (RAG / context-window preparation)
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48  # size - overlap; overlap = 16
+
+
+def doc_chunks(
+    docs: DataFrame, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Sliding token-window chunking: [doc_id, chunk_idx,
+    start_token, n_chunk_tokens, chunk_text] — chunk i covers tokens
+    [i·stride, i·stride + size); starts run while start < n_tokens,
+    so trailing chunks may be short. Empty docs produce no chunks.
+
+    The RAG / context-window preparation op (overlap = size − stride
+    preserves boundary context). chunk_text is the space-joined token
+    slice (token-space chunks: the tokenizer's whitespace
+    normalization is part of the contract). Plan: pure Column algebra
+    — tokens array built once in the scan projection, chunk axis via
+    explode(sequence), slice + array_join per row; no shuffle, no
+    UDF; at 100 TB this pipelines into the write stage."""
+    if not (0 < stride <= size):
+        raise ValueError("need 0 < stride <= size")
+    toks = docs.select(
+        "doc_id", F.expr(SPARK_TOKENS).alias("ts")
+    ).withColumn("n", F.size("ts"))
+    nonempty = toks.filter(F.col("n") >= 1)
+    idx = nonempty.withColumn(
+        "chunk_idx",
+        F.explode(
+            F.expr(f"sequence(0, cast((n - 1) div {stride} as int))")
+        ),
+    )
+    start = F.col("chunk_idx") * stride
+    return idx.select(
+        "doc_id",
+        F.col("chunk_idx").cast("integer").alias("chunk_idx"),
+        start.cast("long").alias("start_token"),
+        F.least(F.lit(size), F.col("n") - start)
+        .cast("long")
+        .alias("n_chunk_tokens"),
+        F.array_join(
+            F.slice(F.col("ts"), start + 1, F.lit(size)), " "
+        ).alias("chunk_text"),
+    )
+
+
+def doc_chunks_sql(size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE) -> str:
+    return (
+        f"WITH toks AS (SELECT doc_id, {DUCK_TOKENS} AS ts,"
+        f" len({DUCK_TOKENS}) AS n FROM documents),"
+        " idx AS (SELECT doc_id, ts, n,"
+        f" unnest(generate_series(0, (n - 1) // {stride})) AS chunk_idx"
+        " FROM toks WHERE n >= 1)"
+        " SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,"
+        f" CAST(chunk_idx * {stride} AS BIGINT) AS start_token,"
+        f" CAST(LEAST({size}, n - chunk_idx * {stride}) AS BIGINT)"
+        " AS n_chunk_tokens,"
+        f" array_to_string(ts[chunk_idx * {stride} + 1 :"
+        f" chunk_idx * {stride} + {size}], ' ') AS chunk_text"
+        " FROM idx"
+    )

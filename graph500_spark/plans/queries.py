@@ -931,6 +931,24 @@ def q_pack_efficiency(spark, sf_dir):
     return traindata_mod.pack_efficiency(_docs(spark, sf_dir))
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Sliding token-window chunking with overlap (RAG/context-window
+    prep): pure Column algebra, no shuffle."""
+    return traindata_mod.doc_chunks(_docs(spark, sf_dir))
+
+
+def q_cosine_topk_filtered(spark, sf_dir):
+    """Metadata-filtered vector search: the label filter BECOMES the
+    block key, turning the query×corpus product into an equi-join."""
+    return simsearch_mod.cosine_topk_filtered(_embs(spark, sf_dir))
+
+
+def q_label_prototypes(spark, sf_dir):
+    """Class prototype table (nearest-centroid model + drift
+    monitor): per-(label, dim) exact integer means."""
+    return simsearch_mod.label_prototypes(_embs(spark, sf_dir))
+
+
 def q_degree_assortativity(spark, sf_dir):
     """Pearson correlation of endpoint degrees over the edge list —
     exact integer moment sums, one deterministic expression at the
@@ -1997,6 +2015,9 @@ QUERIES: dict[str, QueryFn] = {
     "multi_touch_attribution": q_multi_touch_attribution,
     "lang_confusion": q_lang_confusion,
     "pack_efficiency": q_pack_efficiency,
+    "doc_chunks": q_doc_chunks,
+    "cosine_topk_filtered": q_cosine_topk_filtered,
+    "label_prototypes": q_label_prototypes,
     # --- graph / Graph500 §2 surface ---
     "self_loop_filter": q_self_loop_filter,
     "symmetrize": q_symmetrize,
@@ -2333,6 +2354,9 @@ ORACLE_SQL: dict[str, str] = {
     "multi_touch_attribution": asof_mod.multi_touch_attribution_sql(),
     "lang_confusion": text_mod.LANG_CONFUSION_SQL,
     "pack_efficiency": traindata_mod.pack_efficiency_sql(),
+    "doc_chunks": traindata_mod.doc_chunks_sql(),
+    "cosine_topk_filtered": simsearch_mod.cosine_topk_filtered_sql(),
+    "label_prototypes": simsearch_mod.label_prototypes_sql(),
     "cc_sizes": (
         f"WITH cc AS ({connected_components_sql(_CLEAN_MOD997)}),"
         " sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS size"

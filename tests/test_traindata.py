@@ -210,3 +210,77 @@ class TestKnnPredictAndDimStats:
                for r in embedding_dim_stats(embs).collect()}
         assert out[1] == (2, 2.0, 1.0)   # values 1, 3
         assert out[2] == (2, 2.0, 0.0)   # values 2, 2
+
+
+class TestDocChunks:
+    DOCS = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def test_sliding_windows_with_overlap(self, spark):
+        from graph500_spark.operators.traindata import doc_chunks
+
+        # 10 tokens, size 4, stride 3 → starts 0,3,6,9
+        text = " ".join(f"t{i}" for i in range(10))
+        docs = spark.createDataFrame([(0, text, "en", "s0", len(text))],
+                                     self.DOCS)
+        rows = sorted(
+            (r.chunk_idx, r.start_token, r.n_chunk_tokens, r.chunk_text)
+            for r in doc_chunks(docs, size=4, stride=3).collect()
+        )
+        assert rows == [
+            (0, 0, 4, "t0 t1 t2 t3"),
+            (1, 3, 4, "t3 t4 t5 t6"),
+            (2, 6, 4, "t6 t7 t8 t9"),
+            (3, 9, 1, "t9"),
+        ]
+
+    def test_short_doc_single_chunk(self, spark):
+        from graph500_spark.operators.traindata import doc_chunks
+
+        docs = spark.createDataFrame([(0, "a b", "en", "s0", 3)], self.DOCS)
+        rows = doc_chunks(docs, size=4, stride=3).collect()
+        assert len(rows) == 1
+        assert rows[0].chunk_text == "a b"
+
+    def test_empty_doc_absent(self, spark):
+        from graph500_spark.operators.traindata import doc_chunks
+
+        docs = spark.createDataFrame([(0, "!!!", "en", "s0", 3)], self.DOCS)
+        assert doc_chunks(docs).count() == 0
+
+    def test_invalid_stride_rejected(self, spark):
+        from graph500_spark.operators.traindata import doc_chunks
+
+        docs = spark.createDataFrame([], self.DOCS)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            doc_chunks(docs, size=4, stride=5)
+
+
+class TestFilteredSearchAndPrototypes:
+    def test_filtered_neighbors_share_label(self, spark):
+        from graph500_spark.operators.simsearch import cosine_topk_filtered
+
+        rows = [
+            (0, [1.0, 0.0], 0),     # query (vec_id % 50 == 0)
+            (1, [0.9, 0.1], 0),
+            (2, [1.0, 0.0], 1),     # identical vector, wrong label
+        ]
+        embs = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        out = cosine_topk_filtered(embs, k=5).collect()
+        assert {r.neighbor_id for r in out} == {1}
+
+    def test_prototype_means(self, spark):
+        from graph500_spark.operators.simsearch import label_prototypes
+
+        embs = spark.createDataFrame(
+            [(0, [1.0, 0.0], 0), (1, [3.0, 0.0], 0), (2, [5.0, 2.0], 1)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        out = {(r.label, r.dim): (r.n, r.mean_q)
+               for r in label_prototypes(embs).collect()}
+        assert out[(0, 1)] == (2, 2_000_000)
+        assert out[(0, 2)] == (2, 0)
+        assert out[(1, 1)] == (1, 5_000_000)
