@@ -305,3 +305,43 @@ def graph_summary_sql(clean_sql: str) -> str:
         " * (n_vertices - 1)), 6) AS density"
         " FROM agg"
     )
+
+
+def degree_histogram_log(edges_clean: DataFrame) -> DataFrame:
+    """Power-law readout: [log2_bucket, n_vertices, min_degree,
+    max_degree] — vertices bucketed by floor(log2(degree)).
+
+    The constant-size summary of a heavy-tailed degree distribution
+    (a straight line in this histogram = the R-MAT/scale-free
+    signature; the full exact distribution is degree_distribution).
+    Integer-only bucketing: floor(log2(d)) computed as
+    length-in-bits − 1, identical in both engines."""
+    deg = edges_clean.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    # floor(log2(d)) for d >= 1 via bit length (exact integer path —
+    # float log2 could round 2^k - epsilon differently per engine)
+    bucket = (
+        F.length(F.conv(F.col("d").cast("string"), 10, 2)) - 1
+    ).cast("integer")
+    return (
+        deg.select(bucket.alias("log2_bucket"), "d")
+        .groupBy("log2_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vertices"),
+            F.min("d").alias("min_degree"),
+            F.max("d").alias("max_degree"),
+        )
+    )
+
+
+def degree_histogram_log_sql(clean_sql: str) -> str:
+    return (
+        f"WITH clean AS ({clean_sql}),"
+        " deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d"
+        " FROM clean GROUP BY src)"
+        " SELECT CAST(length(bin(d)) - 1 AS INTEGER) AS log2_bucket,"
+        " CAST(COUNT(*) AS BIGINT) AS n_vertices,"
+        " MIN(d) AS min_degree, MAX(d) AS max_degree"
+        " FROM deg GROUP BY 1"
+    )

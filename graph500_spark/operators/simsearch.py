@@ -1129,3 +1129,87 @@ def label_prototypes_sql() -> str:
         " AS mean_q"
         " FROM ex GROUP BY label, dim"
     )
+
+
+def prototype_predict(embeddings: DataFrame) -> DataFrame:
+    """Nearest-centroid classification over label_prototypes:
+    [query_id, true_label, predicted_label, cosine] for the standard
+    query subset — the train+predict pair completing the centroid
+    classifier (label_prototypes is the training side).
+
+    The prototype table re-assembles into per-label vectors
+    (collect_list sorted by dim — bounded by |labels|·dim, never by
+    corpus size) and broadcasts; scoring is |queries|×|labels| rows.
+    Ties break by smallest label, cosine rounded to 5 like every
+    scorer in this module."""
+    protos = label_prototypes(embeddings)
+    pvec = protos.groupBy("label").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("dim", "mean_q"))
+            ),
+            lambda s: s["mean_q"].cast("double"),
+        ).alias("pv")
+    ).withColumn("np", F.expr(_spark_dot("pv", "pv")))
+    pvec = pvec.withColumn("np", F.sqrt("np")).select(
+        F.col("label").alias("cand_label"), "pv", "np"
+    )
+    q = _quantized(embeddings).join(
+        embeddings.select("vec_id", "label"), "vec_id"
+    ).filter(F.expr(QUERY_FILTER_SPARK)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("qv").cast("array<double>").alias("qv"),
+        "nq",
+    )
+    cos = F.round(
+        F.expr(_spark_dot("qv", "pv")) / (F.col("nq") * F.col("np")), 5
+    ).cast("double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_label").asc()
+    )
+    return (
+        q.crossJoin(F.broadcast(pvec))
+        .select("query_id", "true_label", "cand_label", cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("cand_label").alias("predicted_label"),
+            "cosine",
+        )
+    )
+
+
+def prototype_predict_sql(query_filter: str = "vec_id % 50 = 0") -> str:
+    return (
+        f"WITH protos AS ({label_prototypes_sql()}),"
+        " pvec AS (SELECT label AS cand_label,"
+        " list_transform(list(mean_q ORDER BY dim),"
+        " x -> CAST(x AS DOUBLE)) AS pv"
+        " FROM protos GROUP BY label),"
+        " pn AS (SELECT cand_label, pv,"
+        " sqrt(list_reduce([CAST(0.0 AS DOUBLE)] ||"
+        " list_transform(generate_series(1, len(pv)), i -> pv[i] * pv[i]),"
+        " (acc, x) -> acc + x)) AS np FROM pvec),"
+        " q AS (SELECT vec_id AS query_id, label AS true_label,"
+        " list_transform(CAST(embedding AS DOUBLE[]),"
+        f" x -> round(x * {KMEANS_SCALE}.0)) AS qv"
+        f" FROM embeddings WHERE {query_filter}),"
+        " qn AS (SELECT query_id, true_label, qv,"
+        " sqrt(list_reduce([CAST(0.0 AS DOUBLE)] ||"
+        " list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i]),"
+        " (acc, x) -> acc + x)) AS nq FROM q),"
+        " scored AS (SELECT query_id, true_label, cand_label,"
+        " CAST(ROUND(list_reduce([CAST(0.0 AS DOUBLE)] ||"
+        " list_transform(generate_series(1, len(qv)),"
+        " i -> qv[i] * pv[i]), (acc, x) -> acc + x)"
+        " / (nq * np), 5) AS DOUBLE) AS cosine"
+        " FROM qn CROSS JOIN pn),"
+        " ranked AS (SELECT query_id, true_label, cand_label, cosine,"
+        " ROW_NUMBER() OVER (PARTITION BY query_id"
+        " ORDER BY cosine DESC, cand_label ASC) AS rn FROM scored)"
+        " SELECT query_id, true_label, cand_label AS predicted_label,"
+        " cosine FROM ranked WHERE rn = 1"
+    )

@@ -949,6 +949,19 @@ def q_label_prototypes(spark, sf_dir):
     return simsearch_mod.label_prototypes(_embs(spark, sf_dir))
 
 
+def q_prototype_predict(spark, sf_dir):
+    """Nearest-centroid classification (the predict side of
+    label_prototypes): broadcast prototype table, |queries|×|labels|
+    scoring rows."""
+    return simsearch_mod.prototype_predict(_embs(spark, sf_dir))
+
+
+def q_degree_histogram_log(spark, sf_dir):
+    """Log2-bucketed degree histogram (the power-law readout) —
+    integer bit-length bucketing, identical in both engines."""
+    return gb.degree_histogram_log(clean_mod997_graph(spark, sf_dir))
+
+
 def q_degree_assortativity(spark, sf_dir):
     """Pearson correlation of endpoint degrees over the edge list —
     exact integer moment sums, one deterministic expression at the
@@ -2018,6 +2031,8 @@ QUERIES: dict[str, QueryFn] = {
     "doc_chunks": q_doc_chunks,
     "cosine_topk_filtered": q_cosine_topk_filtered,
     "label_prototypes": q_label_prototypes,
+    "prototype_predict": q_prototype_predict,
+    "degree_histogram_log": q_degree_histogram_log,
     # --- graph / Graph500 §2 surface ---
     "self_loop_filter": q_self_loop_filter,
     "symmetrize": q_symmetrize,
@@ -2357,6 +2372,8 @@ ORACLE_SQL: dict[str, str] = {
     "doc_chunks": traindata_mod.doc_chunks_sql(),
     "cosine_topk_filtered": simsearch_mod.cosine_topk_filtered_sql(),
     "label_prototypes": simsearch_mod.label_prototypes_sql(),
+    "prototype_predict": simsearch_mod.prototype_predict_sql(),
+    "degree_histogram_log": gb.degree_histogram_log_sql(_CLEAN_MOD997),
     "cc_sizes": (
         f"WITH cc AS ({connected_components_sql(_CLEAN_MOD997)}),"
         " sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS size"

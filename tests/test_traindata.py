@@ -284,3 +284,40 @@ class TestFilteredSearchAndPrototypes:
         assert out[(0, 1)] == (2, 2_000_000)
         assert out[(0, 2)] == (2, 0)
         assert out[(1, 1)] == (1, 5_000_000)
+
+
+class TestPrototypePredict:
+    def test_queries_classified_by_nearest_centroid(self, spark):
+        from graph500_spark.operators.simsearch import prototype_predict
+
+        rows = [
+            (0, [1.0, 0.0], 0),      # query on x-axis
+            (50, [0.0, 1.0], 1),     # query on y-axis
+            (101, [0.9, 0.1], 0),
+            (102, [0.1, 0.9], 1),
+        ]
+        embs = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        out = {
+            r.query_id: (r.true_label, r.predicted_label)
+            for r in prototype_predict(embs).collect()
+        }
+        assert out == {0: (0, 0), 50: (1, 1)}
+
+
+class TestDegreeHistogramLog:
+    def test_bit_length_buckets(self, spark):
+        from graph500_spark.operators.graph_build import (
+            degree_histogram_log,
+        )
+        import pyspark.sql.functions as F
+
+        # star: hub degree 5 (bucket 2), leaves degree 1 (bucket 0)
+        und = [(0, i) for i in range(1, 6)]
+        edges = spark.createDataFrame(
+            und + [(b, a) for a, b in und], "src: long, dst: long"
+        )
+        out = {r.log2_bucket: (r.n_vertices, r.min_degree, r.max_degree)
+               for r in degree_histogram_log(edges).collect()}
+        assert out == {0: (5, 1, 1), 2: (1, 5, 5)}
