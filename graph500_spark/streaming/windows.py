@@ -736,3 +736,60 @@ USER_RFM_SQL = (
     " SELECT user_id, corpus_max_us - last_us AS recency_us,"
     " frequency, monetary FROM per_user, gm"
 )
+
+
+def sliding_windowed_stream(
+    events_stream: DataFrame, minutes: int = 10, slide_minutes: int = 5
+) -> DataFrame:
+    """Watermarked streaming HOPPING windows — the readStream form of
+    sliding_window_counts (F.window with a slide): each event lands
+    in size/slide windows, state bounded by the watermark.
+
+    Same output columns as the batch mirror so bounded-input
+    streaming == batch is directly assertable."""
+    with_ts = events_stream.withColumn(
+        "event_time", event_time(events_stream)
+    )
+    return (
+        with_ts.withWatermark("event_time", "10 minutes")
+        .groupBy(
+            F.window(
+                "event_time", f"{minutes} minutes",
+                f"{slide_minutes} minutes",
+            ).alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            (F.unix_micros(F.col("win.start"))).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_sliding_stream_to_memory(
+    spark: SparkSession,
+    sf_dir: str,
+    minutes: int = 10,
+    slide_minutes: int = 5,
+    table: str = "sliding_counts",
+) -> DataFrame:
+    """availableNow drain of the hopping-window stream into a memory
+    sink; bounded-input streaming == sliding_window_counts."""
+    q = (
+        sliding_windowed_stream(
+            stream_events(spark, sf_dir), minutes, slide_minutes
+        )
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(table)

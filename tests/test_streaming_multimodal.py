@@ -133,3 +133,31 @@ def test_resize_media(spark, media):
 
     feats = extract_features(resize_media(media, target_bytes=4)).collect()
     assert {r["doc_id"] for r in feats} == set(out)
+
+
+def test_sliding_stream_equals_batch(spark):
+    """Hopping-window streaming form == batch sliding_window_counts
+    on bounded input (same columns, same values)."""
+    from graph500_spark.sources import testdata as td
+    from graph500_spark.streaming.windows import (
+        run_sliding_stream_to_memory,
+        sliding_window_counts,
+    )
+
+    batch = {
+        (r["window_start_us"], r["event_type"]): (
+            r["n_events"], r["sum_value"],
+        )
+        for r in sliding_window_counts(
+            td.load_table(spark, SF_SMALL, "events"), 10, 5
+        ).collect()
+    }
+    stream = {
+        (r["window_start_us"], r["event_type"]): (
+            r["n_events"], r["sum_value"],
+        )
+        for r in run_sliding_stream_to_memory(
+            spark, SF_SMALL, 10, 5, table="sliding_counts_test"
+        ).collect()
+    }
+    assert batch == stream
