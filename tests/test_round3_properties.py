@@ -339,3 +339,111 @@ class TestPackEfficiency:
         row = pack_efficiency(docs, budget=4, n_shards=1).collect()[0]
         assert (row.n_docs, row.total_tokens, row.n_chunks) == (2, 7, 2)
         assert row.fill_ratio == 0.875
+
+
+class TestEmptyInputsContinuation:
+    """Empty-input hygiene for the continuation-batch operators."""
+
+    def _empty_docs(self, spark):
+        return spark.createDataFrame(
+            [],
+            "doc_id: long, text: string, lang: string, source: string,"
+            " n_chars: long",
+        )
+
+    def _empty_events(self, spark):
+        return spark.createDataFrame(
+            [],
+            "event_id long, ts long, user_id long, event_type string,"
+            " value double",
+        )
+
+    def _empty_edges(self, spark):
+        return spark.createDataFrame([], "src: long, dst: long")
+
+    def _empty_embs(self, spark):
+        return spark.createDataFrame(
+            [], "vec_id long, embedding array<float>, label int"
+        )
+
+    def test_text_continuation_on_empty(self, spark):
+        from graph500_spark.operators.corpus import source_overlap_matrix
+        from graph500_spark.operators.dedup import (
+            levenshtein_near_duplicates,
+            normalized_duplicates,
+        )
+        from graph500_spark.operators.text import (
+            bigram_logppl,
+            char_entropy,
+            heavy_hitter_tokens,
+            lang_confusion,
+            pmi_collocations,
+        )
+        from graph500_spark.operators.traindata import (
+            doc_chunks,
+            feature_hashing,
+            pack_efficiency,
+        )
+
+        empty = self._empty_docs(spark)
+        for op in (
+            normalized_duplicates,
+            levenshtein_near_duplicates,
+            heavy_hitter_tokens,
+            pmi_collocations,
+            char_entropy,
+            bigram_logppl,
+            lang_confusion,
+            source_overlap_matrix,
+            feature_hashing,
+            doc_chunks,
+            pack_efficiency,
+        ):
+            assert op(empty).count() == 0, op.__name__
+
+    def test_events_continuation_on_empty(self, spark):
+        from graph500_spark.operators.asof import multi_touch_attribution
+        from graph500_spark.streaming.windows import (
+            event_type_transitions,
+            retention_cohorts,
+            sliding_window_counts,
+            user_rfm,
+        )
+
+        empty = self._empty_events(spark)
+        for op in (
+            sliding_window_counts,
+            retention_cohorts,
+            event_type_transitions,
+            user_rfm,
+            multi_touch_attribution,
+        ):
+            assert op(empty).count() == 0, op.__name__
+
+    def test_graph_continuation_on_empty(self, spark):
+        from graph500_spark.operators.graph_build import (
+            degree_histogram_log,
+            graph_summary,
+        )
+        from graph500_spark.operators.triangles import (
+            jaccard_topk,
+            k_truss,
+        )
+
+        empty = self._empty_edges(spark)
+        assert jaccard_topk(empty).count() == 0
+        assert k_truss(empty).count() == 0
+        assert degree_histogram_log(empty).count() == 0
+        assert graph_summary(empty).count() == 1  # one (all-zero/null) row
+
+    def test_embeddings_continuation_on_empty(self, spark):
+        from graph500_spark.operators.simsearch import (
+            embedding_dim_stats,
+            knn_predict,
+            label_prototypes,
+        )
+
+        empty = self._empty_embs(spark)
+        assert knn_predict(empty).count() == 0
+        assert embedding_dim_stats(empty).count() == 0
+        assert label_prototypes(empty).count() == 0
