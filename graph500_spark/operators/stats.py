@@ -252,3 +252,48 @@ def modularity_sql(clean_sql: str, community_expr: str) -> str:
         " / (CAST(two_m AS DOUBLE) * two_m), 6) AS modularity"
         " FROM tm, w, dst"
     )
+
+
+def table_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """ANALYZE-style per-column statistics: [col_name, n_rows,
+    n_nulls, n_distinct] — one row per profiled column.
+
+    The optimizer-feeding / data-quality profile (null explosion or
+    NDV collapse after a pipeline stage is the classic silent-bug
+    signal). Exact NDV via count(distinct) — one pass over the table
+    with Spark's distinct-aggregate expansion; at 100 TB swap in
+    approx_count_distinct per column for one cheap sketch pass (the
+    count_vertices_approx tier pattern)."""
+    cols = columns if columns is not None else df.columns
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).cast("long").alias(
+                f"__nulls_{c}"
+            )
+        )
+        aggs.append(F.countDistinct(c).cast("long").alias(f"__ndv_{c}"))
+    row = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', __nulls_{c}, __ndv_{c}" for c in cols
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(cols)}, {stacked})"
+        ).alias("col_name", "n_nulls", "n_distinct"),
+        "n_rows",
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct")
+
+
+def table_stats_sql(table: str, columns: list[str]) -> str:
+    selects = [
+        (
+            f"SELECT '{c}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,"
+            f" CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS n_nulls,"
+            f" CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct"
+            f" FROM {table}"
+        )
+        for c in columns
+    ]
+    return " UNION ALL ".join(selects)

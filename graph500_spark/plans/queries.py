@@ -36,6 +36,7 @@ from graph500_spark.operators import graph_build as gb
 from graph500_spark.operators import pagerank as pagerank_mod
 from graph500_spark.operators import pregel as pregel_mod
 from graph500_spark.operators import roots as roots_mod
+from graph500_spark.operators import setops as setops_sql
 from graph500_spark.operators import triangles as triangles_mod
 from graph500_spark.operators import simsearch as simsearch_mod
 from graph500_spark.operators import sssp as sssp_mod
@@ -960,6 +961,22 @@ def q_degree_histogram_log(spark, sf_dir):
     """Log2-bucketed degree histogram (the power-law readout) —
     integer bit-length bucketing, identical in both engines."""
     return gb.degree_histogram_log(clean_mod997_graph(spark, sf_dir))
+
+
+def q_maximal_independent_set(spark, sf_dir):
+    """Luby-style MIS over the mod997 graph: hashed-priority parallel
+    rounds, deterministic, O(log n) rounds w.h.p."""
+    from graph500_spark.operators import setops as setops_mod
+
+    return setops_mod.maximal_independent_set(
+        clean_mod997_graph(spark, sf_dir)
+    )
+
+
+def q_table_stats(spark, sf_dir):
+    """ANALYZE-style per-column profile of the documents table (rows,
+    nulls, exact NDV) — the data-quality / optimizer-stats readout."""
+    return stats_mod.table_stats(_docs(spark, sf_dir))
 
 
 def q_degree_assortativity(spark, sf_dir):
@@ -2033,6 +2050,8 @@ QUERIES: dict[str, QueryFn] = {
     "label_prototypes": q_label_prototypes,
     "prototype_predict": q_prototype_predict,
     "degree_histogram_log": q_degree_histogram_log,
+    "maximal_independent_set": q_maximal_independent_set,
+    "table_stats": q_table_stats,
     # --- graph / Graph500 §2 surface ---
     "self_loop_filter": q_self_loop_filter,
     "symmetrize": q_symmetrize,
@@ -2374,6 +2393,12 @@ ORACLE_SQL: dict[str, str] = {
     "label_prototypes": simsearch_mod.label_prototypes_sql(),
     "prototype_predict": simsearch_mod.prototype_predict_sql(),
     "degree_histogram_log": gb.degree_histogram_log_sql(_CLEAN_MOD997),
+    "maximal_independent_set": setops_sql.maximal_independent_set_sql(
+        _CLEAN_MOD997
+    ),
+    "table_stats": stats_mod.table_stats_sql(
+        "documents", ["doc_id", "text", "lang", "source", "n_chars"]
+    ),
     "cc_sizes": (
         f"WITH cc AS ({connected_components_sql(_CLEAN_MOD997)}),"
         " sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS size"

@@ -447,3 +447,64 @@ class TestEmptyInputsContinuation:
         assert knn_predict(empty).count() == 0
         assert embedding_dim_stats(empty).count() == 0
         assert label_prototypes(empty).count() == 0
+
+
+class TestMaximalIndependentSet:
+    def _sym(self, spark, und):
+        return spark.createDataFrame(
+            und + [(b, a) for a, b in und], "src: long, dst: long"
+        )
+
+    def test_independence_and_maximality(self, spark):
+        from graph500_spark.operators.setops import (
+            maximal_independent_set,
+        )
+
+        # two triangles joined by a bridge + a pendant
+        und = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5), (3, 5),
+               (5, 6)]
+        edges = self._sym(spark, und)
+        mis = {r.vertex for r in maximal_independent_set(edges).collect()}
+        adj = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        # independence: no edge inside the set
+        assert all(adj[v].isdisjoint(mis) for v in mis)
+        # maximality: every outside vertex touches the set
+        outside = set(adj) - mis
+        assert all(adj[v] & mis for v in outside)
+
+    def test_star_hub_or_leaves(self, spark):
+        from graph500_spark.operators.setops import (
+            maximal_independent_set,
+        )
+
+        und = [(0, i) for i in range(1, 8)]
+        edges = self._sym(spark, und)
+        mis = {r.vertex for r in maximal_independent_set(edges).collect()}
+        # either the hub alone or every leaf — both are maximal
+        assert mis == {0} or mis == set(range(1, 8))
+
+    def test_deterministic(self, spark):
+        from graph500_spark.operators.setops import (
+            maximal_independent_set,
+        )
+
+        und = [(i, i + 1) for i in range(12)]
+        edges = self._sym(spark, und)
+        a = {r.vertex for r in maximal_independent_set(edges).collect()}
+        b = {r.vertex for r in maximal_independent_set(edges).collect()}
+        assert a == b and a
+
+
+class TestTableStats:
+    def test_profile_values(self, spark):
+        from graph500_spark.operators.stats import table_stats
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, None)], "id long, tag string"
+        )
+        out = {r.col_name: (r.n_rows, r.n_nulls, r.n_distinct)
+               for r in table_stats(df).collect()}
+        assert out == {"id": (3, 0, 3), "tag": (3, 1, 1)}
