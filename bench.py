@@ -203,6 +203,20 @@ def main() -> int:
             lambda: Q.q_pmi_collocations(spark, sf_dir).count(),
         "char_entropy": lambda: Q.q_char_entropy(spark, sf_dir).count(),
         "user_rfm": lambda: Q.q_user_rfm(spark, sf_dir).count(),
+        "bigram_logppl": lambda: Q.q_bigram_logppl(spark, sf_dir).count(),
+        "source_overlap_matrix":
+            lambda: Q.q_source_overlap_matrix(spark, sf_dir).count(),
+        "graph_summary": lambda: Q.q_graph_summary(spark, sf_dir).count(),
+        "multi_touch_attribution":
+            lambda: Q.q_multi_touch_attribution(spark, sf_dir).count(),
+        "doc_chunks": lambda: Q.q_doc_chunks(spark, sf_dir).count(),
+        "prototype_predict":
+            lambda: Q.q_prototype_predict(spark, sf_dir).count(),
+        "maximal_independent_set":
+            lambda: Q.q_maximal_independent_set(spark, sf_dir).count(),
+        "table_stats": lambda: Q.q_table_stats(spark, sf_dir).count(),
+        "best_match_per_doc":
+            lambda: Q.q_best_match_per_doc(spark, sf_dir).count(),
     }
 
     timings: dict[str, float] = {}
