@@ -421,3 +421,43 @@ def decontaminate_salted(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def dedup_rate_by_source(docs: DataFrame) -> DataFrame:
+    """Per-source duplication report: [source, n_docs,
+    n_distinct_texts, n_dup_docs, dup_rate] — the dataset-card row
+    that tells you WHICH supplier ships copies (composes with
+    source_overlap_matrix, which tells you who copies whom).
+
+    One grouped agg on the source key; the text hash is computed in
+    the scan projection (the exact_duplicates hash tier)."""
+    h = F.expr(tx.spark_strhash("text")).cast("long")
+    per = (
+        docs.select("source", h.alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("h").cast("long").alias("n_distinct_texts"),
+        )
+    )
+    dup = (F.col("n_docs") - F.col("n_distinct_texts")).cast("long")
+    return per.select(
+        "source",
+        "n_docs",
+        "n_distinct_texts",
+        dup.alias("n_dup_docs"),
+        F.round(dup / F.col("n_docs").cast("double"), 6).alias("dup_rate"),
+    )
+
+
+def dedup_rate_by_source_sql() -> str:
+    return (
+        "WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,"
+        f" CAST(COUNT(DISTINCT {tx.duck_strhash('text')}) AS BIGINT)"
+        " AS n_distinct_texts"
+        " FROM documents GROUP BY source)"
+        " SELECT source, n_docs, n_distinct_texts,"
+        " CAST(n_docs - n_distinct_texts AS BIGINT) AS n_dup_docs,"
+        " ROUND((n_docs - n_distinct_texts) / CAST(n_docs AS DOUBLE), 6)"
+        " AS dup_rate FROM per"
+    )

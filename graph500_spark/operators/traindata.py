@@ -769,3 +769,45 @@ def doc_chunks_sql(size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE) -> str:
         f" chunk_idx * {stride} + {size}], ' ') AS chunk_text"
         " FROM idx"
     )
+
+
+QW_SAMPLE_SALT = 7919
+QW_SAMPLE_BUCKETS = 100000
+
+
+def quality_weighted_sample(docs: DataFrame) -> DataFrame:
+    """Importance sampling by model quality: keep each doc with
+    probability ∝ its model_quality_scores fixed-point score —
+    [doc_id, model_score_e5, bucket], kept rows only.
+
+    The standard curation move between hard filtering (lose all
+    low-quality mass) and no filtering (keep all noise): low-score
+    docs survive at a proportionally lower rate, preserving
+    distributional coverage. Pure integer comparison (salted
+    multiplicative-hash bucket < score_e5), so the decision is
+    deterministic, append-stable, and independent of the train/test
+    split and stratified-sample decisions (different salt)."""
+    scored = model_quality_scores(docs)
+    bucket = (
+        ((F.col("doc_id") + QW_SAMPLE_SALT) * SPLIT_HASH_K)
+        % SPLIT_HASH_MOD
+        % QW_SAMPLE_BUCKETS
+    )
+    return (
+        scored.select(
+            "doc_id", "model_score_e5", bucket.alias("bucket")
+        )
+        .filter(F.col("bucket") < F.col("model_score_e5"))
+    )
+
+
+def quality_weighted_sample_sql() -> str:
+    return (
+        f"WITH scored AS ({model_quality_scores_sql()})"
+        " SELECT doc_id, model_score_e5,"
+        f" (doc_id + {QW_SAMPLE_SALT}) * {SPLIT_HASH_K}"
+        f" % {SPLIT_HASH_MOD} % {QW_SAMPLE_BUCKETS} AS bucket"
+        " FROM scored"
+        f" WHERE (doc_id + {QW_SAMPLE_SALT}) * {SPLIT_HASH_K}"
+        f" % {SPLIT_HASH_MOD} % {QW_SAMPLE_BUCKETS} < model_score_e5"
+    )

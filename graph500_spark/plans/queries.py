@@ -979,6 +979,18 @@ def q_table_stats(spark, sf_dir):
     return stats_mod.table_stats(_docs(spark, sf_dir))
 
 
+def q_quality_weighted_sample(spark, sf_dir):
+    """Importance sampling ∝ model quality score — pure integer
+    accept/reject, append-stable, split-independent."""
+    return traindata_mod.quality_weighted_sample(_docs(spark, sf_dir))
+
+
+def q_dedup_rate_by_source(spark, sf_dir):
+    """Per-source duplication dataset-card row (which supplier ships
+    copies) — one grouped agg on the source key."""
+    return corpus_mod.dedup_rate_by_source(_docs(spark, sf_dir))
+
+
 def q_degree_assortativity(spark, sf_dir):
     """Pearson correlation of endpoint degrees over the edge list —
     exact integer moment sums, one deterministic expression at the
@@ -2052,6 +2064,8 @@ QUERIES: dict[str, QueryFn] = {
     "degree_histogram_log": q_degree_histogram_log,
     "maximal_independent_set": q_maximal_independent_set,
     "table_stats": q_table_stats,
+    "quality_weighted_sample": q_quality_weighted_sample,
+    "dedup_rate_by_source": q_dedup_rate_by_source,
     # --- graph / Graph500 §2 surface ---
     "self_loop_filter": q_self_loop_filter,
     "symmetrize": q_symmetrize,
@@ -2399,6 +2413,8 @@ ORACLE_SQL: dict[str, str] = {
     "table_stats": stats_mod.table_stats_sql(
         "documents", ["doc_id", "text", "lang", "source", "n_chars"]
     ),
+    "quality_weighted_sample": traindata_mod.quality_weighted_sample_sql(),
+    "dedup_rate_by_source": corpus_mod.dedup_rate_by_source_sql(),
     "cc_sizes": (
         f"WITH cc AS ({connected_components_sql(_CLEAN_MOD997)}),"
         " sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS size"

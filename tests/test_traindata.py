@@ -321,3 +321,56 @@ class TestDegreeHistogramLog:
         out = {r.log2_bucket: (r.n_vertices, r.min_degree, r.max_degree)
                for r in degree_histogram_log(edges).collect()}
         assert out == {0: (5, 1, 1), 2: (1, 5, 5)}
+
+
+class TestQualityWeightedSample:
+    DOCS = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def test_deterministic_and_score_bounded(self, spark):
+        from graph500_spark.operators.traindata import (
+            model_quality_scores,
+            quality_weighted_sample,
+        )
+
+        rows = [(i, f"tok{i} words here {i}", "en", "s0", 20)
+                for i in range(50)]
+        docs = spark.createDataFrame(rows, self.DOCS)
+        a = sorted(r.doc_id for r in quality_weighted_sample(docs).collect())
+        b = sorted(r.doc_id for r in quality_weighted_sample(docs).collect())
+        assert a == b
+        # every kept row satisfies the acceptance inequality
+        for r in quality_weighted_sample(docs).collect():
+            assert r.bucket < r.model_score_e5
+
+    def test_zero_score_never_kept(self, spark):
+        from graph500_spark.operators.traindata import (
+            quality_weighted_sample,
+        )
+
+        # tokenless docs score 0 → never accepted
+        docs = spark.createDataFrame(
+            [(i, "!!!", "en", "s0", 3) for i in range(20)], self.DOCS
+        )
+        assert quality_weighted_sample(docs).count() == 0
+
+
+class TestDedupRateBySource:
+    def test_rates(self, spark):
+        from graph500_spark.operators.corpus import dedup_rate_by_source
+
+        rows = [
+            (0, "x", "en", "sA", 1),
+            (1, "x", "en", "sA", 1),
+            (2, "y", "en", "sA", 1),
+            (3, "z", "en", "sB", 1),
+        ]
+        docs = spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+        out = {r.source: (r.n_docs, r.n_distinct_texts, r.n_dup_docs,
+                          r.dup_rate)
+               for r in dedup_rate_by_source(docs).collect()}
+        assert out["sA"] == (3, 2, 1, round(1 / 3, 6))
+        assert out["sB"] == (1, 1, 0, 0.0)
