@@ -17,6 +17,8 @@ Stages, each materialized to its own parquet directory under
                         (substring-level dedup cut list).
   5. ``split``        — stable train/test assignment for survivors.
   6. ``packed``       — concat-and-chunk packing of the train split.
+  7. ``chunks``       — overlapping token chunks of the test split
+                        (RAG retrieval-corpus prep).
 
 Resume: a stage whose output directory already has Spark's _SUCCESS
 marker is SKIPPED (idempotent reruns — rerunning after a crash redoes
@@ -123,6 +125,14 @@ def run_corpus_pipeline(
         lambda: traindata_mod.pack_chunks(
             docs.join(train_ids, "doc_id"), budget=pack_budget
         ),
+    )
+    # RAG-prep sibling of `packed`: overlapping token chunks of the
+    # TEST split (retrieval corpora index held-out text) — same
+    # resume/idempotence contract as every other stage.
+    test_ids = split.filter(F.col("split") == "test").select("doc_id")
+    run_stage(
+        "chunks",
+        lambda: traindata_mod.doc_chunks(docs.join(test_ids, "doc_id")),
     )
     # library caches populated along the way (shingle/minhash state in
     # corpus_clean and the span pass) are released: terminal job

@@ -11,7 +11,8 @@ from graph500_spark.operators import corpus as corpus_mod
 from graph500_spark.plans.corpus_runner import run_corpus_pipeline
 
 SF = "/root/testdata/sf0.001"
-STAGES = ["stats", "annotations", "survivors", "dup_spans", "split", "packed"]
+STAGES = ["stats", "annotations", "survivors", "dup_spans", "split",
+          "packed", "chunks"]
 
 
 def _docs(spark):
@@ -83,3 +84,15 @@ def test_cli_corpus_subcommand(spark, tmp_path, capsys):
     res = json.loads(line)
     assert [s["stage"] for s in res["stages"]] == STAGES
     assert all(s["rows"] > 0 for s in res["stages"])
+
+
+def test_chunks_stage_covers_test_split(spark, tmp_path):
+    out = str(tmp_path / "corpus_out_chunks")
+    r = run_corpus_pipeline(spark, _docs(spark), out)
+    chunks = spark.read.parquet(r.stage("chunks")["path"])
+    split = spark.read.parquet(r.stage("split")["path"])
+    test_ids = {x.doc_id for x in split.filter("split = 'test'").collect()}
+    chunk_ids = {x.doc_id for x in chunks.collect()}
+    # every chunk belongs to a test doc; every non-empty test doc chunks
+    assert chunk_ids <= test_ids
+    assert chunk_ids
