@@ -206,3 +206,158 @@ def connected_components_stars(
     finally:
         if saved_sp is not None:
             spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
+
+
+# ---------------------------------------------------------------------------
+# Strongly connected components (directed) — Orzan-style FW coloring +
+# color-restricted backward reach
+# ---------------------------------------------------------------------------
+
+
+def strongly_connected_components(
+    spark: SparkSession,
+    edges_directed: DataFrame,
+    max_outer: int = 30,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """[vertex, scc_id] over a DIRECTED edge list; scc_id = min vertex
+    id in the vertex's strongly connected component.
+
+    Per outer round over the remaining subgraph:
+      1. forward min-color fixpoint — color(v) = min id that reaches
+         v (a pregel min-propagation along edge direction);
+      2. backward reach of each color's pivot (the vertex whose id IS
+         its color) along color-homogeneous reversed edges — correct
+         because inside Reach(c) ∩ Reach⁻(c) every vertex is colored
+         exactly c (a smaller id reaching any cycle vertex would
+         reach the pivot too, contradicting color(c) = c);
+      3. marked vertices form whole SCCs; emit and remove them.
+    Outer rounds ≤ the longest path in the SCC condensation DAG (one
+    pivot SCC per color per round). Each inner fixpoint is the CC
+    loop's shape: one equi-join + map-side-partial min per superstep,
+    checkpointed state — the 100 TB-safe iterative dataflow.
+    """
+    from graph500_spark.operators.pregel import pregel
+
+    edges = edges_directed.select("src", "dst").persist()
+    verts = (
+        edges.select(F.col("src").alias("vertex"))
+        .unionAll(edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    remaining = verts
+    parts: list[DataFrame] = []
+    for _ in range(max_outer):
+        if remaining.rdd.isEmpty():
+            break
+        live = (
+            edges.join(
+                remaining.select(F.col("vertex").alias("src")),
+                "src", "left_semi",
+            ).join(
+                remaining.select(F.col("vertex").alias("dst")),
+                "dst", "left_semi",
+            )
+        )
+        colors = pregel(
+            spark,
+            live,
+            remaining.select("vertex", F.col("vertex").alias("color")),
+            send=lambda j: j.select(
+                F.col("dst").alias("vertex"), F.col("color").alias("msg")
+            ),
+            merge=[F.min("msg").alias("msg")],
+            apply_fn=lambda st, inbox: st.join(inbox, "vertex", "left")
+            .select(
+                "vertex",
+                F.least(
+                    F.col("color"), F.coalesce("msg", F.col("color"))
+                ).alias("color"),
+            ),
+            n_supersteps=10**6,
+            until_unchanged=True,
+            shuffle_partitions=shuffle_partitions,
+        )
+        # color-homogeneous REVERSED edges; propagate pivot reach
+        ce = (
+            live.join(
+                colors.select(
+                    F.col("vertex").alias("src"), F.col("color").alias("cs")
+                ),
+                "src",
+            )
+            .join(
+                colors.select(
+                    F.col("vertex").alias("dst"), F.col("color").alias("cd")
+                ),
+                "dst",
+            )
+            .filter(F.col("cs") == F.col("cd"))
+            .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        marked = pregel(
+            spark,
+            ce,
+            colors.select(
+                "vertex",
+                (F.col("vertex") == F.col("color")).alias("mark"),
+            ),
+            send=lambda j: j.select(
+                F.col("dst").alias("vertex"), F.col("mark").alias("msg")
+            ),
+            merge=[F.max("msg").alias("msg")],
+            apply_fn=lambda st, inbox: st.join(inbox, "vertex", "left")
+            .select(
+                "vertex",
+                (F.col("mark") | F.coalesce("msg", F.lit(False))).alias(
+                    "mark"
+                ),
+            ),
+            n_supersteps=10**6,
+            until_unchanged=True,
+            shuffle_partitions=shuffle_partitions,
+        )
+        members = (
+            marked.filter("mark")
+            .join(colors, "vertex")
+            .select("vertex", F.col("color").alias("scc_id"))
+            .localCheckpoint(eager=True)
+        )
+        parts.append(members)
+        remaining = remaining.join(
+            members.select("vertex"), "vertex", "left_anti"
+        ).localCheckpoint(eager=True)
+    if not remaining.rdd.isEmpty():
+        raise RuntimeError(
+            f"scc did not converge in {max_outer} outer rounds"
+        )
+    edges.unpersist()
+    if not parts:
+        return verts.select(
+            "vertex", F.col("vertex").alias("scc_id")
+        ).limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def strongly_connected_components_sql(directed_sql: str) -> str:
+    """SCC oracle via transitive closure: scc_id(v) = min over
+    {v} ∪ {m : v →* m and m →* v}."""
+    return (
+        f"WITH RECURSIVE e AS ({directed_sql}),"
+        " verts AS (SELECT DISTINCT src AS vertex FROM e"
+        " UNION SELECT DISTINCT dst FROM e),"
+        " reach(a, b) AS ("
+        "  SELECT src, dst FROM e"
+        "  UNION"
+        "  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),"
+        " mutual AS (SELECT r1.a AS vertex, r1.b AS m FROM reach r1"
+        "  JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a)"
+        " SELECT v.vertex,"
+        " LEAST(v.vertex, COALESCE(MIN(mu.m), v.vertex)) AS scc_id"
+        " FROM verts v LEFT JOIN mutual mu ON mu.vertex = v.vertex"
+        " GROUP BY v.vertex"
+    )

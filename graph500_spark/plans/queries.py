@@ -979,6 +979,16 @@ def q_table_stats(spark, sf_dir):
     return stats_mod.table_stats(_docs(spark, sf_dir))
 
 
+def q_strongly_connected_components(spark, sf_dir):
+    """Directed SCC via FW coloring + color-restricted backward reach
+    (Orzan) over the HITS fixture graph."""
+    return components_mod.strongly_connected_components(
+        spark,
+        directed_mod997_graph(spark, sf_dir),
+        shuffle_partitions=8,
+    )
+
+
 def q_quality_weighted_sample(spark, sf_dir):
     """Importance sampling ∝ model quality score — pure integer
     accept/reject, append-stable, split-independent."""
@@ -2066,6 +2076,7 @@ QUERIES: dict[str, QueryFn] = {
     "table_stats": q_table_stats,
     "quality_weighted_sample": q_quality_weighted_sample,
     "dedup_rate_by_source": q_dedup_rate_by_source,
+    "strongly_connected_components": q_strongly_connected_components,
     # --- graph / Graph500 §2 surface ---
     "self_loop_filter": q_self_loop_filter,
     "symmetrize": q_symmetrize,
@@ -2415,6 +2426,12 @@ ORACLE_SQL: dict[str, str] = {
     ),
     "quality_weighted_sample": traindata_mod.quality_weighted_sample_sql(),
     "dedup_rate_by_source": corpus_mod.dedup_rate_by_source_sql(),
+    "strongly_connected_components": (
+        components_mod.strongly_connected_components_sql(
+            f"SELECT DISTINCT src, dst FROM ({MOD997_EDGES_SQL})"
+            " WHERE src <> dst"
+        )
+    ),
     "cc_sizes": (
         f"WITH cc AS ({connected_components_sql(_CLEAN_MOD997)}),"
         " sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS size"

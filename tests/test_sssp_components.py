@@ -123,3 +123,57 @@ def test_connected_components_chain_long_diameter(spark):
     comps = {r["component"] for r in out.collect()}
     assert comps == {0}
     assert out.count() == 17
+
+
+class TestStronglyConnectedComponents:
+    def _scc(self, spark, edges_list):
+        from graph500_spark.operators.components import (
+            strongly_connected_components,
+        )
+
+        edges = spark.createDataFrame(edges_list, "src: long, dst: long")
+        return {
+            r.vertex: r.scc_id
+            for r in strongly_connected_components(
+                spark, edges, shuffle_partitions=4
+            ).collect()
+        }
+
+    def test_two_cycles_and_bridge(self, spark):
+        # cycle {0,1,2} → bridge → cycle {10,11}
+        out = self._scc(
+            spark,
+            [(0, 1), (1, 2), (2, 0), (2, 10), (10, 11), (11, 10)],
+        )
+        assert out == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10}
+
+    def test_dag_is_all_singletons(self, spark):
+        out = self._scc(spark, [(0, 1), (1, 2), (0, 2), (2, 3)])
+        assert out == {0: 0, 1: 1, 2: 2, 3: 3}
+
+    def test_chain_of_sccs(self, spark):
+        # three 2-cycles in a chain — exercises multiple outer rounds
+        out = self._scc(
+            spark,
+            [(0, 1), (1, 0), (1, 2), (2, 3), (3, 2), (3, 4),
+             (4, 5), (5, 4)],
+        )
+        assert out == {0: 0, 1: 0, 2: 2, 3: 2, 4: 4, 5: 4}
+
+    def test_matches_undirected_cc_on_symmetric_input(self, spark):
+        from graph500_spark.operators.components import (
+            connected_components,
+            strongly_connected_components,
+        )
+
+        und = [(0, 1), (1, 2), (5, 6)]
+        sym = spark.createDataFrame(
+            und + [(b, a) for a, b in und], "src: long, dst: long"
+        )
+        cc = {r.vertex: r.component
+              for r in connected_components(spark, sym,
+                                            shuffle_partitions=4).collect()}
+        scc = {r.vertex: r.scc_id
+               for r in strongly_connected_components(
+                   spark, sym, shuffle_partitions=4).collect()}
+        assert scc == cc
