@@ -1,0 +1,239 @@
+"""Sampled betweenness centrality (Brandes 2001, root-sampled) —
+level-synchronous forward path counting + backward dependency
+accumulation, batched over all sample roots in one (root, vertex)
+keyed dataflow (the bfs_multi discipline).
+
+Cross-engine exactness: Brandes' dependency recursion
+    δ(v) = Σ_{w : child} (σ(v)/σ(w)) · (1 + δ(w))
+is float-valued, and grouped double sums are shuffle-order-dependent —
+the obstruction that keeps most iterative float algorithms out of the
+value-hash gate. Removed here by specifying the operator in FIXED
+POINT: δ is carried as integer micro-units (δ_q = δ·10⁶) and each
+term is one half-up integer rounding
+    term_q = (σ_v·(10⁶ + δ_q(w)) + σ_w div 2) div σ_w
+— all-integer arithmetic, so per-level sums are exact and
+shuffle-order-free, and the DuckDB oracle (same unrolled levels, same
+expression) lands on identical bits. Path counts σ are exact integers
+throughout (they are sums over parents).
+
+Scale shape: forward pass = one equi-join of the previous level's σ
+onto the edge list per level (map-side-partial sums); backward pass =
+the same join shape along reversed level order. State is keyed by
+(root, vertex) so the whole sample batch advances per level — the
+per-level scheduling floor is paid once per batch, not once per root
+(measured 1.8-2.3× for 4 roots on the BFS benches). localCheckpoint
+per level keeps plan depth O(1).
+
+Reference scope: the reference computes no centralities (BFS only —
+/root/reference/mpi/bfs.hpp); this is engine capability beyond parity,
+built on the same traversal machinery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BC_SCALE = 1_000_000
+
+
+def betweenness_sampled(
+    spark: SparkSession,
+    edges_clean: DataFrame,
+    roots: list[int],
+    max_depth: int = 32,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """[vertex, bc_q] — betweenness contribution sums (micro-units)
+    over the sampled roots, excluding each root's own row (Brandes
+    accumulates δ only at non-roots). Unreached vertices are absent.
+    """
+    saved_sp = None
+    if shuffle_partitions is not None:
+        saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
+    try:
+        edges = edges_clean.select("src", "dst").persist()
+        # ---- forward: depths + exact path counts per (root, vertex)
+        frontier = spark.createDataFrame(
+            [(r, r, 0, 1) for r in roots],
+            "root: long, vertex: long, depth: int, sigma: long",
+        ).localCheckpoint(eager=True)
+        levels = [frontier]
+        seen = frontier.select("root", "vertex").localCheckpoint(eager=True)
+        depth = 0
+        while depth < max_depth:
+            prev = levels[-1]
+            nxt = (
+                edges.join(
+                    prev.withColumnRenamed("vertex", "src"), "src"
+                )
+                .select("root", F.col("dst").alias("vertex"), "sigma")
+                .join(seen, ["root", "vertex"], "left_anti")
+                .groupBy("root", "vertex")
+                .agg(F.sum("sigma").alias("sigma"))
+                .select(
+                    "root",
+                    "vertex",
+                    F.lit(depth + 1).cast("int").alias("depth"),
+                    "sigma",
+                )
+                .localCheckpoint(eager=True)
+            )
+            if nxt.rdd.isEmpty():
+                break
+            levels.append(nxt)
+            seen = seen.unionAll(
+                nxt.select("root", "vertex")
+            ).localCheckpoint(eager=True)
+            depth += 1
+        else:
+            raise RuntimeError(f"bfs exceeded max_depth={max_depth}")
+
+        # ---- backward: δ_q accumulation from the deepest level up
+        delta = levels[-1].select(
+            "root", "vertex", F.lit(0).cast("long").alias("delta_q")
+        ).localCheckpoint(eager=True)
+        # deepest-level vertices carry δ = 0 but still appear in the
+        # output (bc_q = 0 unless another root contributes) — same
+        # row universe as the oracle's level union
+        acc_parts = [delta.filter(F.col("vertex") != F.col("root"))]
+        for lvl in range(len(levels) - 2, -1, -1):
+            cur = levels[lvl]
+            child = levels[lvl + 1].select(
+                "root",
+                F.col("vertex").alias("dst"),
+                F.col("sigma").alias("sigma_w"),
+            ).join(
+                delta.select(
+                    "root",
+                    F.col("vertex").alias("dst"),
+                    F.col("delta_q").alias("dq_w"),
+                ),
+                ["root", "dst"],
+            )
+            # each tree edge (v at lvl) -> (w at lvl+1) contributes
+            # (σ_v·(SCALE+δ_q(w)) + σ_w div 2) div σ_w  — half-up
+            # integer rounding, exact and order-free under the sum
+            contrib = (
+                edges.join(
+                    cur.select(
+                        "root",
+                        F.col("vertex").alias("src"),
+                        F.col("sigma").alias("sigma_v"),
+                    ),
+                    "src",
+                )
+                .join(child, ["root", "dst"])
+                .select(
+                    "root",
+                    F.col("src").alias("vertex"),
+                    F.expr(
+                        f"(sigma_v * ({BC_SCALE} + dq_w)"
+                        " + sigma_w div 2) div sigma_w"
+                    ).alias("term_q"),
+                )
+                .groupBy("root", "vertex")
+                .agg(F.sum("term_q").cast("long").alias("delta_q"))
+            )
+            delta = (
+                cur.select("root", "vertex")
+                .join(contrib, ["root", "vertex"], "left")
+                .select(
+                    "root",
+                    "vertex",
+                    F.coalesce("delta_q", F.lit(0)).cast("long").alias(
+                        "delta_q"
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
+            acc_parts.append(
+                delta.filter(F.col("vertex") != F.col("root"))
+            )
+        edges.unpersist()
+        if not acc_parts:
+            return spark.createDataFrame([], "vertex: long, bc_q: long")
+        out = acc_parts[0]
+        for p in acc_parts[1:]:
+            out = out.unionAll(p)
+        return out.groupBy("vertex").agg(
+            F.sum("delta_q").cast("long").alias("bc_q")
+        )
+    finally:
+        if saved_sp is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
+
+
+def betweenness_sampled_sql(
+    edges_raw_sql: str, roots: list[int], depth_bound: int = 12
+) -> str:
+    """Unrolled oracle: the recursive-CTE depth table (as in
+    bfs_multi_sql), then per-level σ and δ_q CTEs mirroring the
+    engine's integer arithmetic exactly. Levels beyond the true
+    eccentricity are empty CTEs (no-ops)."""
+    roots_values = ", ".join(f"(CAST({r} AS BIGINT))" for r in roots)
+    parts = [
+        f"WITH RECURSIVE raw AS ({edges_raw_sql})",
+        "nl AS (SELECT src, dst FROM raw WHERE src <> dst)",
+        "clean AS MATERIALIZED (SELECT DISTINCT src, dst FROM"
+        " (SELECT src, dst FROM nl UNION ALL"
+        "  SELECT dst AS src, src AS dst FROM nl))",
+        f"roots(root) AS (VALUES {roots_values})",
+        "walk(root, vertex, depth) AS ("
+        " SELECT root, root, CAST(0 AS INTEGER) FROM roots"
+        " UNION"
+        " SELECT w.root, e.dst, CAST(w.depth + 1 AS INTEGER)"
+        f" FROM clean e JOIN walk w ON e.src = w.vertex"
+        f" WHERE w.depth < {depth_bound})",
+        "depths AS MATERIALIZED (SELECT root, vertex,"
+        " MIN(depth) AS depth FROM walk GROUP BY root, vertex)",
+        "s0 AS MATERIALIZED (SELECT root, root AS vertex,"
+        " CAST(1 AS BIGINT) AS sigma FROM roots)",
+    ]
+    for i in range(1, depth_bound + 1):
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT d.root, d.vertex,"
+            " CAST(SUM(p.sigma) AS BIGINT) AS sigma"
+            " FROM depths d JOIN clean e ON e.dst = d.vertex"
+            f" JOIN s{i-1} p ON p.root = d.root AND p.vertex = e.src"
+            f" JOIN depths dp ON dp.root = d.root AND dp.vertex = e.src"
+            f" AND dp.depth = {i-1}"
+            f" WHERE d.depth = {i} GROUP BY d.root, d.vertex)"
+        )
+    # δ at the deepest bound level = 0
+    parts.append(
+        f"d{depth_bound} AS MATERIALIZED (SELECT root, vertex,"
+        f" CAST(0 AS BIGINT) AS delta_q FROM s{depth_bound})"
+    )
+    for i in range(depth_bound - 1, -1, -1):
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT v.root, v.vertex,"
+            " CAST(SUM((v.sigma * (1000000 + w.delta_q)"
+            " + w.sigma // 2) // w.sigma) AS BIGINT) AS delta_q"
+            f" FROM s{i} v JOIN clean e ON e.src = v.vertex"
+            f" JOIN (SELECT s.root, s.vertex, s.sigma, d.delta_q"
+            f"       FROM s{i+1} s JOIN d{i+1} d"
+            "        ON d.root = s.root AND d.vertex = s.vertex) w"
+            " ON w.root = v.root AND w.vertex = e.dst"
+            " GROUP BY v.root, v.vertex)"
+        )
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT s.root, s.vertex,"
+            " CAST(COALESCE(c.delta_q, 0) AS BIGINT) AS delta_q"
+            f" FROM s{i} s LEFT JOIN c{i} c"
+            " ON c.root = s.root AND c.vertex = s.vertex)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT root, vertex, delta_q FROM d{i}"
+        f" WHERE vertex <> root"
+        for i in range(depth_bound)
+    )
+    return (
+        ", ".join(parts)
+        + f", acc AS ({union})"
+        + " SELECT vertex, CAST(SUM(delta_q) AS BIGINT) AS bc_q"
+        + " FROM acc GROUP BY vertex"
+    )

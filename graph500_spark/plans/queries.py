@@ -35,6 +35,7 @@ from graph500_spark.operators import dedup as dedup_mod
 from graph500_spark.operators import graph_build as gb
 from graph500_spark.operators import pagerank as pagerank_mod
 from graph500_spark.operators import pregel as pregel_mod
+from graph500_spark.operators import centrality as centrality_sql
 from graph500_spark.operators import roots as roots_mod
 from graph500_spark.operators import setops as setops_sql
 from graph500_spark.operators import triangles as triangles_mod
@@ -977,6 +978,21 @@ def q_table_stats(spark, sf_dir):
     """ANALYZE-style per-column profile of the documents table (rows,
     nulls, exact NDV) — the data-quality / optimizer-stats readout."""
     return stats_mod.table_stats(_docs(spark, sf_dir))
+
+
+def q_betweenness_sampled(spark, sf_dir):
+    """Sampled Brandes betweenness, batched over the sample roots in
+    one (root, vertex) dataflow; the float dependency recursion is
+    specified in integer micro-units (half-up integer rounding per
+    term) so per-level sums are exact and hash-checkable."""
+    from graph500_spark.operators import centrality as centrality_mod
+
+    return centrality_mod.betweenness_sampled(
+        spark,
+        clean_hetero_graph(spark, sf_dir),
+        MULTI_BFS_ROOTS,
+        shuffle_partitions=8,
+    )
 
 
 def q_strongly_connected_components(spark, sf_dir):
@@ -2077,6 +2093,7 @@ QUERIES: dict[str, QueryFn] = {
     "quality_weighted_sample": q_quality_weighted_sample,
     "dedup_rate_by_source": q_dedup_rate_by_source,
     "strongly_connected_components": q_strongly_connected_components,
+    "betweenness_sampled": q_betweenness_sampled,
     # --- graph / Graph500 §2 surface ---
     "self_loop_filter": q_self_loop_filter,
     "symmetrize": q_symmetrize,
@@ -2431,6 +2448,9 @@ ORACLE_SQL: dict[str, str] = {
             f"SELECT DISTINCT src, dst FROM ({MOD997_EDGES_SQL})"
             " WHERE src <> dst"
         )
+    ),
+    "betweenness_sampled": centrality_sql.betweenness_sampled_sql(
+        HETERO_EDGES_SQL, MULTI_BFS_ROOTS
     ),
     "cc_sizes": (
         f"WITH cc AS ({connected_components_sql(_CLEAN_MOD997)}),"

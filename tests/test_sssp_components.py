@@ -177,3 +177,37 @@ class TestStronglyConnectedComponents:
                for r in strongly_connected_components(
                    spark, sym, shuffle_partitions=4).collect()}
         assert scc == cc
+
+
+class TestBetweennessSampled:
+    def _bc(self, spark, und, roots):
+        from graph500_spark.operators.centrality import (
+            betweenness_sampled,
+        )
+
+        edges = spark.createDataFrame(
+            und + [(b, a) for a, b in und], "src: long, dst: long"
+        )
+        return {
+            r.vertex: r.bc_q
+            for r in betweenness_sampled(
+                spark, edges, roots, shuffle_partitions=4
+            ).collect()
+        }
+
+    def test_path_center_carries_flow(self, spark):
+        # path 1-2-3, root 1: δ(2) = 1 → 10^6 micro-units
+        out = self._bc(spark, [(1, 2), (2, 3)], [1])
+        assert out == {2: 1_000_000, 3: 0}
+
+    def test_diamond_splits_credit(self, spark):
+        # 1-2-4 and 1-3-4: σ(4)=2, each middle gets 0.5
+        out = self._bc(spark, [(1, 2), (1, 3), (2, 4), (3, 4)], [1])
+        assert out == {2: 500_000, 3: 500_000, 4: 0}
+
+    def test_multi_root_sums(self, spark):
+        out = self._bc(spark, [(1, 2), (1, 3), (2, 4), (3, 4)], [1, 4])
+        # symmetric diamond: middles get 0.5 from each side
+        assert out[2] == 1_000_000 and out[3] == 1_000_000
+        # endpoints: reached by the other root with δ = 0
+        assert out[1] == 0 and out[4] == 0
