@@ -237,3 +237,80 @@ def betweenness_sampled_sql(
         + " SELECT vertex, CAST(SUM(delta_q) AS BIGINT) AS bc_q"
         + " FROM acc GROUP BY vertex"
     )
+
+
+KATZ_SCALE = 1_000_000
+KATZ_ALPHA_DEN = 8  # α = 1/8 as a power-of-two divisor — integer-exact
+
+
+def katz_centrality(
+    spark: SparkSession,
+    edges_clean: DataFrame,
+    n_iterations: int = 6,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """[vertex, katz_q] — Katz centrality (damped walk counting)
+    k(v) = Σ_t α^t · #walks_t(→v), truncated at n_iterations, in
+    integer micro-units.
+
+    Specified in fixed point like betweenness: α = 1/8 is a
+    power-of-two integer divisor, each edge's per-round contribution
+    is one truncating integer division
+        term_q = (SCALE + k_q(u)) div 8
+    so every round's sums are exact and shuffle-order-free — an
+    unrolled-CTE oracle lands on identical bits. Per round: one
+    equi-join of the state onto the edge list + a map-side-partial
+    sum (the pagerank plan without the degree normalization).
+    Vertices with no in-walks score 0 and are included."""
+    from graph500_spark.operators.pregel import pregel
+
+    verts = (
+        edges_clean.select(F.col("src").alias("vertex"))
+        .distinct()
+        .select("vertex", F.lit(0).cast("long").alias("katz_q"))
+    )
+    out = pregel(
+        spark,
+        edges_clean.select("src", "dst"),
+        verts,
+        send=lambda j: j.select(
+            F.col("dst").alias("vertex"),
+            F.expr(f"({KATZ_SCALE} + katz_q) div {KATZ_ALPHA_DEN}").alias(
+                "msg"
+            ),
+        ),
+        merge=[F.sum("msg").cast("long").alias("msg")],
+        apply_fn=lambda st, inbox: st.join(inbox, "vertex", "left").select(
+            "vertex",
+            F.coalesce("msg", F.lit(0)).cast("long").alias("katz_q"),
+        ),
+        n_supersteps=n_iterations,
+        shuffle_partitions=shuffle_partitions,
+    )
+    return out
+
+
+def katz_centrality_sql(clean_sql: str, n_iterations: int = 6) -> str:
+    parts = [
+        f"WITH clean AS ({clean_sql})",
+        "k0 AS MATERIALIZED (SELECT vertex,"
+        " CAST(0 AS BIGINT) AS katz_q FROM"
+        " (SELECT DISTINCT src AS vertex FROM clean))",
+    ]
+    for i in range(1, n_iterations + 1):
+        parts.append(
+            f"m{i} AS MATERIALIZED (SELECT e.dst AS vertex,"
+            f" CAST(SUM((1000000 + p.katz_q) // {KATZ_ALPHA_DEN})"
+            " AS BIGINT) AS msg"
+            f" FROM clean e JOIN k{i-1} p ON p.vertex = e.src"
+            " GROUP BY e.dst)"
+        )
+        parts.append(
+            f"k{i} AS MATERIALIZED (SELECT k.vertex,"
+            " CAST(COALESCE(m.msg, 0) AS BIGINT) AS katz_q"
+            f" FROM k0 k LEFT JOIN m{i} m ON m.vertex = k.vertex)"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT vertex, katz_q FROM k{n_iterations}"
+    )

@@ -995,6 +995,14 @@ def q_betweenness_sampled(spark, sf_dir):
     )
 
 
+def q_katz_centrality(spark, sf_dir):
+    """Katz centrality (damped walk counts), α = 1/8 as an integer
+    divisor — per-round sums exact, unrolled-CTE oracle."""
+    return centrality_sql.katz_centrality(
+        spark, clean_mod997_graph(spark, sf_dir), shuffle_partitions=8
+    )
+
+
 def q_strongly_connected_components(spark, sf_dir):
     """Directed SCC via FW coloring + color-restricted backward reach
     (Orzan) over the HITS fixture graph."""
@@ -2094,6 +2102,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_rate_by_source": q_dedup_rate_by_source,
     "strongly_connected_components": q_strongly_connected_components,
     "betweenness_sampled": q_betweenness_sampled,
+    "katz_centrality": q_katz_centrality,
     # --- graph / Graph500 §2 surface ---
     "self_loop_filter": q_self_loop_filter,
     "symmetrize": q_symmetrize,
@@ -2452,6 +2461,7 @@ ORACLE_SQL: dict[str, str] = {
     "betweenness_sampled": centrality_sql.betweenness_sampled_sql(
         HETERO_EDGES_SQL, MULTI_BFS_ROOTS
     ),
+    "katz_centrality": centrality_sql.katz_centrality_sql(_CLEAN_MOD997),
     "cc_sizes": (
         f"WITH cc AS ({connected_components_sql(_CLEAN_MOD997)}),"
         " sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS size"

@@ -211,3 +211,32 @@ class TestBetweennessSampled:
         assert out[2] == 1_000_000 and out[3] == 1_000_000
         # endpoints: reached by the other root with δ = 0
         assert out[1] == 0 and out[4] == 0
+
+
+class TestKatzCentrality:
+    def test_path_hand_values(self, spark):
+        from graph500_spark.operators.centrality import katz_centrality
+
+        # directed-as-symmetric path 1-2: each vertex has indeg 1
+        und = [(1, 2)]
+        edges = spark.createDataFrame(
+            und + [(b, a) for a, b in und], "src: long, dst: long"
+        )
+        out = {r.vertex: r.katz_q
+               for r in katz_centrality(spark, edges, n_iterations=2,
+                                        shuffle_partitions=4).collect()}
+        # k1 = 10^6/8 = 125000; k2 = (10^6 + 125000)//8 = 140625
+        assert out == {1: 140625, 2: 140625}
+
+    def test_hub_beats_leaf(self, spark):
+        from graph500_spark.operators.centrality import katz_centrality
+
+        und = [(0, i) for i in range(1, 6)]
+        edges = spark.createDataFrame(
+            und + [(b, a) for a, b in und], "src: long, dst: long"
+        )
+        out = {r.vertex: r.katz_q
+               for r in katz_centrality(spark, edges,
+                                        shuffle_partitions=4).collect()}
+        assert out[0] > out[1]
+        assert len({out[i] for i in range(1, 6)}) == 1  # leaves equal
