@@ -345,3 +345,46 @@ def degree_histogram_log_sql(clean_sql: str) -> str:
         " MIN(d) AS min_degree, MAX(d) AS max_degree"
         " FROM deg GROUP BY 1"
     )
+
+
+SUBGRAPH_HASH_K = 2654435761
+SUBGRAPH_HASH_MOD = 1000000007
+
+
+def sampled_subgraph(
+    edges_clean: DataFrame, keep_permille: int = 500
+) -> DataFrame:
+    """Induced-subgraph node sampling: [src, dst] — edges whose BOTH
+    endpoints fall in a deterministic hash-sampled vertex subset
+    (keep_permille of 1000).
+
+    The graph-ML minibatch / scale-down-experiment primitive: node
+    sampling preserves degree-distribution shape (each vertex kept
+    with equal probability, independent of degree), and the
+    multiplicative-hash decision makes the sample stable under graph
+    growth (a vertex's membership never changes when edges are
+    added). Plan: two narrow per-row hash predicates — the filter is
+    pushed inside the scan, no shuffle, no join."""
+    def kept(col: str):
+        return (
+            (F.col(col) * SUBGRAPH_HASH_K) % SUBGRAPH_HASH_MOD % 1000
+            < keep_permille
+        )
+
+    return edges_clean.select("src", "dst").filter(
+        kept("src") & kept("dst")
+    )
+
+
+def sampled_subgraph_sql(clean_sql: str, keep_permille: int = 500) -> str:
+    def kept(col: str) -> str:
+        return (
+            f"({col} * {SUBGRAPH_HASH_K}) % {SUBGRAPH_HASH_MOD} % 1000"
+            f" < {keep_permille}"
+        )
+
+    return (
+        f"WITH clean AS ({clean_sql})"
+        f" SELECT src, dst FROM clean"
+        f" WHERE {kept('src')} AND {kept('dst')}"
+    )

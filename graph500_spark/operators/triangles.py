@@ -397,3 +397,53 @@ def adamic_adar_topk_sql(clean_sql: str, k: int = 100) -> str:
         " FROM wedges GROUP BY u, v"
         f" ORDER BY aa_q DESC, u ASC, v ASC LIMIT {k}"
     )
+
+
+def four_cycle_count(
+    edges_clean: DataFrame, max_center_degree: int | None = None
+) -> DataFrame:
+    """[n_four_cycles] — global count of simple 4-cycles:
+    C4 = (1/2)·Σ_{u<v} C(cn(u,v), 2), where cn is the
+    common-neighbor count (each 4-cycle u-w-v-x-u is counted once by
+    the pair {u, v} choosing {w, x} and once by {w, x} choosing
+    {u, v} — hence the /2).
+
+    Reuses the wedge-join plan (one adjacency self-join + pair
+    count), so the quadrilateral census costs the same as
+    common-neighbors link prediction; the hub cap is the same
+    O(d²)-wedge knob. Exact integer arithmetic: cn·(cn−1) is even,
+    and the total Σ is even before the final div 2 — both divisions
+    truncate identically in both engines."""
+    edges = edges_clean.select("src", "dst")
+    if max_center_degree is not None:
+        deg = edges.groupBy(F.col("src").alias("w")).agg(
+            F.count(F.lit(1)).alias("wdeg")
+        )
+        ok = deg.filter(F.col("wdeg") <= max_center_degree).select(
+            F.col("w").alias("src")
+        )
+        edges = edges.join(ok, "src", "left_semi")
+    a = edges.select(F.col("src").alias("w"), F.col("dst").alias("u"))
+    b = edges.select(F.col("src").alias("w"), F.col("dst").alias("v"))
+    cn = (
+        a.join(b, "w")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    return cn.agg(
+        F.expr("cast(sum(cn * (cn - 1) div 2) div 2 as bigint)").alias(
+            "n_four_cycles"
+        )
+    )
+
+
+def four_cycle_count_sql(clean_sql: str) -> str:
+    return (
+        f"WITH clean AS ({clean_sql}),"
+        " cn AS (SELECT a.dst AS u, b.dst AS v, COUNT(*) AS cn"
+        " FROM clean a JOIN clean b"
+        " ON a.src = b.src AND a.dst < b.dst GROUP BY 1, 2)"
+        " SELECT CAST(SUM(cn * (cn - 1) // 2) // 2 AS BIGINT)"
+        " AS n_four_cycles FROM cn"
+    )

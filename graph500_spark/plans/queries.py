@@ -995,6 +995,18 @@ def q_betweenness_sampled(spark, sf_dir):
     )
 
 
+def q_four_cycle_count(spark, sf_dir):
+    """Global 4-cycle census from the wedge join: C4 = ½·ΣC(cn,2) —
+    exact integer arithmetic end to end."""
+    return triangles_mod.four_cycle_count(clean_mod997_graph(spark, sf_dir))
+
+
+def q_sampled_subgraph(spark, sf_dir):
+    """Deterministic induced-subgraph node sample (graph-ML
+    minibatch primitive) — two pushed per-row hash predicates."""
+    return gb.sampled_subgraph(clean_mod997_graph(spark, sf_dir))
+
+
 def q_katz_centrality(spark, sf_dir):
     """Katz centrality (damped walk counts), α = 1/8 as an integer
     divisor — per-round sums exact, unrolled-CTE oracle."""
@@ -2103,6 +2115,8 @@ QUERIES: dict[str, QueryFn] = {
     "strongly_connected_components": q_strongly_connected_components,
     "betweenness_sampled": q_betweenness_sampled,
     "katz_centrality": q_katz_centrality,
+    "four_cycle_count": q_four_cycle_count,
+    "sampled_subgraph": q_sampled_subgraph,
     # --- graph / Graph500 §2 surface ---
     "self_loop_filter": q_self_loop_filter,
     "symmetrize": q_symmetrize,
@@ -2462,6 +2476,8 @@ ORACLE_SQL: dict[str, str] = {
         HETERO_EDGES_SQL, MULTI_BFS_ROOTS
     ),
     "katz_centrality": centrality_sql.katz_centrality_sql(_CLEAN_MOD997),
+    "four_cycle_count": triangles_mod.four_cycle_count_sql(_CLEAN_MOD997),
+    "sampled_subgraph": gb.sampled_subgraph_sql(_CLEAN_MOD997),
     "cc_sizes": (
         f"WITH cc AS ({connected_components_sql(_CLEAN_MOD997)}),"
         " sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS size"

@@ -281,3 +281,59 @@ class TestModularity:
         row = modularity(edges, cmap).collect()[0]
         # all edges internal but D_c² term cancels exactly: Q = 0
         assert abs(row.modularity) < 1e-9
+
+
+class TestFourCycleCount:
+    def _sym(self, spark, und):
+        return spark.createDataFrame(
+            und + [(b, a) for a, b in und], "src: long, dst: long"
+        )
+
+    def test_square_is_one_cycle(self, spark):
+        from graph500_spark.operators.triangles import four_cycle_count
+
+        edges = self._sym(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+        assert four_cycle_count(edges).collect()[0].n_four_cycles == 1
+
+    def test_k4_has_three(self, spark):
+        from graph500_spark.operators.triangles import four_cycle_count
+
+        und = [(a, b) for a in range(4) for b in range(4) if a < b]
+        edges = self._sym(spark, und)
+        # K4: 3 distinct 4-cycles (each omits one perfect matching)
+        assert four_cycle_count(edges).collect()[0].n_four_cycles == 3
+
+    def test_triangle_has_none(self, spark):
+        from graph500_spark.operators.triangles import four_cycle_count
+
+        edges = self._sym(spark, [(1, 2), (2, 3), (1, 3)])
+        assert four_cycle_count(edges).collect()[0].n_four_cycles == 0
+
+
+class TestSampledSubgraph:
+    def test_induced_and_stable(self, spark):
+        from graph500_spark.operators.graph_build import sampled_subgraph
+
+        und = [(i, j) for i in range(20) for j in range(20) if i < j]
+        edges = spark.createDataFrame(
+            und + [(b, a) for a, b in und], "src: long, dst: long"
+        )
+        out1 = {(r.src, r.dst) for r in sampled_subgraph(edges).collect()}
+        out2 = {(r.src, r.dst) for r in sampled_subgraph(edges).collect()}
+        assert out1 == out2                      # deterministic
+        kept = {v for e in out1 for v in e}
+        # induced: every edge between two kept vertices is present
+        assert all(
+            (a, b) in out1
+            for a in kept for b in kept if a != b
+        )
+
+    def test_permille_extremes(self, spark):
+        from graph500_spark.operators.graph_build import sampled_subgraph
+
+        und = [(1, 2), (2, 3)]
+        edges = spark.createDataFrame(
+            und + [(b, a) for a, b in und], "src: long, dst: long"
+        )
+        assert sampled_subgraph(edges, keep_permille=1000).count() == 4
+        assert sampled_subgraph(edges, keep_permille=0).count() == 0
