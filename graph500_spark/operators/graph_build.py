@@ -388,3 +388,43 @@ def sampled_subgraph_sql(clean_sql: str, keep_permille: int = 500) -> str:
         f" SELECT src, dst FROM clean"
         f" WHERE {kept('src')} AND {kept('dst')}"
     )
+
+
+def reciprocity(edges_directed: DataFrame) -> DataFrame:
+    """One-row [n_edges, n_reciprocal, reciprocity] over a directed
+    dedup'd edge list: the fraction of edges whose reverse also
+    exists (follows-back rate in social graphs; 1.0 for symmetric
+    inputs).
+
+    One self-semi-join on the reversed key + two counts sharing the
+    scan; the final ratio is a single float division rounded to 6."""
+    edges = edges_directed.select("src", "dst")
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    recip = edges.join(rev, ["src", "dst"], "left_semi")
+    total = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    nrec = recip.agg(
+        F.count(F.lit(1)).cast("long").alias("n_reciprocal")
+    )
+    return total.crossJoin(nrec).select(
+        "n_edges",
+        "n_reciprocal",
+        F.round(
+            F.col("n_reciprocal") / F.col("n_edges").cast("double"), 6
+        ).alias("reciprocity"),
+    )
+
+
+def reciprocity_sql(directed_sql: str) -> str:
+    return (
+        f"WITH e AS ({directed_sql}),"
+        " r AS (SELECT e.src, e.dst FROM e"
+        " WHERE EXISTS (SELECT 1 FROM e e2"
+        "  WHERE e2.src = e.dst AND e2.dst = e.src)),"
+        " t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e),"
+        " n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_reciprocal FROM r)"
+        " SELECT n_edges, n_reciprocal,"
+        " ROUND(n_reciprocal / CAST(n_edges AS DOUBLE), 6) AS reciprocity"
+        " FROM t, n"
+    )

@@ -840,3 +840,73 @@ LANG_CONFUSION_SQL = (
     " FROM documents d JOIN pred p USING (doc_id)"
     " GROUP BY 1, 2"
 )
+
+
+def type_token_ratio(docs: DataFrame) -> DataFrame:
+    """[doc_id, n_tokens, n_types, ttr_micro] — vocabulary richness
+    per doc (type-token ratio in integer micro-units; low TTR =
+    repetitive text, the lexical-diversity quality signal
+    complementing repetition_stats' n-gram view). Pure Column
+    algebra: tokens array built once, distinct via array_distinct —
+    no shuffle. Zero-token docs are absent."""
+    t = docs.select(
+        "doc_id", F.expr(SPARK_TOKENS).alias("ts")
+    ).withColumn("n_tokens", F.size("ts").cast("long"))
+    return (
+        t.filter(F.col("n_tokens") >= 1)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.size(F.array_distinct("ts")).cast("long").alias("n_types"),
+        )
+        .withColumn(
+            "ttr_micro",
+            F.expr(
+                f"(1000000 * n_types + n_tokens div 2) div n_tokens"
+            ).cast("long"),
+        )
+    )
+
+
+TYPE_TOKEN_RATIO_SQL = (
+    f"WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS ts FROM documents),"
+    " n AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,"
+    " CAST(len(list_distinct(ts)) AS BIGINT) AS n_types FROM t)"
+    " SELECT doc_id, n_tokens, n_types,"
+    " CAST((1000000 * n_types + n_tokens // 2) // n_tokens AS BIGINT)"
+    " AS ttr_micro FROM n WHERE n_tokens >= 1"
+)
+
+
+def hapax_stats(docs: DataFrame) -> DataFrame:
+    """One-row corpus vocabulary-frequency profile: [n_types,
+    n_hapax, n_dis, hapax_ratio] — types occurring exactly once
+    (hapax legomena) and exactly twice; a high hapax share predicts
+    tokenizer OOV pressure and noisy long-tail vocab. One token
+    count shuffle + one tiny aggregate."""
+    tok = docs.select(F.explode(F.expr(SPARK_TOKENS)).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    return counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum((F.col("c") == 1).cast("long")).cast("long").alias("n_hapax"),
+        F.sum((F.col("c") == 2).cast("long")).cast("long").alias("n_dis"),
+    ).select(
+        "n_types",
+        "n_hapax",
+        "n_dis",
+        F.round(
+            F.col("n_hapax") / F.col("n_types").cast("double"), 6
+        ).alias("hapax_ratio"),
+    )
+
+
+HAPAX_STATS_SQL = (
+    f"WITH tok AS (SELECT unnest({DUCK_TOKENS}) AS token FROM documents),"
+    " counts AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token)"
+    " SELECT CAST(COUNT(*) AS BIGINT) AS n_types,"
+    " CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,"
+    " CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis,"
+    " ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)"
+    " / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_ratio"
+    " FROM counts"
+)

@@ -995,6 +995,48 @@ def q_betweenness_sampled(spark, sf_dir):
     )
 
 
+def q_reciprocity(spark, sf_dir):
+    """Directed follows-back rate over the HITS fixture — one
+    reversed-key semi-join."""
+    return gb.reciprocity(directed_mod997_graph(spark, sf_dir))
+
+
+def q_avg_path_length_sampled(spark, sf_dir):
+    """Mean BFS depth over reached (root, vertex) pairs from the
+    batched multi-source traversal — the small-world readout
+    accompanying eccentricity_sampled."""
+    pred = bfs_mod.bfs_multi(
+        spark,
+        clean_hetero_graph(spark, sf_dir),
+        MULTI_BFS_ROOTS,
+        prepartition=False,
+        shuffle_partitions=8,
+    )
+    nonroot = pred.filter(F.col("vertex") != F.col("root"))
+    return nonroot.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("depth").cast("long").alias("sum_depth"),
+    ).select(
+        "n_pairs",
+        "sum_depth",
+        F.round(
+            F.col("sum_depth") / F.col("n_pairs").cast("double"), 6
+        ).alias("avg_path_length"),
+    )
+
+
+def q_type_token_ratio(spark, sf_dir):
+    """Per-doc lexical diversity (type-token ratio, micro-units) —
+    no shuffle, tokens array built once."""
+    return text_mod.type_token_ratio(_docs(spark, sf_dir))
+
+
+def q_hapax_stats(spark, sf_dir):
+    """Corpus vocabulary-frequency profile (hapax/dis legomena) —
+    tokenizer OOV-pressure readout."""
+    return text_mod.hapax_stats(_docs(spark, sf_dir))
+
+
 def q_four_cycle_count(spark, sf_dir):
     """Global 4-cycle census from the wedge join: C4 = ½·ΣC(cn,2) —
     exact integer arithmetic end to end."""
@@ -2117,6 +2159,10 @@ QUERIES: dict[str, QueryFn] = {
     "katz_centrality": q_katz_centrality,
     "four_cycle_count": q_four_cycle_count,
     "sampled_subgraph": q_sampled_subgraph,
+    "reciprocity": q_reciprocity,
+    "avg_path_length_sampled": q_avg_path_length_sampled,
+    "type_token_ratio": q_type_token_ratio,
+    "hapax_stats": q_hapax_stats,
     # --- graph / Graph500 §2 surface ---
     "self_loop_filter": q_self_loop_filter,
     "symmetrize": q_symmetrize,
@@ -2478,6 +2524,19 @@ ORACLE_SQL: dict[str, str] = {
     "katz_centrality": centrality_sql.katz_centrality_sql(_CLEAN_MOD997),
     "four_cycle_count": triangles_mod.four_cycle_count_sql(_CLEAN_MOD997),
     "sampled_subgraph": gb.sampled_subgraph_sql(_CLEAN_MOD997),
+    "reciprocity": gb.reciprocity_sql(
+        f"SELECT DISTINCT src, dst FROM ({MOD997_EDGES_SQL})"
+        " WHERE src <> dst"
+    ),
+    "avg_path_length_sampled": (
+        f"WITH pred AS ({bfs_multi_sql(HETERO_EDGES_SQL, MULTI_BFS_ROOTS)})"
+        " SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,"
+        " CAST(SUM(depth) AS BIGINT) AS sum_depth,"
+        " ROUND(SUM(depth) / CAST(COUNT(*) AS DOUBLE), 6)"
+        " AS avg_path_length FROM pred WHERE vertex <> root"
+    ),
+    "type_token_ratio": text_mod.TYPE_TOKEN_RATIO_SQL,
+    "hapax_stats": text_mod.HAPAX_STATS_SQL,
     "cc_sizes": (
         f"WITH cc AS ({connected_components_sql(_CLEAN_MOD997)}),"
         " sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS size"

@@ -705,3 +705,40 @@ class TestBestMatchSemantics:
             .collect()[0]
         )
         assert (best.doc_id, best.partner) == (1, 2)
+
+
+class TestTtrAndHapax:
+    def test_ttr_hand_values(self, spark):
+        from graph500_spark.operators.text import type_token_ratio
+
+        docs = spark.createDataFrame(
+            [(0, "a a a a", "en", "s0", 7), (1, "a b c d", "en", "s0", 7)],
+            DOCS_SCHEMA,
+        )
+        out = {r.doc_id: (r.n_tokens, r.n_types, r.ttr_micro)
+               for r in type_token_ratio(docs).collect()}
+        assert out[0] == (4, 1, 250000)
+        assert out[1] == (4, 4, 1000000)
+
+    def test_hapax_profile(self, spark):
+        from graph500_spark.operators.text import hapax_stats
+
+        docs = spark.createDataFrame(
+            [(0, "once twice twice thrice thrice thrice", "en", "s0", 38)],
+            DOCS_SCHEMA,
+        )
+        row = hapax_stats(docs).collect()[0]
+        assert (row.n_types, row.n_hapax, row.n_dis) == (3, 1, 1)
+        assert row.hapax_ratio == round(1 / 3, 6)
+
+
+class TestReciprocity:
+    def test_half_reciprocal(self, spark):
+        from graph500_spark.operators.graph_build import reciprocity
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 1), (1, 3), (3, 4)], "src: long, dst: long"
+        )
+        row = reciprocity(edges).collect()[0]
+        assert (row.n_edges, row.n_reciprocal) == (4, 2)
+        assert row.reciprocity == 0.5
