@@ -297,3 +297,109 @@ def table_stats_sql(table: str, columns: list[str]) -> str:
         for c in columns
     ]
     return " UNION ALL ".join(selects)
+
+
+def _gini_from_groups(
+    groups: DataFrame, value_col: str, count_col: str, out_name: str
+) -> DataFrame:
+    """One-row Gini coefficient from a grouped (value, count)
+    distribution — exact integer accumulation over the (small)
+    distinct-value table, one float expression at the end.
+
+    For groups sorted by value v_g with counts c_g, cumulative count
+    C_g: G = Σ v_g·c_g·(2C_g − c_g + 1) / (N·S) − (N+1)/N. The window
+    cumsum runs over the distribution rows (≤ distinct values — never
+    data-sized), so the single-partition window is safe at any corpus
+    size."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = groups.select(
+        F.col(value_col).cast("long").alias("v"),
+        F.col(count_col).cast("long").alias("c"),
+    ).withColumn("cc", F.sum("c").over(w))
+    agg = cum.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("v") * F.col("c")).cast("long").alias("s"),
+        F.sum(
+            F.col("v") * F.col("c")
+            * (2 * F.col("cc") - F.col("c") + 1)
+        ).cast("long").alias("b"),
+    )
+    g = (
+        F.col("b") / (F.col("n").cast("double") * F.col("s"))
+        - (F.col("n") + 1) / F.col("n").cast("double")
+    )
+    return agg.select(
+        "n", "s", F.round(g, 6).cast("double").alias(out_name)
+    )
+
+
+def degree_gini(degrees: DataFrame) -> DataFrame:
+    """[n, s, degree_gini] — Gini of the degree distribution (0 =
+    regular graph, →1 = hub-dominated; the scalar inequality summary
+    alongside degree_histogram_log's shape readout)."""
+    dist = degrees.groupBy("degree").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return _gini_from_groups(dist, "degree", "cnt", "degree_gini")
+
+
+def degree_gini_sql(clean_sql: str) -> str:
+    return (
+        f"WITH clean AS ({clean_sql}),"
+        " deg AS (SELECT src AS vertex, COUNT(*) AS degree FROM clean"
+        " GROUP BY src),"
+        " dist AS (SELECT degree AS v, CAST(COUNT(*) AS BIGINT) AS c"
+        " FROM deg GROUP BY degree),"
+        " cum AS (SELECT v, c, SUM(c) OVER (ORDER BY v"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc"
+        " FROM dist),"
+        " agg AS (SELECT CAST(SUM(c) AS BIGINT) AS n,"
+        " CAST(SUM(v * c) AS BIGINT) AS s,"
+        " CAST(SUM(v * c * (2 * cc - c + 1)) AS BIGINT) AS b FROM cum)"
+        " SELECT n, s,"
+        " ROUND(b / (CAST(n AS DOUBLE) * s)"
+        " - (n + 1) / CAST(n AS DOUBLE), 6) AS degree_gini FROM agg"
+    )
+
+
+def source_token_gini(docs: DataFrame) -> DataFrame:
+    """[n, s, token_gini] — Gini of per-source token totals: the
+    mixture-balance readout (0 = perfectly balanced sources; high =
+    one supplier dominates the token budget). Composes with
+    corpus_mix_temperature, which is the knob that FIXES the
+    imbalance this measures."""
+    from graph500_spark.operators.text import SPARK_TOKENS
+
+    per_source = docs.select(
+        "source", F.expr(f"size({SPARK_TOKENS})").alias("t")
+    ).groupBy("source").agg(F.sum("t").cast("long").alias("tokens"))
+    dist = per_source.groupBy("tokens").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return _gini_from_groups(dist, "tokens", "cnt", "token_gini")
+
+
+def source_token_gini_sql() -> str:
+    from graph500_spark.operators.text import DUCK_TOKENS
+
+    return (
+        f"WITH per AS (SELECT source,"
+        f" CAST(SUM(len({DUCK_TOKENS})) AS BIGINT) AS tokens"
+        " FROM documents GROUP BY source),"
+        " dist AS (SELECT tokens AS v, CAST(COUNT(*) AS BIGINT) AS c"
+        " FROM per GROUP BY tokens),"
+        " cum AS (SELECT v, c, SUM(c) OVER (ORDER BY v"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc"
+        " FROM dist),"
+        " agg AS (SELECT CAST(SUM(c) AS BIGINT) AS n,"
+        " CAST(SUM(v * c) AS BIGINT) AS s,"
+        " CAST(SUM(v * c * (2 * cc - c + 1)) AS BIGINT) AS b FROM cum)"
+        " SELECT n, s,"
+        " ROUND(b / (CAST(n AS DOUBLE) * s)"
+        " - (n + 1) / CAST(n AS DOUBLE), 6) AS token_gini FROM agg"
+    )

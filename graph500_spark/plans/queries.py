@@ -995,6 +995,19 @@ def q_betweenness_sampled(spark, sf_dir):
     )
 
 
+def q_degree_gini(spark, sf_dir):
+    """Gini of the degree distribution — the scalar hub-dominance
+    summary; window cumsum runs over distinct degrees only."""
+    g = clean_mod997_graph(spark, sf_dir)
+    return stats_mod.degree_gini(gb.degrees(g))
+
+
+def q_source_token_gini(spark, sf_dir):
+    """Gini of per-source token totals — the mixture-balance readout
+    corpus_mix_temperature exists to fix."""
+    return stats_mod.source_token_gini(_docs(spark, sf_dir))
+
+
 def q_reciprocity(spark, sf_dir):
     """Directed follows-back rate over the HITS fixture — one
     reversed-key semi-join."""
@@ -2161,6 +2174,8 @@ QUERIES: dict[str, QueryFn] = {
     "sampled_subgraph": q_sampled_subgraph,
     "reciprocity": q_reciprocity,
     "avg_path_length_sampled": q_avg_path_length_sampled,
+    "degree_gini": q_degree_gini,
+    "source_token_gini": q_source_token_gini,
     "type_token_ratio": q_type_token_ratio,
     "hapax_stats": q_hapax_stats,
     # --- graph / Graph500 §2 surface ---
@@ -2537,6 +2552,8 @@ ORACLE_SQL: dict[str, str] = {
     ),
     "type_token_ratio": text_mod.TYPE_TOKEN_RATIO_SQL,
     "hapax_stats": text_mod.HAPAX_STATS_SQL,
+    "degree_gini": stats_mod.degree_gini_sql(_CLEAN_MOD997),
+    "source_token_gini": stats_mod.source_token_gini_sql(),
     "cc_sizes": (
         f"WITH cc AS ({connected_components_sql(_CLEAN_MOD997)}),"
         " sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS size"

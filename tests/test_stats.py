@@ -64,3 +64,39 @@ def test_harmonic_mean_and_norris_stddev(spark):
     assert abs(t["harmonic_stddev_teps"] - sd / (mean_spe**2 * 1.0)) < 1e-9
     assert t["min_teps"] == 2.0  # 1/max(spe)
     assert t["max_teps"] == 4.0  # 1/min(spe)
+
+
+class TestGini:
+    def test_uniform_degrees_are_zero(self, spark):
+        import pyspark.sql.functions as F
+        from graph500_spark.operators.stats import degree_gini
+
+        deg = spark.createDataFrame(
+            [(i, 3) for i in range(10)], "vertex: long, degree: long"
+        )
+        row = degree_gini(deg).collect()[0]
+        assert row.degree_gini == 0.0
+
+    def test_hand_value(self, spark):
+        from graph500_spark.operators.stats import degree_gini
+
+        # degrees [1, 3]: mean diff = 1, mean = 2 → G = 1/(2·2) = 0.25
+        deg = spark.createDataFrame(
+            [(0, 1), (1, 3)], "vertex: long, degree: long"
+        )
+        row = degree_gini(deg).collect()[0]
+        assert abs(row.degree_gini - 0.25) < 1e-9
+
+    def test_source_token_gini_balanced(self, spark):
+        from graph500_spark.operators.stats import source_token_gini
+
+        docs = spark.createDataFrame(
+            [
+                (0, "one two three", "en", "sA", 13),
+                (1, "four five six", "en", "sB", 13),
+            ],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+        row = source_token_gini(docs).collect()[0]
+        assert row.token_gini == 0.0
