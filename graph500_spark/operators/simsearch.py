@@ -776,8 +776,15 @@ def ann_recall(
 ) -> DataFrame:
     """[method, n_hits, recall] for methods lsh / ivf / pq at the same
     k and query set."""
-    exact = cosine_topk(embeddings, k, query_filter).select(
-        "query_id", "neighbor_id"
+    # The exact baseline feeds all four hit-joins plus the
+    # denominator, and Catalyst does not common-subexpression across
+    # union branches — without materialization the brute-force
+    # query×corpus scorer runs five times; one checkpoint makes it
+    # run once (the triangles-orientation caching lesson).
+    exact = (
+        cosine_topk(embeddings, k, query_filter)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
     )
     methods = {
         "ivf": cosine_topk_ivf(embeddings, k=k, query_filter=query_filter),
