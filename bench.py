@@ -217,6 +217,14 @@ def main() -> int:
         "table_stats": lambda: Q.q_table_stats(spark, sf_dir).count(),
         "best_match_per_doc":
             lambda: Q.q_best_match_per_doc(spark, sf_dir).count(),
+        "strongly_connected_components":
+            lambda: Q.q_strongly_connected_components(spark, sf_dir).count(),
+        "betweenness_sampled":
+            lambda: Q.q_betweenness_sampled(spark, sf_dir).count(),
+        "katz_centrality":
+            lambda: Q.q_katz_centrality(spark, sf_dir).count(),
+        "four_cycle_count":
+            lambda: Q.q_four_cycle_count(spark, sf_dir).count(),
     }
 
     timings: dict[str, float] = {}

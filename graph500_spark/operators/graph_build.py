@@ -428,3 +428,22 @@ def reciprocity_sql(directed_sql: str) -> str:
         " ROUND(n_reciprocal / CAST(n_edges AS DOUBLE), 6) AS reciprocity"
         " FROM t, n"
     )
+
+
+def weighted_degrees(edges_weighted: DataFrame) -> DataFrame:
+    """[vertex, degree, strength] — count and summed edge weight per
+    vertex over a weighted symmetric edge list (strength = the
+    weighted-graph degree generalization; exact integer sums)."""
+    return edges_weighted.groupBy(F.col("src").alias("vertex")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree"),
+        F.sum("weight").cast("long").alias("strength"),
+    )
+
+
+def weighted_degrees_sql(weighted_sql: str) -> str:
+    return (
+        f"WITH we AS ({weighted_sql})"
+        " SELECT src AS vertex, CAST(COUNT(*) AS BIGINT) AS degree,"
+        " CAST(SUM(weight) AS BIGINT) AS strength"
+        " FROM we GROUP BY src"
+    )

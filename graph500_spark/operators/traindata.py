@@ -811,3 +811,109 @@ def quality_weighted_sample_sql() -> str:
         f" WHERE (doc_id + {QW_SAMPLE_SALT}) * {SPLIT_HASH_K}"
         f" % {SPLIT_HASH_MOD} % {QW_SAMPLE_BUCKETS} < model_score_e5"
     )
+
+
+TFIDF_SIM_SCALE = 1_000_000
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Sparse lexical similarity: [doc_a, doc_b, cosine] — TF-IDF
+    weighted cosine over within-source doc pairs with cosine >=
+    threshold, doc_a < doc_b.
+
+    The bag-of-words sibling of minhash/simhash near-dup detection:
+    catches topical/term-overlap similarity that set-based shingles
+    miss. Exactness: idf is quantized to integer micro-nats (ONE log
+    per term), weights w = tf·idf_q are integers, so dot products and
+    squared norms are exact order-free integer sums; the cosine is
+    one float expression rounded to 5. Plan: term-keyed self-join
+    within the source block (the inverted-index shape — never
+    all-pairs across the corpus; at 100 TB block by LSH candidates
+    instead), one pair-keyed sum, norms broadcast back."""
+    terms = _terms(docs).join(docs.select("doc_id", "source"), "doc_id")
+    n_docs = docs.select(F.count(F.lit(1)).alias("n"))
+    df_t = terms.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    idf = df_t.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        F.round(
+            F.log((F.col("n") + 1).cast("double") / (F.col("df") + 1))
+            * TFIDF_SIM_SCALE
+        )
+        .cast("long")
+        .alias("idf_q"),
+    )
+    w = terms.join(F.broadcast(idf), "term").select(
+        "doc_id",
+        "source",
+        "term",
+        (F.col("tf") * F.col("idf_q")).cast("long").alias("w"),
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("n2")
+    )
+    a = w.select(
+        F.col("doc_id").alias("doc_a"), "source", "term",
+        F.col("w").alias("wa"),
+    )
+    b = w.select(
+        F.col("doc_id").alias("doc_b"), "source", "term",
+        F.col("w").alias("wb"),
+    )
+    dots = (
+        a.join(b, ["source", "term"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("long").alias("dot"))
+    )
+    cos = F.round(
+        F.col("dot")
+        / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2"))),
+        5,
+    ).cast("double")
+    return (
+        dots.join(
+            norms.select(F.col("doc_id").alias("doc_a"),
+                         F.col("n2").alias("na2")), "doc_a"
+        )
+        .join(
+            norms.select(F.col("doc_id").alias("doc_b"),
+                         F.col("n2").alias("nb2")), "doc_b"
+        )
+        .select("doc_a", "doc_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def tfidf_cosine_pairs_sql(threshold: float = 0.5) -> str:
+    return (
+        f"WITH terms0 AS ({_DUCK_TERMS}),"
+        " terms AS (SELECT t.doc_id, t.term, t.tf, d.source"
+        " FROM terms0 t JOIN documents d USING (doc_id)),"
+        " nd AS (SELECT COUNT(*) AS n FROM documents),"
+        " dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df"
+        " FROM terms GROUP BY term),"
+        " idf AS (SELECT term,"
+        " CAST(round(ln((n + 1) / CAST(df + 1 AS DOUBLE))"
+        f" * {TFIDF_SIM_SCALE}) AS BIGINT) AS idf_q"
+        " FROM dft CROSS JOIN nd),"
+        " w AS (SELECT t.doc_id, t.source, t.term,"
+        " CAST(t.tf * i.idf_q AS BIGINT) AS w"
+        " FROM terms t JOIN idf i USING (term)),"
+        " norms AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2"
+        " FROM w GROUP BY doc_id),"
+        " dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+        " CAST(SUM(a.w * b.w) AS BIGINT) AS dot"
+        " FROM w a JOIN w b ON a.source = b.source AND a.term = b.term"
+        " AND a.doc_id < b.doc_id GROUP BY 1, 2)"
+        " SELECT doc_a, doc_b,"
+        " CAST(ROUND(dot / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(nb.n2)), 5)"
+        " AS DOUBLE) AS cosine"
+        " FROM dots JOIN norms na ON na.doc_id = dots.doc_a"
+        " JOIN norms nb ON nb.doc_id = dots.doc_b"
+        f" WHERE ROUND(dot / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(nb.n2)), 5)"
+        f" >= {threshold}"
+    )

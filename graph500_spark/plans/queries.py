@@ -995,6 +995,21 @@ def q_betweenness_sampled(spark, sf_dir):
     )
 
 
+def q_tfidf_cosine_pairs(spark, sf_dir):
+    """Sparse TF-IDF cosine similarity pairs — the bag-of-words
+    sibling of the shingle-based near-dup family; micro-nat idf,
+    exact integer dots/norms."""
+    return traindata_mod.tfidf_cosine_pairs(_docs(spark, sf_dir))
+
+
+def q_weighted_degrees(spark, sf_dir):
+    """Vertex strength over the SSSP weight fixture — the weighted
+    degree generalization."""
+    clean = clean_mod997_graph(spark, sf_dir)
+    weighted = clean.withColumn("weight", F.expr(SSSP_WEIGHT_EXPR))
+    return gb.weighted_degrees(weighted)
+
+
 def q_degree_gini(spark, sf_dir):
     """Gini of the degree distribution — the scalar hub-dominance
     summary; window cumsum runs over distinct degrees only."""
@@ -2176,6 +2191,8 @@ QUERIES: dict[str, QueryFn] = {
     "avg_path_length_sampled": q_avg_path_length_sampled,
     "degree_gini": q_degree_gini,
     "source_token_gini": q_source_token_gini,
+    "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+    "weighted_degrees": q_weighted_degrees,
     "type_token_ratio": q_type_token_ratio,
     "hapax_stats": q_hapax_stats,
     # --- graph / Graph500 §2 surface ---
@@ -2554,6 +2571,12 @@ ORACLE_SQL: dict[str, str] = {
     "hapax_stats": text_mod.HAPAX_STATS_SQL,
     "degree_gini": stats_mod.degree_gini_sql(_CLEAN_MOD997),
     "source_token_gini": stats_mod.source_token_gini_sql(),
+    "tfidf_cosine_pairs": traindata_mod.tfidf_cosine_pairs_sql(),
+    "weighted_degrees": gb.weighted_degrees_sql(
+        f"WITH clean AS ({_CLEAN_MOD997})"
+        f" SELECT src, dst, CAST({SSSP_WEIGHT_EXPR} AS BIGINT) AS weight"
+        " FROM clean"
+    ),
     "cc_sizes": (
         f"WITH cc AS ({connected_components_sql(_CLEAN_MOD997)}),"
         " sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS size"

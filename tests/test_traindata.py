@@ -374,3 +374,45 @@ class TestDedupRateBySource:
                for r in dedup_rate_by_source(docs).collect()}
         assert out["sA"] == (3, 2, 1, round(1 / 3, 6))
         assert out["sB"] == (1, 1, 0, 0.0)
+
+
+class TestTfidfCosinePairs:
+    DOCS = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def test_identical_docs_cosine_one(self, spark):
+        from graph500_spark.operators.traindata import tfidf_cosine_pairs
+
+        rows = [
+            (0, "alpha beta gamma", "en", "s0", 16),
+            (1, "alpha beta gamma", "en", "s0", 16),
+            (2, "totally different words", "en", "s0", 23),
+        ]
+        docs = spark.createDataFrame(rows, self.DOCS)
+        out = {(r.doc_a, r.doc_b): r.cosine
+               for r in tfidf_cosine_pairs(docs, threshold=0.9).collect()}
+        assert out == {(0, 1): 1.0}
+
+    def test_cross_source_pairs_blocked(self, spark):
+        from graph500_spark.operators.traindata import tfidf_cosine_pairs
+
+        rows = [
+            (0, "same words here", "en", "sA", 15),
+            (1, "same words here", "en", "sB", 15),
+        ]
+        docs = spark.createDataFrame(rows, self.DOCS)
+        # within-source blocking: the cross-source identical pair is
+        # out of scope by design (LSH candidates own that case)
+        assert tfidf_cosine_pairs(docs, threshold=0.1).count() == 0
+
+
+class TestWeightedDegrees:
+    def test_strength_sums(self, spark):
+        from graph500_spark.operators.graph_build import weighted_degrees
+
+        edges = spark.createDataFrame(
+            [(1, 2, 5), (1, 3, 7), (2, 1, 5)],
+            "src: long, dst: long, weight: long",
+        )
+        out = {r.vertex: (r.degree, r.strength)
+               for r in weighted_degrees(edges).collect()}
+        assert out == {1: (2, 12), 2: (1, 5)}
