@@ -225,6 +225,16 @@ def main() -> int:
             lambda: Q.q_katz_centrality(spark, sf_dir).count(),
         "four_cycle_count":
             lambda: Q.q_four_cycle_count(spark, sf_dir).count(),
+        "pricing_summary":
+            lambda: Q.q_pricing_summary(spark, sf_dir).count(),
+        "discount_revenue":
+            lambda: Q.q_discount_revenue(spark, sf_dir).count(),
+        "top_unshipped_orders":
+            lambda: Q.q_top_unshipped_orders(spark, sf_dir).count(),
+        "revenue_by_nation":
+            lambda: Q.q_revenue_by_nation(spark, sf_dir).count(),
+        "customer_order_distribution":
+            lambda: Q.q_customer_order_distribution(spark, sf_dir).count(),
     }
 
     timings: dict[str, float] = {}

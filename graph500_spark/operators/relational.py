@@ -1,0 +1,659 @@
+"""Relational OLAP operators over the TPC-H-shaped testdata tables.
+
+Beyond the graph500 reference surface (the reference is a pure graph
+engine — ``/root/reference/mpi/main.cc`` has no relational layer), but
+first-class engine capability: these are the classic warehouse query
+shapes — scan-heavy aggregation, star joins over broadcast dimensions,
+fact-fact equi-joins, semi/anti joins, outer-join distributions, and
+scalar-subquery broadcasts — that any user of a general analytics
+engine runs daily.
+
+Spark-first plan shapes (asserted in tests/test_plan_shapes.py):
+  * small dimensions (region 5 rows, nation 25, supplier 100/sf,
+    filtered customer segments) ship as broadcasts — the probe-side
+    fact table never shuffles for them;
+  * fact-side predicates (ship/order date ranges, discount bands,
+    market segment) are simple column comparisons that push to the
+    parquet scan (PushedFilters) with pruned ReadSchema;
+  * the one unavoidable big-big join (orders ⋈ lineitem on orderkey)
+    shuffles on the key both sides are naturally keyed by — at 100 TB
+    bucketed storage (sources/io.py::write_bucketed_edges pattern)
+    makes it exchange-free, and AQE handles skew.
+
+Exactness: money in the testdata is cents-exact doubles, so every
+aggregate here is an integer fixed-point sum — ``_c`` = cents, ``_e4``
+= 1e-4 dollars (cents × discount points), ``_e6`` = 1e-6 dollars — all
+order-free and cross-engine hash-exact; averages are integer ``div``
+quantizations. No float arithmetic anywhere, hence no rounding-mode or
+summation-order divergence between Spark and the DuckDB oracle.
+
+Overflow headroom: sum_charge_e6 accumulates ~1e11 per line; int64
+holds ~9.2e18, so the single-group total stays exact to ~9e7 lines per
+(returnflag, linestatus) group — beyond that, rescale to _e4 (drop the
+tax digit pair) or split the sum into two columns.
+"""
+
+from __future__ import annotations
+
+from datetime import date, datetime, timedelta
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
+
+from graph500_spark.functions.eventtime import event_micros
+
+DAY_US = 86_400_000_000
+
+
+def date_us(y: int, m: int, d: int) -> int:
+    """Wall-clock epoch micros of a calendar date — the literal form
+    both engines compare TIMESTAMP(NTZ) columns against
+    (functions/eventtime.py owns the column-side conversion)."""
+    return (date(y, m, d) - date(1970, 1, 1)).days * DAY_US
+
+
+def _ntz_lit(us: int) -> Column:
+    """TIMESTAMP_NTZ literal at the given wall-clock epoch micros."""
+    wall = datetime(1970, 1, 1) + timedelta(microseconds=us)
+    return F.expr(f"TIMESTAMP_NTZ '{wall.isoformat(sep=' ')}'")
+
+
+def ts_range_cond(
+    df: DataFrame,
+    col: str,
+    lo_us: int | None = None,
+    hi_us: int | None = None,
+    lo_inclusive: bool = True,
+    hi_inclusive: bool = False,
+) -> Column:
+    """Date-range condition on ``df[col]`` spelled BOTH ways: on epoch
+    micros (exact, engine-neutral — what the oracle mirrors) AND
+    redundantly on the raw column when it is parquet TIMESTAMP_NTZ.
+    The micros form is a computed expression Catalyst cannot push; the
+    redundant raw form is a plain column comparison that reaches the
+    parquet scan's PushedFilters and skips row groups by min/max stats
+    — at 100 TB, where fact data is naturally date-clustered, that
+    skip IS the query time. Semantically the raw form is implied by
+    the micros form (the conversion is monotone), so results are
+    unchanged."""
+    us = event_micros(df, col)
+    cond = F.lit(True)
+    if lo_us is not None:
+        cond = cond & ((us >= lo_us) if lo_inclusive else (us > lo_us))
+    if hi_us is not None:
+        cond = cond & ((us <= hi_us) if hi_inclusive else (us < hi_us))
+    if isinstance(df.schema[col].dataType, TimestampNTZType):
+        raw = F.col(col)
+        if lo_us is not None:
+            lo = _ntz_lit(lo_us)
+            cond = cond & ((raw >= lo) if lo_inclusive else (raw > lo))
+        if hi_us is not None:
+            hi = _ntz_lit(hi_us)
+            cond = cond & ((raw <= hi) if hi_inclusive else (raw < hi))
+    return cond
+
+
+def _cents(col: str) -> F.Column:
+    """Cents-exact integer money (testdata doubles are exact to 1e-9
+    of a cent; round-half direction is therefore irrelevant)."""
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def _cents_sql(col: str) -> str:
+    return f"CAST(round({col} * 100) AS BIGINT)"
+
+
+def _pct(col: str) -> F.Column:
+    """Integer percent points (discount/tax are exact multiples of
+    0.01)."""
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def _lineitem_quantized(lineitem: DataFrame) -> DataFrame:
+    """The shared quantized lineitem projection: [l_orderkey,
+    l_suppkey, ship_us, qty, price_c, disc_pct, tax_pct]."""
+    return lineitem.select(
+        "l_orderkey",
+        "l_suppkey",
+        event_micros(lineitem, "l_shipdate").alias("ship_us"),
+        F.round("l_quantity").cast("long").alias("qty"),
+        _cents("l_extendedprice").alias("price_c"),
+        _pct("l_discount").alias("disc_pct"),
+        _pct("l_tax").alias("tax_pct"),
+    )
+
+
+def _li_sql(lineitem_micros: str) -> str:
+    return (
+        "SELECT l_orderkey, l_suppkey,"
+        f" {lineitem_micros} AS ship_us,"
+        " CAST(round(l_quantity) AS BIGINT) AS qty,"
+        f" {_cents_sql('l_extendedprice')} AS price_c,"
+        f" {_cents_sql('l_discount')} AS disc_pct,"
+        f" {_cents_sql('l_tax')} AS tax_pct"
+        " FROM lineitem"
+    )
+
+
+_DUCK_LI = _li_sql("epoch_us(l_shipdate)")
+
+
+# ---------------------------------------------------------------------------
+# pricing_summary — the TPC-H Q1 shape: scan-heavy grouped aggregation
+# ---------------------------------------------------------------------------
+
+PRICING_CUTOFF_US = date_us(2001, 9, 1)
+
+
+def pricing_summary(
+    lineitem: DataFrame, cutoff_us: int = PRICING_CUTOFF_US
+) -> DataFrame:
+    """Pricing summary report: per (returnflag, linestatus) integer
+    fixed-point sums and ``div``-quantized averages over all lines
+    shipped up to the cutoff.
+
+    Plan: ONE pruned parquet scan (7 columns), ship-date filter pushed
+    to row-group stats (ts_range_cond), one hash aggregation with
+    map-side partials — the whole-stage-codegen scan-agg pipeline; no
+    join, no window. The canonical 100 TB scan benchmark shape."""
+    src = lineitem.filter(
+        ts_range_cond(
+            lineitem, "l_shipdate", hi_us=cutoff_us, hi_inclusive=True
+        )
+    )
+    li = src.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("l_quantity").cast("long").alias("qty"),
+        _cents("l_extendedprice").alias("price_c"),
+        _pct("l_discount").alias("disc_pct"),
+        _pct("l_tax").alias("tax_pct"),
+    )
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qty").alias("sum_qty"),
+        F.sum("price_c").alias("sum_base_price_c"),
+        F.sum(F.col("price_c") * (F.lit(100) - F.col("disc_pct")))
+        .alias("sum_disc_price_e4"),
+        F.sum(
+            F.col("price_c")
+            * (F.lit(100) - F.col("disc_pct"))
+            * (F.lit(100) + F.col("tax_pct"))
+        ).alias("sum_charge_e6"),
+        F.sum("disc_pct").alias("sum_disc_pct"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price_c",
+        "sum_disc_price_e4",
+        "sum_charge_e6",
+        F.expr("(sum_qty * 10000) div count_order").alias("avg_qty_e4"),
+        F.expr("(sum_base_price_c * 100) div count_order")
+        .alias("avg_price_e4"),
+        F.expr("(sum_disc_pct * 100) div count_order").alias("avg_disc_e4"),
+        "count_order",
+    )
+
+
+def pricing_summary_sql(cutoff_us: int = PRICING_CUTOFF_US) -> str:
+    return (
+        "WITH li AS (SELECT l_returnflag, l_linestatus,"
+        " epoch_us(l_shipdate) AS ship_us,"
+        " CAST(round(l_quantity) AS BIGINT) AS qty,"
+        f" {_cents_sql('l_extendedprice')} AS price_c,"
+        f" {_cents_sql('l_discount')} AS disc_pct,"
+        f" {_cents_sql('l_tax')} AS tax_pct"
+        f" FROM lineitem WHERE epoch_us(l_shipdate) <= {cutoff_us}),"
+        " agg AS (SELECT l_returnflag, l_linestatus,"
+        " CAST(SUM(qty) AS BIGINT) AS sum_qty,"
+        " CAST(SUM(price_c) AS BIGINT) AS sum_base_price_c,"
+        " CAST(SUM(price_c * (100 - disc_pct)) AS BIGINT)"
+        " AS sum_disc_price_e4,"
+        " CAST(SUM(price_c * (100 - disc_pct) * (100 + tax_pct)) AS BIGINT)"
+        " AS sum_charge_e6,"
+        " CAST(SUM(disc_pct) AS BIGINT) AS sum_disc_pct,"
+        " CAST(COUNT(*) AS BIGINT) AS count_order"
+        " FROM li GROUP BY 1, 2)"
+        " SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price_c,"
+        " sum_disc_price_e4, sum_charge_e6,"
+        " (sum_qty * 10000) // count_order AS avg_qty_e4,"
+        " (sum_base_price_c * 100) // count_order AS avg_price_e4,"
+        " (sum_disc_pct * 100) // count_order AS avg_disc_e4,"
+        " count_order FROM agg"
+    )
+
+
+# ---------------------------------------------------------------------------
+# discount_revenue — the TPC-H Q6 shape: pure filter + global aggregate
+# ---------------------------------------------------------------------------
+
+DISC_FROM_US = date_us(1998, 1, 1)
+DISC_TO_US = date_us(1999, 1, 1)
+
+
+def discount_revenue(lineitem: DataFrame) -> DataFrame:
+    """Forecast-revenue-change probe: one row [revenue_e4, n_lines]
+    over a ship-year × discount-band × quantity filter.
+
+    Plan: 4-column pruned scan with EVERY predicate pushed to parquet
+    (date range via ts_range_cond; the discount/quantity bands as
+    redundant raw-column midpoint bounds — safe because the values
+    are exact to 1e-9, implied by the exact integer predicates that
+    remain on top), then a single partial+final aggregate — no shuffle
+    of data rows at all, only the 1-row partials. The purest
+    predicate-pushdown showcase."""
+    src = lineitem.filter(
+        ts_range_cond(lineitem, "l_shipdate", DISC_FROM_US, DISC_TO_US)
+        # redundant pushable midpoint bounds (exact filters below)
+        & (F.col("l_discount") >= 0.045)
+        & (F.col("l_discount") <= 0.075)
+        & (F.col("l_quantity") < 23.5)
+    )
+    li = src.select(
+        F.round("l_quantity").cast("long").alias("qty"),
+        _cents("l_extendedprice").alias("price_c"),
+        _pct("l_discount").alias("disc_pct"),
+    ).filter(
+        (F.col("disc_pct") >= F.lit(5))
+        & (F.col("disc_pct") <= F.lit(7))
+        & (F.col("qty") < F.lit(24))
+    )
+    return li.agg(
+        F.sum(F.col("price_c") * F.col("disc_pct")).alias("revenue_e4"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def discount_revenue_sql() -> str:
+    return (
+        "SELECT CAST(SUM(price_c * disc_pct) AS BIGINT) AS revenue_e4,"
+        " CAST(COUNT(*) AS BIGINT) AS n_lines"
+        " FROM (SELECT epoch_us(l_shipdate) AS ship_us,"
+        " CAST(round(l_quantity) AS BIGINT) AS qty,"
+        f" {_cents_sql('l_extendedprice')} AS price_c,"
+        f" {_cents_sql('l_discount')} AS disc_pct FROM lineitem)"
+        f" WHERE ship_us >= {DISC_FROM_US} AND ship_us < {DISC_TO_US}"
+        " AND disc_pct BETWEEN 5 AND 7 AND qty < 24"
+    )
+
+
+# ---------------------------------------------------------------------------
+# top_unshipped_orders — the TPC-H Q3 shape: dim-filtered fact-fact join
+# ---------------------------------------------------------------------------
+
+SHIP_CUT_US = date_us(1998, 6, 30)
+
+
+def top_unshipped_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cut_us: int = SHIP_CUT_US,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k revenue among orders placed before the cut in one market
+    segment whose lines shipped after it: [o_orderkey, revenue_e4,
+    o_orderdate_us], (revenue desc, orderkey asc) deterministic order.
+
+    Plan: the segment-filtered customer key set broadcasts onto the
+    date-filtered orders scan (no shuffle); orders ⋈ lineitem is the
+    one big-big shuffle on orderkey; top-k is a distributed
+    TakeOrdered (per-partition heap + k-row driver merge), never a
+    global sort."""
+    cust = customer.filter(F.col("c_mktsegment") == segment).select(
+        "c_custkey"
+    )
+    o = orders.filter(
+        ts_range_cond(orders, "o_orderdate", hi_us=cut_us)
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        event_micros(orders, "o_orderdate").alias("o_orderdate_us"),
+    )
+    o = o.join(
+        F.broadcast(cust), o.o_custkey == cust.c_custkey
+    ).select("o_orderkey", "o_orderdate_us")
+    li = _lineitem_quantized(
+        lineitem.filter(
+            ts_range_cond(
+                lineitem, "l_shipdate", lo_us=cut_us, lo_inclusive=False
+            )
+        )
+    )
+    rev = (
+        li.withColumnRenamed("l_orderkey", "o_orderkey")
+        .join(o, "o_orderkey")
+        .groupBy("o_orderkey", "o_orderdate_us")
+        .agg(
+            F.sum(F.col("price_c") * (F.lit(100) - F.col("disc_pct")))
+            .alias("revenue_e4")
+        )
+    )
+    return (
+        rev.select("o_orderkey", "revenue_e4", "o_orderdate_us")
+        .orderBy(F.col("revenue_e4").desc(), F.col("o_orderkey"))
+        .limit(k)
+    )
+
+
+def top_unshipped_orders_sql(
+    segment: str = "BUILDING", cut_us: int = SHIP_CUT_US, k: int = 10
+) -> str:
+    return (
+        f"WITH li AS ({_DUCK_LI}),"
+        " o AS (SELECT o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us"
+        " FROM orders JOIN customer ON o_custkey = c_custkey"
+        f" WHERE c_mktsegment = '{segment}'"
+        f" AND epoch_us(o_orderdate) < {cut_us})"
+        " SELECT o.o_orderkey,"
+        " CAST(SUM(price_c * (100 - disc_pct)) AS BIGINT) AS revenue_e4,"
+        " o_orderdate_us"
+        " FROM li JOIN o ON li.l_orderkey = o.o_orderkey"
+        f" WHERE ship_us > {cut_us}"
+        " GROUP BY o.o_orderkey, o_orderdate_us"
+        f" ORDER BY revenue_e4 DESC, o.o_orderkey LIMIT {k}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# order_priority_counts — the TPC-H Q4 shape: EXISTS semi-join
+# ---------------------------------------------------------------------------
+
+PRIO_FROM_US = date_us(1997, 1, 1)
+PRIO_TO_US = date_us(1997, 4, 1)
+LATE_DAYS = 60
+
+
+def order_priority_counts(
+    orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Late-shipment order counts by priority for one quarter:
+    [o_orderpriority, n_orders] where an order counts iff ANY of its
+    lines shipped more than LATE_DAYS after the order date.
+
+    Plan: date-filtered orders LEFT SEMI join lineitem on orderkey
+    with the lateness predicate as a residual condition — one shuffle,
+    lineitem is never materialized past the match bit; then a tiny
+    5-group aggregate."""
+    o = orders.filter(
+        ts_range_cond(orders, "o_orderdate", PRIO_FROM_US, PRIO_TO_US)
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        event_micros(orders, "o_orderdate").alias("o_us"),
+    )
+    li = lineitem.select(
+        "l_orderkey", event_micros(lineitem, "l_shipdate").alias("ship_us")
+    )
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.ship_us > o.o_us + F.lit(LATE_DAYS * DAY_US)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+def order_priority_counts_sql() -> str:
+    return (
+        "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders"
+        " FROM orders o"
+        f" WHERE epoch_us(o_orderdate) >= {PRIO_FROM_US}"
+        f" AND epoch_us(o_orderdate) < {PRIO_TO_US}"
+        " AND EXISTS (SELECT 1 FROM lineitem l"
+        " WHERE l.l_orderkey = o.o_orderkey"
+        " AND epoch_us(l.l_shipdate) >"
+        f" epoch_us(o.o_orderdate) + {LATE_DAYS * DAY_US})"
+        " GROUP BY o_orderpriority"
+    )
+
+
+# ---------------------------------------------------------------------------
+# customer_order_distribution — the TPC-H Q13 shape: outer-join histogram
+# ---------------------------------------------------------------------------
+
+
+def customer_order_distribution(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """Count-of-counts: [c_count, custdist] — how many customers
+    placed exactly c_count orders, INCLUDING the zero-order customers
+    (the reason this is an outer join, not a plain groupBy on
+    orders).
+
+    Plan: per-customer order counts are a map-side-combinable agg on
+    orders alone (shuffle on custkey); the customer side then LEFT
+    joins that small result — with the dim side broadcast when it
+    fits — and the final histogram is a second tiny agg."""
+    per_cust = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count(F.lit(1)).alias("c_count")
+    )
+    dist = (
+        customer.select("c_custkey")
+        .join(per_cust, "c_custkey", "left")
+        .select(F.coalesce(F.col("c_count"), F.lit(0)).alias("c_count"))
+    )
+    return dist.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def customer_order_distribution_sql() -> str:
+    return (
+        "WITH per_cust AS (SELECT c_custkey,"
+        " CAST(COUNT(o_orderkey) AS BIGINT) AS c_count"
+        " FROM customer LEFT JOIN orders ON c_custkey = o_custkey"
+        " GROUP BY c_custkey)"
+        " SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist"
+        " FROM per_cust GROUP BY c_count"
+    )
+
+
+# ---------------------------------------------------------------------------
+# top_suppliers_by_revenue — the TPC-H Q15 shape: agg + scalar-max filter
+# ---------------------------------------------------------------------------
+
+SUPP_FROM_US = date_us(1997, 1, 1)
+SUPP_TO_US = date_us(1997, 7, 1)
+
+
+def top_suppliers_by_revenue(
+    supplier: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """The supplier(s) with maximum half-year revenue: [s_suppkey,
+    s_name, total_revenue_e4] — ties all returned (the spec shape; no
+    arbitrary limit).
+
+    Plan: one shuffle for per-supplier revenue; the global max is a
+    1-row aggregate broadcast-cross-joined back (never a window over
+    a single global partition); supplier names attach by broadcast."""
+    li = _lineitem_quantized(
+        lineitem.filter(
+            ts_range_cond(lineitem, "l_shipdate", SUPP_FROM_US, SUPP_TO_US)
+        )
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+        F.sum(F.col("price_c") * (F.lit(100) - F.col("disc_pct")))
+        .alias("total_revenue_e4")
+    )
+    mx = rev.agg(F.max("total_revenue_e4").alias("max_rev"))
+    top = rev.join(F.broadcast(mx)).filter(
+        F.col("total_revenue_e4") == F.col("max_rev")
+    )
+    return top.join(
+        F.broadcast(supplier.select("s_suppkey", "s_name")), "s_suppkey"
+    ).select("s_suppkey", "s_name", "total_revenue_e4")
+
+
+def top_suppliers_by_revenue_sql() -> str:
+    return (
+        f"WITH li AS ({_DUCK_LI}),"
+        " rev AS (SELECT l_suppkey AS s_suppkey,"
+        " CAST(SUM(price_c * (100 - disc_pct)) AS BIGINT)"
+        " AS total_revenue_e4"
+        f" FROM li WHERE ship_us >= {SUPP_FROM_US} AND ship_us < {SUPP_TO_US}"
+        " GROUP BY l_suppkey)"
+        " SELECT r.s_suppkey, s.s_name, r.total_revenue_e4"
+        " FROM rev r JOIN supplier s ON r.s_suppkey = s.s_suppkey"
+        " WHERE r.total_revenue_e4 = (SELECT MAX(total_revenue_e4) FROM rev)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# idle_rich_customers — the TPC-H Q22 shape: scalar broadcast + anti-join
+# ---------------------------------------------------------------------------
+
+
+RECENT_US = date_us(2000, 1, 1)
+
+
+def idle_rich_customers(
+    customer: DataFrame, orders: DataFrame, recent_us: int = RECENT_US
+) -> DataFrame:
+    """Per-nation count and balance of customers with above-average
+    positive balance and NO orders since ``recent_us`` (lapsed
+    high-value accounts): [c_nationkey, n_customers, total_acctbal_c].
+
+    The above-average comparison is exact integer cross-multiplication
+    (acctbal_c · n_pos > sum_pos_c) — no float average, no rounding
+    divergence. Plan: 1-row positive-balance aggregate broadcast onto
+    the customer scan, LEFT ANTI join against the date-filtered orders
+    custkey set (pushed date filter; shuffle on custkey — at scale a
+    bloom-filter pre-pass prunes the probe), final tiny per-nation
+    agg."""
+    c = customer.select(
+        "c_custkey",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        _cents("c_acctbal").alias("acctbal_c"),
+    )
+    pos = c.filter(F.col("acctbal_c") > 0).agg(
+        F.sum("acctbal_c").alias("sum_pos_c"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    rich = c.join(F.broadcast(pos)).filter(
+        F.col("acctbal_c") * F.col("n_pos") > F.col("sum_pos_c")
+    )
+    recent = orders.filter(
+        ts_range_cond(orders, "o_orderdate", lo_us=recent_us)
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    idle = rich.join(recent, "c_custkey", "left_anti")
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("acctbal_c").alias("total_acctbal_c"),
+    )
+
+
+def idle_rich_customers_sql(recent_us: int = RECENT_US) -> str:
+    return (
+        "WITH c AS (SELECT c_custkey,"
+        " CAST(c_nationkey AS BIGINT) AS c_nationkey,"
+        f" {_cents_sql('c_acctbal')} AS acctbal_c FROM customer),"
+        " pos AS (SELECT CAST(SUM(acctbal_c) AS BIGINT) AS sum_pos_c,"
+        " CAST(COUNT(*) AS BIGINT) AS n_pos FROM c WHERE acctbal_c > 0)"
+        " SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers,"
+        " CAST(SUM(acctbal_c) AS BIGINT) AS total_acctbal_c"
+        " FROM c, pos"
+        " WHERE acctbal_c * n_pos > sum_pos_c"
+        " AND NOT EXISTS (SELECT 1 FROM orders o"
+        " WHERE o.o_custkey = c.c_custkey"
+        f" AND epoch_us(o.o_orderdate) >= {recent_us})"
+        " GROUP BY c_nationkey"
+    )
+
+
+# ---------------------------------------------------------------------------
+# revenue_by_nation — the TPC-H Q5 shape: full star join
+# ---------------------------------------------------------------------------
+
+REV_FROM_US = date_us(1997, 1, 1)
+REV_TO_US = date_us(1998, 1, 1)
+
+
+def revenue_by_nation(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+) -> DataFrame:
+    """Local-supplier revenue by nation within one region for one
+    order year: [n_name, revenue_e4] — counts only lines whose
+    supplier sits in the customer's own nation (the classic Q5
+    local-commerce constraint).
+
+    Plan: region→nation collapses to a ≤25-row broadcast; customer
+    joins it broadcast-side and the filtered (custkey, nationkey)
+    pairs broadcast onto the date-filtered orders scan; orders ⋈
+    lineitem is the one big-big shuffle on orderkey; supplier (a
+    dimension) broadcasts last with the same-nation equality as the
+    join residual. At 100 TB the customer side outgrows broadcast and
+    degrades to a custkey shuffle — exactly the plan AQE picks when
+    the size estimate crosses the threshold."""
+    n_in_region = (
+        nation.join(
+            F.broadcast(
+                region.filter(F.col("r_name") == region_name).select(
+                    "r_regionkey"
+                )
+            ),
+            nation.n_regionkey == F.col("r_regionkey"),
+        )
+        .select(
+            F.col("n_nationkey").cast("long").alias("nationkey"), "n_name"
+        )
+    )
+    cust = customer.select(
+        "c_custkey", F.col("c_nationkey").cast("long").alias("nationkey")
+    ).join(F.broadcast(n_in_region), "nationkey")
+    o = orders.filter(
+        ts_range_cond(orders, "o_orderdate", REV_FROM_US, REV_TO_US)
+    ).select("o_orderkey", "o_custkey")
+    o_cust = o.join(
+        F.broadcast(cust), o.o_custkey == cust.c_custkey
+    ).select("o_orderkey", "nationkey", "n_name")
+    li = _lineitem_quantized(lineitem).select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_suppkey",
+        "price_c",
+        "disc_pct",
+    )
+    supp = supplier.select(
+        F.col("s_suppkey").alias("l_suppkey"),
+        F.col("s_nationkey").cast("long").alias("s_nationkey"),
+    )
+    joined = (
+        li.join(o_cust, "o_orderkey")
+        .join(F.broadcast(supp), "l_suppkey")
+        .filter(F.col("s_nationkey") == F.col("nationkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(F.col("price_c") * (F.lit(100) - F.col("disc_pct")))
+        .alias("revenue_e4")
+    )
+
+
+def revenue_by_nation_sql(region_name: str = "ASIA") -> str:
+    return (
+        f"WITH li AS ({_DUCK_LI})"
+        " SELECT n_name,"
+        " CAST(SUM(price_c * (100 - disc_pct)) AS BIGINT) AS revenue_e4"
+        " FROM li"
+        " JOIN orders ON li.l_orderkey = o_orderkey"
+        " JOIN customer ON o_custkey = c_custkey"
+        " JOIN supplier ON li.l_suppkey = s_suppkey"
+        " JOIN nation ON c_nationkey = n_nationkey"
+        " JOIN region ON n_regionkey = r_regionkey"
+        f" WHERE r_name = '{region_name}'"
+        " AND s_nationkey = c_nationkey"
+        f" AND epoch_us(o_orderdate) >= {REV_FROM_US}"
+        f" AND epoch_us(o_orderdate) < {REV_TO_US}"
+        " GROUP BY n_name"
+    )

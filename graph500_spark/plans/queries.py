@@ -36,6 +36,7 @@ from graph500_spark.operators import graph_build as gb
 from graph500_spark.operators import pagerank as pagerank_mod
 from graph500_spark.operators import pregel as pregel_mod
 from graph500_spark.operators import centrality as centrality_sql
+from graph500_spark.operators import relational as rel_mod
 from graph500_spark.operators import roots as roots_mod
 from graph500_spark.operators import setops as setops_sql
 from graph500_spark.operators import triangles as triangles_mod
@@ -1008,6 +1009,80 @@ def q_weighted_degrees(spark, sf_dir):
     clean = clean_mod997_graph(spark, sf_dir)
     weighted = clean.withColumn("weight", F.expr(SSSP_WEIGHT_EXPR))
     return gb.weighted_degrees(weighted)
+
+
+# --- relational OLAP surface (TPC-H-shaped warehouse queries) ---
+
+
+def q_pricing_summary(spark, sf_dir):
+    """Scan-heavy grouped aggregation (TPC-H Q1 shape) — integer
+    fixed-point money sums, div-quantized averages, pushed ship-date
+    filter."""
+    return rel_mod.pricing_summary(td.load_table(spark, sf_dir, "lineitem"))
+
+
+def q_discount_revenue(spark, sf_dir):
+    """Pure filter + global aggregate (Q6 shape) — every predicate
+    pushed to the parquet scan."""
+    return rel_mod.discount_revenue(td.load_table(spark, sf_dir, "lineitem"))
+
+
+def q_top_unshipped_orders(spark, sf_dir):
+    """Dim-filtered fact-fact join + distributed top-k (Q3 shape)."""
+    return rel_mod.top_unshipped_orders(
+        td.load_table(spark, sf_dir, "customer"),
+        td.load_table(spark, sf_dir, "orders"),
+        td.load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_order_priority_counts(spark, sf_dir):
+    """EXISTS semi-join with a residual lateness predicate (Q4
+    shape)."""
+    return rel_mod.order_priority_counts(
+        td.load_table(spark, sf_dir, "orders"),
+        td.load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_customer_order_distribution(spark, sf_dir):
+    """Outer-join count-of-counts histogram (Q13 shape) — keeps the
+    zero-order customers."""
+    return rel_mod.customer_order_distribution(
+        td.load_table(spark, sf_dir, "customer"),
+        td.load_table(spark, sf_dir, "orders"),
+    )
+
+
+def q_top_suppliers_by_revenue(spark, sf_dir):
+    """Aggregate + scalar-max broadcast filter (Q15 shape), ties
+    kept."""
+    return rel_mod.top_suppliers_by_revenue(
+        td.load_table(spark, sf_dir, "supplier"),
+        td.load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_idle_rich_customers(spark, sf_dir):
+    """Scalar-broadcast threshold + anti-join (Q22 shape) — the
+    above-average test is exact integer cross-multiplication."""
+    return rel_mod.idle_rich_customers(
+        td.load_table(spark, sf_dir, "customer"),
+        td.load_table(spark, sf_dir, "orders"),
+    )
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """Full star join over broadcast dimensions (Q5 shape) with the
+    local-supplier residual."""
+    return rel_mod.revenue_by_nation(
+        td.load_table(spark, sf_dir, "customer"),
+        td.load_table(spark, sf_dir, "orders"),
+        td.load_table(spark, sf_dir, "lineitem"),
+        td.load_table(spark, sf_dir, "supplier"),
+        td.load_table(spark, sf_dir, "nation"),
+        td.load_table(spark, sf_dir, "region"),
+    )
 
 
 def q_degree_gini(spark, sf_dir):
@@ -2193,6 +2268,15 @@ QUERIES: dict[str, QueryFn] = {
     "source_token_gini": q_source_token_gini,
     "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
     "weighted_degrees": q_weighted_degrees,
+    # relational OLAP surface (TPC-H-shaped warehouse queries)
+    "pricing_summary": q_pricing_summary,
+    "discount_revenue": q_discount_revenue,
+    "top_unshipped_orders": q_top_unshipped_orders,
+    "order_priority_counts": q_order_priority_counts,
+    "customer_order_distribution": q_customer_order_distribution,
+    "top_suppliers_by_revenue": q_top_suppliers_by_revenue,
+    "idle_rich_customers": q_idle_rich_customers,
+    "revenue_by_nation": q_revenue_by_nation,
     "type_token_ratio": q_type_token_ratio,
     "hapax_stats": q_hapax_stats,
     # --- graph / Graph500 §2 surface ---
@@ -2567,6 +2651,14 @@ ORACLE_SQL: dict[str, str] = {
         " ROUND(SUM(depth) / CAST(COUNT(*) AS DOUBLE), 6)"
         " AS avg_path_length FROM pred WHERE vertex <> root"
     ),
+    "pricing_summary": rel_mod.pricing_summary_sql(),
+    "discount_revenue": rel_mod.discount_revenue_sql(),
+    "top_unshipped_orders": rel_mod.top_unshipped_orders_sql(),
+    "order_priority_counts": rel_mod.order_priority_counts_sql(),
+    "customer_order_distribution": rel_mod.customer_order_distribution_sql(),
+    "top_suppliers_by_revenue": rel_mod.top_suppliers_by_revenue_sql(),
+    "idle_rich_customers": rel_mod.idle_rich_customers_sql(),
+    "revenue_by_nation": rel_mod.revenue_by_nation_sql(),
     "type_token_ratio": text_mod.TYPE_TOKEN_RATIO_SQL,
     "hapax_stats": text_mod.HAPAX_STATS_SQL,
     "degree_gini": stats_mod.degree_gini_sql(_CLEAN_MOD997),

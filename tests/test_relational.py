@@ -1,0 +1,325 @@
+"""Relational OLAP operator semantics (operators/relational.py):
+exact integer fixed-point money math, join shapes, tie-breaks, and
+edge conditions — plus plan-shape guards for the pushdown and
+broadcast claims the module's docstrings make.
+
+Fixtures use bigint-nanos timestamps (the eventtime legacy path);
+the oracle gate covers the parquet TIMESTAMP_NTZ path end to end.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from graph500_spark.operators.relational import (
+    DAY_US,
+    customer_order_distribution,
+    date_us,
+    discount_revenue,
+    idle_rich_customers,
+    order_priority_counts,
+    pricing_summary,
+    revenue_by_nation,
+    top_suppliers_by_revenue,
+    top_unshipped_orders,
+)
+
+LI_SCHEMA = (
+    "l_orderkey long, l_suppkey long, l_shipdate long, l_quantity double,"
+    " l_extendedprice double, l_discount double, l_tax double,"
+    " l_returnflag string, l_linestatus string"
+)
+ORD_SCHEMA = (
+    "o_orderkey long, o_custkey long, o_orderdate long,"
+    " o_orderpriority string"
+)
+CUST_SCHEMA = (
+    "c_custkey long, c_nationkey int, c_acctbal double, c_mktsegment string"
+)
+
+
+def ns(y, m, d):
+    """bigint-nanos timestamp for a calendar date."""
+    return date_us(y, m, d) * 1000
+
+
+def li_row(okey, skey, ship, qty, price, disc, tax, rf="A", ls="F"):
+    return (okey, skey, ship, float(qty), float(price), disc, tax, rf, ls)
+
+
+class TestPricingSummary:
+    def test_exact_sums_and_div_averages(self, spark):
+        rows = [
+            li_row(1, 1, ns(1999, 1, 1), 2, 10.00, 0.05, 0.10),
+            li_row(2, 1, ns(1999, 1, 2), 4, 5.00, 0.00, 0.00),
+            # after the cutoff — excluded
+            li_row(3, 1, ns(2002, 1, 1), 9, 9.00, 0.01, 0.01),
+            li_row(4, 1, ns(1999, 1, 3), 1, 1.00, 0.00, 0.00, "N", "O"),
+        ]
+        li = spark.createDataFrame(rows, LI_SCHEMA)
+        out = {
+            (r.l_returnflag, r.l_linestatus): r
+            for r in pricing_summary(li).collect()
+        }
+        af = out[("A", "F")]
+        assert af.sum_qty == 6
+        assert af.sum_base_price_c == 1500
+        # 1000·95 + 500·100
+        assert af.sum_disc_price_e4 == 95000 + 50000
+        # 95000·110 + 50000·100
+        assert af.sum_charge_e6 == 10_450_000 + 5_000_000
+        assert af.avg_qty_e4 == 30000          # (6·1e4) div 2
+        assert af.avg_price_e4 == 75000        # (1500·100) div 2
+        assert af.avg_disc_e4 == 250           # (5·100) div 2
+        assert af.count_order == 2
+        assert out[("N", "O")].count_order == 1
+        assert ("A", "O") not in out  # the excluded row's group
+
+
+class TestDiscountRevenue:
+    def test_band_filter_and_revenue(self, spark):
+        rows = [
+            # in: 1998, disc 6%, qty 10 → 2000c · 6 = 12000
+            li_row(1, 1, ns(1998, 3, 1), 10, 20.00, 0.06, 0.0),
+            # out: disc below band
+            li_row(2, 1, ns(1998, 3, 1), 10, 20.00, 0.04, 0.0),
+            # out: qty too high
+            li_row(3, 1, ns(1998, 3, 1), 24, 20.00, 0.06, 0.0),
+            # out: wrong year
+            li_row(4, 1, ns(1997, 3, 1), 10, 20.00, 0.06, 0.0),
+        ]
+        li = spark.createDataFrame(rows, LI_SCHEMA)
+        row = discount_revenue(li).collect()[0]
+        assert (row.revenue_e4, row.n_lines) == (12000, 1)
+
+
+class TestTopUnshippedOrders:
+    def test_tiebreak_and_filters(self, spark):
+        cut = date_us(1998, 6, 30)
+        cust = spark.createDataFrame(
+            [(1, 0, 0.0, "BUILDING"), (2, 0, 0.0, "MACHINERY")],
+            CUST_SCHEMA,
+        )
+        orders = spark.createDataFrame(
+            [
+                (10, 1, ns(1998, 1, 1), "1-URGENT"),
+                (11, 1, ns(1998, 1, 1), "1-URGENT"),
+                (12, 2, ns(1998, 1, 1), "1-URGENT"),  # wrong segment
+                (13, 1, ns(1998, 7, 1), "1-URGENT"),  # ordered after cut
+            ],
+            ORD_SCHEMA,
+        )
+        li = spark.createDataFrame(
+            [
+                li_row(10, 1, ns(1998, 7, 5), 1, 10.00, 0.0, 0.0),
+                li_row(11, 1, ns(1998, 7, 5), 1, 10.00, 0.0, 0.0),
+                li_row(12, 1, ns(1998, 7, 5), 1, 99.00, 0.0, 0.0),
+                li_row(13, 1, ns(1998, 7, 5), 1, 99.00, 0.0, 0.0),
+                # order 10's second line shipped BEFORE the cut: excluded
+                li_row(10, 1, ns(1998, 1, 5), 1, 50.00, 0.0, 0.0),
+            ],
+            LI_SCHEMA,
+        )
+        out = top_unshipped_orders(cust, orders, li).collect()
+        # equal revenue (1000·100 each) → orderkey asc breaks the tie
+        assert [(r.o_orderkey, r.revenue_e4) for r in out] == [
+            (10, 100000),
+            (11, 100000),
+        ]
+
+
+class TestOrderPriorityCounts:
+    def test_strict_late_threshold(self, spark):
+        d0 = date_us(1997, 2, 1)
+        orders = spark.createDataFrame(
+            [
+                (1, 1, d0 * 1000, "1-URGENT"),   # late line below
+                (2, 1, d0 * 1000, "1-URGENT"),   # exactly 60d: NOT late
+                (3, 1, d0 * 1000, "5-LOW"),      # late
+                (4, 1, ns(1996, 2, 1), "5-LOW"),  # out of quarter
+            ],
+            ORD_SCHEMA,
+        )
+        li = spark.createDataFrame(
+            [
+                li_row(1, 1, (d0 + 61 * DAY_US) * 1000, 1, 1.0, 0.0, 0.0),
+                li_row(2, 1, (d0 + 60 * DAY_US) * 1000, 1, 1.0, 0.0, 0.0),
+                li_row(3, 1, (d0 + 90 * DAY_US) * 1000, 1, 1.0, 0.0, 0.0),
+                li_row(4, 1, (d0 + 90 * DAY_US) * 1000, 1, 1.0, 0.0, 0.0),
+            ],
+            LI_SCHEMA,
+        )
+        out = {
+            r.o_orderpriority: r.n_orders
+            for r in order_priority_counts(orders, li).collect()
+        }
+        assert out == {"1-URGENT": 1, "5-LOW": 1}
+
+
+class TestCustomerOrderDistribution:
+    def test_zero_order_customers_counted(self, spark):
+        cust = spark.createDataFrame(
+            [(1, 0, 0.0, "X"), (2, 0, 0.0, "X"), (3, 0, 0.0, "X")],
+            CUST_SCHEMA,
+        )
+        orders = spark.createDataFrame(
+            [(10, 1, 0, "p"), (11, 1, 0, "p"), (12, 2, 0, "p")],
+            ORD_SCHEMA,
+        )
+        out = {
+            r.c_count: r.custdist
+            for r in customer_order_distribution(cust, orders).collect()
+        }
+        assert out == {2: 1, 1: 1, 0: 1}
+
+
+class TestTopSuppliersByRevenue:
+    def test_ties_all_returned(self, spark):
+        supp = spark.createDataFrame(
+            [(1, "s1", 0, 0.0), (2, "s2", 0, 0.0), (3, "s3", 0, 0.0)],
+            "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+        )
+        li = spark.createDataFrame(
+            [
+                li_row(1, 1, ns(1997, 2, 1), 1, 10.00, 0.0, 0.0),
+                li_row(2, 2, ns(1997, 2, 1), 1, 10.00, 0.0, 0.0),
+                li_row(3, 3, ns(1997, 2, 1), 1, 5.00, 0.0, 0.0),
+                # out of the half-year window
+                li_row(4, 3, ns(1997, 8, 1), 1, 99.00, 0.0, 0.0),
+            ],
+            LI_SCHEMA,
+        )
+        out = sorted(
+            (r.s_suppkey, r.s_name, r.total_revenue_e4)
+            for r in top_suppliers_by_revenue(supp, li).collect()
+        )
+        assert out == [(1, "s1", 100000), (2, "s2", 100000)]
+
+
+class TestIdleRichCustomers:
+    def test_strict_above_average_and_recency(self, spark):
+        cust = spark.createDataFrame(
+            [
+                (1, 0, 10.00, "X"),
+                (2, 0, 20.00, "X"),
+                (3, 0, 30.00, "X"),   # rich (avg=20, strict >), idle
+                (4, 1, 40.00, "X"),   # rich but has a recent order
+                (5, 1, -5.00, "X"),   # negative: out of the average
+            ],
+            CUST_SCHEMA,
+        )
+        orders = spark.createDataFrame(
+            [
+                (10, 4, ns(2001, 1, 1), "p"),   # recent → cust 4 not idle
+                (11, 3, ns(1998, 1, 1), "p"),   # old → cust 3 stays idle
+            ],
+            ORD_SCHEMA,
+        )
+        # avg over positive balances {10,20,30,40}/4 = 25 → rich = {3? no:
+        # 30>25 yes, 4: 40>25 yes}; 4 has a recent order → only 3 remains
+        out = {
+            r.c_nationkey: (r.n_customers, r.total_acctbal_c)
+            for r in idle_rich_customers(cust, orders).collect()
+        }
+        assert out == {0: (1, 3000)}
+
+
+class TestRevenueByNation:
+    NATION = "n_nationkey int, n_name string, n_regionkey int"
+    REGION = "r_regionkey int, r_name string"
+    SUPP = "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
+
+    def test_local_supplier_constraint(self, spark):
+        nation = spark.createDataFrame(
+            [(1, "JAPAN", 2), (2, "FRANCE", 3)], self.NATION
+        )
+        region = spark.createDataFrame(
+            [(2, "ASIA"), (3, "EUROPE")], self.REGION
+        )
+        cust = spark.createDataFrame(
+            [(1, 1, 0.0, "X"), (2, 2, 0.0, "X")], CUST_SCHEMA
+        )
+        supp = spark.createDataFrame(
+            [(7, "s7", 1, 0.0), (8, "s8", 2, 0.0)], self.SUPP
+        )
+        orders = spark.createDataFrame(
+            [
+                (10, 1, ns(1997, 2, 1), "p"),
+                (11, 2, ns(1997, 2, 1), "p"),   # EUROPE customer
+                (12, 1, ns(1996, 2, 1), "p"),   # out of the year
+            ],
+            ORD_SCHEMA,
+        )
+        li = spark.createDataFrame(
+            [
+                # JAPAN customer, JAPAN supplier → counts: 1000·90
+                li_row(10, 7, ns(1997, 3, 1), 1, 10.00, 0.10, 0.0),
+                # JAPAN customer, FRANCE supplier → non-local, excluded
+                li_row(10, 8, ns(1997, 3, 1), 1, 10.00, 0.0, 0.0),
+                # EUROPE customer's line → region-excluded
+                li_row(11, 8, ns(1997, 3, 1), 1, 10.00, 0.0, 0.0),
+                # out-of-year order's line
+                li_row(12, 7, ns(1996, 3, 1), 1, 10.00, 0.0, 0.0),
+            ],
+            LI_SCHEMA,
+        )
+        out = [
+            (r.n_name, r.revenue_e4)
+            for r in revenue_by_nation(
+                cust, orders, li, supp, nation, region
+            ).collect()
+        ]
+        assert out == [("JAPAN", 90000)]
+
+
+class TestRelationalPlanShapes:
+    """The module docstrings' pushdown/broadcast claims, asserted."""
+
+    SF = "/root/testdata/sf0.001"
+
+    @staticmethod
+    def _plan(df) -> str:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    def test_discount_revenue_pushes_every_predicate(self, spark):
+        from graph500_spark.plans.queries import q_discount_revenue
+
+        plan = self._plan(q_discount_revenue(spark, self.SF))
+        pushed = [
+            ln for ln in plan.splitlines() if "PushedFilters" in ln
+        ]
+        assert pushed, plan
+        line = pushed[0]
+        for col in ("l_shipdate", "l_discount", "l_quantity"):
+            assert col in line, line
+        assert "Exchange hashpartitioning" not in plan  # scan→agg only
+
+    def test_pricing_summary_pushes_shipdate_and_prunes(self, spark):
+        from graph500_spark.plans.queries import q_pricing_summary
+
+        plan = self._plan(q_pricing_summary(spark, self.SF))
+        pushed = [
+            ln for ln in plan.splitlines() if "PushedFilters" in ln
+        ]
+        assert pushed and "l_shipdate" in pushed[0], plan
+        # pruned scan: the key columns are never read
+        assert "l_orderkey" not in plan.split("ReadSchema")[1][:400]
+
+    def test_revenue_by_nation_broadcasts_dims(self, spark):
+        from graph500_spark.plans.queries import q_revenue_by_nation
+
+        plan = self._plan(q_revenue_by_nation(spark, self.SF))
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_order_priority_semi_join(self, spark):
+        from graph500_spark.plans.queries import q_order_priority_counts
+
+        plan = self._plan(q_order_priority_counts(spark, self.SF))
+        assert "LeftSemi" in plan
+        assert "CartesianProduct" not in plan
