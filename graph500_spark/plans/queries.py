@@ -1311,6 +1311,24 @@ def q_kronecker_s8(spark, sf_dir):
     return generator.generate_kronecker_edges(spark, 8, 16)
 
 
+def q_kronecker_s8_datasource(spark, sf_dir):
+    """S1 through the pluggable-source surface: the same scale-8
+    Kronecker stream read via ``spark.read.format("graph500")``
+    (sources/datasource.py — Spark 4 Python DataSource, Arrow
+    RecordBatch reader). Shares kronecker_s8's VALUES oracle, so the
+    gate proves the DataSource path is bit-identical to the
+    mapInPandas library path."""
+    from graph500_spark.sources.datasource import register
+
+    register(spark)
+    return (
+        spark.read.format("graph500")
+        .option("scale", "8")
+        .option("edgefactor", "16")
+        .load()
+    )
+
+
 def q_find_roots(spark, sf_dir):
     """O4 on the scale-8 Kronecker graph. Value-checked against a
     pure-driver NumPy replay of the candidate stream (see
@@ -2307,6 +2325,7 @@ QUERIES: dict[str, QueryFn] = {
     "set_intersection": q_set_intersection,
     "set_union": q_set_union,
     "kronecker_s8": q_kronecker_s8,
+    "kronecker_s8_datasource": q_kronecker_s8_datasource,
     "find_roots": q_find_roots,
     "sssp": q_sssp,
     "connected_components": q_connected_components,
@@ -2512,6 +2531,7 @@ ORACLE_SQL: dict[str, str] = {
         ') AS t("check", violations)'
     ),
     "kronecker_s8": kronecker_values_sql(8, 16),
+    "kronecker_s8_datasource": kronecker_values_sql(8, 16),
     "find_roots": find_roots_values_sql(8, 16, 8),
     "sssp": sssp_sql(_CLEAN_MOD997, SSSP_ROOT),
     "connected_components": connected_components_sql(_CLEAN_MOD997),
