@@ -657,3 +657,330 @@ def revenue_by_nation_sql(region_name: str = "ASIA") -> str:
         f" AND epoch_us(o_orderdate) < {REV_TO_US}"
         " GROUP BY n_name"
     )
+
+
+# ---------------------------------------------------------------------------
+# promo_revenue_share — the TPC-H Q14 shape: conditional-aggregate ratio
+# ---------------------------------------------------------------------------
+
+PROMO_FROM_US = date_us(1998, 1, 1)
+PROMO_TO_US = date_us(1999, 1, 1)
+
+
+def promo_revenue_share(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Share of one ship-year's revenue coming from PROMO-type parts:
+    one row [promo_revenue_e4, total_revenue_e4, promo_share_e6] with
+    the share an integer ppm quantization ((promo · 1e6) div total).
+
+    Plan: date-filtered lineitem scan, part dimension broadcast
+    (2-column projection), ONE aggregate computing both the
+    conditional and the unconditional sum — the CASE-inside-SUM idiom
+    that avoids scanning twice."""
+    p = part.select(
+        F.col("p_partkey").alias("l_partkey"),
+        (F.col("p_type") == "PROMO").alias("is_promo"),
+    )
+    li = lineitem.filter(
+        ts_range_cond(lineitem, "l_shipdate", PROMO_FROM_US, PROMO_TO_US)
+    ).select(
+        F.col("l_partkey"),
+        _cents("l_extendedprice").alias("price_c"),
+        _pct("l_discount").alias("disc_pct"),
+    )
+    joined = li.join(F.broadcast(p), "l_partkey")
+    rev = F.col("price_c") * (F.lit(100) - F.col("disc_pct"))
+    agg = joined.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("is_promo"), rev).otherwise(F.lit(0))),
+            F.lit(0),
+        ).alias("promo_revenue_e4"),
+        F.coalesce(F.sum(rev), F.lit(0)).alias("total_revenue_e4"),
+    )
+    return agg.select(
+        "promo_revenue_e4",
+        "total_revenue_e4",
+        F.expr(
+            "CASE WHEN total_revenue_e4 = 0 THEN 0"
+            " ELSE (promo_revenue_e4 * 1000000) div total_revenue_e4 END"
+        ).alias("promo_share_e6"),
+    )
+
+
+def promo_revenue_share_sql() -> str:
+    return (
+        "WITH j AS (SELECT"
+        f" {_cents_sql('l_extendedprice')} AS price_c,"
+        f" {_cents_sql('l_discount')} AS disc_pct,"
+        " p_type = 'PROMO' AS is_promo"
+        " FROM lineitem JOIN part ON l_partkey = p_partkey"
+        f" WHERE epoch_us(l_shipdate) >= {PROMO_FROM_US}"
+        f" AND epoch_us(l_shipdate) < {PROMO_TO_US}),"
+        " agg AS (SELECT"
+        " CAST(COALESCE(SUM(CASE WHEN is_promo THEN"
+        " price_c * (100 - disc_pct) ELSE 0 END), 0) AS BIGINT)"
+        " AS promo_revenue_e4,"
+        " CAST(COALESCE(SUM(price_c * (100 - disc_pct)), 0) AS BIGINT)"
+        " AS total_revenue_e4 FROM j)"
+        " SELECT promo_revenue_e4, total_revenue_e4,"
+        " CASE WHEN total_revenue_e4 = 0 THEN 0"
+        " ELSE (promo_revenue_e4 * 1000000) // total_revenue_e4 END"
+        " AS promo_share_e6 FROM agg"
+    )
+
+
+# ---------------------------------------------------------------------------
+# large_orders — the TPC-H Q18 shape: HAVING-filtered agg joined to facts
+# ---------------------------------------------------------------------------
+
+LARGE_ORDER_MIN_QTY = 150
+
+
+def large_orders(
+    orders: DataFrame, lineitem: DataFrame,
+    min_qty: int = LARGE_ORDER_MIN_QTY,
+) -> DataFrame:
+    """Orders whose total line quantity exceeds ``min_qty``:
+    [o_orderkey, o_custkey, o_orderdate_us, total_price_c, total_qty].
+
+    Plan: per-order quantity agg on lineitem alone (map-side partials
+    on the natural orderkey clustering), HAVING filter shrinks the
+    result by ~50× BEFORE the join back to orders — aggregate-then-
+    join, never join-then-aggregate."""
+    big = (
+        lineitem.select(
+            "l_orderkey", F.round("l_quantity").cast("long").alias("qty")
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("qty").alias("total_qty"))
+        .filter(F.col("total_qty") > min_qty)
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+    )
+    o = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        event_micros(orders, "o_orderdate").alias("o_orderdate_us"),
+        _cents("o_totalprice").alias("total_price_c"),
+    )
+    return o.join(big, "o_orderkey").select(
+        "o_orderkey", "o_custkey", "o_orderdate_us", "total_price_c",
+        "total_qty",
+    )
+
+
+def large_orders_sql(min_qty: int = LARGE_ORDER_MIN_QTY) -> str:
+    return (
+        "WITH big AS (SELECT l_orderkey,"
+        " CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)"
+        " AS total_qty"
+        " FROM lineitem GROUP BY l_orderkey"
+        f" HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > {min_qty})"
+        " SELECT o_orderkey, o_custkey,"
+        " epoch_us(o_orderdate) AS o_orderdate_us,"
+        f" {_cents_sql('o_totalprice')} AS total_price_c, total_qty"
+        " FROM orders JOIN big ON o_orderkey = l_orderkey"
+    )
+
+
+# ---------------------------------------------------------------------------
+# small_quantity_revenue — the TPC-H Q17 shape: per-group correlated
+# threshold (lines far below their part's average quantity)
+# ---------------------------------------------------------------------------
+
+SMALL_QTY_BRAND = "Brand#1"
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame, part: DataFrame, brand: str = SMALL_QTY_BRAND
+) -> DataFrame:
+    """Revenue locked in small-quantity lines of one brand's parts:
+    one row [revenue_c, n_lines] counting lines with qty < 20% of
+    their part's average quantity.
+
+    The correlated threshold is exact integer cross-multiplication:
+    qty < sum_qty/(5·n) ⟺ 5·qty·n < sum_qty — no float average.
+    Plan: brand-filtered part broadcast prunes lineitem first; the
+    per-part (n, sum) aggregate of the SAME pruned slice broadcasts
+    back (aggregate of a broadcast-pruned set is small by
+    construction); both joins are partkey-local."""
+    p = part.filter(F.col("p_brand") == brand).select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    li = lineitem.select(
+        "l_partkey",
+        F.round("l_quantity").cast("long").alias("qty"),
+        _cents("l_extendedprice").alias("price_c"),
+    ).join(F.broadcast(p), "l_partkey")
+    per_part = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_lines_part"),
+        F.sum("qty").alias("sum_qty_part"),
+    )
+    small = li.join(F.broadcast(per_part), "l_partkey").filter(
+        F.col("qty") * 5 * F.col("n_lines_part") < F.col("sum_qty_part")
+    )
+    return small.agg(
+        F.coalesce(F.sum("price_c"), F.lit(0)).alias("revenue_c"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def small_quantity_revenue_sql(brand: str = SMALL_QTY_BRAND) -> str:
+    return (
+        "WITH li AS (SELECT l_partkey,"
+        " CAST(round(l_quantity) AS BIGINT) AS qty,"
+        f" {_cents_sql('l_extendedprice')} AS price_c"
+        " FROM lineitem JOIN part ON l_partkey = p_partkey"
+        f" WHERE p_brand = '{brand}'),"
+        " per_part AS (SELECT l_partkey,"
+        " CAST(COUNT(*) AS BIGINT) AS n_lines_part,"
+        " CAST(SUM(qty) AS BIGINT) AS sum_qty_part"
+        " FROM li GROUP BY l_partkey)"
+        " SELECT CAST(COALESCE(SUM(price_c), 0) AS BIGINT) AS revenue_c,"
+        " CAST(COUNT(*) AS BIGINT) AS n_lines"
+        " FROM li JOIN per_part USING (l_partkey)"
+        " WHERE qty * 5 * n_lines_part < sum_qty_part"
+    )
+
+
+# ---------------------------------------------------------------------------
+# shipping_volume — the TPC-H Q7 shape: nation-pair volume by year
+# ---------------------------------------------------------------------------
+
+VOLUME_NATION_A = "NATION_1"
+VOLUME_NATION_B = "NATION_2"
+
+
+def shipping_volume(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = VOLUME_NATION_A,
+    nation_b: str = VOLUME_NATION_B,
+) -> DataFrame:
+    """Trade volume between two nations, both directions, by ship
+    year: [supp_nation, cust_nation, l_year, revenue_e4].
+
+    Plan: nation is a broadcast twice (supplier side / customer
+    side); the pair condition ((a,b) or (b,a)) lands as a residual on
+    the already-filtered broadcast joins; orders ⋈ lineitem is the
+    one big-big shuffle. Year extraction is calendar year() — the
+    same wall-clock function in both engines."""
+    from graph500_spark.functions.eventtime import event_time
+
+    n2 = nation.filter(
+        F.col("n_name").isin(nation_a, nation_b)
+    ).select(F.col("n_nationkey").cast("long").alias("nk"), "n_name")
+    supp = supplier.select(
+        F.col("s_suppkey").alias("l_suppkey"),
+        F.col("s_nationkey").cast("long").alias("nk"),
+    ).join(F.broadcast(n2), "nk").select(
+        "l_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    cust = customer.select(
+        "c_custkey", F.col("c_nationkey").cast("long").alias("nk")
+    ).join(F.broadcast(n2), "nk").select(
+        "c_custkey", F.col("n_name").alias("cust_nation")
+    )
+    o = orders.select("o_orderkey", "o_custkey").join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "cust_nation")
+    li = lineitem.select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_suppkey",
+        F.year(event_time(lineitem, "l_shipdate")).cast("long")
+        .alias("l_year"),
+        _cents("l_extendedprice").alias("price_c"),
+        _pct("l_discount").alias("disc_pct"),
+    )
+    j = (
+        li.join(F.broadcast(supp), "l_suppkey")
+        .join(o, "o_orderkey")
+        .filter(
+            (
+                (F.col("supp_nation") == nation_a)
+                & (F.col("cust_nation") == nation_b)
+            )
+            | (
+                (F.col("supp_nation") == nation_b)
+                & (F.col("cust_nation") == nation_a)
+            )
+        )
+    )
+    return j.groupBy("supp_nation", "cust_nation", "l_year").agg(
+        F.sum(F.col("price_c") * (F.lit(100) - F.col("disc_pct")))
+        .alias("revenue_e4")
+    )
+
+
+def shipping_volume_sql(
+    nation_a: str = VOLUME_NATION_A, nation_b: str = VOLUME_NATION_B
+) -> str:
+    return (
+        "SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,"
+        " CAST(year(l_shipdate) AS BIGINT) AS l_year,"
+        f" CAST(SUM({_cents_sql('l_extendedprice')}"
+        f" * (100 - {_cents_sql('l_discount')})) AS BIGINT) AS revenue_e4"
+        " FROM lineitem"
+        " JOIN orders ON l_orderkey = o_orderkey"
+        " JOIN customer ON o_custkey = c_custkey"
+        " JOIN supplier ON l_suppkey = s_suppkey"
+        " JOIN nation ns ON s_nationkey = ns.n_nationkey"
+        " JOIN nation nc ON c_nationkey = nc.n_nationkey"
+        f" WHERE (ns.n_name = '{nation_a}' AND nc.n_name = '{nation_b}')"
+        f" OR (ns.n_name = '{nation_b}' AND nc.n_name = '{nation_a}')"
+        " GROUP BY 1, 2, 3"
+    )
+
+
+# ---------------------------------------------------------------------------
+# supplier_part_counts — the TPC-H Q16 shape: exact count-distinct per
+# group with a dimension exclusion
+# ---------------------------------------------------------------------------
+
+SPC_MAX_SIZE = 10
+SPC_EXCLUDED_BRAND = "Brand#5"
+
+
+def supplier_part_counts(
+    part: DataFrame, lineitem: DataFrame,
+    max_size: int = SPC_MAX_SIZE,
+    excluded_brand: str = SPC_EXCLUDED_BRAND,
+) -> DataFrame:
+    """How many distinct suppliers ship each (brand, type, size)
+    combination of small parts, excluding one brand:
+    [p_brand, p_type, p_size, supplier_cnt]. The supplier–part
+    relation comes from lineitem (the testdata has no partsupp).
+
+    Plan: the filtered part dimension broadcasts onto a 2-column
+    lineitem projection; exact COUNT(DISTINCT) runs as Spark's
+    two-phase expand-aggregate (partial distinct per partition, one
+    shuffle on the group key)."""
+    p = part.filter(
+        (F.col("p_size") <= max_size)
+        & (F.col("p_brand") != excluded_brand)
+    ).select(
+        F.col("p_partkey").alias("l_partkey"),
+        "p_brand",
+        "p_type",
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+    li = lineitem.select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(p), "l_partkey")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def supplier_part_counts_sql(
+    max_size: int = SPC_MAX_SIZE,
+    excluded_brand: str = SPC_EXCLUDED_BRAND,
+) -> str:
+    return (
+        "SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,"
+        " CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt"
+        " FROM lineitem JOIN part ON l_partkey = p_partkey"
+        f" WHERE p_size <= {max_size} AND p_brand <> '{excluded_brand}'"
+        " GROUP BY 1, 2, 3"
+    )

@@ -1085,6 +1085,54 @@ def q_revenue_by_nation(spark, sf_dir):
     )
 
 
+def q_promo_revenue_share(spark, sf_dir):
+    """Conditional-aggregate ratio (Q14 shape) — CASE-inside-SUM, one
+    scan, integer ppm share."""
+    return rel_mod.promo_revenue_share(
+        td.load_table(spark, sf_dir, "lineitem"),
+        td.load_table(spark, sf_dir, "part"),
+    )
+
+
+def q_large_orders(spark, sf_dir):
+    """HAVING-filtered aggregate joined back to facts (Q18 shape) —
+    aggregate-then-join."""
+    return rel_mod.large_orders(
+        td.load_table(spark, sf_dir, "orders"),
+        td.load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_small_quantity_revenue(spark, sf_dir):
+    """Per-group correlated threshold (Q17 shape) — exact integer
+    cross-multiplied 20%-of-average test."""
+    return rel_mod.small_quantity_revenue(
+        td.load_table(spark, sf_dir, "lineitem"),
+        td.load_table(spark, sf_dir, "part"),
+    )
+
+
+def q_shipping_volume(spark, sf_dir):
+    """Nation-pair trade volume by ship year (Q7 shape) — double
+    broadcast of the nation dim, residual pair predicate."""
+    return rel_mod.shipping_volume(
+        td.load_table(spark, sf_dir, "customer"),
+        td.load_table(spark, sf_dir, "orders"),
+        td.load_table(spark, sf_dir, "lineitem"),
+        td.load_table(spark, sf_dir, "supplier"),
+        td.load_table(spark, sf_dir, "nation"),
+    )
+
+
+def q_supplier_part_counts(spark, sf_dir):
+    """Exact count-distinct per group with a dimension exclusion (Q16
+    shape)."""
+    return rel_mod.supplier_part_counts(
+        td.load_table(spark, sf_dir, "part"),
+        td.load_table(spark, sf_dir, "lineitem"),
+    )
+
+
 def q_degree_gini(spark, sf_dir):
     """Gini of the degree distribution — the scalar hub-dominance
     summary; window cumsum runs over distinct degrees only."""
@@ -2295,6 +2343,11 @@ QUERIES: dict[str, QueryFn] = {
     "top_suppliers_by_revenue": q_top_suppliers_by_revenue,
     "idle_rich_customers": q_idle_rich_customers,
     "revenue_by_nation": q_revenue_by_nation,
+    "promo_revenue_share": q_promo_revenue_share,
+    "large_orders": q_large_orders,
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "shipping_volume": q_shipping_volume,
+    "supplier_part_counts": q_supplier_part_counts,
     "type_token_ratio": q_type_token_ratio,
     "hapax_stats": q_hapax_stats,
     # --- graph / Graph500 §2 surface ---
@@ -2679,6 +2732,11 @@ ORACLE_SQL: dict[str, str] = {
     "top_suppliers_by_revenue": rel_mod.top_suppliers_by_revenue_sql(),
     "idle_rich_customers": rel_mod.idle_rich_customers_sql(),
     "revenue_by_nation": rel_mod.revenue_by_nation_sql(),
+    "promo_revenue_share": rel_mod.promo_revenue_share_sql(),
+    "large_orders": rel_mod.large_orders_sql(),
+    "small_quantity_revenue": rel_mod.small_quantity_revenue_sql(),
+    "shipping_volume": rel_mod.shipping_volume_sql(),
+    "supplier_part_counts": rel_mod.supplier_part_counts_sql(),
     "type_token_ratio": text_mod.TYPE_TOKEN_RATIO_SQL,
     "hapax_stats": text_mod.HAPAX_STATS_SQL,
     "degree_gini": stats_mod.degree_gini_sql(_CLEAN_MOD997),

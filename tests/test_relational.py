@@ -12,6 +12,8 @@ from __future__ import annotations
 import contextlib
 import io
 
+from pyspark.sql import functions as F
+
 from graph500_spark.operators.relational import (
     DAY_US,
     customer_order_distribution,
@@ -323,3 +325,164 @@ class TestRelationalPlanShapes:
         plan = self._plan(q_order_priority_counts(spark, self.SF))
         assert "LeftSemi" in plan
         assert "CartesianProduct" not in plan
+
+
+PART_SCHEMA = (
+    "p_partkey long, p_name string, p_brand string, p_type string,"
+    " p_size int, p_retailprice double"
+)
+
+
+class TestPromoRevenueShare:
+    def test_share_is_integer_ppm(self, spark):
+        from graph500_spark.operators.relational import promo_revenue_share
+
+        part = spark.createDataFrame(
+            [
+                (1, "p1", "Brand#1", "PROMO", 1, 1.0),
+                (2, "p2", "Brand#1", "STANDARD", 1, 1.0),
+            ],
+            PART_SCHEMA,
+        )
+        li = spark.createDataFrame(
+            [
+                # promo: 1000c, no discount → 100000 e4
+                (10, 1, ns(1998, 2, 1), 1.0, 10.00, 0.0, 0.0, "A", "F", 1),
+                # non-promo: 3000c → 300000 e4
+                (11, 1, ns(1998, 2, 1), 1.0, 30.00, 0.0, 0.0, "A", "F", 2),
+                # out of the ship year
+                (12, 1, ns(1997, 2, 1), 1.0, 99.00, 0.0, 0.0, "A", "F", 1),
+            ],
+            LI_SCHEMA + ", l_partkey long",
+        )
+        row = promo_revenue_share(li, part).collect()[0]
+        assert row.promo_revenue_e4 == 100000
+        assert row.total_revenue_e4 == 400000
+        assert row.promo_share_e6 == 250000  # exactly 25%
+
+    def test_empty_input_zeroes(self, spark):
+        from graph500_spark.operators.relational import promo_revenue_share
+
+        part = spark.createDataFrame(
+            [(1, "p1", "B", "PROMO", 1, 1.0)], PART_SCHEMA
+        )
+        li = spark.createDataFrame([], LI_SCHEMA + ", l_partkey long")
+        row = promo_revenue_share(li, part).collect()[0]
+        assert (row.promo_revenue_e4, row.total_revenue_e4,
+                row.promo_share_e6) == (0, 0, 0)
+
+
+class TestLargeOrders:
+    def test_having_threshold_strict(self, spark):
+        from graph500_spark.operators.relational import large_orders
+
+        orders = spark.createDataFrame(
+            [
+                (1, 7, ns(1997, 1, 1), "p"),
+                (2, 8, ns(1997, 1, 2), "p"),
+            ],
+            ORD_SCHEMA,
+        ).withColumn("o_totalprice", (F.col("o_orderkey") * 100.0))
+        li = spark.createDataFrame(
+            [
+                li_row(1, 1, 0, 100, 1.0, 0.0, 0.0),
+                li_row(1, 1, 0, 51, 1.0, 0.0, 0.0),   # order 1: 151 > 150
+                li_row(2, 1, 0, 150, 1.0, 0.0, 0.0),  # exactly 150: out
+            ],
+            LI_SCHEMA,
+        )
+        out = large_orders(orders, li).collect()
+        assert [(r.o_orderkey, r.o_custkey, r.total_qty, r.total_price_c)
+                for r in out] == [(1, 7, 151, 10000)]
+
+
+class TestSmallQuantityRevenue:
+    def test_cross_multiplied_threshold(self, spark):
+        from graph500_spark.operators.relational import (
+            small_quantity_revenue,
+        )
+
+        part = spark.createDataFrame(
+            [(1, "p1", "Brand#1", "STANDARD", 1, 1.0),
+             (2, "p2", "Brand#2", "STANDARD", 1, 1.0)],
+            PART_SCHEMA,
+        )
+        # part 1 lines: qty 1, 10, 10, 10, 10, 10 (n=6, sum=51);
+        # threshold: qty*5*6 < 51 → qty 1 qualifies (30<51), 10 doesn't
+        rows = [li_row(i, 1, 0, q, 2.00, 0.0, 0.0) + ()
+                for i, q in enumerate([1, 10, 10, 10, 10, 10])]
+        li = spark.createDataFrame(
+            [(okey, skey, sd, q, p, d, t, rf, ls, 1)
+             for okey, skey, sd, q, p, d, t, rf, ls in rows]
+            # brand-excluded part 2 line, tiny qty — must not count
+            + [(99, 1, 0, 1.0, 50.00, 0.0, 0.0, "A", "F", 2)],
+            LI_SCHEMA + ", l_partkey long",
+        )
+        row = small_quantity_revenue(li, part).collect()[0]
+        assert (row.revenue_c, row.n_lines) == (200, 1)
+
+
+class TestShippingVolume:
+    def test_pair_directions_and_year(self, spark):
+        from graph500_spark.operators.relational import shipping_volume
+
+        nation = spark.createDataFrame(
+            [(1, "NATION_1", 0), (2, "NATION_2", 0), (3, "NATION_3", 0)],
+            "n_nationkey int, n_name string, n_regionkey int",
+        )
+        supp = spark.createDataFrame(
+            [(7, "s7", 1, 0.0), (8, "s8", 2, 0.0), (9, "s9", 3, 0.0)],
+            "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+        )
+        cust = spark.createDataFrame(
+            [(1, 2, 0.0, "X"), (2, 1, 0.0, "X"), (3, 3, 0.0, "X")],
+            CUST_SCHEMA,
+        )
+        orders = spark.createDataFrame(
+            [(10, 1, 0, "p"), (11, 2, 0, "p"), (12, 3, 0, "p")],
+            ORD_SCHEMA,
+        )
+        li = spark.createDataFrame(
+            [
+                # supp NATION_1 → cust NATION_2, 1997
+                li_row(10, 7, ns(1997, 5, 1), 1, 10.00, 0.0, 0.0),
+                # supp NATION_2 → cust NATION_1, 1998
+                li_row(11, 8, ns(1998, 5, 1), 1, 20.00, 0.0, 0.0),
+                # supp NATION_3: not in the pair
+                li_row(10, 9, ns(1997, 5, 1), 1, 99.00, 0.0, 0.0),
+                # cust NATION_3: not in the pair
+                li_row(12, 7, ns(1997, 5, 1), 1, 99.00, 0.0, 0.0),
+            ],
+            LI_SCHEMA,
+        )
+        out = {
+            (r.supp_nation, r.cust_nation, r.l_year): r.revenue_e4
+            for r in shipping_volume(cust, orders, li, supp, nation).collect()
+        }
+        assert out == {
+            ("NATION_1", "NATION_2", 1997): 100000,
+            ("NATION_2", "NATION_1", 1998): 200000,
+        }
+
+
+class TestSupplierPartCounts:
+    def test_distinct_and_exclusion(self, spark):
+        from graph500_spark.operators.relational import supplier_part_counts
+
+        part = spark.createDataFrame(
+            [
+                (1, "p1", "Brand#1", "SMALL", 2, 1.0),
+                (2, "p2", "Brand#5", "SMALL", 2, 1.0),   # excluded brand
+                (3, "p3", "Brand#1", "SMALL", 50, 1.0),  # too big
+            ],
+            PART_SCHEMA,
+        )
+        li = spark.createDataFrame(
+            [(i, s, 0, 1.0, 1.0, 0.0, 0.0, "A", "F", pk)
+             for i, (s, pk) in enumerate(
+                 [(7, 1), (7, 1), (8, 1), (7, 2), (7, 3)])],
+            LI_SCHEMA + ", l_partkey long",
+        )
+        out = supplier_part_counts(part, li).collect()
+        assert [(r.p_brand, r.p_type, r.p_size, r.supplier_cnt)
+                for r in out] == [("Brand#1", "SMALL", 2, 2)]
