@@ -235,6 +235,12 @@ def main() -> int:
             lambda: Q.q_revenue_by_nation(spark, sf_dir).count(),
         "customer_order_distribution":
             lambda: Q.q_customer_order_distribution(spark, sf_dir).count(),
+        "large_orders":
+            lambda: Q.q_large_orders(spark, sf_dir).count(),
+        "shipping_volume":
+            lambda: Q.q_shipping_volume(spark, sf_dir).count(),
+        "supplier_part_counts":
+            lambda: Q.q_supplier_part_counts(spark, sf_dir).count(),
     }
 
     timings: dict[str, float] = {}

@@ -167,3 +167,71 @@ def read_documents(
     return df.select(
         *[df[c].cast(t) for c, t in zip(_DOC_COLS, _DOC_TYPES)]
     )
+
+
+# ---------------------------------------------------------------------------
+# Partitioned layouts (hive-style directory partitioning): the THIRD
+# placement option alongside plain and bucketed, and the standard
+# 100 TB layout for naturally-keyed data — corpora by source, events
+# by day. A query filtering on the partition column never lists, let
+# alone reads, the other directories (PartitionFilters in the scan,
+# asserted by tests/test_io_partitioning.py). Partitioning and
+# bucketing compose: partition by the coarse human key, bucket inside
+# by the join key.
+#
+# Cardinality contract: partition columns must be LOW-cardinality
+# (sources, days — thousands, not millions). A high-cardinality
+# partition key explodes the file count and kills the listing phase;
+# that's what bucketing is for.
+# ---------------------------------------------------------------------------
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    format: str = "parquet",
+) -> None:
+    """Hive-style partitioned write of any frame. One output task per
+    (task, partition-value) pair — callers with many partition values
+    per task should repartition on the partition columns first so each
+    task writes few files."""
+    (
+        df.write.mode("overwrite")
+        .format(format)
+        .partitionBy(*partition_cols)
+        .save(path)
+    )
+
+
+def write_partitioned_corpus(docs: DataFrame, path: str) -> None:
+    """Document corpus partitioned by source — the dataset-card layout:
+    per-source reprocessing (re-score one crawl, drop one license
+    bucket) touches exactly one directory."""
+    write_partitioned(
+        docs.select(*_DOC_COLS).repartition("source"), path, ["source"]
+    )
+
+
+def write_partitioned_events(events: DataFrame, path: str) -> None:
+    """Event stream partitioned by UTC day (derived from ts via the
+    shared epoch-micros helper — tz-independent): the time-series
+    layout where date-range queries prune to the matching day
+    directories and late-data backfills rewrite single days."""
+    from pyspark.sql import functions as F
+
+    from graph500_spark.functions.eventtime import event_micros
+
+    day_us = 86_400_000_000
+    with_day = events.withColumn(
+        "day", (event_micros(events, "ts") / day_us).cast("long")
+    )
+    write_partitioned(with_day.repartition("day"), path, ["day"])
+
+
+def read_partitioned(
+    spark: SparkSession, path: str, format: str = "parquet"
+) -> DataFrame:
+    """Read a partitioned layout; the partition column comes back as a
+    real column recovered from the directory names."""
+    return spark.read.format(format).load(path)
