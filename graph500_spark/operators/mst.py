@@ -1,0 +1,160 @@
+"""Minimum spanning forest — distributed Boruvka.
+
+Beyond the reference surface (the reference ships SSSP as its weighted
+workload; an MSF is the other canonical weighted-graph primitive) but
+squarely inside the engine's iterative-dataflow family: like BFS/CC,
+each round is a declarative join-aggregate plan with driver-known
+round counts.
+
+Algorithm (classic Boruvka, the distributed-friendly MST):
+  each round, every component selects its minimum outgoing edge under
+  the STRICT total edge order (weight, lo, hi) — lo/hi the canonical
+  endpoint pair — then the selected edges merge their components via a
+  connected-components pass over the (much smaller) component graph.
+  Components at least halve per round ⇒ ≤ log2(V) rounds.
+
+Correctness of the selection step: with a globally consistent strict
+edge order, the per-component min-edge graph contains no cycles other
+than 2-cycles that reuse the SAME edge (a longer cycle would need its
+maximum edge to be the minimum of one of its endpoints, contradicted
+by the adjacent smaller cycle edge) — so a plain ``distinct()`` on the
+selected edge set is the whole cycle defense, and the cut property
+makes every selected edge MST-safe. Ties in ``weight`` are broken by
+(lo, hi), i.e. the forest is deterministic for ANY weight assignment.
+
+Scale notes: the per-round work is two equi-joins of the edge list
+against the component map (shuffle on vertex id; bucketed edge
+storage makes the edge side exchange-free) and one min-aggregate on
+the component key (map-side partial). The component-graph CC runs on
+≤ #components rows — asymptotically vanishing after round 1. No
+driver-side data paths; the driver sees only per-round counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graph500_spark.operators.components import connected_components
+
+
+def minimum_spanning_forest(
+    spark: SparkSession,
+    edges_weighted: DataFrame,
+    max_rounds: int = 64,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """[src, dst, weight] — the minimum spanning forest of an
+    undirected weighted graph given as single-orientation edges
+    (self-loops ignored; parallel edges allowed, the cheapest under
+    the (weight, lo, hi) order wins). src < dst in the output; one
+    tree per connected component (V_c − 1 edges each)."""
+    saved_sp = None
+    if shuffle_partitions is not None:
+        saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
+
+    edges = (
+        edges_weighted.select(
+            F.least("src", "dst").alias("lo"),
+            F.greatest("src", "dst").alias("hi"),
+            F.col("weight").cast("long").alias("weight"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .localCheckpoint(eager=True)
+    )
+
+    comp = (
+        edges.select(F.col("lo").alias("vertex"))
+        .unionByName(edges.select(F.col("hi").alias("vertex")))
+        .distinct()
+        .withColumn("comp", F.col("vertex"))
+        .localCheckpoint(eager=True)
+    )
+
+    forest_parts: list[DataFrame] = []
+    for _round in range(max_rounds):
+        lab = comp.withColumnRenamed("vertex", "lo").withColumnRenamed(
+            "comp", "c_lo"
+        )
+        labh = comp.withColumnRenamed("vertex", "hi").withColumnRenamed(
+            "comp", "c_hi"
+        )
+        e = (
+            edges.join(lab, "lo")
+            .join(labh, "hi")
+            .filter(F.col("c_lo") != F.col("c_hi"))
+        )
+        # candidates from both endpoints; min under the strict total
+        # edge order (weight, lo, hi) — c_lo/c_hi ride along uniquely
+        cand = e.select(
+            F.col("c_lo").alias("comp"),
+            F.struct("weight", "lo", "hi", "c_lo", "c_hi").alias("edge"),
+        ).unionByName(
+            e.select(
+                F.col("c_hi").alias("comp"),
+                F.struct("weight", "lo", "hi", "c_lo", "c_hi").alias(
+                    "edge"
+                ),
+            )
+        )
+        selected = (
+            cand.groupBy("comp")
+            .agg(F.min("edge").alias("edge"))
+            .select("edge.*")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_sel = selected.count()
+        if n_sel == 0:
+            break
+        forest_parts.append(selected.select("lo", "hi", "weight"))
+
+        # merge the selected component pairs: CC over the component
+        # graph (≤ #components rows), then relabel
+        pair = selected.select(
+            F.col("c_lo").alias("src"), F.col("c_hi").alias("dst")
+        )
+        pair_sym = pair.unionByName(
+            pair.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+        merge_map = connected_components(spark, pair_sym).select(
+            F.col("vertex").alias("old_comp"),
+            F.col("component").alias("new_comp"),
+        )
+        comp = (
+            comp.join(
+                merge_map, comp.comp == merge_map.old_comp, "left"
+            )
+            .select(
+                "vertex",
+                F.coalesce("new_comp", "comp").alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    if saved_sp is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
+
+    if not forest_parts:
+        return edges.select(
+            F.col("lo").alias("src"), F.col("hi").alias("dst"), "weight"
+        ).limit(0)
+    out = forest_parts[0]
+    for p in forest_parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        F.col("lo").alias("src"), F.col("hi").alias("dst"), "weight"
+    )
+
+
+def msf_summary(msf: DataFrame) -> DataFrame:
+    """One-row [n_edges, total_weight] summary of a spanning forest —
+    the scalar the classic MST benchmarks report."""
+    return msf.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.coalesce(F.sum("weight"), F.lit(0)).cast("long")
+        .alias("total_weight"),
+    )

@@ -984,3 +984,89 @@ def supplier_part_counts_sql(
         f" WHERE p_size <= {max_size} AND p_brand <> '{excluded_brand}'"
         " GROUP BY 1, 2, 3"
     )
+
+
+# ---------------------------------------------------------------------------
+# revenue_rollup — hierarchical subtotals: GROUP BY ROLLUP on the star
+# ---------------------------------------------------------------------------
+
+
+def revenue_rollup(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """Revenue at three grains in one pass — (nation, year), per-nation
+    subtotal, grand total: [nation_grp, year_grp, revenue_e4, n_lines]
+    with 'ALL'/-1 as the subtotal markers (GROUPING()-normalized so the
+    subtotal rows are engine-portable, not NULL-ambiguous).
+
+    Plan: ROLLUP is Spark's Expand + single hash aggregate — one scan
+    feeds all three grains (the continuous-aggregate shape
+    streaming/windows.py uses for time); nation broadcasts onto
+    customer, customer onto orders, orders ⋈ lineitem is the one
+    shuffle."""
+    from graph500_spark.functions.eventtime import event_time
+
+    n = nation.select(
+        F.col("n_nationkey").cast("long").alias("nk"), "n_name"
+    )
+    cust = customer.select(
+        "c_custkey", F.col("c_nationkey").cast("long").alias("nk")
+    ).join(F.broadcast(n), "nk")
+    o = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.year(event_time(orders, "o_orderdate")).cast("long")
+        .alias("o_year"),
+    ).join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "o_year", "n_name")
+    li = lineitem.select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        _cents("l_extendedprice").alias("price_c"),
+        _pct("l_discount").alias("disc_pct"),
+    )
+    j = li.join(o, "o_orderkey")
+    return (
+        j.rollup("n_name", "o_year")
+        .agg(
+            F.sum(F.col("price_c") * (F.lit(100) - F.col("disc_pct")))
+            .alias("revenue_e4"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.grouping("n_name").alias("g_n"),
+            F.grouping("o_year").alias("g_y"),
+        )
+        .select(
+            F.when(F.col("g_n") == 1, F.lit("ALL"))
+            .otherwise(F.col("n_name"))
+            .alias("nation_grp"),
+            F.when(F.col("g_y") == 1, F.lit(-1))
+            .otherwise(F.col("o_year"))
+            .cast("long")
+            .alias("year_grp"),
+            "revenue_e4",
+            "n_lines",
+        )
+    )
+
+
+def revenue_rollup_sql() -> str:
+    return (
+        "WITH j AS (SELECT n_name,"
+        " CAST(year(o_orderdate) AS BIGINT) AS o_year,"
+        f" {_cents_sql('l_extendedprice')} AS price_c,"
+        f" {_cents_sql('l_discount')} AS disc_pct"
+        " FROM lineitem"
+        " JOIN orders ON l_orderkey = o_orderkey"
+        " JOIN customer ON o_custkey = c_custkey"
+        " JOIN nation ON c_nationkey = n_nationkey)"
+        " SELECT CASE WHEN GROUPING(n_name) = 1 THEN 'ALL' ELSE n_name END"
+        " AS nation_grp,"
+        " CAST(CASE WHEN GROUPING(o_year) = 1 THEN -1 ELSE o_year END"
+        " AS BIGINT) AS year_grp,"
+        " CAST(SUM(price_c * (100 - disc_pct)) AS BIGINT) AS revenue_e4,"
+        " CAST(COUNT(*) AS BIGINT) AS n_lines"
+        " FROM j GROUP BY ROLLUP(n_name, o_year)"
+    )

@@ -1124,6 +1124,17 @@ def q_shipping_volume(spark, sf_dir):
     )
 
 
+def q_revenue_rollup(spark, sf_dir):
+    """GROUP BY ROLLUP on the star join — (nation, year) + per-nation
+    + grand-total grains from one scan, GROUPING()-normalized."""
+    return rel_mod.revenue_rollup(
+        td.load_table(spark, sf_dir, "customer"),
+        td.load_table(spark, sf_dir, "orders"),
+        td.load_table(spark, sf_dir, "lineitem"),
+        td.load_table(spark, sf_dir, "nation"),
+    )
+
+
 def q_supplier_part_counts(spark, sf_dir):
     """Exact count-distinct per group with a dimension exclusion (Q16
     shape)."""
@@ -1131,6 +1142,19 @@ def q_supplier_part_counts(spark, sf_dir):
         td.load_table(spark, sf_dir, "part"),
         td.load_table(spark, sf_dir, "lineitem"),
     )
+
+
+def q_min_spanning_forest(spark, sf_dir):
+    """Boruvka minimum spanning forest over the SSSP weight fixture —
+    deterministic under the strict (weight, lo, hi) edge order.
+    Iterative (not SQL-expressible): rows-only under the driver gate,
+    like count_vertices_approx; algorithm correctness is pinned by
+    tests/test_mst.py's driver-side Kruskal cross-check."""
+    from graph500_spark.operators.mst import minimum_spanning_forest
+
+    clean = clean_mod997_graph(spark, sf_dir)
+    weighted = clean.withColumn("weight", F.expr(SSSP_WEIGHT_EXPR))
+    return minimum_spanning_forest(spark, weighted, shuffle_partitions=8)
 
 
 def q_degree_gini(spark, sf_dir):
@@ -2348,6 +2372,8 @@ QUERIES: dict[str, QueryFn] = {
     "small_quantity_revenue": q_small_quantity_revenue,
     "shipping_volume": q_shipping_volume,
     "supplier_part_counts": q_supplier_part_counts,
+    "revenue_rollup": q_revenue_rollup,
+    "min_spanning_forest": q_min_spanning_forest,
     "type_token_ratio": q_type_token_ratio,
     "hapax_stats": q_hapax_stats,
     # --- graph / Graph500 §2 surface ---
@@ -2737,6 +2763,7 @@ ORACLE_SQL: dict[str, str] = {
     "small_quantity_revenue": rel_mod.small_quantity_revenue_sql(),
     "shipping_volume": rel_mod.shipping_volume_sql(),
     "supplier_part_counts": rel_mod.supplier_part_counts_sql(),
+    "revenue_rollup": rel_mod.revenue_rollup_sql(),
     "type_token_ratio": text_mod.TYPE_TOKEN_RATIO_SQL,
     "hapax_stats": text_mod.HAPAX_STATS_SQL,
     "degree_gini": stats_mod.degree_gini_sql(_CLEAN_MOD997),
