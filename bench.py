@@ -241,6 +241,10 @@ def main() -> int:
             lambda: Q.q_shipping_volume(spark, sf_dir).count(),
         "supplier_part_counts":
             lambda: Q.q_supplier_part_counts(spark, sf_dir).count(),
+        "revenue_rollup":
+            lambda: Q.q_revenue_rollup(spark, sf_dir).count(),
+        "min_spanning_forest":
+            lambda: Q.q_min_spanning_forest(spark, sf_dir).count(),
     }
 
     timings: dict[str, float] = {}

@@ -62,7 +62,12 @@ def betweenness_sampled(
             "root: long, vertex: long, depth: int, sigma: long",
         ).localCheckpoint(eager=True)
         levels = [frontier]
-        seen = frontier.select("root", "vertex").localCheckpoint(eager=True)
+        # `seen` stays a LAZY union of the checkpointed levels (each
+        # leaf is cached; never recopied into a new checkpoint — the
+        # same O(n·depth)-copy avoidance bfs.py uses), and emptiness
+        # is a count() over the freshly checkpointed level instead of
+        # a separate .rdd.isEmpty() job.
+        seen = frontier.select("root", "vertex")
         depth = 0
         while depth < max_depth:
             prev = levels[-1]
@@ -82,12 +87,10 @@ def betweenness_sampled(
                 )
                 .localCheckpoint(eager=True)
             )
-            if nxt.rdd.isEmpty():
+            if nxt.count() == 0:
                 break
             levels.append(nxt)
-            seen = seen.unionAll(
-                nxt.select("root", "vertex")
-            ).localCheckpoint(eager=True)
+            seen = seen.unionAll(nxt.select("root", "vertex"))
             depth += 1
         else:
             raise RuntimeError(f"bfs exceeded max_depth={max_depth}")
