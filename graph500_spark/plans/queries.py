@@ -1144,6 +1144,13 @@ def q_supplier_part_counts(spark, sf_dir):
     )
 
 
+def q_scd2_history(spark, sf_dir):
+    """SCD Type-2 dimension history from the event change log — one
+    validity interval per run of equal per-user attribute values; both
+    window passes share a single shuffle."""
+    return windows_mod.scd2_history(td.load_table(spark, sf_dir, "events"))
+
+
 def q_min_spanning_forest(spark, sf_dir):
     """Boruvka minimum spanning forest over the SSSP weight fixture —
     deterministic under the strict (weight, lo, hi) edge order.
@@ -2374,6 +2381,7 @@ QUERIES: dict[str, QueryFn] = {
     "supplier_part_counts": q_supplier_part_counts,
     "revenue_rollup": q_revenue_rollup,
     "min_spanning_forest": q_min_spanning_forest,
+    "scd2_history": q_scd2_history,
     "type_token_ratio": q_type_token_ratio,
     "hapax_stats": q_hapax_stats,
     # --- graph / Graph500 §2 surface ---
@@ -2764,6 +2772,7 @@ ORACLE_SQL: dict[str, str] = {
     "shipping_volume": rel_mod.shipping_volume_sql(),
     "supplier_part_counts": rel_mod.supplier_part_counts_sql(),
     "revenue_rollup": rel_mod.revenue_rollup_sql(),
+    "scd2_history": windows_mod.SCD2_HISTORY_SQL,
     "type_token_ratio": text_mod.TYPE_TOKEN_RATIO_SQL,
     "hapax_stats": text_mod.HAPAX_STATS_SQL,
     "degree_gini": stats_mod.degree_gini_sql(_CLEAN_MOD997),

@@ -793,3 +793,58 @@ def run_sliding_stream_to_memory(
     )
     q.awaitTermination(120)
     return spark.table(table)
+
+
+def scd2_history(events: DataFrame) -> DataFrame:
+    """Slowly-changing-dimension (Type 2) history build: treat each
+    user's event_type stream as attribute changes and emit one
+    validity interval per run of equal values — [user_id, event_type,
+    valid_from_us, valid_to_us, is_current], valid_to_us NULL on the
+    open (current) version. The warehouse dimension-history staple,
+    derived from a change log in two window passes.
+
+    Plan: both windows partition by user_id under the same total
+    (ts_us, event_id) order, so Catalyst evaluates them in ONE
+    shuffle + sort — change detection (lag) and interval close (lead
+    over the kept change rows) share the exchange. No global sort, no
+    iterative pass; bounded per-user state exactly like sessionize."""
+    from pyspark.sql.window import Window
+
+    ev = events.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        event_micros(events, "ts").alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    changed = ev.withColumn(
+        "prev_type", F.lag("event_type").over(w)
+    ).filter(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return changed.select(
+        "user_id",
+        "event_type",
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(w2).alias("valid_to_us"),
+        F.lead("ts_us").over(w2).isNull().alias("is_current"),
+    )
+
+
+SCD2_HISTORY_SQL = (
+    "WITH ev AS (SELECT user_id, event_type, event_id,"
+    " epoch_us(ts) AS ts_us FROM events),"
+    " changed AS (SELECT * FROM (SELECT user_id, event_type, ts_us,"
+    " event_id,"
+    " lag(event_type) OVER (PARTITION BY user_id"
+    " ORDER BY ts_us, event_id) AS prev_type FROM ev)"
+    " WHERE prev_type IS NULL OR prev_type <> event_type)"
+    " SELECT user_id, event_type, ts_us AS valid_from_us,"
+    " lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)"
+    " AS valid_to_us,"
+    " lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)"
+    " IS NULL AS is_current"
+    " FROM changed"
+)

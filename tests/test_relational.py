@@ -486,3 +486,51 @@ class TestSupplierPartCounts:
         out = supplier_part_counts(part, li).collect()
         assert [(r.p_brand, r.p_type, r.p_size, r.supplier_cnt)
                 for r in out] == [("Brand#1", "SMALL", 2, 2)]
+
+
+class TestScd2History:
+    def test_runs_collapse_and_open_interval(self, spark):
+        from graph500_spark.streaming.windows import scd2_history
+
+        # user 1: A A B A  → versions A[10,30) B[30,40) A[40,∞)
+        # user 2: single event → one open version
+        ev = spark.createDataFrame(
+            [
+                (1, 10_000, 1, "A", 0.0, ""),
+                (2, 20_000, 1, "A", 0.0, ""),
+                (3, 30_000, 1, "B", 0.0, ""),
+                (4, 40_000, 1, "A", 0.0, ""),
+                (5, 15_000, 2, "X", 0.0, ""),
+            ],
+            "event_id long, ts long, user_id long, event_type string,"
+            " value double, props string",
+        )
+        out = sorted(
+            (r.user_id, r.event_type, r.valid_from_us, r.valid_to_us,
+             r.is_current)
+            for r in scd2_history(ev).collect()
+        )
+        assert out == [
+            (1, "A", 10, 30, False),
+            (1, "A", 40, None, True),
+            (1, "B", 30, 40, False),
+            (2, "X", 15, None, True),
+        ]
+
+    def test_single_shuffle(self, spark):
+        """Both window passes share one exchange on user_id."""
+        from graph500_spark.plans.queries import q_scd2_history
+
+        plan = plan_of_module(q_scd2_history(spark, "/root/testdata/sf0.001"))
+        n_exchange = plan.count("(") and len(
+            [ln for ln in plan.splitlines()
+             if ln.strip().startswith("Exchange hashpartitioning")]
+        )
+        assert n_exchange <= 1, plan
+
+
+def plan_of_module(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
