@@ -1151,6 +1151,24 @@ def q_scd2_history(spark, sf_dir):
     return windows_mod.scd2_history(td.load_table(spark, sf_dir, "events"))
 
 
+def q_user_event_pivot(spark, sf_dir):
+    """Wide per-user activity crosstab — pivot with an explicit value
+    list (no extra distinct-values pass), five conditional counts in
+    one aggregate."""
+    return windows_mod.user_event_pivot(
+        td.load_table(spark, sf_dir, "events")
+    )
+
+
+def q_user_event_unpivot(spark, sf_dir):
+    """Melt the pivoted matrix back to sparse long form — the
+    unpivot/melt operator surface; oracle is the direct long-form
+    aggregate (round-trip equivalence)."""
+    return windows_mod.user_event_unpivot(
+        td.load_table(spark, sf_dir, "events")
+    )
+
+
 def q_min_spanning_forest(spark, sf_dir):
     """Boruvka minimum spanning forest over the SSSP weight fixture —
     deterministic under the strict (weight, lo, hi) edge order.
@@ -2382,6 +2400,8 @@ QUERIES: dict[str, QueryFn] = {
     "revenue_rollup": q_revenue_rollup,
     "min_spanning_forest": q_min_spanning_forest,
     "scd2_history": q_scd2_history,
+    "user_event_pivot": q_user_event_pivot,
+    "user_event_unpivot": q_user_event_unpivot,
     "type_token_ratio": q_type_token_ratio,
     "hapax_stats": q_hapax_stats,
     # --- graph / Graph500 §2 surface ---
@@ -2773,6 +2793,8 @@ ORACLE_SQL: dict[str, str] = {
     "supplier_part_counts": rel_mod.supplier_part_counts_sql(),
     "revenue_rollup": rel_mod.revenue_rollup_sql(),
     "scd2_history": windows_mod.SCD2_HISTORY_SQL,
+    "user_event_pivot": windows_mod.USER_EVENT_PIVOT_SQL,
+    "user_event_unpivot": windows_mod.USER_EVENT_UNPIVOT_SQL,
     "type_token_ratio": text_mod.TYPE_TOKEN_RATIO_SQL,
     "hapax_stats": text_mod.HAPAX_STATS_SQL,
     "degree_gini": stats_mod.degree_gini_sql(_CLEAN_MOD997),

@@ -848,3 +848,69 @@ SCD2_HISTORY_SQL = (
     " IS NULL AS is_current"
     " FROM changed"
 )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def user_event_pivot(events: DataFrame) -> DataFrame:
+    """Wide per-user activity matrix: [user_id, n_click, n_error,
+    n_purchase, n_signup, n_view] — the reshape that turns an event
+    log into an ML feature row or a BI crosstab.
+
+    Plan: ``pivot`` with the value list supplied EXPLICITLY — with it,
+    Spark skips the extra distinct-values job and compiles straight to
+    one hash aggregate with five conditional counts (same shuffle
+    profile as a plain groupBy). Never call pivot without the value
+    list at scale: the values scan is a full extra pass."""
+    pivoted = (
+        events.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+    )
+    return pivoted.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    )
+
+
+USER_EVENT_PIVOT_SQL = (
+    "SELECT user_id, "
+    + ", ".join(
+        f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT)"
+        f" AS n_{t}"
+        for t in EVENT_TYPES
+    )
+    + " FROM events GROUP BY user_id"
+)
+
+
+def user_event_unpivot(events: DataFrame) -> DataFrame:
+    """Melt the pivoted matrix back to long form — [user_id,
+    event_type, n_events], zero-count cells dropped (the sparse
+    long-form contract). Round-trips with user_event_pivot; the
+    ``unpivot``/``melt`` relational operator surface.
+
+    Plan: unpivot is a generate/expand over the wide row — no shuffle
+    beyond the pivot's own aggregate."""
+    wide = user_event_pivot(events)
+    long = wide.unpivot(
+        "user_id",
+        [f"n_{t}" for t in EVENT_TYPES],
+        "event_type",
+        "n_events",
+    )
+    return long.filter(F.col("n_events") > 0).select(
+        "user_id",
+        F.expr("substring(event_type, 3)").alias("event_type"),
+        "n_events",
+    )
+
+
+USER_EVENT_UNPIVOT_SQL = (
+    "SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_events"
+    " FROM events GROUP BY user_id, event_type"
+)

@@ -534,3 +534,38 @@ def plan_of_module(df) -> str:
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     return buf.getvalue()
+
+
+class TestUserEventPivot:
+    EV = (
+        "event_id long, ts long, user_id long, event_type string,"
+        " value double, props string"
+    )
+
+    def test_zero_fill_and_round_trip(self, spark):
+        from graph500_spark.streaming.windows import (
+            user_event_pivot,
+            user_event_unpivot,
+        )
+
+        ev = spark.createDataFrame(
+            [
+                (1, 0, 1, "click", 0.0, ""),
+                (2, 0, 1, "click", 0.0, ""),
+                (3, 0, 1, "view", 0.0, ""),
+                (4, 0, 2, "error", 0.0, ""),
+            ],
+            self.EV,
+        )
+        wide = {r.user_id: r for r in user_event_pivot(ev).collect()}
+        assert (wide[1].n_click, wide[1].n_view, wide[1].n_error) == (2, 1, 0)
+        assert (wide[2].n_error, wide[2].n_click) == (1, 0)
+        long = sorted(
+            (r.user_id, r.event_type, r.n_events)
+            for r in user_event_unpivot(ev).collect()
+        )
+        assert long == [
+            (1, "click", 2),
+            (1, "view", 1),
+            (2, "error", 1),
+        ]
