@@ -245,6 +245,10 @@ def main() -> int:
             lambda: Q.q_revenue_rollup(spark, sf_dir).count(),
         "min_spanning_forest":
             lambda: Q.q_min_spanning_forest(spark, sf_dir).count(),
+        "scd2_history":
+            lambda: Q.q_scd2_history(spark, sf_dir).count(),
+        "user_event_pivot":
+            lambda: Q.q_user_event_pivot(spark, sf_dir).count(),
     }
 
     timings: dict[str, float] = {}
@@ -379,6 +383,30 @@ def _heavy_tier(spark, sf_dir: str) -> dict[str, float]:
     finally:
         shutil.rmtree(pipe_dir, ignore_errors=True)
     docs20.unpersist()
+
+    # --- 20x-replicated lineitem (1.2M rows at sf0.1): the relational
+    # scan-agg and agg-then-join shapes at data-bound volume ---
+    from graph500_spark.operators import relational as rel
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    replicas = spark.range(20).withColumnRenamed("id", "rep")
+    li20 = (
+        li.crossJoin(F.broadcast(replicas))
+        .drop("rep")
+        .repartition(32)
+        .persist()
+    )
+    li20.count()
+    shot(
+        "pricing_summary_20x",
+        lambda: rel.pricing_summary(li20).count(),
+    )
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    shot(
+        "large_orders_20x",
+        lambda: rel.large_orders(orders, li20, min_qty=3000).count(),
+    )
+    li20.unpersist()
     return out
 
 
