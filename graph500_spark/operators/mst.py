@@ -158,3 +158,81 @@ def msf_summary(msf: DataFrame) -> DataFrame:
         F.coalesce(F.sum("weight"), F.lit(0)).cast("long")
         .alias("total_weight"),
     )
+
+
+def validate_msf(
+    spark: SparkSession,
+    edges_weighted: DataFrame,
+    msf: DataFrame,
+) -> DataFrame:
+    """Spec-style forest validation (the reference's validate-phase
+    philosophy — mpi/validate.cc checks the BFS tree; this is the MSF
+    analog): one row of error counts, all zero for a correct forest.
+
+      * err_not_subset  — forest edges absent from the input edge set
+        (canonical (lo, hi, weight) anti-join);
+      * err_not_spanning — vertices whose input-graph component and
+        forest component disagree as partitions (the two CC labelings
+        must be a 1:1 relabeling of each other);
+      * err_not_tree    — nonzero iff |E_f| != |V_f| - C_f (with the
+        spanning check, exactly the acyclicity condition).
+    """
+    inp = edges_weighted.select(
+        F.least("src", "dst").alias("lo"),
+        F.greatest("src", "dst").alias("hi"),
+        F.col("weight").cast("long").alias("weight"),
+    ).filter(F.col("lo") != F.col("hi"))
+    fr = msf.select(
+        F.least("src", "dst").alias("lo"),
+        F.greatest("src", "dst").alias("hi"),
+        F.col("weight").cast("long").alias("weight"),
+    )
+    not_subset = fr.join(inp, ["lo", "hi", "weight"], "left_anti").count()
+
+    def sym(e):
+        return e.select(
+            F.col("lo").alias("src"), F.col("hi").alias("dst")
+        ).unionByName(
+            e.select(F.col("hi").alias("src"), F.col("lo").alias("dst"))
+        )
+
+    cc_in = connected_components(spark, sym(inp)).withColumnRenamed(
+        "component", "c_in"
+    )
+    cc_f = connected_components(spark, sym(fr)).withColumnRenamed(
+        "component", "c_f"
+    )
+    # isolated-in-forest vertices (degree-0 in msf but present in the
+    # input) are their own forest component
+    both = cc_in.join(cc_f, "vertex", "left").select(
+        "vertex", "c_in", F.coalesce("c_f", F.col("vertex")).alias("c_f")
+    )
+    # partition equality: every c_in maps to exactly one c_f and vice
+    # versa — count label pairs violating either functional dependency
+    viol_a = (
+        both.groupBy("c_in")
+        .agg(F.countDistinct("c_f").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    viol_b = (
+        both.groupBy("c_f")
+        .agg(F.countDistinct("c_in").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    n_vertices = both.count()
+    n_components = both.select("c_in").distinct().count()
+    n_forest_edges = fr.count()
+    err_tree = 0 if n_forest_edges == n_vertices - n_components else 1
+
+    return spark.createDataFrame(
+        [
+            (
+                int(not_subset),
+                int(viol_a + viol_b),
+                int(err_tree),
+            )
+        ],
+        "err_not_subset long, err_not_spanning long, err_not_tree long",
+    )

@@ -1182,6 +1182,30 @@ def q_min_spanning_forest(spark, sf_dir):
     return minimum_spanning_forest(spark, weighted, shuffle_partitions=8)
 
 
+def q_validate_msf(spark, sf_dir):
+    """Spec-style validation of the engine's own spanning forest
+    (subset / spanning-partition / tree checks) — golden all-zero
+    summary, the MSF analog of validate_bfs_summary."""
+    from graph500_spark.operators.mst import (
+        minimum_spanning_forest,
+        validate_msf,
+    )
+
+    clean = clean_mod997_graph(spark, sf_dir)
+    weighted = clean.withColumn("weight", F.expr(SSSP_WEIGHT_EXPR))
+    msf = minimum_spanning_forest(spark, weighted, shuffle_partitions=8)
+    return validate_msf(spark, weighted, msf)
+
+
+def q_event_type_dow_cube(spark, sf_dir):
+    """CUBE over (event_type, weekday) — all four grains in one
+    Expand+agg pass; completes the GROUPING SETS / ROLLUP / CUBE
+    trio."""
+    return windows_mod.event_type_dow_cube(
+        td.load_table(spark, sf_dir, "events")
+    )
+
+
 def q_degree_gini(spark, sf_dir):
     """Gini of the degree distribution — the scalar hub-dominance
     summary; window cumsum runs over distinct degrees only."""
@@ -2402,6 +2426,8 @@ QUERIES: dict[str, QueryFn] = {
     "scd2_history": q_scd2_history,
     "user_event_pivot": q_user_event_pivot,
     "user_event_unpivot": q_user_event_unpivot,
+    "event_type_dow_cube": q_event_type_dow_cube,
+    "validate_msf": q_validate_msf,
     "type_token_ratio": q_type_token_ratio,
     "hapax_stats": q_hapax_stats,
     # --- graph / Graph500 §2 surface ---
@@ -2795,6 +2821,13 @@ ORACLE_SQL: dict[str, str] = {
     "scd2_history": windows_mod.SCD2_HISTORY_SQL,
     "user_event_pivot": windows_mod.USER_EVENT_PIVOT_SQL,
     "user_event_unpivot": windows_mod.USER_EVENT_UNPIVOT_SQL,
+    "event_type_dow_cube": windows_mod.EVENT_TYPE_DOW_CUBE_SQL,
+    # golden: the engine's own MSF must pass all three forest checks
+    "validate_msf": (
+        "SELECT CAST(0 AS BIGINT) AS err_not_subset,"
+        " CAST(0 AS BIGINT) AS err_not_spanning,"
+        " CAST(0 AS BIGINT) AS err_not_tree"
+    ),
     "type_token_ratio": text_mod.TYPE_TOKEN_RATIO_SQL,
     "hapax_stats": text_mod.HAPAX_STATS_SQL,
     "degree_gini": stats_mod.degree_gini_sql(_CLEAN_MOD997),

@@ -914,3 +914,54 @@ USER_EVENT_UNPIVOT_SQL = (
     "SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_events"
     " FROM events GROUP BY user_id, event_type"
 )
+
+
+def event_type_dow_cube(events: DataFrame) -> DataFrame:
+    """CUBE over (event_type, day-of-week): all four grains — per
+    cell, per type, per weekday, grand total — in one Expand+agg pass:
+    [type_grp, dow_grp, n_events, value_sum_c]. Completes the grouping
+    trio (GROUPING SETS: event_rollup; ROLLUP: revenue_rollup).
+
+    Day-of-week is pure integer epoch arithmetic ((day + 3) mod 7,
+    Monday=0 — 1970-01-01 was a Thursday), identical in both engines;
+    value is cents-exact so the sum is an exact integer."""
+    us_sql = event_micros_sql(events)
+    ev = events.select(
+        "event_type",
+        F.expr(f"(({us_sql}) div {DAY_US} + 3) % 7").alias("dow"),
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    return (
+        ev.cube("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_c").alias("value_sum_c"),
+            F.grouping("event_type").alias("g_t"),
+            F.grouping("dow").alias("g_d"),
+        )
+        .select(
+            F.when(F.col("g_t") == 1, F.lit("ALL"))
+            .otherwise(F.col("event_type"))
+            .alias("type_grp"),
+            F.when(F.col("g_d") == 1, F.lit(-1))
+            .otherwise(F.col("dow"))
+            .cast("long")
+            .alias("dow_grp"),
+            "n_events",
+            "value_sum_c",
+        )
+    )
+
+
+EVENT_TYPE_DOW_CUBE_SQL = (
+    "WITH ev AS (SELECT event_type,"
+    f" (epoch_us(ts) // {DAY_US} + 3) % 7 AS dow,"
+    " CAST(round(value * 100) AS BIGINT) AS value_c FROM events)"
+    " SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL'"
+    " ELSE event_type END AS type_grp,"
+    " CAST(CASE WHEN GROUPING(dow) = 1 THEN -1 ELSE dow END AS BIGINT)"
+    " AS dow_grp,"
+    " CAST(COUNT(*) AS BIGINT) AS n_events,"
+    " CAST(SUM(value_c) AS BIGINT) AS value_sum_c"
+    " FROM ev GROUP BY CUBE(event_type, dow)"
+)

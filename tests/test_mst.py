@@ -101,3 +101,59 @@ class TestCrossCheck:
         row = msf_summary(msf).collect()[0]
         assert row.n_edges == len(verts) - comps
         assert row.total_weight == sum(w for _, _, w in picked)
+
+
+class TestValidateMsf:
+    EDGES = [(1, 2, 1), (2, 3, 2), (1, 3, 5), (10, 11, 7)]
+
+    def _edges(self, spark):
+        return spark.createDataFrame(
+            self.EDGES, "src long, dst long, weight long"
+        )
+
+    def test_correct_forest_all_zeros(self, spark):
+        from graph500_spark.operators.mst import (
+            minimum_spanning_forest,
+            validate_msf,
+        )
+
+        edges = self._edges(spark)
+        msf = minimum_spanning_forest(spark, edges)
+        row = validate_msf(spark, edges, msf).collect()[0]
+        assert (row.err_not_subset, row.err_not_spanning,
+                row.err_not_tree) == (0, 0, 0)
+
+    def test_foreign_edge_fires_subset(self, spark):
+        from graph500_spark.operators.mst import validate_msf
+
+        edges = self._edges(spark)
+        fake = spark.createDataFrame(
+            [(1, 2, 1), (2, 3, 2), (10, 11, 99)],  # wrong weight
+            "src long, dst long, weight long",
+        )
+        row = validate_msf(spark, edges, fake).collect()[0]
+        assert row.err_not_subset == 1
+
+    def test_missing_edge_fires_spanning(self, spark):
+        from graph500_spark.operators.mst import validate_msf
+
+        edges = self._edges(spark)
+        partial = spark.createDataFrame(
+            [(1, 2, 1), (2, 3, 2)],  # second component unspanned BUT
+            # its vertices fall back to singleton comps → partition
+            # mismatch (10-11 joined in input, separate in forest)
+            "src long, dst long, weight long",
+        )
+        row = validate_msf(spark, edges, partial).collect()[0]
+        assert row.err_not_spanning > 0
+
+    def test_cycle_fires_tree(self, spark):
+        from graph500_spark.operators.mst import validate_msf
+
+        edges = self._edges(spark)
+        cyclic = spark.createDataFrame(
+            [(1, 2, 1), (2, 3, 2), (1, 3, 5), (10, 11, 7)],  # triangle
+            "src long, dst long, weight long",
+        )
+        row = validate_msf(spark, edges, cyclic).collect()[0]
+        assert row.err_not_tree == 1
