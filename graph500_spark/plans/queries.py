@@ -32,6 +32,7 @@ from graph500_spark.operators import bfs as bfs_mod
 from graph500_spark.operators import components as components_mod
 from graph500_spark.operators import corpus as corpus_mod
 from graph500_spark.operators import dedup as dedup_mod
+from graph500_spark.operators import dq as dq_mod
 from graph500_spark.operators import graph_build as gb
 from graph500_spark.operators import pagerank as pagerank_mod
 from graph500_spark.operators import pregel as pregel_mod
@@ -1180,6 +1181,31 @@ def q_min_spanning_forest(spark, sf_dir):
     clean = clean_mod997_graph(spark, sf_dir)
     weighted = clean.withColumn("weight", F.expr(SSSP_WEIGHT_EXPR))
     return minimum_spanning_forest(spark, weighted, shuffle_partitions=8)
+
+
+def q_fk_integrity(spark, sf_dir):
+    """Referential-integrity audit over the whole FK graph — one LEFT
+    ANTI join per edge, broadcast parents; clean warehouse ⇒ zero
+    orphans per row (value-checked)."""
+    from graph500_spark.operators import dq
+
+    return dq.fk_integrity(td.load_tables(spark, sf_dir))
+
+
+def q_pk_uniqueness(spark, sf_dir):
+    """Primary-key audit: rows / distinct / duplicate-key counts per
+    table in one aggregate pass each."""
+    from graph500_spark.operators import dq
+
+    return dq.pk_uniqueness(td.load_tables(spark, sf_dir))
+
+
+def q_events_completeness(spark, sf_dir):
+    """Null-rate audit of the events table — all columns counted in a
+    SINGLE aggregate pass (never one job per column)."""
+    from graph500_spark.operators import dq
+
+    return dq.completeness(td.load_table(spark, sf_dir, "events"), "events")
 
 
 def q_validate_msf(spark, sf_dir):
@@ -2428,6 +2454,9 @@ QUERIES: dict[str, QueryFn] = {
     "user_event_unpivot": q_user_event_unpivot,
     "event_type_dow_cube": q_event_type_dow_cube,
     "validate_msf": q_validate_msf,
+    "fk_integrity": q_fk_integrity,
+    "pk_uniqueness": q_pk_uniqueness,
+    "events_completeness": q_events_completeness,
     "type_token_ratio": q_type_token_ratio,
     "hapax_stats": q_hapax_stats,
     # --- graph / Graph500 §2 surface ---
@@ -2822,6 +2851,12 @@ ORACLE_SQL: dict[str, str] = {
     "user_event_pivot": windows_mod.USER_EVENT_PIVOT_SQL,
     "user_event_unpivot": windows_mod.USER_EVENT_UNPIVOT_SQL,
     "event_type_dow_cube": windows_mod.EVENT_TYPE_DOW_CUBE_SQL,
+    "fk_integrity": dq_mod.fk_integrity_sql(),
+    "pk_uniqueness": dq_mod.pk_uniqueness_sql(),
+    "events_completeness": dq_mod.completeness_sql(
+        "events", ["event_id", "ts", "user_id", "event_type", "value",
+                   "props"]
+    ),
     # golden: the engine's own MSF must pass all three forest checks
     "validate_msf": (
         "SELECT CAST(0 AS BIGINT) AS err_not_subset,"
