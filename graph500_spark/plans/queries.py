@@ -48,6 +48,7 @@ from graph500_spark.operators import text as text_mod
 from graph500_spark.operators import traindata as traindata_mod
 from graph500_spark.operators import validate as V
 from graph500_spark.sources import generator
+from graph500_spark.sources import layout as layout_mod
 from graph500_spark.sources import testdata as td
 
 # ---------------------------------------------------------------------------
@@ -1181,6 +1182,18 @@ def q_min_spanning_forest(spark, sf_dir):
     clean = clean_mod997_graph(spark, sf_dir)
     weighted = clean.withColumn("weight", F.expr(SSSP_WEIGHT_EXPR))
     return minimum_spanning_forest(spark, weighted, shuffle_partitions=8)
+
+
+def q_zorder_keys(spark, sf_dir):
+    """Morton (Z-order) clustering keys over (user_id, event_id) —
+    the multi-column data-skipping layout key; pure bit algebra,
+    identical spelling in both engines (sources/layout.py)."""
+    from graph500_spark.sources.layout import morton_key
+
+    ev = td.load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", morton_key("user_id", "event_id").alias("z")
+    )
 
 
 def q_fk_integrity(spark, sf_dir):
@@ -2456,6 +2469,7 @@ QUERIES: dict[str, QueryFn] = {
     "validate_msf": q_validate_msf,
     "fk_integrity": q_fk_integrity,
     "pk_uniqueness": q_pk_uniqueness,
+    "zorder_keys": q_zorder_keys,
     "events_completeness": q_events_completeness,
     "type_token_ratio": q_type_token_ratio,
     "hapax_stats": q_hapax_stats,
@@ -2851,6 +2865,13 @@ ORACLE_SQL: dict[str, str] = {
     "user_event_pivot": windows_mod.USER_EVENT_PIVOT_SQL,
     "user_event_unpivot": windows_mod.USER_EVENT_UNPIVOT_SQL,
     "event_type_dow_cube": windows_mod.EVENT_TYPE_DOW_CUBE_SQL,
+    "zorder_keys": (
+        "SELECT event_id, "
+        + layout_mod.morton_key_sql(
+            "CAST(user_id AS BIGINT)", "CAST(event_id AS BIGINT)"
+        )
+        + " AS z FROM events"
+    ),
     "fk_integrity": dq_mod.fk_integrity_sql(),
     "pk_uniqueness": dq_mod.pk_uniqueness_sql(),
     "events_completeness": dq_mod.completeness_sql(
