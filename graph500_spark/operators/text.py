@@ -910,3 +910,38 @@ HAPAX_STATS_SQL = (
     " / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_ratio"
     " FROM counts"
 )
+
+
+def dedup_doc_lines(docs: DataFrame) -> DataFrame:
+    """Consecutive-duplicate-line removal — the boilerplate-collapse
+    cleaning stage (repeated headers/footers/menu lines): [doc_id,
+    clean_text, n_lines, n_removed]. Exact, order-preserving, and
+    purely per-row: an index-aware array filter inside one projection
+    — no shuffle, no UDF, scales as a map-only stage.
+
+    Spark's two-arg lambda (x, i) uses 0-based indexes; DuckDB's
+    mirror is a list comprehension over 1-based range — both keep
+    line i iff i is first or line[i] != line[i-1]."""
+    lines = F.split(F.col("text"), "\n")
+    kept = F.expr(
+        "filter(split(text, '\\n'),"
+        " (x, i) -> i = 0 OR x != split(text, '\\n')[i-1])"
+    )
+    return docs.select(
+        "doc_id",
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        (F.size(lines) - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
+DEDUP_DOC_LINES_SQL = (
+    "WITH l AS (SELECT doc_id, string_split(text, chr(10)) AS ls"
+    " FROM documents),"
+    " k AS (SELECT doc_id, ls,"
+    " [ls[i] FOR i IN range(1, len(ls) + 1)"
+    " IF i = 1 OR ls[i] <> ls[i-1]] AS kept FROM l)"
+    " SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,"
+    " CAST(len(ls) AS BIGINT) AS n_lines,"
+    " CAST(len(ls) - len(kept) AS BIGINT) AS n_removed FROM k"
+)

@@ -1184,6 +1184,12 @@ def q_min_spanning_forest(spark, sf_dir):
     return minimum_spanning_forest(spark, weighted, shuffle_partitions=8)
 
 
+def q_dedup_doc_lines(spark, sf_dir):
+    """Boilerplate collapse: consecutive-duplicate-line removal per
+    document — map-only index-aware array filter, no UDF."""
+    return text_mod.dedup_doc_lines(_docs(spark, sf_dir))
+
+
 def q_zorder_keys(spark, sf_dir):
     """Morton (Z-order) clustering keys over (user_id, event_id) —
     the multi-column data-skipping layout key; pure bit algebra,
@@ -2470,6 +2476,7 @@ QUERIES: dict[str, QueryFn] = {
     "fk_integrity": q_fk_integrity,
     "pk_uniqueness": q_pk_uniqueness,
     "zorder_keys": q_zorder_keys,
+    "dedup_doc_lines": q_dedup_doc_lines,
     "events_completeness": q_events_completeness,
     "type_token_ratio": q_type_token_ratio,
     "hapax_stats": q_hapax_stats,
@@ -2872,6 +2879,7 @@ ORACLE_SQL: dict[str, str] = {
         )
         + " AS z FROM events"
     ),
+    "dedup_doc_lines": text_mod.DEDUP_DOC_LINES_SQL,
     "fk_integrity": dq_mod.fk_integrity_sql(),
     "pk_uniqueness": dq_mod.pk_uniqueness_sql(),
     "events_completeness": dq_mod.completeness_sql(

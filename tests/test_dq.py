@@ -77,3 +77,23 @@ class TestCompleteness:
             for r in completeness(df, "t").collect()
         }
         assert out == {"x": (3, 1), "y": (3, 2)}
+
+
+class TestDedupDocLines:
+    def test_consecutive_runs_collapse(self, spark):
+        from graph500_spark.operators.text import dedup_doc_lines
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a\na\nb\nb\nb\na", "en", "s", 12),
+                (2, "x", "en", "s", 1),
+                (3, "", "en", "s", 0),
+            ],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+        out = {r.doc_id: r for r in dedup_doc_lines(docs).collect()}
+        assert out[1].clean_text == "a\nb\na"
+        assert (out[1].n_lines, out[1].n_removed) == (6, 3)
+        assert out[2].clean_text == "x" and out[2].n_removed == 0
+        assert out[3].clean_text == "" and out[3].n_lines == 1
