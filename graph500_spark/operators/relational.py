@@ -1070,3 +1070,99 @@ def revenue_rollup_sql() -> str:
         " CAST(COUNT(*) AS BIGINT) AS n_lines"
         " FROM j GROUP BY ROLLUP(n_name, o_year)"
     )
+
+
+# ---------------------------------------------------------------------------
+# lineitem_correlations — pairwise Pearson from exact integer moments
+# ---------------------------------------------------------------------------
+
+
+def lineitem_correlations(lineitem: DataFrame) -> DataFrame:
+    """Pairwise Pearson correlations over (quantity, price, discount):
+    [pair, corr] — the numeric-profiling staple.
+
+    Engineering: all ten moment sums (n, Σx, Σxy, Σx² for each pair)
+    are EXACT integer aggregates in one pass; each correlation is then
+    a single closed-form double expression over those integers —
+    deterministic cross-engine because the operands are identical
+    exact integers (same discipline as degree_assortativity). Price
+    is quantized to whole dollars (price_c div 100) so Σp² stays in
+    int64 headroom: 1.1e5² · 6e5 rows ≈ 7e15 at sf0.1; rescale the
+    quantization, not the algorithm, for bigger row counts."""
+    li = lineitem.select(
+        F.round("l_quantity").cast("long").alias("q"),
+        # integer div, NOT float /100: a float quotient that lands a
+        # hair under an exact integer would truncate differently than
+        # DuckDB's integer //
+        F.expr(
+            "cast(round(l_extendedprice * 100) as bigint) div 100"
+        ).alias("p"),
+        _pct("l_discount").alias("d"),
+    )
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum("p").alias("sp"),
+        F.sum("d").alias("sd"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum(F.col("p") * F.col("p")).alias("spp"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum(F.col("q") * F.col("p")).alias("sqp"),
+        F.sum(F.col("q") * F.col("d")).alias("sqd"),
+        F.sum(F.col("p") * F.col("d")).alias("spd"),
+    )
+
+    # the closed forms run in DOUBLE: n·Σx² exceeds int64 at sf0.1
+    # (1.4e19), and IEEE arithmetic over identical exact-integer
+    # operands is deterministic cross-engine — the same discipline as
+    # degree_assortativity's final expression
+    def corr(sxy, sx, sy, sxx, syy):
+        def d(x):
+            return f"cast({x} as double)"
+
+        return (
+            f"round(({d('n')} * {d(sxy)} - {d(sx)} * {d(sy)}) /"
+            f" (sqrt({d('n')} * {d(sxx)} - {d(sx)} * {d(sx)})"
+            f" * sqrt({d('n')} * {d(syy)} - {d(sy)} * {d(sy)})), 6)"
+        )
+
+    return m.selectExpr(
+        f"stack(3,"
+        f" 'qty_price', {corr('sqp', 'sq', 'sp', 'sqq', 'spp')},"
+        f" 'qty_disc', {corr('sqd', 'sq', 'sd', 'sqq', 'sdd')},"
+        f" 'price_disc', {corr('spd', 'sp', 'sd', 'spp', 'sdd')})"
+        " AS (pair, corr)"
+    )
+
+
+def lineitem_correlations_sql() -> str:
+    def corr(sxy, sx, sy, sxx, syy):
+        def d(x):
+            return f"CAST({x} AS DOUBLE)"
+
+        return (
+            f"round(({d('n')} * {d(sxy)} - {d(sx)} * {d(sy)}) /"
+            f" (sqrt({d('n')} * {d(sxx)} - {d(sx)} * {d(sx)})"
+            f" * sqrt({d('n')} * {d(syy)} - {d(sy)} * {d(sy)})), 6)"
+        )
+
+    return (
+        "WITH li AS (SELECT CAST(round(l_quantity) AS BIGINT) AS q,"
+        f" {_cents_sql('l_extendedprice')} // 100 AS p,"
+        f" {_cents_sql('l_discount')} AS d FROM lineitem),"
+        " m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,"
+        " CAST(SUM(q) AS BIGINT) AS sq, CAST(SUM(p) AS BIGINT) AS sp,"
+        " CAST(SUM(d) AS BIGINT) AS sd,"
+        " CAST(SUM(q * q) AS BIGINT) AS sqq,"
+        " CAST(SUM(p * p) AS BIGINT) AS spp,"
+        " CAST(SUM(d * d) AS BIGINT) AS sdd,"
+        " CAST(SUM(q * p) AS BIGINT) AS sqp,"
+        " CAST(SUM(q * d) AS BIGINT) AS sqd,"
+        " CAST(SUM(p * d) AS BIGINT) AS spd FROM li)"
+        " SELECT 'qty_price' AS pair,"
+        f" {corr('sqp', 'sq', 'sp', 'sqq', 'spp')} AS corr FROM m"
+        " UNION ALL SELECT 'qty_disc',"
+        f" {corr('sqd', 'sq', 'sd', 'sqq', 'sdd')} FROM m"
+        " UNION ALL SELECT 'price_disc',"
+        f" {corr('spd', 'sp', 'sd', 'spp', 'sdd')} FROM m"
+    )

@@ -1184,6 +1184,30 @@ def q_min_spanning_forest(spark, sf_dir):
     return minimum_spanning_forest(spark, weighted, shuffle_partitions=8)
 
 
+def q_event_value_histogram(spark, sf_dir):
+    """Equi-width value histogram with data-dependent edges — 1-row
+    min/max broadcast + one hash aggregate; integer binning."""
+    return windows_mod.event_value_histogram(
+        td.load_table(spark, sf_dir, "events")
+    )
+
+
+def q_funnel_windowed(spark, sf_dir):
+    """Time-bounded funnel (each stage within 7 days of the previous
+    stage's first event) — staged per-user conditional minima."""
+    return windows_mod.funnel_windowed(
+        td.load_table(spark, sf_dir, "events")
+    )
+
+
+def q_lineitem_correlations(spark, sf_dir):
+    """Pairwise Pearson over (qty, price, discount) from exact
+    integer moment sums — one scan, three closed-form expressions."""
+    return rel_mod.lineitem_correlations(
+        td.load_table(spark, sf_dir, "lineitem")
+    )
+
+
 def q_dedup_doc_lines(spark, sf_dir):
     """Boilerplate collapse: consecutive-duplicate-line removal per
     document — map-only index-aware array filter, no UDF."""
@@ -2477,6 +2501,9 @@ QUERIES: dict[str, QueryFn] = {
     "pk_uniqueness": q_pk_uniqueness,
     "zorder_keys": q_zorder_keys,
     "dedup_doc_lines": q_dedup_doc_lines,
+    "event_value_histogram": q_event_value_histogram,
+    "funnel_windowed": q_funnel_windowed,
+    "lineitem_correlations": q_lineitem_correlations,
     "events_completeness": q_events_completeness,
     "type_token_ratio": q_type_token_ratio,
     "hapax_stats": q_hapax_stats,
@@ -2880,6 +2907,9 @@ ORACLE_SQL: dict[str, str] = {
         + " AS z FROM events"
     ),
     "dedup_doc_lines": text_mod.DEDUP_DOC_LINES_SQL,
+    "event_value_histogram": windows_mod.event_value_histogram_sql(),
+    "funnel_windowed": windows_mod.funnel_windowed_sql(),
+    "lineitem_correlations": rel_mod.lineitem_correlations_sql(),
     "fk_integrity": dq_mod.fk_integrity_sql(),
     "pk_uniqueness": dq_mod.pk_uniqueness_sql(),
     "events_completeness": dq_mod.completeness_sql(

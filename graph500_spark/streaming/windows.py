@@ -965,3 +965,114 @@ EVENT_TYPE_DOW_CUBE_SQL = (
     " CAST(SUM(value_c) AS BIGINT) AS value_sum_c"
     " FROM ev GROUP BY CUBE(event_type, dow)"
 )
+
+
+HIST_BINS = 20
+
+
+def event_value_histogram(events: DataFrame, bins: int = HIST_BINS) -> DataFrame:
+    """Equi-width histogram of event values: [bin, n_events] over
+    ``bins`` buckets between the global min and max — the
+    data-dependent binning shape (bin edges come from the data, not
+    the caller).
+
+    Exactness: values are cents-exact; the bin index is pure integer
+    arithmetic ((v - min) · bins div (max - min + 1)), so bucketing
+    is identical cross-engine. Plan: one 1-row min/max aggregate
+    broadcast onto the scan, then one hash aggregate — two passes
+    total, the unavoidable minimum for data-dependent edges."""
+    ev = events.select(
+        F.round(F.col("value") * 100).cast("long").alias("v_c")
+    )
+    bounds = ev.agg(
+        F.min("v_c").alias("mn"), F.max("v_c").alias("mx")
+    )
+    binned = ev.join(F.broadcast(bounds)).select(
+        F.expr(
+            f"(v_c - mn) * {bins} div (mx - mn + 1)"
+        ).alias("bin")
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+def event_value_histogram_sql(bins: int = HIST_BINS) -> str:
+    return (
+        "WITH ev AS (SELECT CAST(round(value * 100) AS BIGINT) AS v_c"
+        " FROM events),"
+        " b AS (SELECT MIN(v_c) AS mn, MAX(v_c) AS mx FROM ev)"
+        f" SELECT (v_c - mn) * {bins} // (mx - mn + 1) AS bin,"
+        " CAST(COUNT(*) AS BIGINT) AS n_events"
+        " FROM ev, b GROUP BY 1"
+    )
+
+
+FUNNEL_WINDOW_US = 7 * 86_400_000_000
+
+
+def funnel_windowed(
+    events: DataFrame, window_us: int = FUNNEL_WINDOW_US
+) -> DataFrame:
+    """Time-bounded funnel: users whose first view is followed by a
+    click within ``window_us``, then a purchase within ``window_us``
+    of that click: one row [n_view, n_click_7d, n_purchase_7d].
+
+    Unlike the unbounded funnel (funnel_counts), each later stage must
+    land inside a window anchored at the PREVIOUS stage's event — so
+    stage timestamps are computed in sequence: three per-user
+    conditional aggregates, each joined back as a broadcast of
+    per-user scalars (bounded by |users|, not |events|)."""
+    ev = events.select(
+        "user_id",
+        "event_type",
+        event_micros(events, "ts").alias("ts_us"),
+    )
+    fv = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts_us").alias("view_us")
+    )
+    fc = (
+        ev.filter(F.col("event_type") == "click")
+        .join(fv, "user_id")
+        .filter(
+            (F.col("ts_us") > F.col("view_us"))
+            & (F.col("ts_us") <= F.col("view_us") + F.lit(window_us))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("click_us"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fc, "user_id")
+        .filter(
+            (F.col("ts_us") > F.col("click_us"))
+            & (F.col("ts_us") <= F.col("click_us") + F.lit(window_us))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("purchase_us"))
+    )
+    return (
+        fv.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(fc.agg(F.count(F.lit(1)).alias("n_click_7d")))
+        .crossJoin(fp.agg(F.count(F.lit(1)).alias("n_purchase_7d")))
+    )
+
+
+def funnel_windowed_sql(window_us: int = FUNNEL_WINDOW_US) -> str:
+    return (
+        "WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us"
+        " FROM events),"
+        " fv AS (SELECT user_id, MIN(ts_us) AS view_us FROM ev"
+        " WHERE event_type = 'view' GROUP BY user_id),"
+        " fc AS (SELECT e.user_id, MIN(ts_us) AS click_us FROM ev e"
+        " JOIN fv USING (user_id)"
+        " WHERE event_type = 'click' AND ts_us > view_us"
+        f" AND ts_us <= view_us + {window_us} GROUP BY e.user_id),"
+        " fp AS (SELECT e.user_id, MIN(ts_us) AS purchase_us FROM ev e"
+        " JOIN fc USING (user_id)"
+        " WHERE event_type = 'purchase' AND ts_us > click_us"
+        f" AND ts_us <= click_us + {window_us} GROUP BY e.user_id)"
+        " SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM fv) AS n_view,"
+        " (SELECT CAST(COUNT(*) AS BIGINT) FROM fc) AS n_click_7d,"
+        " (SELECT CAST(COUNT(*) AS BIGINT) FROM fp) AS n_purchase_7d"
+    )

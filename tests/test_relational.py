@@ -569,3 +569,80 @@ class TestUserEventPivot:
             (1, "view", 1),
             (2, "error", 1),
         ]
+
+
+class TestEventValueHistogram:
+    EV = (
+        "event_id long, ts long, user_id long, event_type string,"
+        " value double, props string"
+    )
+
+    def test_bins_and_edges(self, spark):
+        from graph500_spark.streaming.windows import event_value_histogram
+
+        # values 0.00 .. 1.99 → v_c in [0, 199]; 20 bins of width 10
+        ev = spark.createDataFrame(
+            [(i, 0, 1, "view", i / 100.0, "") for i in range(200)],
+            self.EV,
+        )
+        out = {r.bin: r.n_events
+               for r in event_value_histogram(ev).collect()}
+        assert len(out) == 20 and all(v == 10 for v in out.values())
+
+    def test_max_value_lands_in_last_bin(self, spark):
+        from graph500_spark.streaming.windows import event_value_histogram
+
+        ev = spark.createDataFrame(
+            [(1, 0, 1, "view", 0.0, ""), (2, 0, 1, "view", 5.0, "")],
+            self.EV,
+        )
+        out = {r.bin: r.n_events
+               for r in event_value_histogram(ev).collect()}
+        assert out == {0: 1, 19: 1}  # max is inside bin 19, not 20
+
+
+class TestFunnelWindowed:
+    EV = (
+        "event_id long, ts long, user_id long, event_type string,"
+        " value double, props string"
+    )
+
+    def test_window_anchoring(self, spark):
+        from graph500_spark.streaming.windows import funnel_windowed
+
+        day_ns = 86_400_000_000 * 1000
+        rows = [
+            # user 1: view, click +2d, purchase +3d after click → full
+            (1, 0 * day_ns, 1, "view", 0.0, ""),
+            (2, 2 * day_ns, 1, "click", 0.0, ""),
+            (3, 5 * day_ns, 1, "purchase", 0.0, ""),
+            # user 2: click 8d after view → outside the 7d window
+            (4, 0 * day_ns, 2, "view", 0.0, ""),
+            (5, 8 * day_ns, 2, "click", 0.0, ""),
+            # user 3: purchase BEFORE the click → not counted
+            (6, 0 * day_ns, 3, "view", 0.0, ""),
+            (7, 1 * day_ns, 3, "purchase", 0.0, ""),
+            (8, 2 * day_ns, 3, "click", 0.0, ""),
+        ]
+        ev = spark.createDataFrame(rows, self.EV)
+        row = funnel_windowed(ev).collect()[0]
+        assert (row.n_view, row.n_click_7d, row.n_purchase_7d) == (3, 2, 1)
+
+
+class TestLineitemCorrelations:
+    def test_known_correlations(self, spark):
+        from graph500_spark.operators.relational import (
+            lineitem_correlations,
+        )
+
+        # qty perfectly correlates with price (p = 2q dollars),
+        # discount is anti-correlated with qty
+        rows = [
+            li_row(i, 1, 0, q, 2.0 * q, (5 - q) / 100.0, 0.0)
+            for i, q in enumerate([1, 2, 3, 4])
+        ]
+        li = spark.createDataFrame(rows, LI_SCHEMA)
+        out = {r.pair: r.corr for r in lineitem_correlations(li).collect()}
+        assert out["qty_price"] == 1.0
+        assert out["qty_disc"] == -1.0
+        assert out["price_disc"] == -1.0
