@@ -1220,3 +1220,99 @@ def prototype_predict_sql(query_filter: str = "vec_id % 50 = 0") -> str:
         " SELECT query_id, true_label, cand_label AS predicted_label,"
         " cosine FROM ranked WHERE rn = 1"
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA precursor: the exact Gram/moment accumulator
+# ---------------------------------------------------------------------------
+
+
+def embedding_moments(embeddings: DataFrame) -> DataFrame:
+    """The distributed half of PCA: exact integer moment accumulators
+    [dim_i, dim_j, n, sum_i, sum_j, sum_ij] for every dimension pair
+    i <= j (64 dims → 2080 rows). The driver-side eigen step
+    (pca_components) consumes this bounded table; nothing float
+    leaves the cluster, so the accumulator sits under the
+    cross-engine hash gate exactly like kmeans_cells.
+
+    Plan: double posexplode + upper-triangle self-join per vector,
+    then ONE hash aggregate on (i, j) — map-side partials collapse
+    each partition to ≤2080 rows before the shuffle (the classic
+    distributed Gram-matrix shape). Values quantized at 1e6 like the
+    k-means tier: sum_ij ≤ (5.3e5)²·N — int64-safe to ~3e7 vectors;
+    rescale the quantization for more."""
+    q = F.expr(
+        f"transform(embedding, x -> cast(round(x * {KMEANS_SCALE}.0)"
+        " as bigint))"
+    )
+    e = embeddings.select("vec_id", q.alias("qv"))
+    a = e.select(
+        "vec_id", F.posexplode("qv").alias("dim_i", "x_i")
+    )
+    b = e.select(
+        "vec_id", F.posexplode("qv").alias("dim_j", "x_j")
+    )
+    pairs = a.join(b, "vec_id").filter(F.col("dim_j") >= F.col("dim_i"))
+    return (
+        pairs.groupBy(
+            F.col("dim_i").cast("long").alias("dim_i"),
+            F.col("dim_j").cast("long").alias("dim_j"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x_i").alias("sum_i"),
+            F.sum("x_j").alias("sum_j"),
+            F.sum(F.col("x_i") * F.col("x_j")).alias("sum_ij"),
+        )
+    )
+
+
+def embedding_moments_sql() -> str:
+    return (
+        # CAST to DOUBLE[] first: multiplying the raw FLOAT column by
+        # the literal runs in float32 in DuckDB and rounds half-cases
+        # differently than Spark's widened double (same fix as the
+        # kmeans oracle)
+        "WITH e AS (SELECT vec_id,"
+        " list_transform(CAST(embedding AS DOUBLE[]),"
+        f" x -> CAST(round(x * {KMEANS_SCALE}.0)"
+        " AS BIGINT)) AS qv FROM embeddings),"
+        " ex AS (SELECT vec_id,"
+        " unnest(range(1, len(qv) + 1)) - 1 AS dim,"
+        " unnest(qv) AS x FROM e)"
+        " SELECT CAST(a.dim AS BIGINT) AS dim_i,"
+        " CAST(b.dim AS BIGINT) AS dim_j,"
+        " CAST(COUNT(*) AS BIGINT) AS n,"
+        " CAST(SUM(a.x) AS BIGINT) AS sum_i,"
+        " CAST(SUM(b.x) AS BIGINT) AS sum_j,"
+        " CAST(SUM(a.x * b.x) AS BIGINT) AS sum_ij"
+        " FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.dim >= a.dim"
+        " GROUP BY 1, 2"
+    )
+
+
+def pca_components(moments_rows, n_components: int = 2):
+    """Driver-side finish of the PCA: build the exact covariance from
+    the bounded moment table (2080 rows for 64 dims — O(d²), never
+    O(rows)) and return the top eigenvectors. numpy is fine here: the
+    input is exact and tiny; only the distributed accumulator needs
+    cross-engine determinism."""
+    import numpy as np
+
+    d = max(int(r["dim_j"]) for r in moments_rows) + 1
+    n = int(moments_rows[0]["n"] and next(
+        int(r["n"]) for r in moments_rows if r["dim_i"] == 0
+        and r["dim_j"] == 0
+    ))
+    mean = np.zeros(d)
+    cov = np.zeros((d, d))
+    for r in moments_rows:
+        if r["dim_i"] == r["dim_j"]:
+            mean[int(r["dim_i"])] = r["sum_i"] / n
+    for r in moments_rows:
+        i, j = int(r["dim_i"]), int(r["dim_j"])
+        c = r["sum_ij"] / n - mean[i] * mean[j]
+        cov[i, j] = cov[j, i] = c
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:n_components]
+    return vals[order], vecs[:, order]

@@ -1184,6 +1184,13 @@ def q_min_spanning_forest(spark, sf_dir):
     return minimum_spanning_forest(spark, weighted, shuffle_partitions=8)
 
 
+def q_embedding_moments(spark, sf_dir):
+    """Distributed PCA precursor: exact integer (i, j) moment
+    accumulators over the embedding dims — the bounded table the
+    driver-side eigen step consumes."""
+    return simsearch_mod.embedding_moments(_embs(spark, sf_dir))
+
+
 def q_event_value_histogram(spark, sf_dir):
     """Equi-width value histogram with data-dependent edges — 1-row
     min/max broadcast + one hash aggregate; integer binning."""
@@ -2501,6 +2508,7 @@ QUERIES: dict[str, QueryFn] = {
     "pk_uniqueness": q_pk_uniqueness,
     "zorder_keys": q_zorder_keys,
     "dedup_doc_lines": q_dedup_doc_lines,
+    "embedding_moments": q_embedding_moments,
     "event_value_histogram": q_event_value_histogram,
     "funnel_windowed": q_funnel_windowed,
     "lineitem_correlations": q_lineitem_correlations,
@@ -2907,6 +2915,7 @@ ORACLE_SQL: dict[str, str] = {
         + " AS z FROM events"
     ),
     "dedup_doc_lines": text_mod.DEDUP_DOC_LINES_SQL,
+    "embedding_moments": simsearch_mod.embedding_moments_sql(),
     "event_value_histogram": windows_mod.event_value_histogram_sql(),
     "funnel_windowed": windows_mod.funnel_windowed_sql(),
     "lineitem_correlations": rel_mod.lineitem_correlations_sql(),

@@ -646,3 +646,35 @@ class TestLineitemCorrelations:
         assert out["qty_price"] == 1.0
         assert out["qty_disc"] == -1.0
         assert out["price_disc"] == -1.0
+
+
+class TestEmbeddingMoments:
+    def test_moments_and_pca_finish(self, spark):
+        from graph500_spark.operators.simsearch import (
+            KMEANS_SCALE,
+            embedding_moments,
+            pca_components,
+        )
+
+        # 2-dim toy "embeddings": y = 2x exactly → first PC along
+        # (1, 2)/sqrt(5), second eigenvalue ~0
+        rows = [(i, [i / 10.0, 2 * i / 10.0], 0) for i in range(-5, 6)]
+        embs = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        m = embedding_moments(embs).collect()
+        by = {(r.dim_i, r.dim_j): r for r in m}
+        assert set(by) == {(0, 0), (0, 1), (1, 1)}
+        s = KMEANS_SCALE // 10
+        assert by[(0, 0)].n == 11
+        assert by[(0, 0)].sum_i == 0                     # symmetric range
+        assert by[(0, 0)].sum_ij == 110 * s * s          # Σ i² = 110
+        assert by[(0, 1)].sum_ij == 220 * s * s
+        assert by[(1, 1)].sum_ij == 440 * s * s
+
+        vals, vecs = pca_components(
+            [r.asDict() for r in m], n_components=2
+        )
+        assert vals[0] > 0 and abs(vals[1]) < 1e-6 * vals[0]
+        v = vecs[:, 0]
+        assert abs(abs(v[1] / v[0]) - 2.0) < 1e-9        # direction (1,2)
