@@ -235,3 +235,31 @@ def read_partitioned(
     """Read a partitioned layout; the partition column comes back as a
     real column recovered from the directory names."""
     return spark.read.format(format).load(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+) -> None:
+    """Generalized bucketed persist (the edge writer's relational
+    twin): bucket any table by its join key so co-bucketed fact-fact
+    joins (orders ⋈ lineitem on orderkey at 100 TB) run with ZERO
+    exchange on either side — the metastore carries the hash
+    partitioning across jobs."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    path = jvm.org.apache.hadoop.fs.Path(warehouse, table.lower())
+    fs = path.getFileSystem(jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
+    (
+        df.write.mode("overwrite")
+        .bucketBy(num_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table, format="parquet")
+    )
