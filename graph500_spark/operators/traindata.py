@@ -917,3 +917,40 @@ def tfidf_cosine_pairs_sql(threshold: float = 0.5) -> str:
         f" WHERE ROUND(dot / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(nb.n2)), 5)"
         f" >= {threshold}"
     )
+
+
+CAP_PER_SOURCE = 50
+
+
+def cap_per_source(docs: DataFrame, cap: int = CAP_PER_SOURCE) -> DataFrame:
+    """Per-source quota enforcement (dataset-curation staple: no
+    single crawl may dominate the mix): keep at most ``cap`` docs per
+    source, selected DETERMINISTICALLY by the stable split hash with
+    doc_id as the total-order tie-break — so the kept set is
+    reproducible, append-stable for the survivors, and unbiased by
+    ingestion order. Output: [doc_id, source, rk].
+
+    Plan: one window partitioned by source under the (hash, doc_id)
+    order — per-source state only; never a global sort. At 100 TB a
+    hot source's partition is bounded by AQE skew splitting ahead of
+    the window's own source-keyed exchange."""
+    h = (
+        (F.col("doc_id") + F.lit(QW_SAMPLE_SALT)) * F.lit(SPLIT_HASH_K)
+    ) % F.lit(SPLIT_HASH_MOD)
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= cap)
+    )
+
+
+def cap_per_source_sql(cap: int = CAP_PER_SOURCE) -> str:
+    h = f"(doc_id + {QW_SAMPLE_SALT}) * {SPLIT_HASH_K} % {SPLIT_HASH_MOD}"
+    return (
+        "SELECT doc_id, source, rk FROM ("
+        " SELECT doc_id, source, CAST(ROW_NUMBER() OVER ("
+        f" PARTITION BY source ORDER BY {h}, doc_id) AS BIGINT) AS rk"
+        " FROM documents)"
+        f" WHERE rk <= {cap}"
+    )

@@ -1184,6 +1184,20 @@ def q_min_spanning_forest(spark, sf_dir):
     return minimum_spanning_forest(spark, weighted, shuffle_partitions=8)
 
 
+def q_cap_per_source(spark, sf_dir):
+    """Per-source quota enforcement — deterministic hash-ordered
+    row_number cap; per-source window state only."""
+    return traindata_mod.cap_per_source(_docs(spark, sf_dir))
+
+
+def q_event_anomalies_robust(spark, sf_dir):
+    """Median/MAD robust outliers — exact interpolated percentiles on
+    cents, cross-multiplied threshold."""
+    return windows_mod.event_anomalies_robust(
+        td.load_table(spark, sf_dir, "events")
+    )
+
+
 def q_embedding_moments(spark, sf_dir):
     """Distributed PCA precursor: exact integer (i, j) moment
     accumulators over the embedding dims — the bounded table the
@@ -2508,6 +2522,8 @@ QUERIES: dict[str, QueryFn] = {
     "pk_uniqueness": q_pk_uniqueness,
     "zorder_keys": q_zorder_keys,
     "dedup_doc_lines": q_dedup_doc_lines,
+    "cap_per_source": q_cap_per_source,
+    "event_anomalies_robust": q_event_anomalies_robust,
     "embedding_moments": q_embedding_moments,
     "event_value_histogram": q_event_value_histogram,
     "funnel_windowed": q_funnel_windowed,
@@ -2915,6 +2931,8 @@ ORACLE_SQL: dict[str, str] = {
         + " AS z FROM events"
     ),
     "dedup_doc_lines": text_mod.DEDUP_DOC_LINES_SQL,
+    "cap_per_source": traindata_mod.cap_per_source_sql(),
+    "event_anomalies_robust": windows_mod.event_anomalies_robust_sql(),
     "embedding_moments": simsearch_mod.embedding_moments_sql(),
     "event_value_histogram": windows_mod.event_value_histogram_sql(),
     "funnel_windowed": windows_mod.funnel_windowed_sql(),

@@ -1076,3 +1076,55 @@ def funnel_windowed_sql(window_us: int = FUNNEL_WINDOW_US) -> str:
         " (SELECT CAST(COUNT(*) AS BIGINT) FROM fc) AS n_click_7d,"
         " (SELECT CAST(COUNT(*) AS BIGINT) FROM fp) AS n_purchase_7d"
     )
+
+
+def event_anomalies_robust(
+    events: DataFrame, k: float = 3.5
+) -> DataFrame:
+    """Robust outliers: [event_id, event_type, value] where
+    |value − median| > k · MAD per event type — the
+    median/median-absolute-deviation detector that, unlike the
+    z-score variant (event_anomalies), is not dragged by the
+    outliers it is hunting.
+
+    Exactness: values are cents-exact; median and MAD are exact
+    interpolated percentiles over integers (the event_value_quantiles
+    parity surface), and the threshold test cross-multiplies to avoid
+    any division. Plan: two grouped percentile passes (the second
+    needs |v − median|, which needs the first) broadcast back — the
+    unavoidable two-pass structure of MAD."""
+    ev = events.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v_c"),
+        "value",
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(v_c, 0.5)").alias("med_c")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev_c", F.abs(F.col("v_c") - F.col("med_c"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev_c, 0.5)").alias("mad_c")
+    )
+    out = dev.join(F.broadcast(mad), "event_type").filter(
+        F.col("adev_c") > F.lit(k) * F.col("mad_c")
+    )
+    return out.select("event_id", "event_type", "value")
+
+
+def event_anomalies_robust_sql(k: float = 3.5) -> str:
+    return (
+        "WITH ev AS (SELECT event_id, event_type,"
+        " CAST(round(value * 100) AS BIGINT) AS v_c, value FROM events),"
+        " med AS (SELECT event_type,"
+        " quantile_cont(v_c, 0.5) AS med_c FROM ev GROUP BY event_type),"
+        " dev AS (SELECT ev.*, ABS(v_c - med_c) AS adev_c"
+        " FROM ev JOIN med USING (event_type)),"
+        " mad AS (SELECT event_type,"
+        " quantile_cont(adev_c, 0.5) AS mad_c FROM dev GROUP BY event_type)"
+        " SELECT event_id, event_type, value"
+        " FROM dev JOIN mad USING (event_type)"
+        f" WHERE adev_c > {k} * mad_c"
+    )

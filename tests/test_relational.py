@@ -678,3 +678,46 @@ class TestEmbeddingMoments:
         assert vals[0] > 0 and abs(vals[1]) < 1e-6 * vals[0]
         v = vecs[:, 0]
         assert abs(abs(v[1] / v[0]) - 2.0) < 1e-9        # direction (1,2)
+
+
+class TestCapPerSource:
+    def test_cap_and_determinism(self, spark):
+        from graph500_spark.operators.traindata import cap_per_source
+
+        docs = spark.createDataFrame(
+            [(i, f"t{i}", "en", f"s{i % 2}", 5) for i in range(20)],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+        out = cap_per_source(docs, cap=3)
+        rows = out.collect()
+        per = {}
+        for r in rows:
+            per.setdefault(r.source, []).append(r.doc_id)
+        assert all(len(v) == 3 for v in per.values())
+        # deterministic: a repartitioned input keeps the same set
+        again = {
+            (r.doc_id, r.source, r.rk)
+            for r in cap_per_source(docs.repartition(7), cap=3).collect()
+        }
+        assert again == {(r.doc_id, r.source, r.rk) for r in rows}
+
+
+class TestEventAnomaliesRobust:
+    EV = (
+        "event_id long, ts long, user_id long, event_type string,"
+        " value double, props string"
+    )
+
+    def test_mad_threshold(self, spark):
+        from graph500_spark.streaming.windows import event_anomalies_robust
+
+        # values 1..9 (median 5, MAD 2) plus an outlier 100:
+        # |100-5| = 95 > 3.5·MAD — but note median/MAD shift with the
+        # outlier included: median of [1..9, 100] = 5.5, MAD = 2.5,
+        # |100-5.5| = 94.5 > 8.75 → flagged; 9 stays (|9-5.5|=3.5 < 8.75)
+        rows = [(i, 0, 1, "view", float(i), "") for i in range(1, 10)]
+        rows.append((99, 0, 1, "view", 100.0, ""))
+        ev = spark.createDataFrame(rows, self.EV)
+        out = [r.event_id for r in event_anomalies_robust(ev).collect()]
+        assert out == [99]
