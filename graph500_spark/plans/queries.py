@@ -1184,6 +1184,14 @@ def q_min_spanning_forest(spark, sf_dir):
     return minimum_spanning_forest(spark, weighted, shuffle_partitions=8)
 
 
+def q_conversion_latency(spark, sf_dir):
+    """First-view → first-later-click latency distribution — exact
+    interpolated percentiles over integer microsecond gaps."""
+    return windows_mod.conversion_latency(
+        td.load_table(spark, sf_dir, "events")
+    )
+
+
 def q_cap_per_source(spark, sf_dir):
     """Per-source quota enforcement — deterministic hash-ordered
     row_number cap; per-source window state only."""
@@ -2524,6 +2532,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_doc_lines": q_dedup_doc_lines,
     "cap_per_source": q_cap_per_source,
     "event_anomalies_robust": q_event_anomalies_robust,
+    "conversion_latency": q_conversion_latency,
     "embedding_moments": q_embedding_moments,
     "event_value_histogram": q_event_value_histogram,
     "funnel_windowed": q_funnel_windowed,
@@ -2932,6 +2941,7 @@ ORACLE_SQL: dict[str, str] = {
     ),
     "dedup_doc_lines": text_mod.DEDUP_DOC_LINES_SQL,
     "cap_per_source": traindata_mod.cap_per_source_sql(),
+    "conversion_latency": windows_mod.CONVERSION_LATENCY_SQL,
     "event_anomalies_robust": windows_mod.event_anomalies_robust_sql(),
     "embedding_moments": simsearch_mod.embedding_moments_sql(),
     "event_value_histogram": windows_mod.event_value_histogram_sql(),

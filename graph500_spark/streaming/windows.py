@@ -1128,3 +1128,53 @@ def event_anomalies_robust_sql(k: float = 3.5) -> str:
         " FROM dev JOIN mad USING (event_type)"
         f" WHERE adev_c > {k} * mad_c"
     )
+
+
+def conversion_latency(events: DataFrame) -> DataFrame:
+    """Funnel latency distribution: one row [n_pairs, median_us,
+    p90_us, max_us] over each user's first-view → first-later-click
+    gap — the "how fast do users convert" readout next to the
+    how-many funnel counts.
+
+    Exactness: gaps are integer microseconds; median/p90 are exact
+    interpolated percentiles (the established cross-engine percentile
+    parity surface). Plan: two per-user conditional minima in one
+    grouped pass each, then a 1-row percentile aggregate."""
+    ev = events.select(
+        "user_id", "event_type", event_micros(events, "ts").alias("ts_us")
+    )
+    fv = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts_us").alias("view_us")
+    )
+    fc = (
+        ev.filter(F.col("event_type") == "click")
+        .join(fv, "user_id")
+        .filter(F.col("ts_us") > F.col("view_us"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("click_us"), F.min("view_us").alias("v"))
+    )
+    gaps = fc.select((F.col("click_us") - F.col("v")).alias("gap_us"))
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.expr("percentile(gap_us, 0.5)"), 3).alias("median_us"),
+        F.round(F.expr("percentile(gap_us, 0.9)"), 3).alias("p90_us"),
+        F.max("gap_us").alias("max_us"),
+    )
+
+
+CONVERSION_LATENCY_SQL = (
+    "WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us"
+    " FROM events),"
+    " fv AS (SELECT user_id, MIN(ts_us) AS view_us FROM ev"
+    " WHERE event_type = 'view' GROUP BY user_id),"
+    " fc AS (SELECT e.user_id,"
+    " MIN(ts_us) AS click_us, MIN(view_us) AS v FROM ev e"
+    " JOIN fv USING (user_id)"
+    " WHERE event_type = 'click' AND ts_us > view_us"
+    " GROUP BY e.user_id),"
+    " gaps AS (SELECT click_us - v AS gap_us FROM fc)"
+    " SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,"
+    " round(quantile_cont(gap_us, 0.5), 3) AS median_us,"
+    " round(quantile_cont(gap_us, 0.9), 3) AS p90_us,"
+    " CAST(MAX(gap_us) AS BIGINT) AS max_us FROM gaps"
+)
