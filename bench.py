@@ -274,28 +274,49 @@ def main() -> int:
         streaming = _streaming_tier(spark, kron16)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "graph500_spark_headline_suite",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "heavy": heavy,
-                "heavy_total_sec": round(sum(heavy.values()), 3),
-                "streaming": streaming,
-                "timing_note": (
-                    "min-of-2 steady-state; construction timed"
-                    " separately (construction, construction_mod997);"
-                    " dedup-family entries are warm-cache;"
-                    " heavy tier is cold single-shot data-bound"
-                    " (SCALE-20 + 20x-dup corpus);"
-                    " streaming values are rows/sec"
-                ),
-            }
-        )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
+        "metric": "graph500_spark_headline_suite",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "heavy": heavy,
+        "heavy_total_sec": round(sum(heavy.values()), 3),
+        "streaming": streaming,
+        "timing_note": (
+            "min-of-2 steady-state; construction timed"
+            " separately (construction, construction_mod997);"
+            " dedup-family entries are warm-cache;"
+            " heavy tier is cold single-shot data-bound"
+            " (SCALE-20 + 20x-dup corpus);"
+            " streaming values are rows/sec"
+        ),
+    }
+    print(json.dumps(full))
+    # The driver captures only a 2,000-char tail of bench output, so the
+    # full line above overflows it (BENCH_r1..r3 all recorded
+    # `parsed: null`). Emit a compact, contract-shaped summary as the
+    # FINAL line (<1,500 chars: totals + the 10 slowest queries) so the
+    # driver's tail-parse succeeds; the full per-query JSON stays in the
+    # committed BENCH_local_r{N}.json.
+    top10 = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )
+    compact = {
+        "metric": "graph500_spark_headline_suite",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": top10,
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "heavy_total_sec": round(sum(heavy.values()), 3),
+        "streaming": streaming,
+        "note": "top-10 slowest of full suite; full per-query JSON on prior line",
+    }
+    line = json.dumps(compact)
+    assert len(line) < 1500, len(line)
+    print(line)
     return 0
 
 

@@ -2388,12 +2388,113 @@ def q_sessionize_native(spark, sf_dir):
 
 
 QUERIES: dict[str, QueryFn] = {
-    # --- training-data-pipeline operators (front of the registry so the
-    # driver's 50-entry correctness window exercises them; the §2 graph
-    # surface below is triple-verified from rounds 1-2 and rotates back,
-    # as does token_count — the one LLM entry already driver-green in
-    # CORRECTNESS_r02 — so the window covers exactly the 50 entries
-    # that have never had a driver-side row) ---
+    # --- round-4 correctness window: the 50 highest-value entries that have
+    # never had a driver-side CORRECTNESS row (relational OLAP family first —
+    # a real user's first queries — then sessionize, k-truss, kmeans,
+    # betweenness, SCC, DQ, pivot/SCD2, MSF+validate). Verified locally vs
+    # the DuckDB oracle in rounds 1-3; this rotation gets them driver rows. ---
+    "pricing_summary": q_pricing_summary,
+    "discount_revenue": q_discount_revenue,
+    "top_unshipped_orders": q_top_unshipped_orders,
+    "order_priority_counts": q_order_priority_counts,
+    "customer_order_distribution": q_customer_order_distribution,
+    "top_suppliers_by_revenue": q_top_suppliers_by_revenue,
+    "idle_rich_customers": q_idle_rich_customers,
+    "revenue_by_nation": q_revenue_by_nation,
+    "promo_revenue_share": q_promo_revenue_share,
+    "large_orders": q_large_orders,
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "shipping_volume": q_shipping_volume,
+    "supplier_part_counts": q_supplier_part_counts,
+    "revenue_rollup": q_revenue_rollup,
+    "sessionize": q_sessionize,
+    "sessionize_native": q_sessionize_native,
+    "k_truss": q_k_truss,
+    "kmeans_cells": q_kmeans_cells,
+    "dup_clusters": q_dup_clusters,
+    "decontaminate": q_decontaminate,
+    "decontaminate_salted": q_decontaminate_salted,
+    "validate_msf": q_validate_msf,
+    "fk_integrity": q_fk_integrity,
+    "pk_uniqueness": q_pk_uniqueness,
+    "betweenness_sampled": q_betweenness_sampled,
+    "strongly_connected_components": q_strongly_connected_components,
+    "user_event_pivot": q_user_event_pivot,
+    "scd2_history": q_scd2_history,
+    "min_spanning_forest": q_min_spanning_forest,
+    "user_event_unpivot": q_user_event_unpivot,
+    "event_type_dow_cube": q_event_type_dow_cube,
+    "zorder_keys": q_zorder_keys,
+    "dedup_doc_lines": q_dedup_doc_lines,
+    "cap_per_source": q_cap_per_source,
+    "event_anomalies_robust": q_event_anomalies_robust,
+    "conversion_latency": q_conversion_latency,
+    "embedding_moments": q_embedding_moments,
+    "event_value_histogram": q_event_value_histogram,
+    "funnel_windowed": q_funnel_windowed,
+    "lineitem_correlations": q_lineitem_correlations,
+    "events_completeness": q_events_completeness,
+    "type_token_ratio": q_type_token_ratio,
+    "hapax_stats": q_hapax_stats,
+    "table_stats": q_table_stats,
+    "quality_weighted_sample": q_quality_weighted_sample,
+    "dedup_rate_by_source": q_dedup_rate_by_source,
+    "cc_sizes": q_cc_sizes,
+    "graph_summary": q_graph_summary,
+    "modularity": q_modularity,
+    "jaccard_topk": q_jaccard_topk,
+    # --- remaining never-driver-checked entries (round-5 window) ---
+    "model_quality_scores": q_model_quality_scores,
+    "corpus_mix": q_corpus_mix,
+    "event_window_counts": q_event_window_counts,
+    "click_attribution": q_click_attribution,
+    "purchase_click_pairs": q_purchase_click_pairs,
+    "error_context": q_error_context,
+    "event_rollup": q_event_rollup,
+    "event_gapfill": q_event_gapfill,
+    "normalized_duplicates": q_normalized_duplicates,
+    "levenshtein_near_duplicates": q_levenshtein_near_duplicates,
+    "heavy_hitter_tokens": q_heavy_hitter_tokens,
+    "sliding_window_counts": q_sliding_window_counts,
+    "retention_cohorts": q_retention_cohorts,
+    "event_type_transitions": q_event_type_transitions,
+    "knn_predict": q_knn_predict,
+    "embedding_dim_stats": q_embedding_dim_stats,
+    "feature_hashing": q_feature_hashing,
+    "pmi_collocations": q_pmi_collocations,
+    "char_entropy": q_char_entropy,
+    "user_rfm": q_user_rfm,
+    "bigram_logppl": q_bigram_logppl,
+    "source_overlap_matrix": q_source_overlap_matrix,
+    "eccentricity_sampled": q_eccentricity_sampled,
+    "best_match_per_doc": q_best_match_per_doc,
+    "multi_touch_attribution": q_multi_touch_attribution,
+    "lang_confusion": q_lang_confusion,
+    "pack_efficiency": q_pack_efficiency,
+    "doc_chunks": q_doc_chunks,
+    "cosine_topk_filtered": q_cosine_topk_filtered,
+    "label_prototypes": q_label_prototypes,
+    "prototype_predict": q_prototype_predict,
+    "degree_histogram_log": q_degree_histogram_log,
+    "maximal_independent_set": q_maximal_independent_set,
+    "katz_centrality": q_katz_centrality,
+    "four_cycle_count": q_four_cycle_count,
+    "sampled_subgraph": q_sampled_subgraph,
+    "reciprocity": q_reciprocity,
+    "avg_path_length_sampled": q_avg_path_length_sampled,
+    "degree_gini": q_degree_gini,
+    "source_token_gini": q_source_token_gini,
+    "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+    "weighted_degrees": q_weighted_degrees,
+    "kronecker_s8_datasource": q_kronecker_s8_datasource,
+    "multimodal_features": q_multimodal_features,
+    "media_extract_features": q_media_extract_features,
+    "frame_sample": q_frame_sample,
+    "lsh_buckets": q_lsh_buckets,
+    "simhash": q_simhash,
+    "minhash_signatures": q_minhash_signatures,
+    "lsh_candidate_pairs": q_lsh_candidate_pairs,
+    # --- driver-verified in r01/r02 (graph §2 surface) and r03 (LLM family) ---
     "text_quality": q_text_quality,
     "language_id": q_language_id,
     "fingerprint": q_fingerprint,
@@ -2444,103 +2545,6 @@ QUERIES: dict[str, QueryFn] = {
     "funnel_counts": q_funnel_counts,
     "session_stats": q_session_stats,
     "top_events_per_user": q_top_events_per_user,
-    "model_quality_scores": q_model_quality_scores,
-    "corpus_mix": q_corpus_mix,
-    "kmeans_cells": q_kmeans_cells,
-    "decontaminate": q_decontaminate,
-    "dup_clusters": q_dup_clusters,
-    "event_window_counts": q_event_window_counts,
-    "sessionize": q_sessionize,
-    "sessionize_native": q_sessionize_native,
-    "click_attribution": q_click_attribution,
-    "purchase_click_pairs": q_purchase_click_pairs,
-    "error_context": q_error_context,
-    "event_rollup": q_event_rollup,
-    "event_gapfill": q_event_gapfill,
-    # --- continuation-batch additions (placed AFTER the 50-entry
-    # driver window so the carefully-simulated window composition
-    # above is untouched; judge-local oracle runs cover these) ---
-    "jaccard_topk": q_jaccard_topk,
-    "k_truss": q_k_truss,
-    "modularity": q_modularity,
-    "normalized_duplicates": q_normalized_duplicates,
-    "levenshtein_near_duplicates": q_levenshtein_near_duplicates,
-    "heavy_hitter_tokens": q_heavy_hitter_tokens,
-    "sliding_window_counts": q_sliding_window_counts,
-    "retention_cohorts": q_retention_cohorts,
-    "event_type_transitions": q_event_type_transitions,
-    "knn_predict": q_knn_predict,
-    "embedding_dim_stats": q_embedding_dim_stats,
-    "feature_hashing": q_feature_hashing,
-    "pmi_collocations": q_pmi_collocations,
-    "char_entropy": q_char_entropy,
-    "user_rfm": q_user_rfm,
-    "bigram_logppl": q_bigram_logppl,
-    "source_overlap_matrix": q_source_overlap_matrix,
-    "graph_summary": q_graph_summary,
-    "eccentricity_sampled": q_eccentricity_sampled,
-    "decontaminate_salted": q_decontaminate_salted,
-    "cc_sizes": q_cc_sizes,
-    "best_match_per_doc": q_best_match_per_doc,
-    "multi_touch_attribution": q_multi_touch_attribution,
-    "lang_confusion": q_lang_confusion,
-    "pack_efficiency": q_pack_efficiency,
-    "doc_chunks": q_doc_chunks,
-    "cosine_topk_filtered": q_cosine_topk_filtered,
-    "label_prototypes": q_label_prototypes,
-    "prototype_predict": q_prototype_predict,
-    "degree_histogram_log": q_degree_histogram_log,
-    "maximal_independent_set": q_maximal_independent_set,
-    "table_stats": q_table_stats,
-    "quality_weighted_sample": q_quality_weighted_sample,
-    "dedup_rate_by_source": q_dedup_rate_by_source,
-    "strongly_connected_components": q_strongly_connected_components,
-    "betweenness_sampled": q_betweenness_sampled,
-    "katz_centrality": q_katz_centrality,
-    "four_cycle_count": q_four_cycle_count,
-    "sampled_subgraph": q_sampled_subgraph,
-    "reciprocity": q_reciprocity,
-    "avg_path_length_sampled": q_avg_path_length_sampled,
-    "degree_gini": q_degree_gini,
-    "source_token_gini": q_source_token_gini,
-    "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
-    "weighted_degrees": q_weighted_degrees,
-    # relational OLAP surface (TPC-H-shaped warehouse queries)
-    "pricing_summary": q_pricing_summary,
-    "discount_revenue": q_discount_revenue,
-    "top_unshipped_orders": q_top_unshipped_orders,
-    "order_priority_counts": q_order_priority_counts,
-    "customer_order_distribution": q_customer_order_distribution,
-    "top_suppliers_by_revenue": q_top_suppliers_by_revenue,
-    "idle_rich_customers": q_idle_rich_customers,
-    "revenue_by_nation": q_revenue_by_nation,
-    "promo_revenue_share": q_promo_revenue_share,
-    "large_orders": q_large_orders,
-    "small_quantity_revenue": q_small_quantity_revenue,
-    "shipping_volume": q_shipping_volume,
-    "supplier_part_counts": q_supplier_part_counts,
-    "revenue_rollup": q_revenue_rollup,
-    "min_spanning_forest": q_min_spanning_forest,
-    "scd2_history": q_scd2_history,
-    "user_event_pivot": q_user_event_pivot,
-    "user_event_unpivot": q_user_event_unpivot,
-    "event_type_dow_cube": q_event_type_dow_cube,
-    "validate_msf": q_validate_msf,
-    "fk_integrity": q_fk_integrity,
-    "pk_uniqueness": q_pk_uniqueness,
-    "zorder_keys": q_zorder_keys,
-    "dedup_doc_lines": q_dedup_doc_lines,
-    "cap_per_source": q_cap_per_source,
-    "event_anomalies_robust": q_event_anomalies_robust,
-    "conversion_latency": q_conversion_latency,
-    "embedding_moments": q_embedding_moments,
-    "event_value_histogram": q_event_value_histogram,
-    "funnel_windowed": q_funnel_windowed,
-    "lineitem_correlations": q_lineitem_correlations,
-    "events_completeness": q_events_completeness,
-    "type_token_ratio": q_type_token_ratio,
-    "hapax_stats": q_hapax_stats,
-    # --- graph / Graph500 §2 surface ---
     "self_loop_filter": q_self_loop_filter,
     "symmetrize": q_symmetrize,
     "dedup_edges": q_dedup_edges,
@@ -2568,7 +2572,6 @@ QUERIES: dict[str, QueryFn] = {
     "set_intersection": q_set_intersection,
     "set_union": q_set_union,
     "kronecker_s8": q_kronecker_s8,
-    "kronecker_s8_datasource": q_kronecker_s8_datasource,
     "find_roots": q_find_roots,
     "sssp": q_sssp,
     "connected_components": q_connected_components,
@@ -2592,13 +2595,6 @@ QUERIES: dict[str, QueryFn] = {
     "initial_edges_cycle": q_initial_edges_cycle,
     "validate_sssp_summary": q_validate_sssp_summary,
     "token_count": q_token_count,
-    "multimodal_features": q_multimodal_features,
-    "media_extract_features": q_media_extract_features,
-    "frame_sample": q_frame_sample,
-    "lsh_buckets": q_lsh_buckets,
-    "simhash": q_simhash,
-    "minhash_signatures": q_minhash_signatures,
-    "lsh_candidate_pairs": q_lsh_candidate_pairs,
 }
 
 
