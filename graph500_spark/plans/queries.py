@@ -1213,6 +1213,24 @@ def q_embedding_moments(spark, sf_dir):
     return simsearch_mod.embedding_moments(_embs(spark, sf_dir))
 
 
+def q_pca_power_iteration(spark, sf_dir):
+    """PCA finish, hash-verifiable tier: fixed-count integer power
+    iteration over the distributed moment table — bit-exact vs the
+    DuckDB recursive-CTE oracle by construction (see
+    simsearch.pca_power_iteration)."""
+    return simsearch_mod.pca_power_iteration(_embs(spark, sf_dir))
+
+
+def q_pca_components(spark, sf_dir):
+    """PCA finish, exact tier: numpy eigh over the covariance from the
+    distributed moments; sign-canonicalized, quantized at 1e6.
+    Rows-only by necessity: the measured spectrum is near-degenerate
+    (lambda2/lambda1 = 0.987), so eigenvectors are ill-conditioned and
+    cannot hash-match across engines — q_pca_power_iteration is the
+    hash-checked twin of the same pipeline."""
+    return simsearch_mod.pca_components_df(_embs(spark, sf_dir))
+
+
 def q_event_value_histogram(spark, sf_dir):
     """Equi-width value histogram with data-dependent edges — 1-row
     min/max broadcast + one hash aggregate; integer binning."""
@@ -2444,6 +2462,8 @@ QUERIES: dict[str, QueryFn] = {
     "modularity": q_modularity,
     "jaccard_topk": q_jaccard_topk,
     # --- remaining never-driver-checked entries (round-5 window) ---
+    "pca_power_iteration": q_pca_power_iteration,
+    "pca_components": q_pca_components,
     "model_quality_scores": q_model_quality_scores,
     "corpus_mix": q_corpus_mix,
     "event_window_counts": q_event_window_counts,
@@ -2940,6 +2960,10 @@ ORACLE_SQL: dict[str, str] = {
     "conversion_latency": windows_mod.CONVERSION_LATENCY_SQL,
     "event_anomalies_robust": windows_mod.event_anomalies_robust_sql(),
     "embedding_moments": simsearch_mod.embedding_moments_sql(),
+    # pca_components intentionally has NO oracle (rows-only): eigh on a
+    # near-degenerate spectrum is not cross-engine hashable; its twin
+    # below is.
+    "pca_power_iteration": simsearch_mod.pca_power_iteration_sql(),
     "event_value_histogram": windows_mod.event_value_histogram_sql(),
     "funnel_windowed": windows_mod.funnel_windowed_sql(),
     "lineitem_correlations": rel_mod.lineitem_correlations_sql(),
