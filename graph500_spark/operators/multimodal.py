@@ -133,34 +133,58 @@ def decode_png(payload: bytes):
     c = {0: 1, 2: 3, 6: 4}[ctype]
     stride = w * c
     raw = zlib.decompress(b"".join(idat))
-    out = np.empty((h, stride), np.uint16)
-    prev = np.zeros(stride, np.uint16)
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
     p = 0
+    # Filter reconstruction, byte-identical to the spec recurrences but
+    # not per-pixel numpy indexing (which is ~100x scalar-op cost):
+    # None/Up are whole-line uint8 vector ops (unsigned add wraps mod
+    # 256), Sub is a per-channel prefix sum (cumsum), and the two
+    # inherently serial recurrences (Average, Paeth) run over
+    # bytearray/bytes scalars — C-speed indexing, no numpy boxing.
     for y in range(h):
         f = raw[p]
-        line = np.frombuffer(raw, np.uint8, stride, p + 1).astype(np.uint16)
+        seg = raw[p + 1 : p + 1 + stride]
         p += stride + 1
-        if f == 1:  # Sub
+        if f == 0:  # None
+            line = np.frombuffer(seg, np.uint8).copy()
+        elif f == 1:  # Sub: x[i] = raw[i] + x[i-c] — prefix sum mod 256
+            px = np.frombuffer(seg, np.uint8).reshape(w, c)
+            line = (
+                (px.cumsum(axis=0, dtype=np.int64) & 0xFF)
+                .astype(np.uint8)
+                .reshape(stride)
+            )
+        elif f == 2:  # Up: uint8 add wraps mod 256
+            line = np.frombuffer(seg, np.uint8) + prev
+        elif f == 3:  # Average (serial in x[i-c])
+            la = bytearray(seg)
+            pb = prev.tobytes()
+            for i in range(c):
+                la[i] = (la[i] + (pb[i] >> 1)) & 0xFF
             for i in range(c, stride):
-                line[i] = (line[i] + line[i - c]) & 0xFF
-        elif f == 2:  # Up
-            line = (line + prev) & 0xFF
-        elif f == 3:  # Average
-            for i in range(stride):
-                a = line[i - c] if i >= c else 0
-                line[i] = (line[i] + ((int(a) + int(prev[i])) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for i in range(stride):
-                a = int(line[i - c]) if i >= c else 0
-                b = int(prev[i])
-                cc = int(prev[i - c]) if i >= c else 0
-                pp = a + b - cc
-                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - cc)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
-                line[i] = (line[i] + pred) & 0xFF
+                la[i] = (la[i] + ((la[i - c] + pb[i]) >> 1)) & 0xFF
+            line = np.frombuffer(bytes(la), np.uint8)
+        elif f == 4:  # Paeth (serial in x[i-c])
+            la = bytearray(seg)
+            pb = prev.tobytes()
+            for i in range(c):
+                la[i] = (la[i] + pb[i]) & 0xFF  # a = cc = 0 -> pred = b
+            for i in range(c, stride):
+                a = la[i - c]
+                b = pb[i]
+                cc = pb[i - c]
+                pa = abs(b - cc)
+                pbd = abs(a - cc)
+                pc = abs(a + b - cc - cc)
+                pred = a if (pa <= pbd and pa <= pc) else (b if pbd <= pc else cc)
+                la[i] = (la[i] + pred) & 0xFF
+            line = np.frombuffer(bytes(la), np.uint8)
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
         out[y] = line
         prev = line
-    return out.astype(np.uint8).reshape(h, w, c)
+    return out.reshape(h, w, c)
 
 
 def encode_wav(samples, rate: int = 8000) -> bytes:
