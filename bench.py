@@ -355,6 +355,44 @@ def _heavy_tier(spark, sf_dir: str) -> dict[str, float]:
     shot("bfs_s20", lambda: bfs(spark, holder["g20"], root=2).count())
     holder["g20"].unpersist()
 
+    # --- SCALE-22 (67.1M generated edges, 4x the s20 volume): the
+    # genuinely data-bound rung. The BFS row carries its own
+    # correctness pin: edge-visit count must equal the reference's
+    # golden pf_nedge[22] = 67,108,130 (mpi/utils.hpp:3663-3708) —
+    # one number that checks PRNG, R-MAT descent, scramble,
+    # construction, root sampling and the traversal at this scale.
+    # Skippable (with the rest of the tier sub-hour) via
+    # SPARK_GRAFT_BENCH_HEAVY22=0.
+    if os.environ.get("SPARK_GRAFT_BENCH_HEAVY22", "1") != "0":
+        from graph500_spark.operators.roots import find_roots
+        from graph500_spark.operators.validate import edge_visit_count
+
+        def gen_construct22():
+            raw = generate_kronecker_edges(spark, 22, 16).persist()
+            raw.count()
+            holder["raw22"] = raw
+            g = build_clean_edges(raw).persist()
+            g.count()
+            holder["g22"] = g
+
+        shot("kron_s22_generate_construct", gen_construct22)
+
+        def bfs22():
+            root = find_roots(
+                spark, holder["raw22"], 1 << 22, num_roots=1
+            )[0]
+            holder["pred22"] = bfs(spark, holder["g22"], root).persist()
+            holder["pred22"].count()
+
+        shot("bfs_s22", bfs22)
+        ec = edge_visit_count(
+            holder["raw22"], holder["pred22"]
+        ).collect()[0]["edge_visit_count"]
+        out["bfs_s22_golden_ok"] = 1.0 if ec == 67_108_130 else 0.0
+        holder["pred22"].unpersist()
+        holder["raw22"].unpersist()
+        holder["g22"].unpersist()
+
     # --- 20x-duplicated corpus (every doc has 19 exact twins) ---
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     n_docs = docs.count()
