@@ -236,6 +236,37 @@ def language_id(docs: DataFrame) -> DataFrame:
     return out.withColumn("lang_pred", F.expr(_LANG_CASE))
 
 
+def annotate_quality_lang(docs: DataFrame) -> DataFrame:
+    """All input columns + [lang_pred, n_tokens, quality_score] as ONE
+    projection — no joins. language_id and text_quality are pure
+    Column algebra over ``text``, so pipelines that need both (the
+    streaming cleaner's per-batch gate) should widen the row instead
+    of computing each as a separate DataFrame and equi-joining back by
+    doc_id: that plan shape costs two shuffles per micro-batch for
+    values that whole-stage codegen can emit in the scan projection.
+    Values are identical to the standalone operators (same exprs)."""
+    scores = _score_exprs("spark")
+    with_scores = docs.select(
+        "*",
+        *[F.expr(e).cast("long").alias(f"s_{l}") for l, e in scores.items()],
+        *[
+            F.expr(e).cast("double").alias(n) if n != "n_tokens" else
+            F.expr(e).cast("long").alias(n)
+            for n, e in _SPARK_QUALITY_EXPRS.items()
+        ],
+    )
+    return (
+        with_scores.withColumn("lang_pred", F.expr(_LANG_CASE))
+        .withColumn(
+            "quality_score", F.expr(_QUALITY_SCORE_SPARK).cast("double")
+        )
+        .drop(
+            *[f"s_{l}" for l in scores],
+            "alpha_ratio", "digit_ratio", "space_ratio", "mean_token_len",
+        )
+    )
+
+
 LANGUAGE_ID_SQL = (
     "SELECT doc_id, s_de, s_en, s_es, s_fr, "
     + _LANG_CASE

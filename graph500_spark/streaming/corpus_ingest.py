@@ -58,25 +58,30 @@ def document_stream(
 def _clean_batch(
     batch: DataFrame, accepted: DataFrame | None, min_quality: float
 ) -> DataFrame:
+    from pyspark.sql import Window
+
     hashed = batch.withColumn(
         "text_hash", F.expr(tx.spark_strhash("text")).cast("long")
     )
-    # within-batch exact dedup: canonical = min doc_id per text_hash
-    canon = hashed.groupBy("text_hash").agg(F.min("doc_id").alias("doc_id"))
-    survivors = hashed.join(canon, ["text_hash", "doc_id"])
-    # cross-batch exact dedup: the accepted table IS the state
+    # within-batch exact dedup: canonical = min doc_id per text_hash.
+    # One window shuffle, not the groupBy+self-join shape (two).
+    w = Window.partitionBy("text_hash")
+    survivors = (
+        hashed.withColumn("_min_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("_min_id"))
+        .drop("_min_id")
+    )
+    # cross-batch exact dedup against the accepted-hash state
     if accepted is not None:
         survivors = survivors.join(
             accepted.select("text_hash"), "text_hash", "left_anti"
         )
-    lang = tx.language_id(survivors).select("doc_id", "lang_pred")
-    qual = tx.text_quality(survivors).select(
-        "doc_id", "n_tokens", "quality_score"
-    )
+    # annotate + gate in ONE projection (language_id and text_quality
+    # are pure Column algebra — joining them back by doc_id, as the
+    # batch operators compose, would cost two more shuffles per
+    # micro-batch for codegen-able expressions)
     return (
-        survivors.select("doc_id", "text_hash")
-        .join(lang, "doc_id")
-        .join(qual, "doc_id")
+        tx.annotate_quality_lang(survivors)
         .filter(
             (F.col("quality_score") >= min_quality)
             & (F.col("lang_pred") != "und")
@@ -100,14 +105,50 @@ def start_corpus_ingest(
     idempotent at read time via ``read_corpus``'s doc_id guard (a
     transactional table format would make them atomic)."""
 
+    # Cross-batch dedup state: the accepted HASH SET, seeded from the
+    # sink once at (re)start and carried across micro-batches as a
+    # persisted DataFrame — not re-read from parquet every batch (the
+    # old shape paid file listing + footer reads against an
+    # ever-growing pile of appended files per batch). State is hashes
+    # only (8 bytes/doc distributed), union-appended and re-persisted
+    # each batch; the materialized persist bounds lineage depth. On
+    # restart the seed rebuild from the sink is the recovery path, so
+    # crash-consistency is unchanged.
+    state: dict[str, DataFrame | None] = {"accepted": None, "seeded": False}
+
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark_s = batch_df.sparkSession
-        try:
-            accepted = spark_s.read.parquet(accepted_out)
-        except Exception:
-            accepted = None
-        out = _clean_batch(batch_df, accepted, min_quality)
-        out.write.mode("append").parquet(accepted_out)
+        if not state["seeded"]:
+            try:
+                seed = (
+                    spark_s.read.parquet(accepted_out)
+                    .select("text_hash")
+                    .persist()
+                )
+                seed.count()  # materialize once per stream (re)start
+                state["accepted"] = seed
+            except Exception:
+                state["accepted"] = None
+            state["seeded"] = True
+        out = _clean_batch(batch_df, state["accepted"], min_quality)
+        new_hashes = out.persist()
+        # the sink write is the materializing action; the state union
+        # below reads the cache, so the batch computes exactly once
+        new_hashes.write.mode("append").parquet(accepted_out)
+        prev = state["accepted"]
+        # localCheckpoint (eager) rather than persist: truncates the
+        # per-batch union lineage so plan size stays O(1) over a long
+        # stream; losing an executor costs a rebuild from the sink
+        # (the recovery path that exists anyway), not correctness.
+        grown = (
+            new_hashes.select("text_hash")
+            if prev is None
+            else prev.union(new_hashes.select("text_hash"))
+        ).localCheckpoint(eager=True)
+        if prev is not None:
+            prev.unpersist()
+        new_hashes.unpersist()
+        state["accepted"] = grown
 
     return (
         document_stream(spark, source_path, max_files_per_trigger)
