@@ -135,6 +135,87 @@ def decontaminate_sql(
     )
 
 
+def _bloom_filtered_grams(
+    docs: DataFrame, n: int, eval_mod: int, m_bits: int, k_hashes: int
+):
+    """(train_grams_surviving_bloom, eval_grams) — the pre-filter stage
+    of decontaminate_bloom, split out so tests can measure the shuffle
+    volume it removes."""
+    grams = docs.select(
+        "doc_id", F.explode(F.expr(dd.spark_shingle_hashes(n))).alias("g")
+    )
+    is_eval = F.col("doc_id") % eval_mod == 0
+    ev = grams.filter(is_eval).select(F.col("doc_id").alias("eval_doc"), "g")
+
+    # NB: probes hash (g, jL) — the seed must be a LONG literal on both
+    # build and probe sides, xxhash64 output depends on input types
+    probes = [
+        F.expr(f"pmod(xxhash64(g, {j}L), {m_bits})")
+        for j in range(k_hashes)
+    ]
+    words = (
+        ev.select(F.explode(F.array(*probes)).alias("bit"))
+        .select(
+            (F.col("bit") / 64).cast("long").alias("w"),
+            F.expr("shiftleft(1L, cast(bit % 64 as int))").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(m)").alias("word"))
+        .collect()
+    )
+    filled = {int(r["w"]): int(r["word"]) for r in words}
+    bitmap = [filled.get(i, 0) for i in range(m_bits // 64)]
+    bloom = docs.sparkSession.createDataFrame(
+        [(bitmap,)], "bloom array<bigint>"
+    )
+    member = " AND ".join(
+        f"((element_at(bloom, cast(pmod(xxhash64(g, {j}L), {m_bits}) / 64"
+        f" as int) + 1) >> cast(pmod(xxhash64(g, {j}L), {m_bits}) % 64"
+        " as int)) & 1) = 1"
+        for j in range(k_hashes)
+    )
+    train = (
+        grams.filter(~is_eval)
+        .crossJoin(F.broadcast(bloom))
+        .filter(F.expr(member))
+        .select(F.col("doc_id").alias("train_doc"), "g")
+    )
+    return train, ev
+
+
+def decontaminate_bloom(
+    docs: DataFrame, n: int = DECON_N, eval_mod: int = EVAL_MOD,
+    min_shared: int = 1, m_bits: int = 1 << 18, k_hashes: int = 4,
+) -> DataFrame:
+    """decontaminate() with a Bloom-filter pre-filter on the train
+    side: build an m-bit Bloom filter over the EVAL split's gram
+    hashes (two aggregation jobs to <= m/64 longs), ship it as a
+    one-row broadcast, and drop train grams whose k probe bits are
+    not all set BEFORE the gram shuffle. Bloom filters have no false
+    negatives, so the output is row-identical to decontaminate() —
+    same DuckDB oracle — while the shuffle sees only true hits plus
+    the fpp tail.
+
+    This is the 100 TB shape for contamination checks: the eval side
+    is tiny (benchmarks), the train side is the corpus, and without
+    the pre-filter EVERY train gram pays the exchange even though
+    ~none of them match. With m=2^18, k=4 the filter is 32 KiB —
+    broadcastable at any m that fits an executor. (Spark's own
+    runtime-bloom-join optimization targets the same pattern; this
+    operator makes the filter explicit, sized, and testable.)
+
+    The k probe positions use xxhash64(g, seed=j) — Spark-side only;
+    the oracle never needs to reproduce them because false positives
+    are removed by the exact join that follows."""
+    train, ev = _bloom_filtered_grams(docs, n, eval_mod, m_bits, k_hashes)
+    return (
+        train.join(ev, "g")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Near-duplicate clusters: connected components over the verified
 # near-dup pair graph — the principled alternative to corpus_clean's

@@ -1389,6 +1389,55 @@ SELECT CAST(dim AS BIGINT) AS dim, v AS loading FROM it WHERE k = {iters}
 """
 
 
+def pca_project(embeddings: DataFrame, iters: int = PCA_ITERS) -> DataFrame:
+    """[vec_id, pc1_score] — every embedding projected onto the
+    dominant principal direction: the DISTRIBUTED consumer of the PCA
+    finish (dimensionality reduction / outlier scoring over the whole
+    corpus). The loading vector comes from pca_power_iteration (int64
+    fixed point), so the projection is an exact integer dot product —
+    score = sum_i qv_i * loading_i with |terms| <= 5.3e11 and d=64,
+    comfortably int64 — making the whole pipeline
+    (moments -> iterate -> project) cross-engine hash-stable.
+
+    Plan shape: the 64-long loading array is a LITERAL in the
+    projection (broadcast by value, no join); the scan stays one
+    map-only pass — at 100 TB this is a single narrow stage."""
+    loadings = [
+        r["loading"]
+        for r in pca_power_iteration(embeddings, iters=iters)
+        .orderBy("dim")
+        .collect()
+    ]
+    arr = "array(" + ",".join(f"{v}L" for v in loadings) + ")"
+    qv = (
+        f"transform(embedding, x -> cast(round(x * {KMEANS_SCALE}.0)"
+        " as bigint))"
+    )
+    return embeddings.select(
+        "vec_id",
+        F.expr(
+            f"aggregate(zip_with({qv}, {arr}, (x, y) -> x * y),"
+            " 0L, (acc, v) -> acc + v)"
+        ).alias("pc1_score"),
+    )
+
+
+def pca_project_sql(iters: int = PCA_ITERS) -> str:
+    """DuckDB mirror: recompute the loading vector with the
+    recursive-CTE iteration, then the same integer dot product."""
+    s = KMEANS_SCALE
+    return f"""
+WITH loadings AS ({pca_power_iteration_sql(iters)}),
+e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      x -> CAST(round(x * {s}.0) AS BIGINT)) AS qv FROM embeddings),
+ex AS (SELECT vec_id, unnest(range(1, len(qv) + 1)) - 1 AS dim,
+       unnest(qv) AS x FROM e)
+SELECT ex.vec_id, CAST(SUM(ex.x * l.loading) AS BIGINT) AS pc1_score
+FROM ex JOIN loadings l ON ex.dim = l.dim
+GROUP BY ex.vec_id
+"""
+
+
 def pca_components_df(embeddings: DataFrame, n_components: int = 4) -> DataFrame:
     """Full PCA finish: exact numpy eigh over the covariance rebuilt
     from the distributed integer moment table. Rows-only under the

@@ -1221,6 +1221,14 @@ def q_pca_power_iteration(spark, sf_dir):
     return simsearch_mod.pca_power_iteration(_embs(spark, sf_dir))
 
 
+def q_pca_project(spark, sf_dir):
+    """Distributed projection of every embedding onto the dominant
+    principal direction — exact integer dot product against the
+    fixed-point loading vector, one map-only pass (the loadings ride
+    as a literal array, no join)."""
+    return simsearch_mod.pca_project(_embs(spark, sf_dir))
+
+
 def q_pca_components(spark, sf_dir):
     """PCA finish, exact tier: numpy eigh over the covariance from the
     distributed moments; sign-canonicalized, quantized at 1e6.
@@ -2333,6 +2341,16 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(_docs(spark, sf_dir))
 
 
+def q_decontaminate_bloom(spark, sf_dir):
+    """decontaminate with the train side pre-filtered through a 32 KiB
+    broadcast Bloom filter built over the eval split's grams — no
+    false negatives, so row-identical to the plain form (same oracle);
+    the gram shuffle sees only true hits + the fpp tail."""
+    from graph500_spark.operators.corpus import decontaminate_bloom
+
+    return decontaminate_bloom(_docs(spark, sf_dir))
+
+
 def q_dup_clusters(spark, sf_dir):
     """Near-dup connected-component clusters over the verified minhash
     pair graph (corpus.py::dup_clusters) — the text pipeline composed
@@ -2432,6 +2450,7 @@ QUERIES: dict[str, QueryFn] = {
     "dup_clusters": q_dup_clusters,
     "decontaminate": q_decontaminate,
     "decontaminate_salted": q_decontaminate_salted,
+    "decontaminate_bloom": q_decontaminate_bloom,
     "validate_msf": q_validate_msf,
     "fk_integrity": q_fk_integrity,
     "pk_uniqueness": q_pk_uniqueness,
@@ -2463,6 +2482,7 @@ QUERIES: dict[str, QueryFn] = {
     "jaccard_topk": q_jaccard_topk,
     # --- remaining never-driver-checked entries (round-5 window) ---
     "pca_power_iteration": q_pca_power_iteration,
+    "pca_project": q_pca_project,
     "pca_components": q_pca_components,
     "model_quality_scores": q_model_quality_scores,
     "corpus_mix": q_corpus_mix,
@@ -2891,6 +2911,7 @@ ORACLE_SQL: dict[str, str] = {
     ),
     # same oracle as decontaminate: the salt is physical only
     "decontaminate_salted": corpus_mod.decontaminate_sql(),
+    "decontaminate_bloom": corpus_mod.decontaminate_sql(),
     "multi_touch_attribution": asof_mod.multi_touch_attribution_sql(),
     "lang_confusion": text_mod.LANG_CONFUSION_SQL,
     "pack_efficiency": traindata_mod.pack_efficiency_sql(),
@@ -2964,6 +2985,7 @@ ORACLE_SQL: dict[str, str] = {
     # near-degenerate spectrum is not cross-engine hashable; its twin
     # below is.
     "pca_power_iteration": simsearch_mod.pca_power_iteration_sql(),
+    "pca_project": simsearch_mod.pca_project_sql(),
     "event_value_histogram": windows_mod.event_value_histogram_sql(),
     "funnel_windowed": windows_mod.funnel_windowed_sql(),
     "lineitem_correlations": rel_mod.lineitem_correlations_sql(),
