@@ -267,6 +267,62 @@ def dup_clusters_sql(jaccard_threshold: float = NEAR_DUP_JACCARD) -> str:
     )
 
 
+def split_by_cluster(
+    spark,
+    docs: DataFrame,
+    test_permille: int = 100,
+    jaccard_threshold: float = NEAR_DUP_JACCARD,
+) -> DataFrame:
+    """[doc_id, cluster, bucket, split] — leakage-safe train/test
+    split: the hash-bucket decision is taken on the near-dup CLUSTER
+    id (dup_clusters), not the document id, so every near-duplicate
+    component lands wholly in one split. Hashing doc ids instead (the
+    naive train_test_split) leaks eval content into training whenever
+    a near-dup straddles the boundary — the contamination
+    decontaminate() then has to detect after the fact. Same
+    multiplicative-hash arithmetic as train_test_split, cross-engine
+    exact."""
+    from graph500_spark.operators.traindata import (
+        SPLIT_BUCKETS,
+        SPLIT_HASH_K,
+        SPLIT_HASH_MOD,
+    )
+
+    clusters = dup_clusters(spark, docs, jaccard_threshold)
+    bucket = (
+        (F.col("cluster") * F.lit(SPLIT_HASH_K)) % F.lit(SPLIT_HASH_MOD)
+    ) % F.lit(SPLIT_BUCKETS)
+    return clusters.select(
+        "doc_id",
+        "cluster",
+        bucket.alias("bucket"),
+        F.when(bucket < F.lit(test_permille), F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+def split_by_cluster_sql(
+    test_permille: int = 100,
+    jaccard_threshold: float = NEAR_DUP_JACCARD,
+) -> str:
+    from graph500_spark.operators.traindata import (
+        SPLIT_BUCKETS,
+        SPLIT_HASH_K,
+        SPLIT_HASH_MOD,
+    )
+
+    bucket = (
+        f"(cluster * {SPLIT_HASH_K}) % {SPLIT_HASH_MOD} % {SPLIT_BUCKETS}"
+    )
+    return (
+        f"WITH clus AS ({dup_clusters_sql(jaccard_threshold)})"
+        f" SELECT doc_id, cluster, {bucket} AS bucket,"
+        f" CASE WHEN {bucket} < {test_permille} THEN 'test'"
+        " ELSE 'train' END AS split FROM clus"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dataset mixing: per-source epoch repetition. Pretraining mixtures
 # up-weight scarce/high-quality sources by repeating their documents

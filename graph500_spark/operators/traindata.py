@@ -525,6 +525,79 @@ def pack_chunks_sql(budget: int = 512, n_shards: int = PACK_SHARDS) -> str:
     )
 
 
+LENGTH_BATCH = 32  # docs per batch within a length bucket
+
+
+def length_bucketed_batches(
+    docs: DataFrame, batch_size: int = LENGTH_BATCH
+) -> DataFrame:
+    """[length_bucket, batch, n_docs, max_tokens, sum_tokens,
+    waste_ppm] — SFT/inference batch layout with power-of-two length
+    bucketing: bucket = floor(log2(n_tokens + 1)) (map-only — a
+    global NTILE would serialize 100 TB through one sort partition),
+    then fixed-size batches of doc_id order within each bucket. The
+    per-batch padding waste (batch_size-padded tokens wasted per
+    million) is the quantity bucketing minimizes: batching without
+    length grouping pads every sequence to the global batch max.
+    Exact integers; log2 is engine-stable (exact at the only values
+    adjacent to bucket boundaries, the powers of two)."""
+    toks = docs.select(
+        "doc_id",
+        F.floor(F.log2(F.size(F.expr(SPARK_TOKENS)) + F.lit(1)))
+        .cast("bigint")
+        .alias("length_bucket"),
+        F.size(F.expr(SPARK_TOKENS)).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy("length_bucket").orderBy("doc_id")
+    batched = toks.withColumn(
+        "batch",
+        F.floor((F.row_number().over(w) - 1) / F.lit(batch_size))
+        .cast("bigint"),
+    )
+    agg = batched.groupBy("length_bucket", "batch").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
+    padded = F.col("n_docs") * F.col("max_tokens")
+    return agg.select(
+        "length_bucket",
+        "batch",
+        "n_docs",
+        "max_tokens",
+        "sum_tokens",
+        F.when(padded > 0,
+               F.floor((padded - F.col("sum_tokens")) * F.lit(1_000_000)
+                       / padded).cast("bigint"))
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("waste_ppm"),
+    )
+
+
+def length_bucketed_batches_sql(batch_size: int = LENGTH_BATCH) -> str:
+    return (
+        "WITH toks AS (SELECT doc_id,"
+        f" CAST(FLOOR(log2(len({DUCK_TOKENS}) + 1)) AS BIGINT)"
+        " AS length_bucket,"
+        f" CAST(len({DUCK_TOKENS}) AS BIGINT) AS n_tokens FROM documents),"
+        " batched AS (SELECT length_bucket, n_tokens,"
+        "  CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY length_bucket"
+        f"  ORDER BY doc_id) - 1) / {batch_size}.0) AS BIGINT) AS batch"
+        "  FROM toks),"
+        " agg AS (SELECT length_bucket, batch, COUNT(*) AS n_docs,"
+        "  MAX(n_tokens) AS max_tokens,"
+        "  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens"
+        "  FROM batched GROUP BY 1, 2)"
+        " SELECT length_bucket, batch, CAST(n_docs AS BIGINT) AS n_docs,"
+        " max_tokens, sum_tokens,"
+        " CASE WHEN n_docs * max_tokens > 0 THEN"
+        "  CAST(FLOOR((n_docs * max_tokens - sum_tokens) * 1000000.0"
+        "  / (n_docs * max_tokens)) AS BIGINT)"
+        "  ELSE CAST(0 AS BIGINT) END AS waste_ppm"
+        " FROM agg"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Model-based quality scoring: a linear model over term features —
 # the inference shape of a fastText-style quality classifier in a

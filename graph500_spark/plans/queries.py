@@ -930,6 +930,13 @@ def q_lang_confusion(spark, sf_dir):
     return text_mod.lang_confusion(_docs(spark, sf_dir))
 
 
+def q_length_bucketed_batches(spark, sf_dir):
+    """SFT batch layout: power-of-two length buckets (map-only, no
+    global sort), fixed-size batches within each bucket, per-batch
+    padding-waste ppm (traindata.py::length_bucketed_batches)."""
+    return traindata_mod.length_bucketed_batches(_docs(spark, sf_dir))
+
+
 def q_pack_efficiency(spark, sf_dir):
     """Packing utilization per shard (fill_ratio readout for the
     budget/shards knobs) — reuses the pack_chunks window output."""
@@ -2351,6 +2358,15 @@ def q_decontaminate_bloom(spark, sf_dir):
     return decontaminate_bloom(_docs(spark, sf_dir))
 
 
+def q_split_by_cluster(spark, sf_dir):
+    """Leakage-safe train/test split: the hash-bucket decision is
+    taken on the near-dup CLUSTER id, so every near-duplicate
+    component lands wholly in one split (corpus.py::split_by_cluster)."""
+    from graph500_spark.operators.corpus import split_by_cluster
+
+    return split_by_cluster(spark, _docs(spark, sf_dir))
+
+
 def q_dup_clusters(spark, sf_dir):
     """Near-dup connected-component clusters over the verified minhash
     pair graph (corpus.py::dup_clusters) — the text pipeline composed
@@ -2451,6 +2467,7 @@ QUERIES: dict[str, QueryFn] = {
     "decontaminate": q_decontaminate,
     "decontaminate_salted": q_decontaminate_salted,
     "decontaminate_bloom": q_decontaminate_bloom,
+    "split_by_cluster": q_split_by_cluster,
     "validate_msf": q_validate_msf,
     "fk_integrity": q_fk_integrity,
     "pk_uniqueness": q_pk_uniqueness,
@@ -2511,6 +2528,7 @@ QUERIES: dict[str, QueryFn] = {
     "multi_touch_attribution": q_multi_touch_attribution,
     "lang_confusion": q_lang_confusion,
     "pack_efficiency": q_pack_efficiency,
+    "length_bucketed_batches": q_length_bucketed_batches,
     "doc_chunks": q_doc_chunks,
     "cosine_topk_filtered": q_cosine_topk_filtered,
     "label_prototypes": q_label_prototypes,
@@ -2915,6 +2933,7 @@ ORACLE_SQL: dict[str, str] = {
     "multi_touch_attribution": asof_mod.multi_touch_attribution_sql(),
     "lang_confusion": text_mod.LANG_CONFUSION_SQL,
     "pack_efficiency": traindata_mod.pack_efficiency_sql(),
+    "length_bucketed_batches": traindata_mod.length_bucketed_batches_sql(),
     "doc_chunks": traindata_mod.doc_chunks_sql(),
     "cosine_topk_filtered": simsearch_mod.cosine_topk_filtered_sql(),
     "label_prototypes": simsearch_mod.label_prototypes_sql(),
@@ -3056,6 +3075,7 @@ ORACLE_SQL: dict[str, str] = {
     "corpus_mix": corpus_mod.corpus_mix_sql(),
     "decontaminate": corpus_mod.decontaminate_sql(),
     "dup_clusters": corpus_mod.dup_clusters_sql(),
+    "split_by_cluster": corpus_mod.split_by_cluster_sql(),
     "train_test_split": traindata_mod.train_test_split_sql(),
     "term_doc_frequency": traindata_mod.term_doc_frequency_sql(),
     "tfidf_top_terms": traindata_mod.tfidf_top_terms_sql(),
