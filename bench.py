@@ -151,7 +151,20 @@ def main() -> int:
         "sessionize_native": lambda: Q.q_sessionize_native(spark, sf_dir).count(),
         "event_gapfill": lambda: Q.q_event_gapfill(spark, sf_dir).count(),
         "decontaminate": lambda: Q.q_decontaminate(spark, sf_dir).count(),
+        "decontaminate_bloom": lambda: Q.q_decontaminate_bloom(
+            spark, sf_dir
+        ).count(),
         "dup_clusters": lambda: Q.q_dup_clusters(spark, sf_dir).count(),
+        "split_by_cluster": lambda: Q.q_split_by_cluster(
+            spark, sf_dir
+        ).count(),
+        "length_bucketed_batches": lambda: Q.q_length_bucketed_batches(
+            spark, sf_dir
+        ).count(),
+        "pca_power_iteration": lambda: Q.q_pca_power_iteration(
+            spark, sf_dir
+        ).count(),
+        "pca_project": lambda: Q.q_pca_project(spark, sf_dir).count(),
         "kmeans_cells": lambda: Q.q_kmeans_cells(spark, sf_dir).count(),
         "token_count_detailed": lambda: Q.q_token_count_detailed(
             spark, sf_dir
