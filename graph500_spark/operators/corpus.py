@@ -267,6 +267,50 @@ def dup_clusters_sql(jaccard_threshold: float = NEAR_DUP_JACCARD) -> str:
     )
 
 
+def decontaminate_fuzzy(
+    docs: DataFrame,
+    eval_mod: int = EVAL_MOD,
+    jaccard_threshold: float = NEAR_DUP_JACCARD,
+) -> DataFrame:
+    """[train_doc, eval_doc, jaccard] — NEAR-duplicate contamination
+    across the train/eval boundary: verified minhash pairs (LSH
+    candidates → exact shingle Jaccard >= threshold) where exactly one
+    side is in the eval split. Complements decontaminate(): the exact
+    5-gram form catches verbatim overlap; this catches whole-document
+    near-copies (light edits, boilerplate rewraps) whose individual
+    grams may each fall under min_shared. Same banded-LSH scale shape
+    — never all-pairs."""
+    pairs = dd.minhash_near_duplicates(docs, jaccard_threshold)
+    a_eval = F.col("doc_a") % eval_mod == 0
+    b_eval = F.col("doc_b") % eval_mod == 0
+    return (
+        pairs.filter(a_eval != b_eval)
+        .select(
+            F.when(a_eval, F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("train_doc"),
+            F.when(a_eval, F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("eval_doc"),
+            "jaccard",
+        )
+    )
+
+
+def decontaminate_fuzzy_sql(
+    eval_mod: int = EVAL_MOD,
+    jaccard_threshold: float = NEAR_DUP_JACCARD,
+) -> str:
+    return (
+        f"WITH nd AS ({dd.minhash_near_duplicates_sql(jaccard_threshold)})"
+        " SELECT CASE WHEN doc_a % "
+        f"{eval_mod} = 0 THEN doc_b ELSE doc_a END AS train_doc,"
+        f" CASE WHEN doc_a % {eval_mod} = 0 THEN doc_a ELSE doc_b END"
+        " AS eval_doc, jaccard FROM nd"
+        f" WHERE (doc_a % {eval_mod} = 0) <> (doc_b % {eval_mod} = 0)"
+    )
+
+
 def split_by_cluster(
     spark,
     docs: DataFrame,

@@ -2367,6 +2367,15 @@ def q_split_by_cluster(spark, sf_dir):
     return split_by_cluster(spark, _docs(spark, sf_dir))
 
 
+def q_decontaminate_fuzzy(spark, sf_dir):
+    """Near-duplicate contamination across the train/eval boundary:
+    verified minhash pairs with exactly one eval-split side — the
+    paraphrase-level complement of the exact 5-gram decontaminate."""
+    from graph500_spark.operators.corpus import decontaminate_fuzzy
+
+    return decontaminate_fuzzy(_docs(spark, sf_dir))
+
+
 def q_dup_clusters(spark, sf_dir):
     """Near-dup connected-component clusters over the verified minhash
     pair graph (corpus.py::dup_clusters) — the text pipeline composed
@@ -2499,6 +2508,7 @@ QUERIES: dict[str, QueryFn] = {
     "jaccard_topk": q_jaccard_topk,
     # --- remaining never-driver-checked entries (round-5 window) ---
     "pca_power_iteration": q_pca_power_iteration,
+    "decontaminate_fuzzy": q_decontaminate_fuzzy,
     "pca_project": q_pca_project,
     "pca_components": q_pca_components,
     "model_quality_scores": q_model_quality_scores,
@@ -3004,6 +3014,7 @@ ORACLE_SQL: dict[str, str] = {
     # near-degenerate spectrum is not cross-engine hashable; its twin
     # below is.
     "pca_power_iteration": simsearch_mod.pca_power_iteration_sql(),
+    "decontaminate_fuzzy": corpus_mod.decontaminate_fuzzy_sql(),
     "pca_project": simsearch_mod.pca_project_sql(),
     "event_value_histogram": windows_mod.event_value_histogram_sql(),
     "funnel_windowed": windows_mod.funnel_windowed_sql(),
