@@ -1166,3 +1166,412 @@ def lineitem_correlations_sql() -> str:
         " UNION ALL SELECT 'price_disc',"
         f" {corr('spd', 'sp', 'sd', 'spp', 'sdd')} FROM m"
     )
+
+
+# ---------------------------------------------------------------------------
+# market_share — the TPC-H Q8 shape: national market share as a
+# conditional-aggregate ratio over a 5-table dimension funnel
+# ---------------------------------------------------------------------------
+
+MS_FROM_US = date_us(1999, 1, 1)
+MS_TO_US = date_us(2001, 1, 1)
+MS_REGION = "ASIA"
+MS_NATION = "NATION_3"
+MS_TYPE = "PROMO"
+
+
+def market_share(
+    part: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = MS_REGION,
+    supp_nation: str = MS_NATION,
+    p_type: str = MS_TYPE,
+) -> DataFrame:
+    """Share of one nation's suppliers in a region's market for a part
+    type, by order year: [o_year, nation_revenue_e4, total_revenue_e4,
+    share_ppm].  share_ppm is half-up integer parts-per-million — the
+    float division in the classic formulation is replaced by one exact
+    integer rounding so the value hash is engine-neutral.
+
+    Plan shape: part (type-filtered), supplier+nation, and the
+    region→nation→customer funnel are all broadcast dimensions; the
+    only big-big shuffle is lineitem ⋈ orders on orderkey.  The
+    numerator/denominator split is a conditional SUM over one pass —
+    no second scan, no self-join.  At 100 TB the part side may exceed
+    broadcast and AQE degrades it to a shuffle join on partkey; the
+    conditional-aggregate stays single-pass either way."""
+    from graph500_spark.functions.eventtime import event_time
+
+    p = part.filter(F.col("p_type") == p_type).select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    n_region = (
+        nation.join(
+            F.broadcast(
+                region.filter(F.col("r_name") == region_name).select(
+                    "r_regionkey"
+                )
+            ),
+            nation.n_regionkey == F.col("r_regionkey"),
+        ).select(F.col("n_nationkey").cast("long").alias("nk"))
+    )
+    cust = customer.select(
+        "c_custkey", F.col("c_nationkey").cast("long").alias("nk")
+    ).join(F.broadcast(n_region), "nk").select("c_custkey")
+    o = orders.filter(
+        ts_range_cond(orders, "o_orderdate", MS_FROM_US, MS_TO_US)
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.year(event_time(orders, "o_orderdate")).cast("long")
+        .alias("o_year"),
+    ).join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "o_year")
+    supp = supplier.select(
+        F.col("s_suppkey").alias("l_suppkey"),
+        F.col("s_nationkey").cast("long").alias("s_nk"),
+    ).join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").cast("long").alias("s_nk"),
+                F.col("n_name").alias("s_nation"),
+            )
+        ),
+        "s_nk",
+    ).select("l_suppkey", "s_nation")
+    li = lineitem.select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_partkey",
+        "l_suppkey",
+        _cents("l_extendedprice").alias("price_c"),
+        _pct("l_discount").alias("disc_pct"),
+    ).join(F.broadcast(p), "l_partkey")
+    vol = (
+        li.join(o, "o_orderkey")
+        .join(F.broadcast(supp), "l_suppkey")
+        .select(
+            "o_year",
+            "s_nation",
+            (F.col("price_c") * (F.lit(100) - F.col("disc_pct")))
+            .alias("vol_e4"),
+        )
+    )
+    agg = vol.groupBy("o_year").agg(
+        F.sum(
+            F.when(F.col("s_nation") == supp_nation, F.col("vol_e4"))
+            .otherwise(F.lit(0))
+        ).alias("nation_revenue_e4"),
+        F.sum("vol_e4").alias("total_revenue_e4"),
+    )
+    return agg.select(
+        "o_year",
+        "nation_revenue_e4",
+        "total_revenue_e4",
+        F.expr(
+            "(nation_revenue_e4 * 1000000 + total_revenue_e4 div 2)"
+            " div total_revenue_e4"
+        ).alias("share_ppm"),
+    )
+
+
+def market_share_sql(
+    region_name: str = MS_REGION,
+    supp_nation: str = MS_NATION,
+    p_type: str = MS_TYPE,
+) -> str:
+    return (
+        "WITH vol AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,"
+        " ns.n_name AS s_nation,"
+        f" {_cents_sql('l_extendedprice')}"
+        f" * (100 - {_cents_sql('l_discount')}) AS vol_e4"
+        " FROM lineitem"
+        " JOIN part ON l_partkey = p_partkey"
+        " JOIN orders ON l_orderkey = o_orderkey"
+        " JOIN customer ON o_custkey = c_custkey"
+        " JOIN nation nc ON c_nationkey = nc.n_nationkey"
+        " JOIN region ON nc.n_regionkey = r_regionkey"
+        " JOIN supplier ON l_suppkey = s_suppkey"
+        " JOIN nation ns ON s_nationkey = ns.n_nationkey"
+        f" WHERE r_name = '{region_name}' AND p_type = '{p_type}'"
+        f" AND epoch_us(o_orderdate) >= {MS_FROM_US}"
+        f" AND epoch_us(o_orderdate) < {MS_TO_US}),"
+        " agg AS (SELECT o_year,"
+        " CAST(SUM(CASE WHEN s_nation = "
+        f"'{supp_nation}' THEN vol_e4 ELSE 0 END) AS BIGINT)"
+        " AS nation_revenue_e4,"
+        " CAST(SUM(vol_e4) AS BIGINT) AS total_revenue_e4"
+        " FROM vol GROUP BY o_year)"
+        " SELECT o_year, nation_revenue_e4, total_revenue_e4,"
+        " CAST((nation_revenue_e4 * 1000000 + total_revenue_e4 // 2)"
+        " // total_revenue_e4 AS BIGINT) AS share_ppm FROM agg"
+    )
+
+
+# ---------------------------------------------------------------------------
+# product_type_profit — the TPC-H Q9 shape: profit by supplier nation
+# and year for a part-name family (supply cost proxied at 80% of the
+# part's retail price — the testdata has no partsupp table)
+# ---------------------------------------------------------------------------
+
+PTP_NAME_TOKEN = "widget"
+
+
+def product_type_profit(
+    part: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    name_token: str = PTP_NAME_TOKEN,
+) -> DataFrame:
+    """Profit by supplier nation and order year over parts whose name
+    contains ``name_token``: [n_name, o_year, profit_e4], where
+    profit_e4 = Σ price_c·(100−disc) − qty·retail_c·80 (e4 dollar
+    units; cost = 80% of retail, all-integer so the hash is exact).
+
+    Plan: part (name-filtered) and supplier⋈nation broadcast;
+    lineitem ⋈ orders on orderkey is the one big shuffle; the profit
+    expression folds into the scan projection.  This is the classic
+    star-join profit rollup — at 100 TB the same plan holds with the
+    part dimension bucketed if it outgrows broadcast."""
+    from graph500_spark.functions.eventtime import event_time
+
+    p = part.filter(
+        F.col("p_name").contains(name_token)
+    ).select(
+        F.col("p_partkey").alias("l_partkey"),
+        _cents("p_retailprice").alias("retail_c"),
+    )
+    supp = supplier.select(
+        F.col("s_suppkey").alias("l_suppkey"),
+        F.col("s_nationkey").cast("long").alias("s_nk"),
+    ).join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").cast("long").alias("s_nk"), "n_name"
+            )
+        ),
+        "s_nk",
+    ).select("l_suppkey", "n_name")
+    o = orders.select(
+        "o_orderkey",
+        F.year(event_time(orders, "o_orderdate")).cast("long")
+        .alias("o_year"),
+    )
+    li = lineitem.select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_partkey",
+        "l_suppkey",
+        F.round("l_quantity").cast("long").alias("qty"),
+        _cents("l_extendedprice").alias("price_c"),
+        _pct("l_discount").alias("disc_pct"),
+    )
+    j = (
+        li.join(F.broadcast(p), "l_partkey")
+        .join(F.broadcast(supp), "l_suppkey")
+        .join(o, "o_orderkey")
+    )
+    return j.groupBy("n_name", "o_year").agg(
+        F.sum(
+            F.col("price_c") * (F.lit(100) - F.col("disc_pct"))
+            - F.col("qty") * F.col("retail_c") * F.lit(80)
+        ).alias("profit_e4")
+    )
+
+
+def product_type_profit_sql(name_token: str = PTP_NAME_TOKEN) -> str:
+    return (
+        "SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,"
+        f" CAST(SUM({_cents_sql('l_extendedprice')}"
+        f" * (100 - {_cents_sql('l_discount')})"
+        " - CAST(round(l_quantity) AS BIGINT)"
+        f" * {_cents_sql('p_retailprice')} * 80) AS BIGINT) AS profit_e4"
+        " FROM lineitem"
+        " JOIN part ON l_partkey = p_partkey"
+        " JOIN supplier ON l_suppkey = s_suppkey"
+        " JOIN nation ON s_nationkey = n_nationkey"
+        " JOIN orders ON l_orderkey = o_orderkey"
+        f" WHERE p_name LIKE '%{name_token}%'"
+        " GROUP BY n_name, o_year"
+    )
+
+
+# ---------------------------------------------------------------------------
+# returned_items — the TPC-H Q10 shape: top-k revenue-losing customers
+# over one quarter of returned lineitems
+# ---------------------------------------------------------------------------
+
+RI_FROM_US = date_us(2000, 10, 1)
+RI_TO_US = date_us(2001, 1, 1)
+RI_TOP_K = 20
+
+
+def returned_items(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    from_us: int = RI_FROM_US,
+    to_us: int = RI_TO_US,
+    top_k: int = RI_TOP_K,
+) -> DataFrame:
+    """Top-k customers by revenue lost to returns in one order
+    quarter: [c_custkey, c_name, n_name, acctbal_c, revenue_e4],
+    ordered by revenue desc with custkey as the deterministic
+    tiebreak (top-k must be a well-defined row SET for the value
+    hash, not just a well-defined ordering).
+
+    Plan: date-filtered orders ⋈ returned lineitems is the big-big
+    shuffle; the customer⋈nation dimension broadcasts onto the
+    aggregated (custkey, revenue) result — aggregate FIRST, widen
+    with dimension columns after, so the shuffle carries two columns
+    instead of five.  TakeOrderedAndProject caps the sort at k rows
+    per partition — no global sort materializes."""
+    o = orders.filter(
+        ts_range_cond(orders, "o_orderdate", from_us, to_us)
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        _cents("l_extendedprice").alias("price_c"),
+        _pct("l_discount").alias("disc_pct"),
+    )
+    rev = (
+        li.join(o, "o_orderkey")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.col("price_c") * (F.lit(100) - F.col("disc_pct"))
+            ).alias("revenue_e4")
+        )
+    )
+    cust = customer.select(
+        F.col("c_custkey"),
+        "c_name",
+        F.col("c_nationkey").cast("long").alias("nk"),
+        _cents("c_acctbal").alias("acctbal_c"),
+    ).join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").cast("long").alias("nk"), "n_name"
+            )
+        ),
+        "nk",
+    )
+    return (
+        rev.join(
+            F.broadcast(cust), rev.o_custkey == cust.c_custkey
+        )
+        .select("c_custkey", "c_name", "n_name", "acctbal_c", "revenue_e4")
+        .orderBy(F.col("revenue_e4").desc(), F.col("c_custkey"))
+        .limit(top_k)
+    )
+
+
+def returned_items_sql(
+    from_us: int = RI_FROM_US,
+    to_us: int = RI_TO_US,
+    top_k: int = RI_TOP_K,
+) -> str:
+    return (
+        "SELECT c_custkey, c_name, n_name,"
+        f" {_cents_sql('c_acctbal')} AS acctbal_c,"
+        f" CAST(SUM({_cents_sql('l_extendedprice')}"
+        f" * (100 - {_cents_sql('l_discount')})) AS BIGINT) AS revenue_e4"
+        " FROM lineitem"
+        " JOIN orders ON l_orderkey = o_orderkey"
+        " JOIN customer ON o_custkey = c_custkey"
+        " JOIN nation ON c_nationkey = n_nationkey"
+        " WHERE l_returnflag = 'R'"
+        f" AND epoch_us(o_orderdate) >= {from_us}"
+        f" AND epoch_us(o_orderdate) < {to_us}"
+        " GROUP BY c_custkey, c_name, n_name, acctbal_c"
+        f" ORDER BY revenue_e4 DESC, c_custkey LIMIT {top_k}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# disjunctive_revenue — the TPC-H Q19 shape: OR-of-ANDs predicate
+# spanning fact and dimension columns
+# ---------------------------------------------------------------------------
+
+DR_BRANCHES = (
+    ("Brand#12", 5, 1, 11),
+    ("Brand#23", 10, 10, 20),
+    ("Brand#34", 15, 20, 30),
+)
+
+
+def disjunctive_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    branches: tuple = DR_BRANCHES,
+) -> DataFrame:
+    """Revenue over three (brand, max-size, qty-range) OR-branches:
+    one row [revenue_e4].  The disjunction spans part (brand, size)
+    and lineitem (quantity) columns — the shape that punishes engines
+    which can't push a per-table residual of an OR tree.
+
+    Plan: the per-table implied predicates ARE pushable — brand ∈
+    {..} ∧ size ≤ max(sizes) reaches the part scan and qty ≤
+    max(highs) reaches the lineitem scan (Catalyst derives them from
+    the OR tree); the exact mixed-table disjunction evaluates as the
+    broadcast-join residual.  One row out, no shuffle beyond the
+    final 1-row aggregate."""
+    p = part.select("p_partkey", "p_brand", "p_size")
+    # The exact disjunction below references the quantized qty column,
+    # which Catalyst cannot push to the scan.  Spell the implied raw
+    # bound redundantly (ts_range_cond's both-ways discipline):
+    # round(q) ∈ [lo, hi] ⇒ q ∈ [min_lo − 0.5, max_hi + 0.5], so this
+    # plain-column range reaches PushedFilters and skips row groups
+    # without changing results.
+    qty_lo = min(b[2] for b in branches) - 0.5
+    qty_hi = max(b[3] for b in branches) + 0.5
+    li = lineitem.filter(
+        F.col("l_quantity").between(qty_lo, qty_hi)
+    ).select(
+        F.col("l_partkey").alias("p_partkey"),
+        F.round("l_quantity").cast("long").alias("qty"),
+        _cents("l_extendedprice").alias("price_c"),
+        _pct("l_discount").alias("disc_pct"),
+    )
+    cond = F.lit(False)
+    for brand, max_size, qty_lo, qty_hi in branches:
+        cond = cond | (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size").between(1, max_size))
+            & (F.col("qty").between(qty_lo, qty_hi))
+        )
+    return (
+        li.join(F.broadcast(p), "p_partkey")
+        .filter(cond)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("price_c") * (F.lit(100) - F.col("disc_pct"))
+                ),
+                F.lit(0),
+            ).cast("long").alias("revenue_e4")
+        )
+    )
+
+
+def disjunctive_revenue_sql(branches: tuple = DR_BRANCHES) -> str:
+    ors = " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN 1 AND {s}"
+        f" AND CAST(round(l_quantity) AS BIGINT) BETWEEN {lo} AND {hi})"
+        for b, s, lo, hi in branches
+    )
+    return (
+        "SELECT CAST(COALESCE(SUM("
+        f"{_cents_sql('l_extendedprice')}"
+        f" * (100 - {_cents_sql('l_discount')})), 0) AS BIGINT)"
+        " AS revenue_e4"
+        " FROM lineitem JOIN part ON l_partkey = p_partkey"
+        f" WHERE {ors}"
+    )

@@ -1153,6 +1153,56 @@ def q_supplier_part_counts(spark, sf_dir):
     )
 
 
+def q_market_share(spark, sf_dir):
+    """National market share by order year (Q8 shape) — conditional
+    aggregate ratio in exact ppm over a 5-dimension broadcast funnel;
+    the one big-big shuffle is lineitem ⋈ orders."""
+    return rel_mod.market_share(
+        td.load_table(spark, sf_dir, "part"),
+        td.load_table(spark, sf_dir, "lineitem"),
+        td.load_table(spark, sf_dir, "orders"),
+        td.load_table(spark, sf_dir, "customer"),
+        td.load_table(spark, sf_dir, "supplier"),
+        td.load_table(spark, sf_dir, "nation"),
+        td.load_table(spark, sf_dir, "region"),
+    )
+
+
+def q_product_type_profit(spark, sf_dir):
+    """Profit by supplier nation and year for a part-name family (Q9
+    shape, supply cost proxied at 80% of retail — no partsupp table in
+    the testdata); all-integer e4 units keep the hash exact."""
+    return rel_mod.product_type_profit(
+        td.load_table(spark, sf_dir, "part"),
+        td.load_table(spark, sf_dir, "lineitem"),
+        td.load_table(spark, sf_dir, "orders"),
+        td.load_table(spark, sf_dir, "supplier"),
+        td.load_table(spark, sf_dir, "nation"),
+    )
+
+
+def q_returned_items(spark, sf_dir):
+    """Top-20 customers by returned-item revenue in one quarter (Q10
+    shape) — aggregate first, broadcast the customer dimension onto
+    the k-row result, deterministic custkey tiebreak."""
+    return rel_mod.returned_items(
+        td.load_table(spark, sf_dir, "customer"),
+        td.load_table(spark, sf_dir, "orders"),
+        td.load_table(spark, sf_dir, "lineitem"),
+        td.load_table(spark, sf_dir, "nation"),
+    )
+
+
+def q_disjunctive_revenue(spark, sf_dir):
+    """OR-of-ANDs predicate spanning part and lineitem columns (Q19
+    shape) — Catalyst derives the pushable per-table residuals from
+    the OR tree; the exact disjunction is the join residual."""
+    return rel_mod.disjunctive_revenue(
+        td.load_table(spark, sf_dir, "lineitem"),
+        td.load_table(spark, sf_dir, "part"),
+    )
+
+
 def q_scd2_history(spark, sf_dir):
     """SCD Type-2 dimension history from the event change log — one
     validity interval per run of equal per-user attribute values; both
@@ -2663,6 +2713,11 @@ QUERIES: dict[str, QueryFn] = {
     "initial_edges_cycle": q_initial_edges_cycle,
     "validate_sssp_summary": q_validate_sssp_summary,
     "token_count": q_token_count,
+    # --- round-5 additions (after the correctness window per policy) ---
+    "market_share": q_market_share,
+    "product_type_profit": q_product_type_profit,
+    "returned_items": q_returned_items,
+    "disjunctive_revenue": q_disjunctive_revenue,
 }
 
 # --- round-5 correctness window rotation: the driver hash-checks the FIRST
@@ -3059,6 +3114,10 @@ ORACLE_SQL: dict[str, str] = {
     "small_quantity_revenue": rel_mod.small_quantity_revenue_sql(),
     "shipping_volume": rel_mod.shipping_volume_sql(),
     "supplier_part_counts": rel_mod.supplier_part_counts_sql(),
+    "market_share": rel_mod.market_share_sql(),
+    "product_type_profit": rel_mod.product_type_profit_sql(),
+    "returned_items": rel_mod.returned_items_sql(),
+    "disjunctive_revenue": rel_mod.disjunctive_revenue_sql(),
     "revenue_rollup": rel_mod.revenue_rollup_sql(),
     "scd2_history": windows_mod.SCD2_HISTORY_SQL,
     "user_event_pivot": windows_mod.USER_EVENT_PIVOT_SQL,
