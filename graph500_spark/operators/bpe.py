@@ -1,0 +1,203 @@
+"""Distributed BPE (byte-pair-encoding) vocabulary induction — the
+subword-tokenizer training step of an LLM data pipeline (Sennrich et
+al. 2016, "Neural Machine Translation of Rare Words with Subword
+Units"), expressed Spark-first.
+
+Scale shape. Classic BPE trains on the WORD-FREQUENCY table, not the
+raw corpus: the corpus is scanned once (tokenize → groupBy word → sum
+count — one shuffle over the data), and every subsequent merge
+iteration runs on the distinct-word table, whose size is the
+vocabulary (10⁵–10⁸ rows at 100 TB — comfortably distributed, and
+vanishing relative to the corpus). Per iteration:
+
+  1. pair counting — explode adjacent symbol pairs of each word
+     (pure Column algebra: split / slice / transform / explode) and
+     sum word counts per pair (map-side partial agg, one small
+     shuffle at vocabulary scale);
+  2. argmax — the single best (count desc, pair asc — deterministic
+     tiebreak) pair is a 1-row collect, the same bounded
+     driver-logic budget plans/runner.py uses for root sampling;
+  3. merge application — one regexp_replace projection over the word
+     table. The pattern anchors both symbols on token boundaries
+     with lookarounds, so Java's left-to-right non-overlapping
+     replaceAll reproduces BPE's left-to-right merge semantics
+     exactly (``a a a a`` + merge (a,a) → ``aa aa``, not ``aa a a``).
+
+No Python UDFs anywhere — tokenization, pair explosion, and merge
+application are all JVM-side whole-stage-codegen expressions.
+localCheckpoint every few merges bounds lineage depth, as in the
+iterative graph operators (operators/pregel.py discipline).
+
+After training, the word table holds the final segmentation of every
+distinct word, so APPLYING the tokenizer to the corpus is a broadcast
+join (word → its subword count / pieces) — no per-document merge
+replay. That asymmetry (train on vocab, apply by lookup) is what
+makes BPE viable at corpus scale.
+
+The merge sequence is not expressible in one SQL statement (iterative
+argmax); the driver gate records these entries rows-only, and
+tests/test_bpe.py pins the full merge table and segmentations against
+an independent pure-Python reference implementation (the mst.py
+Kruskal-cross-check pattern).
+
+Reference scope: /root/reference has no text surface (integer graph
+code only — mpi/main.cc); this module is engine capability beyond
+parity, part of the training-data-pipeline family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graph500_spark.operators.text import TOKEN_REGEX
+
+END_OF_WORD = "</w>"
+
+
+def _quote_regex(sym: str) -> str:
+    """Literal-quote a symbol for a Java regex (\\Q…\\E is safe for
+    every symbol BPE can produce — alnum runs plus the ``</w>``
+    marker; none contain \\E)."""
+    return "\\Q" + sym + "\\E"
+
+
+def merge_pattern(left: str, right: str) -> str:
+    """Boundary-anchored pattern for one merge: both symbols must be
+    complete space-delimited tokens. Lookarounds (not consumed
+    context) keep Java's non-overlapping replaceAll scan aligned
+    with BPE's left-to-right merge order on runs."""
+    return (
+        "(?<=^| )" + _quote_regex(left) + " " + _quote_regex(right) + "(?=$| )"
+    )
+
+
+def word_frequencies(docs: DataFrame) -> DataFrame:
+    """[word, wcount] — the corpus's word-frequency table (lowercased
+    TOKEN_REGEX tokens), the single corpus-wide pass BPE trains on."""
+    return (
+        docs.select(
+            F.explode(
+                F.expr(f"regexp_extract_all(lower(text), '{TOKEN_REGEX}', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcount"))
+    )
+
+
+def _spaced_symbols(word_col: str = "word") -> F.Column:
+    """Initial segmentation: one symbol per character plus the
+    end-of-word marker, space-joined (symbols are alnum, so the space
+    is an unambiguous delimiter)."""
+    return F.concat_ws(
+        " ",
+        F.expr(f"split({word_col}, '')"),
+        F.lit(END_OF_WORD),
+    )
+
+
+def bpe_learn(
+    spark: SparkSession,
+    docs: DataFrame,
+    num_merges: int = 30,
+    min_count: int = 2,
+    checkpoint_every: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Learn up to ``num_merges`` BPE merges from the corpus.
+
+    Returns (merges, words):
+      merges [rank, left, right, merged, pair_count] — the learned
+        merge table in application order;
+      words [word, wcount, syms] — every distinct word with its FINAL
+        space-joined segmentation (the apply-side lookup table).
+
+    Stops early when the best pair's count drops below ``min_count``
+    (Sennrich's convergence condition — merging hapax pairs adds
+    vocabulary without compression).
+    """
+    words = (
+        word_frequencies(docs)
+        .select("word", "wcount", _spaced_symbols().alias("syms"))
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(num_merges):
+        pairs = (
+            words.select(
+                F.expr(
+                    "transform(slice(split(syms, ' '), 1,"
+                    " size(split(syms, ' ')) - 1),"
+                    " (s, i) -> concat(s, ' ', split(syms, ' ')[i + 1]))"
+                ).alias("prs"),
+                "wcount",
+            )
+            .select(F.explode("prs").alias("pair"), "wcount")
+            .groupBy("pair")
+            .agg(F.sum("wcount").alias("pair_count"))
+        )
+        best = pairs.orderBy(
+            F.col("pair_count").desc(), F.col("pair")
+        ).limit(1).collect()
+        if not best or best[0]["pair_count"] < min_count:
+            break
+        pair, pair_count = best[0]["pair"], int(best[0]["pair_count"])
+        left, right = pair.split(" ", 1)
+        merged = left + right
+        merges.append((rank, left, right, merged, pair_count))
+        words = words.withColumn(
+            "syms",
+            F.regexp_replace("syms", merge_pattern(left, right), merged),
+        )
+        if (rank + 1) % checkpoint_every == 0:
+            words = words.localCheckpoint(eager=True)
+    words = words.localCheckpoint(eager=True)
+    merges_df = spark.createDataFrame(
+        merges,
+        "rank: int, left: string, right: string, merged: string,"
+        " pair_count: long",
+    )
+    return merges_df, words
+
+
+def bpe_token_counts(
+    docs: DataFrame, words: DataFrame
+) -> DataFrame:
+    """[doc_id, n_tokens, n_bpe_tokens] — per-document word and
+    subword counts under the trained segmentation.
+
+    Apply-side plan: explode the document's words and broadcast-join
+    the word→subword-count lookup (the trained word table) — no merge
+    replay over the corpus. At 100 TB the lookup outgrows broadcast
+    and AQE degrades to a shuffle join on the word key; either way
+    the corpus is scanned once."""
+    lookup = words.select(
+        "word",
+        F.size(F.split("syms", " ")).cast("long").alias("n_sub"),
+    )
+    doc_words = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_REGEX}', 0)")
+        ).alias("word"),
+    )
+    return (
+        doc_words.join(F.broadcast(lookup), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("n_sub").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def bpe_vocab(words: DataFrame) -> DataFrame:
+    """[symbol, freq] — the trained subword vocabulary with corpus
+    frequencies (final symbols weighted by word counts)."""
+    return (
+        words.select(
+            F.explode(F.split("syms", " ")).alias("symbol"), "wcount"
+        )
+        .groupBy("symbol")
+        .agg(F.sum("wcount").alias("freq"))
+    )

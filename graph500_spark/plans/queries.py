@@ -1203,6 +1203,30 @@ def q_disjunctive_revenue(spark, sf_dir):
     )
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE vocabulary induction (Sennrich merges) on the
+    documents corpus — trains on the word-frequency table (one corpus
+    shuffle, then vocabulary-scale iterations), all-JVM pair counting
+    and regex merge application. Iterative argmax → rows-only under
+    the driver gate; tests/test_bpe.py pins the full merge table
+    against an independent pure-Python reference."""
+    from graph500_spark.operators.bpe import bpe_learn
+
+    merges, _ = bpe_learn(spark, _docs(spark, sf_dir), num_merges=30)
+    return merges
+
+
+def q_bpe_token_counts(spark, sf_dir):
+    """Apply-side BPE: per-document word and subword counts via a
+    broadcast join against the trained word→segmentation table — no
+    merge replay over the corpus."""
+    from graph500_spark.operators.bpe import bpe_learn, bpe_token_counts
+
+    docs = _docs(spark, sf_dir)
+    _, words = bpe_learn(spark, docs, num_merges=30)
+    return bpe_token_counts(docs, words)
+
+
 def q_scd2_history(spark, sf_dir):
     """SCD Type-2 dimension history from the event change log — one
     validity interval per run of equal per-user attribute values; both
@@ -2718,6 +2742,8 @@ QUERIES: dict[str, QueryFn] = {
     "product_type_profit": q_product_type_profit,
     "returned_items": q_returned_items,
     "disjunctive_revenue": q_disjunctive_revenue,
+    "bpe_merges": q_bpe_merges,
+    "bpe_token_counts": q_bpe_token_counts,
 }
 
 # --- round-5 correctness window rotation: the driver hash-checks the FIRST
