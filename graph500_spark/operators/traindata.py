@@ -1027,3 +1027,78 @@ def cap_per_source_sql(cap: int = CAP_PER_SOURCE) -> str:
         " FROM documents)"
         f" WHERE rk <= {cap}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering: exact global rank without a global sort
+# ---------------------------------------------------------------------------
+
+CURRICULUM_PARTS = 8
+
+
+def curriculum_order(
+    docs: DataFrame, num_parts: int = CURRICULUM_PARTS
+) -> DataFrame:
+    """[doc_id, model_score_e5, global_rank] — every document's exact
+    1-based position in the quality-descending curriculum (score
+    desc, doc_id as the deterministic tiebreak).
+
+    The naive formulation — ROW_NUMBER() over an unpartitioned window
+    — funnels the whole table through ONE task; at 100 TB that is the
+    job. This is the scale-correct two-pass equivalent:
+
+      1. repartitionByRange on the full sort key: each partition holds
+         a contiguous, disjoint key range (the same sampling-based
+         range exchange a global sort uses — but no merge afterwards);
+      2. per-partition ROW_NUMBER (each task ranks only its slice);
+      3. partition row-counts → prefix-sum offsets (num_parts rows on
+         the driver, the bounded O(parts) budget runner.py uses) —
+         global_rank = offset + local_rank.
+
+    Rank correctness does not depend on where the sampled range
+    boundaries fall — only on the partitioner's contiguous-disjoint
+    guarantee — so the result is exactly ROW_NUMBER() OVER (ORDER BY
+    score DESC, doc_id), which is what the DuckDB oracle checks."""
+    scores = model_quality_scores(docs)
+    ranged = scores.repartitionByRange(
+        num_parts,
+        F.col("model_score_e5").desc(),
+        F.col("doc_id").asc(),
+    ).withColumn("part", F.spark_partition_id())
+    w = Window.partitionBy("part").orderBy(
+        F.col("model_score_e5").desc(), F.col("doc_id").asc()
+    )
+    local = ranged.withColumn(
+        "local_rank", F.row_number().over(w).cast("long")
+    ).localCheckpoint(eager=True)
+    counts = sorted(
+        (r["part"], r["n"])
+        for r in local.groupBy("part").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    )
+    offsets, acc = {}, 0
+    for part, n in counts:
+        offsets[part] = acc
+        acc += n
+    off_df = local.sparkSession.createDataFrame(
+        [(p, o) for p, o in offsets.items()], "part: int, offset: long"
+    )
+    out = (
+        local.join(F.broadcast(off_df), "part")
+        .select(
+            "doc_id",
+            "model_score_e5",
+            (F.col("offset") + F.col("local_rank")).alias("global_rank"),
+        )
+    )
+    return out
+
+
+def curriculum_order_sql() -> str:
+    return (
+        f"WITH scored AS ({model_quality_scores_sql()})"
+        " SELECT doc_id, model_score_e5,"
+        " CAST(ROW_NUMBER() OVER (ORDER BY model_score_e5 DESC, doc_id)"
+        " AS BIGINT) AS global_rank FROM scored"
+    )

@@ -1203,6 +1203,13 @@ def q_disjunctive_revenue(spark, sf_dir):
     )
 
 
+def q_curriculum_order(spark, sf_dir):
+    """Exact global curriculum rank (quality desc) via the two-pass
+    range-partition + local-rank + offset pattern — never a
+    single-partition window."""
+    return traindata_mod.curriculum_order(_docs(spark, sf_dir))
+
+
 def q_bpe_merges(spark, sf_dir):
     """Distributed BPE vocabulary induction (Sennrich merges) on the
     documents corpus — trains on the word-frequency table (one corpus
@@ -2742,6 +2749,7 @@ QUERIES: dict[str, QueryFn] = {
     "product_type_profit": q_product_type_profit,
     "returned_items": q_returned_items,
     "disjunctive_revenue": q_disjunctive_revenue,
+    "curriculum_order": q_curriculum_order,
     "bpe_merges": q_bpe_merges,
     "bpe_token_counts": q_bpe_token_counts,
 }
@@ -3158,6 +3166,7 @@ ORACLE_SQL: dict[str, str] = {
     ),
     "dedup_doc_lines": text_mod.DEDUP_DOC_LINES_SQL,
     "cap_per_source": traindata_mod.cap_per_source_sql(),
+    "curriculum_order": traindata_mod.curriculum_order_sql(),
     "conversion_latency": windows_mod.CONVERSION_LATENCY_SQL,
     "event_anomalies_robust": windows_mod.event_anomalies_robust_sql(),
     "embedding_moments": simsearch_mod.embedding_moments_sql(),

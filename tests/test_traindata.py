@@ -416,3 +416,67 @@ class TestWeightedDegrees:
         out = {r.vertex: (r.degree, r.strength)
                for r in weighted_degrees(edges).collect()}
         assert out == {1: (2, 12), 2: (1, 5)}
+
+
+class TestCurriculumOrder:
+    def test_exact_global_rank_with_ties(self, spark):
+        from graph500_spark.operators.traindata import (
+            curriculum_order,
+            model_quality_scores,
+        )
+
+        # identical texts → identical scores → doc_id tiebreak; empty
+        # text scores 0 and ranks last
+        rows = [
+            (10, "alpha beta"),
+            (3, "alpha beta"),
+            (7, "gamma gamma gamma"),
+            (1, ""),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+        out = {
+            r.doc_id: r.global_rank
+            for r in curriculum_order(docs, num_parts=3).collect()
+        }
+        scores = {
+            r.doc_id: r.model_score_e5
+            for r in model_quality_scores(docs).collect()
+        }
+        want_order = sorted(scores, key=lambda d: (-scores[d], d))
+        assert out == {d: i + 1 for i, d in enumerate(want_order)}
+        # ranks are a permutation of 1..n regardless of partitioning
+        assert sorted(out.values()) == [1, 2, 3, 4]
+
+    def test_partition_count_invariance(self, spark):
+        from graph500_spark.operators.traindata import curriculum_order
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        a = {
+            r.doc_id: r.global_rank
+            for r in curriculum_order(docs, num_parts=2).collect()
+        }
+        b = {
+            r.doc_id: r.global_rank
+            for r in curriculum_order(docs, num_parts=13).collect()
+        }
+        assert a == b
+
+    def test_plan_has_no_single_partition_sort(self, spark):
+        import contextlib
+        import io
+
+        from graph500_spark.operators.traindata import curriculum_order
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        df = curriculum_order(docs)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        # the scale trap this operator exists to avoid: an
+        # unpartitioned window's Exchange SinglePartition
+        assert "SinglePartition" not in plan, plan
