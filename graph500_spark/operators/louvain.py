@@ -1,0 +1,275 @@
+"""Distributed Louvain community detection — the local-moving phase
+(Blondel et al. 2008) as a level-synchronous Spark dataflow with
+EXACT integer move decisions.
+
+Semantics. Every vertex starts in its own community; each iteration
+every (parity-eligible) vertex considers moving to a neighboring
+community and takes the move with the largest positive modularity
+gain. For an unweighted symmetric graph, moving v from community a
+to community c changes Q by
+
+    dQ ~ 2m*(k_{v,c} - k_{v,a'}) - deg_v*(D_c - D_{a'})
+
+where k_{v,c} counts v's edges into c, D_c sums member degrees, and
+a' is a with v removed (D_{a'} = D_a - deg_v). The proportionality
+constant 1/(2m^2) is positive, so the INTEGER right-hand side
+decides the move exactly — no float appears anywhere, making the
+fixpoint deterministic and shuffle-order-free (the discipline every
+iterative operator here follows; see operators/centrality.py).
+
+Plan shape (the part that matters at scale). The candidate argmax
+over target communities c != a does NOT depend on k_{v,a'} or
+D_{a'} — those are per-vertex constants, so they only gate the
+accept test, never which candidate wins. That lets the whole move
+decision collapse into ONE groupBy(vertex) over the annotated
+k_{v,c} table:
+
+    best_c   = argmax_c [ 2m*k_c - deg*D_c ]   (cd != ca rows)
+    own_k    = the cd == ca row's k (0 when absent)
+    accept   = best_score > 2m*own_k - deg*(D_a - deg)
+
+Crucially this avoids SELF-JOINING a derived plan: an earlier
+formulation joined two filters of the same aggregated `annotated`
+frame back together ("own" x "cand"), and under Spark 4.1 + AQE
+that diamond makes each iteration ~5x slower than the previous one
+— geometric blowup with CONSTANT SQL plan size, RDD lineage, job /
+stage / task counts (measured: iters 10..13 ran 3s, 13s, 59s, 286s
+on a 997-vertex graph; the minimal repro is in PLANS.md). Joins of
+plain leaf-children (aggregates of the checkpointed state) are
+fine; re-joining two branches of one shuffled sub-plan inside an
+iterative loop is the pathology. Every join below therefore hangs
+directly off checkpoint leaves or the stationary edge cache.
+
+Per iteration: one groupBy(community) for degree sums
+(|communities| rows), one edges |><| communities join + grouped
+count for the k_{v,c} table (the only corpus-scale shuffle — on
+dst, then src, the same keys BFS shuffles on), one groupBy(vertex)
+argmax with a total tiebreak (score desc, community asc), and one
+scalar readout. localCheckpoint per iteration bounds lineage;
+superseded non-best states are unpersisted so cached blocks stay
+O(2 x |V|).
+
+Oscillation control. Synchronous moves can cycle (the classic
+bipartite swap). Two defenses: (1) parity alternation — on
+iteration t only vertices with (vertex + t) % 2 == 0 may move,
+deterministically halving the frontier; (2) exact integer
+modularity tracking — Q*(2m)^2 = within*2m - sum_c D_c^2 is
+computed each round from quantities the loop already aggregates
+(within = sum_v own_k), and the RETURNED assignment is the best
+ever seen (earliest iteration on ties). Rotational 3-cycles that
+parity alone cannot kill therefore cost iterations, never quality,
+and termination is unconditional at max_iters.
+
+The fixpoint is not expressible as one SQL statement (iterative
+argmax with feedback); the driver gate records the entries
+rows-only, and tests/test_louvain.py pins exact communities on
+planted-partition graphs plus a modularity-improvement cross-check
+through the oracle-checked stats.modularity operator.
+
+Reference scope: /root/reference computes no communities (BFS only);
+this extends the engine's graph family beyond parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def louvain_communities(
+    spark: SparkSession,
+    edges_clean: DataFrame,
+    max_iters: int = 16,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """[vertex, community] — one-level Louvain local-moving loop
+    over the symmetric self-loop-free edge list; returns the
+    highest-modularity assignment visited (exact integer score,
+    earliest on ties). Isolated vertices (absent from edges) are
+    out of scope, as in degrees()."""
+    saved_sp = None
+    if shuffle_partitions is not None:
+        saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
+    try:
+        edges = edges_clean.select("src", "dst").persist()
+        deg = (
+            edges.groupBy(F.col("src").alias("vertex"))
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        )
+        two_m = edges.count()
+        comm = deg.select(
+            "vertex", F.col("vertex").alias("community"), "deg"
+        ).localCheckpoint(eager=True)
+        best_comm, best_qnum = comm, None
+        quiet_rounds = 0
+        for it in range(max_iters):
+            # Leaf-child aggregates of the current assignment — every
+            # downstream join hangs off these or the edge cache, never
+            # off a shared shuffled sub-plan (see module docstring).
+            csum = comm.groupBy("community").agg(
+                F.sum("deg").cast("long").alias("d_c")
+            )
+            # k_{v,c}: v's edge count into each neighboring community
+            kvc = (
+                edges.join(
+                    comm.select(
+                        F.col("vertex").alias("dst"),
+                        F.col("community").alias("cd"),
+                    ),
+                    "dst",
+                )
+                .groupBy(F.col("src").alias("vertex"), "cd")
+                .agg(F.count(F.lit(1)).cast("long").alias("k"))
+            )
+            cur = comm.join(
+                csum.select(
+                    F.col("community").alias("ca"),
+                    F.col("d_c").alias("d_ca"),
+                ),
+                F.col("community") == F.col("ca"),
+            ).select(
+                "vertex", F.col("community").alias("ca"), "deg", "d_ca"
+            )
+            ann = (
+                kvc.join(cur, "vertex")
+                .join(
+                    csum.select(
+                        F.col("community").alias("cd"),
+                        F.col("d_c").alias("d_cd"),
+                    ),
+                    "cd",
+                )
+            )
+            # One argmax per vertex; own-community stats ride along as
+            # conditional aggregates instead of a second join branch.
+            per_v = ann.groupBy("vertex").agg(
+                F.max(
+                    F.when(
+                        F.col("cd") != F.col("ca"),
+                        F.struct(
+                            (
+                                F.lit(2 * two_m) * F.col("k")
+                                - F.col("deg") * F.col("d_cd")
+                            ).alias("score"),
+                            (-F.col("cd")).alias("ncd"),
+                        ),
+                    )
+                ).alias("b"),
+                F.coalesce(
+                    F.max(F.when(F.col("cd") == F.col("ca"), F.col("k"))),
+                    F.lit(0),
+                ).cast("long").alias("own_k"),
+                F.first("ca").alias("ca"),
+                F.first("deg").alias("deg"),
+                F.first("d_ca").alias("d_ca"),
+            )
+            moved = (
+                comm.join(
+                    per_v.select(
+                        "vertex",
+                        F.when(
+                            F.col("b").isNotNull()
+                            & (
+                                F.col("b.score")
+                                > F.lit(2 * two_m) * F.col("own_k")
+                                - F.col("deg")
+                                * (F.col("d_ca") - F.col("deg"))
+                            )
+                            # parity alternation: half the vertices
+                            # are move-eligible per round
+                            & ((F.col("vertex") + F.lit(it)) % 2 == 0),
+                            (-F.col("b.ncd")).cast("long"),
+                        ).alias("new_c"),
+                        F.col("own_k"),
+                    ),
+                    "vertex",
+                    "left",
+                )
+                .select(
+                    "vertex",
+                    F.coalesce("new_c", "community").alias("community"),
+                    "deg",
+                    F.col("new_c").isNotNull().alias("did_move"),
+                    F.coalesce("own_k", F.lit(0)).alias("own_k"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            # One scalar job: move count + within-edge total (= the
+            # modularity numerator's first term, for the CURRENT comm).
+            row = moved.agg(
+                F.sum(F.col("did_move").cast("long")).alias("nm"),
+                F.sum("own_k").alias("within"),
+            ).first()
+            n_moves = row["nm"] or 0
+            sumsq = csum.agg(
+                F.sum(F.col("d_c") * F.col("d_c")).alias("s")
+            ).first()["s"]
+            qnum = (row["within"] or 0) * two_m - sumsq
+            if best_qnum is None or qnum > best_qnum:
+                if best_comm is not comm:
+                    best_comm.unpersist()
+                best_comm, best_qnum = comm, qnum
+            next_comm = moved.select("vertex", "community", "deg")
+            if comm is not best_comm:
+                comm.unpersist()
+            comm = next_comm
+            # with parity alternation a single quiet round only means
+            # ONE parity class is stable — the fixpoint needs both
+            # consecutive parities quiet
+            quiet_rounds = quiet_rounds + 1 if n_moves == 0 else 0
+            if quiet_rounds == 2:
+                break
+        # Score the final state too (the loop scores pre-move states).
+        f_csum = comm.groupBy("community").agg(
+            F.sum("deg").cast("long").alias("d_c")
+        )
+        f_row = (
+            edges.join(
+                comm.select(F.col("vertex").alias("src"),
+                            F.col("community").alias("c_s")),
+                "src",
+            )
+            .join(
+                comm.select(F.col("vertex").alias("dst"),
+                            F.col("community").alias("c_d")),
+                "dst",
+            )
+            .agg(
+                F.sum(
+                    (F.col("c_s") == F.col("c_d")).cast("long")
+                ).alias("within")
+            )
+            .first()
+        )
+        f_sumsq = f_csum.agg(
+            F.sum(F.col("d_c") * F.col("d_c")).alias("s")
+        ).first()["s"]
+        f_qnum = (f_row["within"] or 0) * two_m - f_sumsq
+        if f_qnum > best_qnum:
+            best_comm = comm
+        edges.unpersist()
+        return best_comm.select("vertex", "community")
+    finally:
+        if saved_sp is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
+
+
+def louvain_quality(
+    spark: SparkSession,
+    edges_clean: DataFrame,
+    max_iters: int = 16,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """One row [n_communities, two_m, within_rows, modularity] — the
+    Louvain assignment scored by the exact-integer modularity
+    operator (stats.modularity), the quality readout a pipeline
+    monitors."""
+    from graph500_spark.operators.stats import modularity
+
+    comm = louvain_communities(
+        spark, edges_clean, max_iters, shuffle_partitions
+    )
+    return modularity(edges_clean, comm)

@@ -1203,6 +1203,29 @@ def q_disjunctive_revenue(spark, sf_dir):
     )
 
 
+def q_louvain_communities(spark, sf_dir):
+    """Louvain local-moving fixpoint on the mod997 graph — exact
+    integer move gains, parity-alternated synchronous moves; the
+    iterative argmax-with-feedback is rows-only under the driver
+    gate (tests pin planted-partition recovery + determinism)."""
+    from graph500_spark.operators.louvain import louvain_communities
+
+    return louvain_communities(
+        spark, clean_mod997_graph(spark, sf_dir), shuffle_partitions=8
+    )
+
+
+def q_louvain_quality(spark, sf_dir):
+    """The Louvain assignment scored by the exact-integer modularity
+    operator — the community-quality readout (vs q_modularity's
+    fixed 16-bucket probe baseline)."""
+    from graph500_spark.operators.louvain import louvain_quality
+
+    return louvain_quality(
+        spark, clean_mod997_graph(spark, sf_dir), shuffle_partitions=8
+    )
+
+
 def q_curriculum_order(spark, sf_dir):
     """Exact global curriculum rank (quality desc) via the two-pass
     range-partition + local-rank + offset pattern — never a
@@ -2750,6 +2773,8 @@ QUERIES: dict[str, QueryFn] = {
     "returned_items": q_returned_items,
     "disjunctive_revenue": q_disjunctive_revenue,
     "curriculum_order": q_curriculum_order,
+    "louvain_communities": q_louvain_communities,
+    "louvain_quality": q_louvain_quality,
     "bpe_merges": q_bpe_merges,
     "bpe_token_counts": q_bpe_token_counts,
 }
