@@ -2553,11 +2553,79 @@ def q_sessionize_native(spark, sf_dir):
 
 
 QUERIES: dict[str, QueryFn] = {
-    # --- round-4 correctness window: the 50 highest-value entries that have
-    # never had a driver-side CORRECTNESS row (relational OLAP family first —
-    # a real user's first queries — then sessionize, k-truss, kmeans,
-    # betweenness, SCC, DQ, pivot/SCD2, MSF+validate). Verified locally vs
-    # the DuckDB oracle in rounds 1-3; this rotation gets them driver rows. ---
+    # --- round-5 correctness window: 50 never-driver-checked entries that
+    # carry a DuckDB oracle (the last big block of the registry without a
+    # CORRECTNESS row; verified locally vs the oracle in rounds 1-4).
+    # Remaining never-checked (11 oracled + 5 rows-only-by-design) rotate
+    # in next round. ---
+    "modularity": q_modularity,
+    "jaccard_topk": q_jaccard_topk,
+    "pca_power_iteration": q_pca_power_iteration,
+    "decontaminate_fuzzy": q_decontaminate_fuzzy,
+    "pca_project": q_pca_project,
+    "model_quality_scores": q_model_quality_scores,
+    "corpus_mix": q_corpus_mix,
+    "event_window_counts": q_event_window_counts,
+    "click_attribution": q_click_attribution,
+    "purchase_click_pairs": q_purchase_click_pairs,
+    "error_context": q_error_context,
+    "event_rollup": q_event_rollup,
+    "event_gapfill": q_event_gapfill,
+    "normalized_duplicates": q_normalized_duplicates,
+    "levenshtein_near_duplicates": q_levenshtein_near_duplicates,
+    "heavy_hitter_tokens": q_heavy_hitter_tokens,
+    "sliding_window_counts": q_sliding_window_counts,
+    "retention_cohorts": q_retention_cohorts,
+    "event_type_transitions": q_event_type_transitions,
+    "knn_predict": q_knn_predict,
+    "embedding_dim_stats": q_embedding_dim_stats,
+    "feature_hashing": q_feature_hashing,
+    "pmi_collocations": q_pmi_collocations,
+    "char_entropy": q_char_entropy,
+    "user_rfm": q_user_rfm,
+    "bigram_logppl": q_bigram_logppl,
+    "source_overlap_matrix": q_source_overlap_matrix,
+    "eccentricity_sampled": q_eccentricity_sampled,
+    "best_match_per_doc": q_best_match_per_doc,
+    "multi_touch_attribution": q_multi_touch_attribution,
+    "lang_confusion": q_lang_confusion,
+    "pack_efficiency": q_pack_efficiency,
+    "length_bucketed_batches": q_length_bucketed_batches,
+    "doc_chunks": q_doc_chunks,
+    "cosine_topk_filtered": q_cosine_topk_filtered,
+    "label_prototypes": q_label_prototypes,
+    "prototype_predict": q_prototype_predict,
+    "degree_histogram_log": q_degree_histogram_log,
+    "maximal_independent_set": q_maximal_independent_set,
+    "katz_centrality": q_katz_centrality,
+    "four_cycle_count": q_four_cycle_count,
+    "sampled_subgraph": q_sampled_subgraph,
+    "reciprocity": q_reciprocity,
+    "avg_path_length_sampled": q_avg_path_length_sampled,
+    "degree_gini": q_degree_gini,
+    "source_token_gini": q_source_token_gini,
+    "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+    "weighted_degrees": q_weighted_degrees,
+    "kronecker_s8_datasource": q_kronecker_s8_datasource,
+    "multimodal_features": q_multimodal_features,
+    # --- rotate next round: remaining never-checked ---
+    "media_extract_features": q_media_extract_features,
+    "frame_sample": q_frame_sample,
+    "lsh_buckets": q_lsh_buckets,
+    "simhash": q_simhash,
+    "minhash_signatures": q_minhash_signatures,
+    "lsh_candidate_pairs": q_lsh_candidate_pairs,
+    "market_share": q_market_share,
+    "product_type_profit": q_product_type_profit,
+    "returned_items": q_returned_items,
+    "disjunctive_revenue": q_disjunctive_revenue,
+    "curriculum_order": q_curriculum_order,
+    "pca_components": q_pca_components,
+    "louvain_communities": q_louvain_communities,
+    "louvain_quality": q_louvain_quality,
+    "bpe_merges": q_bpe_merges,
+    "bpe_token_counts": q_bpe_token_counts,
+    # --- driver-verified in rounds 1-4 ---
     "pricing_summary": q_pricing_summary,
     "discount_revenue": q_discount_revenue,
     "top_unshipped_orders": q_top_unshipped_orders,
@@ -2608,65 +2676,6 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_rate_by_source": q_dedup_rate_by_source,
     "cc_sizes": q_cc_sizes,
     "graph_summary": q_graph_summary,
-    "modularity": q_modularity,
-    "jaccard_topk": q_jaccard_topk,
-    # --- remaining never-driver-checked entries (round-5 window) ---
-    "pca_power_iteration": q_pca_power_iteration,
-    "decontaminate_fuzzy": q_decontaminate_fuzzy,
-    "pca_project": q_pca_project,
-    "pca_components": q_pca_components,
-    "model_quality_scores": q_model_quality_scores,
-    "corpus_mix": q_corpus_mix,
-    "event_window_counts": q_event_window_counts,
-    "click_attribution": q_click_attribution,
-    "purchase_click_pairs": q_purchase_click_pairs,
-    "error_context": q_error_context,
-    "event_rollup": q_event_rollup,
-    "event_gapfill": q_event_gapfill,
-    "normalized_duplicates": q_normalized_duplicates,
-    "levenshtein_near_duplicates": q_levenshtein_near_duplicates,
-    "heavy_hitter_tokens": q_heavy_hitter_tokens,
-    "sliding_window_counts": q_sliding_window_counts,
-    "retention_cohorts": q_retention_cohorts,
-    "event_type_transitions": q_event_type_transitions,
-    "knn_predict": q_knn_predict,
-    "embedding_dim_stats": q_embedding_dim_stats,
-    "feature_hashing": q_feature_hashing,
-    "pmi_collocations": q_pmi_collocations,
-    "char_entropy": q_char_entropy,
-    "user_rfm": q_user_rfm,
-    "bigram_logppl": q_bigram_logppl,
-    "source_overlap_matrix": q_source_overlap_matrix,
-    "eccentricity_sampled": q_eccentricity_sampled,
-    "best_match_per_doc": q_best_match_per_doc,
-    "multi_touch_attribution": q_multi_touch_attribution,
-    "lang_confusion": q_lang_confusion,
-    "pack_efficiency": q_pack_efficiency,
-    "length_bucketed_batches": q_length_bucketed_batches,
-    "doc_chunks": q_doc_chunks,
-    "cosine_topk_filtered": q_cosine_topk_filtered,
-    "label_prototypes": q_label_prototypes,
-    "prototype_predict": q_prototype_predict,
-    "degree_histogram_log": q_degree_histogram_log,
-    "maximal_independent_set": q_maximal_independent_set,
-    "katz_centrality": q_katz_centrality,
-    "four_cycle_count": q_four_cycle_count,
-    "sampled_subgraph": q_sampled_subgraph,
-    "reciprocity": q_reciprocity,
-    "avg_path_length_sampled": q_avg_path_length_sampled,
-    "degree_gini": q_degree_gini,
-    "source_token_gini": q_source_token_gini,
-    "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
-    "weighted_degrees": q_weighted_degrees,
-    "kronecker_s8_datasource": q_kronecker_s8_datasource,
-    "multimodal_features": q_multimodal_features,
-    "media_extract_features": q_media_extract_features,
-    "frame_sample": q_frame_sample,
-    "lsh_buckets": q_lsh_buckets,
-    "simhash": q_simhash,
-    "minhash_signatures": q_minhash_signatures,
-    "lsh_candidate_pairs": q_lsh_candidate_pairs,
-    # --- driver-verified in r01/r02 (graph §2 surface) and r03 (LLM family) ---
     "text_quality": q_text_quality,
     "language_id": q_language_id,
     "fingerprint": q_fingerprint,
@@ -2767,16 +2776,6 @@ QUERIES: dict[str, QueryFn] = {
     "initial_edges_cycle": q_initial_edges_cycle,
     "validate_sssp_summary": q_validate_sssp_summary,
     "token_count": q_token_count,
-    # --- round-5 additions (after the correctness window per policy) ---
-    "market_share": q_market_share,
-    "product_type_profit": q_product_type_profit,
-    "returned_items": q_returned_items,
-    "disjunctive_revenue": q_disjunctive_revenue,
-    "curriculum_order": q_curriculum_order,
-    "louvain_communities": q_louvain_communities,
-    "louvain_quality": q_louvain_quality,
-    "bpe_merges": q_bpe_merges,
-    "bpe_token_counts": q_bpe_token_counts,
 }
 
 # --- round-5 correctness window rotation: the driver hash-checks the FIRST
