@@ -1575,3 +1575,120 @@ def disjunctive_revenue_sql(branches: tuple = DR_BRANCHES) -> str:
         " FROM lineitem JOIN part ON l_partkey = p_partkey"
         f" WHERE {ors}"
     )
+
+
+# ---------------------------------------------------------------------------
+# waiting_orders_by_supplier — the TPC-H Q21 shape: suppliers who were
+# the SOLE late shipper on a multi-supplier finished order.  The
+# testdata has no commit/receipt dates, so "late" is shipdate more
+# than `late_days` after the order date — the exists / not-exists
+# correlated-subquery pair of the classic query is preserved as pure
+# aggregation.
+# ---------------------------------------------------------------------------
+
+WOS_LATE_DAYS = 90
+WOS_TOP_N = 100
+
+
+def waiting_orders_by_supplier(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    late_days: int = WOS_LATE_DAYS,
+    top_n: int = WOS_TOP_N,
+) -> DataFrame:
+    """[s_name, n_name, numwait] — per supplier, the number of
+    finished ('F') orders with at least two distinct suppliers where
+    THIS supplier shipped late (> late_days after the order date) and
+    no other supplier did.
+
+    Q21's two correlated subqueries (EXISTS another supplier / NOT
+    EXISTS another LATE supplier) become two grouped aggregates over
+    one orderkey shuffle: collapse lineitem to (order, supplier,
+    was_late), then count suppliers and late suppliers per order with
+    a window over the same key — the partial aggregate and the window
+    share the orderkey exchange, so the whole funnel is a single
+    big-big shuffle (lineitem |><| orders) plus broadcast dimensions.
+    No self-join of the fact table, no row explosion."""
+    from pyspark.sql import Window
+
+    o = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey",
+        event_micros(orders, "o_orderdate").alias("order_us"),
+    )
+    ls = (
+        lineitem.select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            "l_suppkey",
+            event_micros(lineitem, "l_shipdate").alias("ship_us"),
+        )
+        .join(o, "o_orderkey")
+        # one explicit orderkey exchange that BOTH the (order,supplier)
+        # collapse and the per-order window reuse: HashPartitioning on
+        # o_orderkey satisfies the grouped and windowed distributions,
+        # so neither adds its own shuffle
+        .repartition("o_orderkey")
+        .groupBy("o_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (
+                    F.col("ship_us")
+                    > F.col("order_us") + F.lit(late_days * DAY_US)
+                ).cast("long")
+            ).alias("late")
+        )
+    )
+    w = Window.partitionBy("o_orderkey")
+    annotated = ls.select(
+        "o_orderkey",
+        "l_suppkey",
+        "late",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum("late").over(w).alias("n_late"),
+    )
+    waits = annotated.filter(
+        (F.col("late") == 1)
+        & (F.col("n_supp") >= 2)
+        & (F.col("n_late") == 1)
+    )
+    counts = waits.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("numwait")
+    )
+    dim = supplier.select(
+        F.col("s_suppkey").alias("l_suppkey"),
+        "s_name",
+        F.col("s_nationkey").alias("n_nationkey"),
+    ).join(F.broadcast(nation.select("n_nationkey", "n_name")),
+           "n_nationkey")
+    return (
+        counts.join(F.broadcast(dim), "l_suppkey")
+        .select("s_name", "n_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(top_n)
+    )
+
+
+def waiting_orders_by_supplier_sql(
+    late_days: int = WOS_LATE_DAYS, top_n: int = WOS_TOP_N
+) -> str:
+    return (
+        "WITH ls AS (SELECT l_orderkey, l_suppkey,"
+        " MAX(CASE WHEN epoch_us(l_shipdate) >"
+        f" epoch_us(o_orderdate) + {late_days * DAY_US}"
+        " THEN 1 ELSE 0 END) AS late"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        " WHERE o_orderstatus = 'F'"
+        " GROUP BY l_orderkey, l_suppkey),"
+        " ann AS (SELECT l_suppkey, late,"
+        " COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,"
+        " SUM(late) OVER (PARTITION BY l_orderkey) AS n_late"
+        " FROM ls)"
+        " SELECT s_name, n_name,"
+        " CAST(COUNT(*) AS BIGINT) AS numwait"
+        " FROM ann JOIN supplier ON l_suppkey = s_suppkey"
+        " JOIN nation ON s_nationkey = n_nationkey"
+        " WHERE late = 1 AND n_supp >= 2 AND n_late = 1"
+        " GROUP BY s_name, n_name"
+        f" ORDER BY numwait DESC, s_name ASC LIMIT {top_n}"
+    )

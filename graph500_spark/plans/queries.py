@@ -1203,6 +1203,18 @@ def q_disjunctive_revenue(spark, sf_dir):
     )
 
 
+def q_waiting_orders_by_supplier(spark, sf_dir):
+    """Sole-late-shipper counts per supplier on multi-supplier
+    finished orders (Q21 shape) — the exists / not-exists pair as
+    grouped aggregates sharing one orderkey exchange."""
+    return rel_mod.waiting_orders_by_supplier(
+        td.load_table(spark, sf_dir, "lineitem"),
+        td.load_table(spark, sf_dir, "orders"),
+        td.load_table(spark, sf_dir, "supplier"),
+        td.load_table(spark, sf_dir, "nation"),
+    )
+
+
 def q_louvain_communities(spark, sf_dir):
     """Louvain local-moving fixpoint on the mod997 graph — exact
     integer move gains, parity-alternated synchronous moves; the
@@ -2619,6 +2631,7 @@ QUERIES: dict[str, QueryFn] = {
     "product_type_profit": q_product_type_profit,
     "returned_items": q_returned_items,
     "disjunctive_revenue": q_disjunctive_revenue,
+    "waiting_orders_by_supplier": q_waiting_orders_by_supplier,
     "curriculum_order": q_curriculum_order,
     "pca_components": q_pca_components,
     "louvain_communities": q_louvain_communities,
@@ -3176,6 +3189,7 @@ ORACLE_SQL: dict[str, str] = {
     "product_type_profit": rel_mod.product_type_profit_sql(),
     "returned_items": rel_mod.returned_items_sql(),
     "disjunctive_revenue": rel_mod.disjunctive_revenue_sql(),
+    "waiting_orders_by_supplier": rel_mod.waiting_orders_by_supplier_sql(),
     "revenue_rollup": rel_mod.revenue_rollup_sql(),
     "scd2_history": windows_mod.SCD2_HISTORY_SQL,
     "user_event_pivot": windows_mod.USER_EVENT_PIVOT_SQL,
