@@ -454,6 +454,141 @@ def tfidf_top_terms_sql(k: int = 3) -> str:
 
 
 # ---------------------------------------------------------------------------
+# bm25_topk — Okapi BM25 retrieval over the documents table for a
+# fixed query set: the classic lexical ranking a training-data
+# pipeline uses for decontamination probes, eval-set retrieval, and
+# hard-negative mining.
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERIES: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("hash_join", ("hash", "join")),
+    ("window_sort_merge", ("window", "sort", "merge")),
+    ("spark_stream_batch", ("spark", "stream", "batch")),
+)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    k: int = 10,
+    queries: tuple = BM25_QUERIES,
+) -> DataFrame:
+    """[query_id, doc_id, bm25, rank] — top-k documents per query by
+    Okapi BM25 (k1=1.2, b=0.75), idf = ln((N - df + 0.5)/(df + 0.5)
+    + 1), deterministic tie-break (score desc, doc_id asc). Score
+    rounded to 5 decimals — the cross-engine float convention every
+    ln-based entry here uses (tfidf_top_terms).
+
+    Plan shape: one corpus-scale shuffle builds the (doc, term, tf)
+    table; doc lengths are a window sum over the SAME doc_id-grouped
+    frame; the query-term list and the per-term df/idf table (rows =
+    distinct query terms, never the vocabulary) broadcast onto the
+    term table. Top-k is a per-query window over candidates that
+    matched at least one query term — the corpus never fans out per
+    query."""
+    n_docs = docs.count()  # driver-known scalar, like the BFS counts
+    terms = _terms(docs)
+    qterms = F.broadcast(
+        terms.sparkSession.createDataFrame(
+            [(qid, t) for qid, ts in queries for t in ts],
+            "query_id: string, term: string",
+        )
+    )
+    dl = terms.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("dl")
+    )
+    avgdl = dl.agg(
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl")
+    )
+    idf = (
+        terms.join(qterms.select("term").distinct(), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select(
+            "term",
+            F.log(
+                (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+                + 1.0
+            ).alias("idf"),
+        )
+    )
+    scored = (
+        terms.join(qterms, "term")
+        .join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(avgdl))
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.col("idf")
+                * (F.col("tf") * (BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (
+                        1.0
+                        - BM25_B
+                        + BM25_B * F.col("dl") / F.col("avgdl")
+                    )
+                )
+            ).alias("part_score"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("part_score").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round("score", 5).alias("bm25"),
+            "rank",
+        )
+    )
+
+
+def bm25_topk_sql(k: int = 10) -> str:
+    qvals = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, ts in BM25_QUERIES
+        for t in ts
+    )
+    return (
+        f"WITH terms AS ({_DUCK_TERMS}),"
+        f" q(query_id, term) AS (VALUES {qvals}),"
+        " n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),"
+        " dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl"
+        "  FROM terms GROUP BY doc_id),"
+        " ad AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),"
+        " idf AS (SELECT term,"
+        "  ln(((SELECT n_docs FROM n) - COUNT(*) + 0.5)"
+        "   / (COUNT(*) + 0.5) + 1.0) AS idf"
+        "  FROM terms WHERE term IN (SELECT term FROM q)"
+        "  GROUP BY term),"
+        " scored AS (SELECT q.query_id, t.doc_id,"
+        f"  SUM(i.idf * (t.tf * ({BM25_K1} + 1.0))"
+        f"   / (t.tf + {BM25_K1} * (1.0 - {BM25_B}"
+        f"    + {BM25_B} * dl.dl / (SELECT avgdl FROM ad)))) AS score"
+        "  FROM terms t JOIN q ON t.term = q.term"
+        "  JOIN idf i ON t.term = i.term"
+        "  JOIN dl ON t.doc_id = dl.doc_id"
+        "  GROUP BY q.query_id, t.doc_id),"
+        " ranked AS (SELECT query_id, doc_id, score, ROW_NUMBER() OVER"
+        "  (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank"
+        "  FROM scored)"
+        " SELECT query_id, doc_id, CAST(ROUND(score, 5) AS DOUBLE) AS bm25,"
+        f" CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= {k}"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Concat-and-chunk sequence packing
 # ---------------------------------------------------------------------------
 

@@ -1215,6 +1215,15 @@ def q_waiting_orders_by_supplier(spark, sf_dir):
     )
 
 
+def q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-10 per fixed query — lexical retrieval for
+    decontamination probes and hard-negative mining; query-term df
+    and idf broadcast, one corpus shuffle."""
+    return traindata_mod.bm25_topk(
+        td.load_table(spark, sf_dir, "documents")
+    )
+
+
 def q_louvain_communities(spark, sf_dir):
     """Louvain local-moving fixpoint on the mod997 graph — exact
     integer move gains, parity-alternated synchronous moves; the
@@ -2632,6 +2641,7 @@ QUERIES: dict[str, QueryFn] = {
     "returned_items": q_returned_items,
     "disjunctive_revenue": q_disjunctive_revenue,
     "waiting_orders_by_supplier": q_waiting_orders_by_supplier,
+    "bm25_topk": q_bm25_topk,
     "curriculum_order": q_curriculum_order,
     "pca_components": q_pca_components,
     "louvain_communities": q_louvain_communities,
@@ -3190,6 +3200,7 @@ ORACLE_SQL: dict[str, str] = {
     "returned_items": rel_mod.returned_items_sql(),
     "disjunctive_revenue": rel_mod.disjunctive_revenue_sql(),
     "waiting_orders_by_supplier": rel_mod.waiting_orders_by_supplier_sql(),
+    "bm25_topk": traindata_mod.bm25_topk_sql(),
     "revenue_rollup": rel_mod.revenue_rollup_sql(),
     "scd2_history": windows_mod.SCD2_HISTORY_SQL,
     "user_event_pivot": windows_mod.USER_EVENT_PIVOT_SQL,

@@ -480,3 +480,56 @@ class TestCurriculumOrder:
         # the scale trap this operator exists to avoid: an
         # unpartitioned window's Exchange SinglePartition
         assert "SinglePartition" not in plan, plan
+
+
+class TestBm25:
+    DOCS = [
+        (1, "apple banana apple apple"),
+        (2, "apple banana"),
+        (3, "cherry cherry banana cherry durian"),
+        (4, "durian"),
+    ]
+
+    def _run(self, spark, queries, k=10):
+        from graph500_spark.operators.traindata import bm25_topk
+
+        return bm25_topk(_docs(spark, self.DOCS), k=k, queries=queries)
+
+    def test_matches_hand_computed(self, spark):
+        import math
+
+        out = self._run(spark, (("q", ("apple",)),)).collect()
+        # N=4, df(apple)=2, idf = ln((4-2+0.5)/(2+0.5)+1) = ln(2)
+        # dl: 4, 2, 5, 1; avgdl = 3.0; k1=1.2, b=0.75
+        def score(tf, dl):
+            idf = math.log((4 - 2 + 0.5) / (2 + 0.5) + 1.0)
+            return round(
+                idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0)),
+                5,
+            )
+
+        got = {r.doc_id: r.bm25 for r in out}
+        assert got == {1: score(3, 4), 2: score(1, 2)}
+
+    def test_multi_term_sum_and_rank(self, spark):
+        out = self._run(spark, (("q", ("apple", "banana")),)).collect()
+        ranks = {r.doc_id: r.rank for r in out}
+        # doc 1 carries apple tf=3 + banana; doc 2 both terms shorter
+        # doc; doc 3 only banana — saturation still ranks 1 or 2 first
+        assert set(ranks) == {1, 2, 3}
+        assert ranks[3] == 3
+
+    def test_rarer_term_outscores_common_at_same_tf(self, spark):
+        out = self._run(
+            spark, (("qa", ("durian",)), ("qb", ("banana",)))
+        ).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r.query_id, {})[r.doc_id] = r.bm25
+        # durian df=2 < banana df=3: for doc 3 (same dl, tf=1 both)
+        # the rarer term must score at least as high
+        assert by_q["qa"][3] > by_q["qb"][3]
+
+    def test_topk_cutoff(self, spark):
+        out = self._run(spark, (("q", ("banana",)),), k=2).collect()
+        assert len(out) == 2 and all(r.rank <= 2 for r in out)
