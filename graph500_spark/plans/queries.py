@@ -421,6 +421,35 @@ def k_core_sql(clean_sql: str, k: int, n_rounds: int = 16) -> str:
     )
 
 
+def core_numbers_sql(clean_sql: str, n_rounds: int = 24) -> str:
+    """Coreness oracle: the h-index iteration of
+    operators/kcore.py::core_numbers unrolled to a budget past the
+    fixpoint (depth 7 at sf0.01; rounds after convergence are no-ops
+    on both sides). MATERIALIZED for the same CTE-inlining reason as
+    k_core_sql."""
+    parts = [
+        f"WITH clean AS MATERIALIZED ({clean_sql})",
+        "c0 AS MATERIALIZED (SELECT src AS vertex,"
+        " CAST(COUNT(*) AS BIGINT) AS c FROM clean GROUP BY src)",
+    ]
+    for i in range(1, n_rounds + 1):
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT v.vertex,"
+            " CAST(LEAST(v.c, h.h) AS BIGINT) AS c"
+            f" FROM c{i-1} v JOIN ("
+            "  SELECT vertex, MAX(m) AS h FROM ("
+            "   SELECT e.src AS vertex,"
+            "    LEAST(c.c, ROW_NUMBER() OVER (PARTITION BY e.src"
+            "     ORDER BY c.c DESC)) AS m"
+            f"   FROM clean e JOIN c{i-1} c ON e.dst = c.vertex)"
+            "  GROUP BY vertex) h ON v.vertex = h.vertex)"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT vertex, c AS coreness FROM c{n_rounds}"
+    )
+
+
 def connected_components_sql(clean_sql: str) -> str:
     """CC oracle: transitive min-label closure as a recursive CTE."""
     return (
@@ -1222,6 +1251,15 @@ def q_bm25_topk(spark, sf_dir):
     return traindata_mod.bm25_topk(
         td.load_table(spark, sf_dir, "documents")
     )
+
+
+def q_core_numbers(spark, sf_dir):
+    """Full core decomposition of the mod997 graph via the
+    distributed h-index fixpoint; oracle unrolls the same iteration
+    to a fixed budget past convergence."""
+    from graph500_spark.operators import kcore as kcore_mod
+
+    return kcore_mod.core_numbers(clean_mod997_graph(spark, sf_dir))
 
 
 def q_louvain_communities(spark, sf_dir):
@@ -2642,6 +2680,7 @@ QUERIES: dict[str, QueryFn] = {
     "disjunctive_revenue": q_disjunctive_revenue,
     "waiting_orders_by_supplier": q_waiting_orders_by_supplier,
     "bm25_topk": q_bm25_topk,
+    "core_numbers": q_core_numbers,
     "curriculum_order": q_curriculum_order,
     "pca_components": q_pca_components,
     "louvain_communities": q_louvain_communities,
@@ -3049,6 +3088,7 @@ ORACLE_SQL: dict[str, str] = {
     "pagerank_personalized": pagerank_sql(_CLEAN_MOD997, sources=PPR_SOURCES),
     "label_propagation": label_propagation_sql(_CLEAN_MOD997),
     "k_core": k_core_sql(_CLEAN_MOD997, K_CORE_K),
+    "core_numbers": core_numbers_sql(_CLEAN_MOD997),
     "random_walks": random_walks_sql(_CLEAN_MOD997),
     "hits": hits_sql(MOD997_EDGES_SQL),
     "triangle_counts": triangle_counts_sql(_CLEAN_MOD997),
