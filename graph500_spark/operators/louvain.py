@@ -83,10 +83,20 @@ def louvain_communities(
     shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """[vertex, community] — one-level Louvain local-moving loop
-    over the symmetric self-loop-free edge list; returns the
-    highest-modularity assignment visited (exact integer score,
-    earliest on ties). Isolated vertices (absent from edges) are
-    out of scope, as in degrees()."""
+    over a symmetric edge list; returns the highest-modularity
+    assignment visited (exact integer score, earliest on ties).
+    Isolated vertices (absent from edges) are out of scope, as in
+    degrees().
+
+    Accepts an optional integer ``weight`` column (defaults to 1) and
+    tolerates self-loop rows — both appear on CONTRACTED graphs
+    (louvain_multilevel): a super-vertex's self-loop carries its
+    internal directed weight, which counts into its strength s(v) and
+    into every community it sits in, but never into the k_{v,c}
+    candidate terms (the loop moves WITH the vertex, so it cancels
+    from every gain difference). The modularity tracker's ``within``
+    term omits the constant self-loop total — constant across
+    assignments, so argmax ranking is unaffected."""
     saved_sp = None
     if shuffle_partitions is not None:
         saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
@@ -94,12 +104,20 @@ def louvain_communities(
             "spark.sql.shuffle.partitions", str(shuffle_partitions)
         )
     try:
-        edges = edges_clean.select("src", "dst").persist()
+        wcol = (
+            F.col("weight").cast("long")
+            if "weight" in edges_clean.columns
+            else F.lit(1).cast("long")
+        )
+        edges = edges_clean.select(
+            "src", "dst", wcol.alias("w")
+        ).persist()
+        # strength: ALL incident weight including self-loops
         deg = (
             edges.groupBy(F.col("src").alias("vertex"))
-            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+            .agg(F.sum("w").cast("long").alias("deg"))
         )
-        two_m = edges.count()
+        two_m = edges.agg(F.sum("w")).first()[0]
         comm = deg.select(
             "vertex", F.col("vertex").alias("community"), "deg"
         ).localCheckpoint(eager=True)
@@ -114,7 +132,8 @@ def louvain_communities(
             )
             # k_{v,c}: v's edge count into each neighboring community
             kvc = (
-                edges.join(
+                edges.filter(F.col("src") != F.col("dst"))
+                .join(
                     comm.select(
                         F.col("vertex").alias("dst"),
                         F.col("community").alias("cd"),
@@ -122,7 +141,7 @@ def louvain_communities(
                     "dst",
                 )
                 .groupBy(F.col("src").alias("vertex"), "cd")
-                .agg(F.count(F.lit(1)).cast("long").alias("k"))
+                .agg(F.sum("w").cast("long").alias("k"))
             )
             cur = comm.join(
                 csum.select(
@@ -239,7 +258,11 @@ def louvain_communities(
             )
             .agg(
                 F.sum(
-                    (F.col("c_s") == F.col("c_d")).cast("long")
+                    F.when(
+                        (F.col("c_s") == F.col("c_d"))
+                        & (F.col("src") != F.col("dst")),
+                        F.col("w"),
+                    ).otherwise(F.lit(0))
                 ).alias("within")
             )
             .first()
@@ -271,5 +294,104 @@ def louvain_quality(
 
     comm = louvain_communities(
         spark, edges_clean, max_iters, shuffle_partitions
+    )
+    return modularity(edges_clean, comm)
+
+
+def contract_graph(
+    edges: DataFrame, communities: DataFrame
+) -> DataFrame:
+    """[src, dst, weight] — the community (super-vertex) graph: every
+    edge's endpoints mapped to their community labels, parallel edges
+    merged by weight sum. Within-community edges become the
+    super-vertex's self-loop row, carrying the internal directed
+    weight — exactly what the next Louvain level's strength term
+    needs. Input may itself be weighted (weight defaults to 1), so
+    contraction composes level over level.
+
+    Plan: two map joins of the [vertex, community] table onto the
+    edge list (broadcast when small, shuffle on the vertex keys
+    otherwise — the same shape as modularity()), then one grouped
+    integer sum on the contracted keys, whose cardinality collapses
+    to |communities|^2 at most — the shuffle AFTER contraction is
+    vanishingly small, which is why multilevel Louvain scales."""
+    wcol = (
+        F.col("weight").cast("long")
+        if "weight" in edges.columns
+        else F.lit(1).cast("long")
+    )
+    e = edges.select("src", "dst", wcol.alias("w"))
+    cmap_s = communities.select(
+        F.col("vertex").alias("src"), F.col("community").alias("c_src")
+    )
+    cmap_d = communities.select(
+        F.col("vertex").alias("dst"), F.col("community").alias("c_dst")
+    )
+    return (
+        e.join(cmap_s, "src")
+        .join(cmap_d, "dst")
+        .groupBy(
+            F.col("c_src").alias("src"), F.col("c_dst").alias("dst")
+        )
+        .agg(F.sum("w").cast("long").alias("weight"))
+    )
+
+
+def louvain_multilevel(
+    spark: SparkSession,
+    edges_clean: DataFrame,
+    levels: int = 2,
+    max_iters: int = 16,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """[vertex, community] — full multilevel Louvain: local-moving,
+    contract to the community graph (weights + self-loops), repeat on
+    the contracted graph, and compose the assignments back down to
+    original vertices. Level-(i+1) communities are labeled by their
+    level-i representative, so labels stay stable vertex ids.
+
+    The contracted graph shrinks geometrically (997 -> ~170 -> ~40 on
+    the mod997 fixture), so every level after the first runs on
+    vanishing data — the classic reason Louvain is THE scalable
+    community algorithm. All arithmetic stays integer end to end."""
+    mapping = louvain_communities(
+        spark, edges_clean, max_iters, shuffle_partitions
+    ).localCheckpoint(eager=True)
+    g = edges_clean
+    for _ in range(1, levels):
+        g = contract_graph(g, mapping).localCheckpoint(eager=True)
+        up = louvain_communities(
+            spark, g, max_iters, shuffle_partitions
+        )
+        mapping = (
+            mapping.join(
+                up.select(
+                    F.col("vertex").alias("community"),
+                    F.col("community").alias("community_up"),
+                ),
+                "community",
+            )
+            .select(
+                "vertex", F.col("community_up").alias("community")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return mapping
+
+
+def louvain_multilevel_quality(
+    spark: SparkSession,
+    edges_clean: DataFrame,
+    levels: int = 2,
+    max_iters: int = 16,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """One row [n_communities, two_m, within_rows, modularity] for
+    the multilevel assignment — scored on the ORIGINAL graph by the
+    oracle-checked stats.modularity operator."""
+    from graph500_spark.operators.stats import modularity
+
+    comm = louvain_multilevel(
+        spark, edges_clean, levels, max_iters, shuffle_partitions
     )
     return modularity(edges_clean, comm)

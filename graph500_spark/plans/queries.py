@@ -1285,6 +1285,48 @@ def q_louvain_quality(spark, sf_dir):
     )
 
 
+def q_community_graph(spark, sf_dir):
+    """Super-vertex contraction of the mod997 graph under the
+    deterministic 16-bucket partition (the modularity probe's map):
+    [src, dst, weight] with self-loops carrying internal weight —
+    Louvain phase 2's building block, SQL-expressible because the
+    partition is fixed."""
+    from graph500_spark.operators.louvain import contract_graph
+
+    g = clean_mod997_graph(spark, sf_dir)
+    cmap = (
+        g.select(F.col("src").alias("vertex"))
+        .distinct()
+        .select("vertex", (F.col("vertex") % 16).alias("community"))
+    )
+    return contract_graph(g, cmap)
+
+
+def q_louvain_multilevel(spark, sf_dir):
+    """Two-level Louvain (local-moving, contract with self-loops,
+    re-run weighted, compose down) on the mod997 graph — iterative,
+    rows-only under the driver gate; tests pin level composition and
+    the quality entry scores it through the oracle-checked
+    modularity operator."""
+    from graph500_spark.operators.louvain import louvain_multilevel
+
+    return louvain_multilevel(
+        spark, clean_mod997_graph(spark, sf_dir), shuffle_partitions=8
+    )
+
+
+def q_louvain_multilevel_quality(spark, sf_dir):
+    """Modularity readout of the two-level assignment on the
+    original graph."""
+    from graph500_spark.operators.louvain import (
+        louvain_multilevel_quality,
+    )
+
+    return louvain_multilevel_quality(
+        spark, clean_mod997_graph(spark, sf_dir), shuffle_partitions=8
+    )
+
+
 def q_curriculum_order(spark, sf_dir):
     """Exact global curriculum rank (quality desc) via the two-pass
     range-partition + local-rank + offset pattern — never a
@@ -2681,10 +2723,13 @@ QUERIES: dict[str, QueryFn] = {
     "waiting_orders_by_supplier": q_waiting_orders_by_supplier,
     "bm25_topk": q_bm25_topk,
     "core_numbers": q_core_numbers,
+    "community_graph": q_community_graph,
     "curriculum_order": q_curriculum_order,
     "pca_components": q_pca_components,
     "louvain_communities": q_louvain_communities,
     "louvain_quality": q_louvain_quality,
+    "louvain_multilevel": q_louvain_multilevel,
+    "louvain_multilevel_quality": q_louvain_multilevel_quality,
     "bpe_merges": q_bpe_merges,
     "bpe_token_counts": q_bpe_token_counts,
     # --- driver-verified in rounds 1-4 ---
@@ -3089,6 +3134,16 @@ ORACLE_SQL: dict[str, str] = {
     "label_propagation": label_propagation_sql(_CLEAN_MOD997),
     "k_core": k_core_sql(_CLEAN_MOD997, K_CORE_K),
     "core_numbers": core_numbers_sql(_CLEAN_MOD997),
+    "community_graph": (
+        f"WITH clean AS ({_CLEAN_MOD997}),"
+        " cmap AS (SELECT vertex, vertex % 16 AS community FROM"
+        " (SELECT DISTINCT src AS vertex FROM clean))"
+        " SELECT cs.community AS src, cd.community AS dst,"
+        " CAST(COUNT(*) AS BIGINT) AS weight"
+        " FROM clean e JOIN cmap cs ON e.src = cs.vertex"
+        " JOIN cmap cd ON e.dst = cd.vertex"
+        " GROUP BY cs.community, cd.community"
+    ),
     "random_walks": random_walks_sql(_CLEAN_MOD997),
     "hits": hits_sql(MOD997_EDGES_SQL),
     "triangle_counts": triangle_counts_sql(_CLEAN_MOD997),

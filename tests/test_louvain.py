@@ -103,3 +103,77 @@ class TestLouvain:
         )
         out = louvain_communities(spark, edges).collect()
         assert len({r.community for r in out}) == 1
+
+
+class TestContractAndMultilevel:
+    def test_contract_merges_and_self_loops(self, spark):
+        from graph500_spark.operators.louvain import contract_graph
+
+        rows = sym(clique([0, 1, 2]) + clique([10, 11, 12]) + [(2, 10)])
+        edges = spark.createDataFrame(rows, "src: long, dst: long")
+        cmap = spark.createDataFrame(
+            [(v, v // 10) for v in [0, 1, 2, 10, 11, 12]],
+            "vertex: long, community: long",
+        )
+        out = {
+            (r.src, r.dst): r.weight
+            for r in contract_graph(edges, cmap).collect()
+        }
+        # each triangle: 6 directed rows -> self-loop weight 6;
+        # the bridge: one row each direction
+        assert out == {
+            (0, 0): 6,
+            (1, 1): 6,
+            (0, 1): 1,
+            (1, 0): 1,
+        }
+
+    def test_contract_composes_weighted(self, spark):
+        from graph500_spark.operators.louvain import contract_graph
+
+        lvl1 = spark.createDataFrame(
+            [(0, 0, 6), (1, 1, 6), (0, 1, 1), (1, 0, 1)],
+            "src: long, dst: long, weight: long",
+        )
+        cmap = spark.createDataFrame(
+            [(0, 0), (1, 0)], "vertex: long, community: long"
+        )
+        out = {
+            (r.src, r.dst): r.weight
+            for r in contract_graph(lvl1, cmap).collect()
+        }
+        assert out == {(0, 0): 14}
+
+    def test_weighted_louvain_groups_heavy_pair(self, spark):
+        from graph500_spark.operators.louvain import louvain_communities
+
+        # 4 super-vertices: (0,1) tied by weight 10, (2,3) by 10,
+        # cross ties weight 1 — heavy pairs must merge
+        rows = []
+        for a, b, w in [(0, 1, 10), (2, 3, 10), (1, 2, 1), (3, 0, 1)]:
+            rows += [(a, b, w), (b, a, w)]
+        edges = spark.createDataFrame(
+            rows, "src: long, dst: long, weight: long"
+        )
+        out = {
+            r.vertex: r.community
+            for r in louvain_communities(spark, edges).collect()
+        }
+        assert out[0] == out[1] and out[2] == out[3]
+        assert out[0] != out[2]
+
+    def test_multilevel_recovers_ring_and_composes(self, spark):
+        from graph500_spark.operators.louvain import (
+            louvain_multilevel,
+            louvain_multilevel_quality,
+        )
+
+        rows, truth = ring_of_cliques()
+        edges = spark.createDataFrame(rows, "src: long, dst: long")
+        out = louvain_multilevel(spark, edges).collect()
+        groups = {}
+        for r in out:
+            groups.setdefault(r.community, set()).add(r.vertex)
+        assert {frozenset(g) for g in groups.values()} == set(truth)
+        (q,) = louvain_multilevel_quality(spark, edges).collect()
+        assert q.modularity > 0.5
