@@ -262,6 +262,17 @@ def main() -> int:
             lambda: Q.q_scd2_history(spark, sf_dir).count(),
         "user_event_pivot":
             lambda: Q.q_user_event_pivot(spark, sf_dir).count(),
+        "waiting_orders_by_supplier":
+            lambda: Q.q_waiting_orders_by_supplier(spark, sf_dir).count(),
+        "bm25_topk": lambda: Q.q_bm25_topk(spark, sf_dir).count(),
+        "core_numbers":
+            lambda: Q.q_core_numbers(spark, sf_dir).count(),
+        "community_graph":
+            lambda: Q.q_community_graph(spark, sf_dir).count(),
+        "louvain_communities":
+            lambda: Q.q_louvain_communities(spark, sf_dir).count(),
+        "louvain_multilevel":
+            lambda: Q.q_louvain_multilevel(spark, sf_dir).count(),
     }
 
     timings: dict[str, float] = {}
