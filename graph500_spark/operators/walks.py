@@ -86,3 +86,105 @@ def random_walks(
         )
     edges.unpersist()
     return out
+
+
+def neighbor_sample(
+    spark: SparkSession,
+    edges_clean: DataFrame,
+    fanout: tuple[int, ...] = (5, 3),
+) -> DataFrame:
+    """[seed, layer, src, dst] — GraphSAGE-style layered neighbor
+    sampling: every vertex is a seed; layer i keeps at most
+    ``fanout[i-1]`` neighbors of each frontier vertex, chosen by
+    deterministic hash rank (same position-defines-value discipline
+    as random_walks — bit-reproducible under any partitioning, and
+    SQL-expressible so the sampled computation graph sits in the
+    oracle-checked tier).
+
+    This is the minibatch fan-out primitive GNN training pipelines
+    run at corpus scale: the full k-hop neighborhood of a hub is
+    unboundedly large, the sampled one is exactly prod(fanout) edges
+    per seed. Per layer: one equi-join of the frontier against the
+    stationary adjacency + one per-(seed, src) ranked window —
+    identical shuffle keys to a BFS level. Frontier dedup is BY
+    (seed, vertex), so diamond fan-in does not re-expand; ties on
+    hash scores break to the smaller neighbor id via the packed
+    encoding."""
+    edges = edges_clean.select("src", "dst").persist()
+    from pyspark.sql.window import Window
+
+    seeds = (
+        edges.select(F.col("src").alias("vertex"))
+        .distinct()
+        .select(F.col("vertex").alias("seed"), "vertex")
+        .localCheckpoint(eager=True)
+    )
+    frontier = seeds
+    out = None
+    for layer, k in enumerate(fanout, start=1):
+        cand = edges.join(
+            frontier.select(F.col("vertex").alias("src"), "seed"),
+            "src",
+        ).select(
+            "seed",
+            "src",
+            "dst",
+            (
+                _score(F.col("seed") * F.lit(31) + F.col("src"),
+                       layer, F.col("dst"))
+                * F.lit(_PACK_SHIFT)
+                + F.col("dst")
+            ).alias("rank_key"),
+        )
+        w = Window.partitionBy("seed", "src").orderBy("rank_key")
+        picked = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("seed", F.lit(layer).alias("layer"), "src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        out = picked if out is None else out.unionByName(picked)
+        frontier = picked.select(
+            "seed", F.col("dst").alias("vertex")
+        ).distinct()
+    edges.unpersist()
+    return out
+
+
+def neighbor_sample_sql(
+    clean_sql: str, fanout: tuple[int, ...] = (5, 3)
+) -> str:
+    """Oracle mirror: the same hash-ranked layer unrolling."""
+
+    def score(seed: str, layer: int, dst: str) -> str:
+        return (
+            f"((({seed}) * 31 + src) * 1315423911"
+            f" + {layer} * 2654435761 + {dst} * 97) % {WALK_HASH_MOD}"
+        )
+
+    parts = [
+        f"WITH clean AS MATERIALIZED ({clean_sql})",
+        "f0 AS MATERIALIZED (SELECT DISTINCT src AS seed,"
+        " src AS vertex FROM clean)",
+    ]
+    for layer, k in enumerate(fanout, start=1):
+        parts.append(
+            f"c{layer} AS MATERIALIZED (SELECT f.seed, e.src, e.dst,"
+            f" ROW_NUMBER() OVER (PARTITION BY f.seed, e.src ORDER BY"
+            f" ({score('f.seed', layer, 'e.dst')})"
+            f" * {_PACK_SHIFT} + e.dst) AS rn"
+            f" FROM clean e JOIN f{layer-1} f ON e.src = f.vertex)"
+        )
+        parts.append(
+            f"p{layer} AS MATERIALIZED (SELECT seed,"
+            f" CAST({layer} AS BIGINT) AS layer, src, dst"
+            f" FROM c{layer} WHERE rn <= {k})"
+        )
+        parts.append(
+            f"f{layer} AS MATERIALIZED (SELECT DISTINCT seed,"
+            f" dst AS vertex FROM p{layer})"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM p{i}" for i in range(1, len(fanout) + 1)
+    )
+    return ", ".join(parts) + f" {union}"

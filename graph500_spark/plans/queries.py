@@ -34,6 +34,7 @@ from graph500_spark.operators import corpus as corpus_mod
 from graph500_spark.operators import dedup as dedup_mod
 from graph500_spark.operators import dq as dq_mod
 from graph500_spark.operators import graph_build as gb
+from graph500_spark.operators import walks as walks_ops
 from graph500_spark.operators import pagerank as pagerank_mod
 from graph500_spark.operators import pregel as pregel_mod
 from graph500_spark.operators import centrality as centrality_sql
@@ -1324,6 +1325,17 @@ def q_louvain_multilevel_quality(spark, sf_dir):
 
     return louvain_multilevel_quality(
         spark, clean_mod997_graph(spark, sf_dir), shuffle_partitions=8
+    )
+
+
+def q_neighbor_sample(spark, sf_dir):
+    """GraphSAGE-style (5,3) layered neighbor fan-out for every seed
+    vertex on the mod997 graph — the GNN minibatch primitive;
+    hash-ranked deterministic choice, oracle-mirrored."""
+    from graph500_spark.operators import walks as walks_mod
+
+    return walks_mod.neighbor_sample(
+        spark, clean_mod997_graph(spark, sf_dir)
     )
 
 
@@ -2724,6 +2736,7 @@ QUERIES: dict[str, QueryFn] = {
     "bm25_topk": q_bm25_topk,
     "core_numbers": q_core_numbers,
     "community_graph": q_community_graph,
+    "neighbor_sample": q_neighbor_sample,
     "curriculum_order": q_curriculum_order,
     "pca_components": q_pca_components,
     "louvain_communities": q_louvain_communities,
@@ -3134,6 +3147,7 @@ ORACLE_SQL: dict[str, str] = {
     "label_propagation": label_propagation_sql(_CLEAN_MOD997),
     "k_core": k_core_sql(_CLEAN_MOD997, K_CORE_K),
     "core_numbers": core_numbers_sql(_CLEAN_MOD997),
+    "neighbor_sample": walks_ops.neighbor_sample_sql(_CLEAN_MOD997),
     "community_graph": (
         f"WITH clean AS ({_CLEAN_MOD997}),"
         " cmap AS (SELECT vertex, vertex % 16 AS community FROM"

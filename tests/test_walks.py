@@ -36,3 +36,58 @@ def test_walks_are_deterministic(spark):
     a = sorted(map(tuple, random_walks(spark, e).collect()))
     b = sorted(map(tuple, random_walks(spark, e.repartition(13)).collect()))
     assert a == b
+
+
+class TestNeighborSample:
+    def _graph(self, spark):
+        # K5 plus a pendant chain: hubs exercise the fan-out cap
+        pairs = [(a, b) for a in range(5) for b in range(5) if a != b]
+        pairs += [(4, 10), (10, 4), (10, 11), (11, 10)]
+        return build_clean_edges(
+            spark.createDataFrame(pairs, "src: long, dst: long")
+        )
+
+    def test_fanout_bounds_and_layers(self, spark):
+        from graph500_spark.operators.walks import neighbor_sample
+
+        out = neighbor_sample(
+            spark, self._graph(spark), fanout=(2, 1)
+        ).collect()
+        by = {}
+        for r in out:
+            by.setdefault((r.seed, r.layer, r.src), set()).add(r.dst)
+        for (seed, layer, src), dsts in by.items():
+            assert len(dsts) <= (2 if layer == 1 else 1)
+        # layer-2 sources must be layer-1 destinations of the same seed
+        l1 = {}
+        for r in out:
+            if r.layer == 1:
+                l1.setdefault(r.seed, set()).add(r.dst)
+        for r in out:
+            if r.layer == 2:
+                assert r.src in l1[r.seed]
+
+    def test_deterministic_across_partitionings(self, spark):
+        from graph500_spark.operators.walks import neighbor_sample
+
+        g = self._graph(spark)
+        a = {
+            (r.seed, r.layer, r.src, r.dst)
+            for r in neighbor_sample(spark, g, fanout=(2, 2)).collect()
+        }
+        b = {
+            (r.seed, r.layer, r.src, r.dst)
+            for r in neighbor_sample(
+                spark, g.repartition(7), fanout=(2, 2)
+            ).collect()
+        }
+        assert a == b
+
+    def test_low_degree_vertices_keep_all_neighbors(self, spark):
+        from graph500_spark.operators.walks import neighbor_sample
+
+        out = neighbor_sample(
+            spark, self._graph(spark), fanout=(3,)
+        ).collect()
+        dsts_11 = {r.dst for r in out if r.seed == 11 and r.src == 11}
+        assert dsts_11 == {10}
