@@ -188,3 +188,135 @@ def neighbor_sample_sql(
         f"SELECT * FROM p{i}" for i in range(1, len(fanout) + 1)
     )
     return ", ".join(parts) + f" {union}"
+
+
+def node2vec_walks(
+    spark: SparkSession,
+    edges_clean: DataFrame,
+    walk_len: int = 4,
+    p_mult: int = 4,
+    q_mult: int = 2,
+    broadcast_rows: int = 2_000_000,
+) -> DataFrame:
+    """[walk_id, step, vertex] — second-order (node2vec-style) biased
+    walks: each step scores candidate dst by hash and MULTIPLIES the
+    score by an integer bias class before taking the minimum —
+    ``p_mult`` for returning to the previous vertex (return
+    penalty, node2vec's 1/p), 1 for candidates adjacent to the
+    previous vertex (BFS-ish stay-local), ``q_mult`` otherwise
+    (DFS-ish exploration, node2vec's 1/q). A weighted-min-hash
+    choice: selection probability decreases with the multiplier,
+    deterministic and partitioning-free like every sampler here
+    (position defines value), and exactly mirrored in the unrolled
+    SQL oracle.
+
+    The second-order state is the (cur, prev) pair; the bias needs
+    one extra join per step — candidates (prev, dst) probed against
+    the stationary edge table to mark prev-adjacency, the same
+    composite-key shape as triangle counting. Step 1 has no prev
+    (prev = -1 matches nothing), so every candidate lands in the
+    q class — a constant multiplier, i.e. a uniform first hop."""
+    if max(p_mult, q_mult) > 256 or min(p_mult, q_mult) < 1:
+        # packed encoding headroom: score (< 1e9) x mult x 2^24 must
+        # stay inside int64 (ANSI overflow would throw mid-walk)
+        raise ValueError("bias multipliers must be in [1, 256]")
+    edges = edges_clean.select("src", "dst").persist()
+    frontier = (
+        edges.select(F.col("src").alias("vertex"))
+        .distinct()
+        .select(
+            F.col("vertex").alias("walk_id"),
+            F.col("vertex").alias("cur"),
+            F.lit(-1).cast("long").alias("prev"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n = frontier.count()
+    out = frontier.select(
+        "walk_id", F.lit(0).alias("step"), F.col("cur").alias("vertex")
+    )
+    adj_probe = edges.select(
+        F.col("src").alias("prev"),
+        F.col("dst").alias("dst"),
+        F.lit(1).alias("is_adj"),
+    )
+    for step in range(1, walk_len + 1):
+        f_side = frontier.select(
+            F.col("cur").alias("src"), "walk_id", "prev"
+        )
+        if n <= broadcast_rows:
+            f_side = F.broadcast(f_side)
+        cand = edges.join(f_side, "src").join(
+            adj_probe, ["prev", "dst"], "left"
+        )
+        mult = (
+            F.when(F.col("dst") == F.col("prev"), F.lit(p_mult))
+            .when(F.col("is_adj").isNotNull(), F.lit(1))
+            .otherwise(F.lit(q_mult))
+        )
+        packed = cand.groupBy("walk_id").agg(
+            F.min(
+                _score(F.col("walk_id"), step, F.col("dst"))
+                * mult
+                * F.lit(_PACK_SHIFT)
+                + F.col("dst")
+            ).alias("pick"),
+            F.min(F.col("src")).alias("cur_was"),
+        )
+        frontier = packed.select(
+            "walk_id",
+            (F.col("pick") % F.lit(_PACK_SHIFT)).alias("cur"),
+            F.col("cur_was").alias("prev"),
+        ).localCheckpoint(eager=True)
+        out = out.unionByName(
+            frontier.select(
+                "walk_id", F.lit(step).alias("step"),
+                F.col("cur").alias("vertex"),
+            )
+        )
+    edges.unpersist()
+    return out
+
+
+def node2vec_walks_sql(
+    clean_sql: str,
+    walk_len: int = 4,
+    p_mult: int = 4,
+    q_mult: int = 2,
+) -> str:
+    """Oracle mirror of node2vec_walks (unrolled steps, identical
+    integer weighted-min-hash arithmetic)."""
+    parts = [
+        f"WITH clean AS MATERIALIZED ({clean_sql})",
+        "f0 AS MATERIALIZED (SELECT DISTINCT src AS walk_id,"
+        " src AS cur, CAST(-1 AS BIGINT) AS prev FROM clean)",
+    ]
+    for s in range(1, walk_len + 1):
+        score = (
+            f"(f.walk_id * 1315423911 + {s} * 2654435761"
+            f" + e.dst * 97) % {WALK_HASH_MOD}"
+        )
+        mult = (
+            f"CASE WHEN e.dst = f.prev THEN {p_mult}"
+            " WHEN EXISTS (SELECT 1 FROM clean a WHERE"
+            " a.src = f.prev AND a.dst = e.dst) THEN 1"
+            f" ELSE {q_mult} END"
+        )
+        parts.append(
+            f"p{s} AS MATERIALIZED (SELECT f.walk_id,"
+            f" MIN(({score}) * ({mult}) * {_PACK_SHIFT} + e.dst)"
+            " AS pick, MIN(f.cur) AS cur_was"
+            f" FROM clean e JOIN f{s-1} f ON e.src = f.cur"
+            " GROUP BY f.walk_id)"
+        )
+        parts.append(
+            f"f{s} AS MATERIALIZED (SELECT walk_id,"
+            f" pick % {_PACK_SHIFT} AS cur, cur_was AS prev"
+            f" FROM p{s})"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT walk_id, CAST({s} AS BIGINT) AS step,"
+        f" cur AS vertex FROM f{s}"
+        for s in range(0, walk_len + 1)
+    )
+    return ", ".join(parts) + f" {union}"

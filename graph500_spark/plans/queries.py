@@ -1328,6 +1328,17 @@ def q_louvain_multilevel_quality(spark, sf_dir):
     )
 
 
+def q_node2vec_walks(spark, sf_dir):
+    """Second-order biased walk corpus (p=4, q=2 integer bias
+    classes, weighted min-hash choice) on the mod997 graph —
+    deterministic node2vec-style training sentences."""
+    from graph500_spark.operators import walks as walks_mod
+
+    return walks_mod.node2vec_walks(
+        spark, clean_mod997_graph(spark, sf_dir)
+    )
+
+
 def q_neighbor_sample(spark, sf_dir):
     """GraphSAGE-style (5,3) layered neighbor fan-out for every seed
     vertex on the mod997 graph — the GNN minibatch primitive;
@@ -2737,6 +2748,7 @@ QUERIES: dict[str, QueryFn] = {
     "core_numbers": q_core_numbers,
     "community_graph": q_community_graph,
     "neighbor_sample": q_neighbor_sample,
+    "node2vec_walks": q_node2vec_walks,
     "curriculum_order": q_curriculum_order,
     "pca_components": q_pca_components,
     "louvain_communities": q_louvain_communities,
@@ -3148,6 +3160,7 @@ ORACLE_SQL: dict[str, str] = {
     "k_core": k_core_sql(_CLEAN_MOD997, K_CORE_K),
     "core_numbers": core_numbers_sql(_CLEAN_MOD997),
     "neighbor_sample": walks_ops.neighbor_sample_sql(_CLEAN_MOD997),
+    "node2vec_walks": walks_ops.node2vec_walks_sql(_CLEAN_MOD997),
     "community_graph": (
         f"WITH clean AS ({_CLEAN_MOD997}),"
         " cmap AS (SELECT vertex, vertex % 16 AS community FROM"

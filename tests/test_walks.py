@@ -91,3 +91,60 @@ class TestNeighborSample:
         ).collect()
         dsts_11 = {r.dst for r in out if r.seed == 11 and r.src == 11}
         assert dsts_11 == {10}
+
+
+class TestNode2vecWalks:
+    def test_hops_are_edges_and_deterministic(self, spark):
+        from graph500_spark.operators.walks import node2vec_walks
+
+        g = [(0, 1), (1, 2), (2, 3), (3, 0), (1, 3), (0, 2)]
+        edges = _clean(spark, g)
+        adj = {}
+        for r in edges.collect():
+            adj.setdefault(r.src, set()).add(r.dst)
+        a = node2vec_walks(spark, edges, walk_len=4).collect()
+        walks = {}
+        for r in a:
+            walks.setdefault(r.walk_id, {})[r.step] = r.vertex
+        for wid, steps in walks.items():
+            assert steps[0] == wid
+            for s in range(1, 5):
+                assert steps[s] in adj[steps[s - 1]]
+        b = node2vec_walks(spark, edges.repartition(5), walk_len=4).collect()
+        assert {(r.walk_id, r.step, r.vertex) for r in a} == {
+            (r.walk_id, r.step, r.vertex) for r in b
+        }
+
+    def test_return_penalty_biases_away_from_backtracking(self, spark):
+        from graph500_spark.operators.walks import (
+            node2vec_walks,
+            random_walks,
+        )
+
+        # star + ring: from a leaf, the only way back is the hub —
+        # compare backtrack frequency against the unbiased walker on
+        # a graph where every vertex has >= 2 choices
+        pairs = [(i, (i + 1) % 20) for i in range(20)]
+        pairs += [(i, (i + 7) % 20) for i in range(20)]
+        edges = _clean(spark, pairs)
+
+        def backtracks(rows):
+            walks = {}
+            for r in rows:
+                walks.setdefault(r.walk_id, {})[r.step] = r.vertex
+            n = 0
+            for steps in walks.values():
+                for s in range(2, max(steps) + 1):
+                    if steps[s] == steps[s - 2]:
+                        n += 1
+            return n
+
+        biased = backtracks(
+            node2vec_walks(
+                spark, edges, walk_len=6, p_mult=200, q_mult=1
+            ).collect()
+        )
+        unbiased = backtracks(
+            random_walks(spark, edges, walk_len=6).collect()
+        )
+        assert biased <= unbiased
