@@ -218,15 +218,23 @@ def louvain_communities(
             )
             # One scalar job: move count + within-edge total (= the
             # modularity numerator's first term, for the CURRENT comm).
-            row = moved.agg(
-                F.sum(F.col("did_move").cast("long")).alias("nm"),
-                F.sum("own_k").alias("within"),
-            ).first()
+            # ONE driver barrier for the whole scalar readout: move
+            # count + within-weight (from moved) and sum D_c^2 (from
+            # the tiny csum) cross-joined as 1-row aggregates.
+            row = (
+                moved.agg(
+                    F.sum(F.col("did_move").cast("long")).alias("nm"),
+                    F.sum("own_k").alias("within"),
+                )
+                .crossJoin(
+                    csum.agg(
+                        F.sum(F.col("d_c") * F.col("d_c")).alias("ssq")
+                    )
+                )
+                .first()
+            )
             n_moves = row["nm"] or 0
-            sumsq = csum.agg(
-                F.sum(F.col("d_c") * F.col("d_c")).alias("s")
-            ).first()["s"]
-            qnum = (row["within"] or 0) * two_m - sumsq
+            qnum = (row["within"] or 0) * two_m - row["ssq"]
             if best_qnum is None or qnum > best_qnum:
                 if best_comm is not comm:
                     best_comm.unpersist()
