@@ -575,6 +575,51 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.3) -> DataFrame:
     )
 
 
+def ngram_containment_pairs(
+    docs: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """[doc_a, doc_b, containment] — ASYMMETRIC shingle containment
+    |A n B| / |A| >= threshold, within source blocks: the
+    contamination-detection relation Jaccard misses (a short eval
+    doc fully CONTAINED in a long train doc scores near-zero Jaccard
+    but containment 1.0). Ordered pairs both directions, a != b —
+    same blocked-quadratic verifier shape as ngram_jaccard_pairs,
+    with the candidate block the LSH/minhash tiers supply at scale."""
+    sh = shingle_hashes(docs).join(docs.select("doc_id", "source"), "doc_id")
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"), "source"
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"), "source"
+    )
+    joined = a.join(b, "source").filter(F.col("doc_a") != F.col("doc_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        joined.select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                inter / F.greatest(F.size("sh_a"), F.lit(1)), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+def ngram_containment_pairs_sql(threshold: float = 0.5) -> str:
+    return (
+        f"WITH sh AS (SELECT d.doc_id, d.source,"
+        f" {_DUCK_SHINGLE_HASHES} AS shingles FROM documents d)"
+        " SELECT doc_a, doc_b, containment FROM ("
+        " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+        " ROUND(len(list_intersect(a.shingles, b.shingles))"
+        "  / greatest(len(a.shingles), 1), 6) AS containment"
+        " FROM sh a JOIN sh b ON a.source = b.source"
+        " AND a.doc_id <> b.doc_id)"
+        f" WHERE containment >= {threshold}"
+    )
+
+
 def ngram_jaccard_pairs_sql(threshold: float = 0.3) -> str:
     return (
         f"WITH sh AS (SELECT d.doc_id, d.source,"

@@ -1339,6 +1339,24 @@ def q_node2vec_walks(spark, sf_dir):
     )
 
 
+def q_ngram_containment_pairs(spark, sf_dir):
+    """Asymmetric shingle containment |A n B|/|A| within source
+    blocks — the contamination relation Jaccard misses (short doc
+    inside long doc)."""
+    return dedup_mod.ngram_containment_pairs(
+        td.load_table(spark, sf_dir, "documents")
+    )
+
+
+def q_event_path_counts(spark, sf_dir):
+    """Top-20 per-user event-type trigram paths — sequence mining
+    one level above event_type_transitions; the |types|^3-bounded
+    count table makes the final ranked window trivially small."""
+    return windows_mod.event_path_counts(
+        td.load_table(spark, sf_dir, "events")
+    )
+
+
 def q_neighbor_sample(spark, sf_dir):
     """GraphSAGE-style (5,3) layered neighbor fan-out for every seed
     vertex on the mod997 graph — the GNN minibatch primitive;
@@ -2749,6 +2767,8 @@ QUERIES: dict[str, QueryFn] = {
     "community_graph": q_community_graph,
     "neighbor_sample": q_neighbor_sample,
     "node2vec_walks": q_node2vec_walks,
+    "event_path_counts": q_event_path_counts,
+    "ngram_containment_pairs": q_ngram_containment_pairs,
     "curriculum_order": q_curriculum_order,
     "pca_components": q_pca_components,
     "louvain_communities": q_louvain_communities,
@@ -3397,6 +3417,7 @@ ORACLE_SQL: dict[str, str] = {
     "simhash_near_duplicates_blocked":
         dedup_mod.simhash_near_duplicates_blocked_sql(),
     "ngram_jaccard_pairs": dedup_mod.ngram_jaccard_pairs_sql(),
+    "ngram_containment_pairs": dedup_mod.ngram_containment_pairs_sql(),
     "embedding_near_duplicates": dedup_mod.embedding_near_duplicates_sql(0.2),
     "duplicate_spans": dedup_mod.duplicate_spans_sql(),
     "merged_dup_spans": dedup_mod.merged_dup_spans_sql(),
@@ -3469,6 +3490,7 @@ def _late_oracles() -> dict[str, str]:
         "sliding_window_counts": windows_mod.sliding_window_counts_sql(),
         "retention_cohorts": windows_mod.RETENTION_COHORTS_SQL,
         "event_type_transitions": windows_mod.EVENT_TYPE_TRANSITIONS_SQL,
+        "event_path_counts": windows_mod.EVENT_PATH_COUNTS_SQL,
     }
 
 

@@ -701,6 +701,61 @@ EVENT_TYPE_TRANSITIONS_SQL = (
 )
 
 
+def event_path_counts(events: DataFrame, k: int = 20) -> DataFrame:
+    """Top-k per-user event-type TRIGRAM paths:
+    [path, n_paths, rank] — the sequence-mining aggregate one level
+    up from event_type_transitions' bigrams (funnel discovery,
+    next-action-model context features).
+
+    Same single-exchange shape as the bigram operator: one window
+    pass partitioned by user_id with a total (ts_us, event_id) order
+    feeding two stacked lead()s — Spark computes both leads in the
+    same Window physical node, so the trigram costs exactly what the
+    bigram does plus one tiny count shuffle; top-k is a global sort
+    of the |type|^3-bounded count table with a (count desc, path
+    asc) total tiebreak."""
+    from pyspark.sql import Window
+
+    ts_us = event_micros(events)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = events.select(
+        "user_id", "event_id", "event_type", ts_us.alias("ts_us")
+    ).select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    )
+    counted = (
+        seq.filter(F.col("b").isNotNull() & F.col("c").isNotNull())
+        .select(
+            F.concat_ws(">", "a", "b", "c").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+    )
+    w2 = Window.orderBy(F.desc("n_paths"), F.asc("path"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )
+
+
+EVENT_PATH_COUNTS_SQL = (
+    "WITH seq AS (SELECT event_type AS a,"
+    " LEAD(event_type, 1) OVER (PARTITION BY user_id"
+    " ORDER BY epoch_us(ts), event_id) AS b,"
+    " LEAD(event_type, 2) OVER (PARTITION BY user_id"
+    " ORDER BY epoch_us(ts), event_id) AS c FROM events),"
+    " counted AS (SELECT a || '>' || b || '>' || c AS path,"
+    " CAST(COUNT(*) AS BIGINT) AS n_paths FROM seq"
+    " WHERE b IS NOT NULL AND c IS NOT NULL GROUP BY 1),"
+    " ranked AS (SELECT path, n_paths, ROW_NUMBER() OVER"
+    " (ORDER BY n_paths DESC, path ASC) AS rank FROM counted)"
+    " SELECT path, n_paths, CAST(rank AS INTEGER) AS rank"
+    " FROM ranked WHERE rank <= 20"
+)
+
+
 def user_rfm(events: DataFrame) -> DataFrame:
     """Per-user RFM behavioral features:
     [user_id, recency_us, frequency, monetary] — time since the
