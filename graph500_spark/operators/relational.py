@@ -1692,3 +1692,294 @@ def waiting_orders_by_supplier_sql(
         " GROUP BY s_name, n_name"
         f" ORDER BY numwait DESC, s_name ASC LIMIT {top_n}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Derived partsupp + the three TPC-H shapes that need it (Q2 / Q11 /
+# Q20).  The testdata ships no partsupp table, so both engines DERIVE
+# the identical one deterministically from part x supplier: part p is
+# supplied by PS_FANOUT suppliers at hash-chosen keys, with integer
+# availability and cents-exact supply cost from the same hash family.
+# Every row is a pure function of (p_partkey, ps_suppkey), so the
+# Spark build and the DuckDB oracle agree bit-for-bit at any sf.
+# ---------------------------------------------------------------------------
+
+PS_FANOUT = 4
+
+
+def derived_partsupp(part: DataFrame, supplier: DataFrame) -> DataFrame:
+    """[ps_partkey, ps_suppkey, ps_availqty, ps_supplycost_c] — the
+    deterministic derived partsupp. suppkey_i = (p*53 + i*97 + 11)
+    mod n_supp for i < PS_FANOUT (collisions dedup'd, so low-supplier
+    scale factors yield fewer rows, never duplicates); n_supp rides
+    as a 1-row broadcast — the scalar-subquery shape, not a driver
+    constant, so the same expression works at every sf."""
+    n = supplier.agg(F.count(F.lit(1)).cast("long").alias("n_supp"))
+    keys = (
+        part.select("p_partkey")
+        .withColumn(
+            "i", F.explode(F.expr(f"sequence(0, {PS_FANOUT - 1})"))
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            (
+                (F.col("p_partkey") * 53 + F.col("i") * 97 + 11)
+                % F.col("n_supp")
+            ).cast("long").alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    return keys.select(
+        "ps_partkey",
+        "ps_suppkey",
+        (
+            (F.col("ps_partkey") * 7 + F.col("ps_suppkey") * 13) % 9999
+            + 1
+        ).cast("long").alias("ps_availqty"),
+        (
+            (F.col("ps_partkey") * 17 + F.col("ps_suppkey") * 29)
+            % 99000
+            + 1000
+        ).cast("long").alias("ps_supplycost_c"),
+    )
+
+
+_DUCK_PARTSUPP = (
+    "SELECT ps_partkey, ps_suppkey,"
+    " CAST((ps_partkey * 7 + ps_suppkey * 13) % 9999 + 1 AS BIGINT)"
+    " AS ps_availqty,"
+    " CAST((ps_partkey * 17 + ps_suppkey * 29) % 99000 + 1000"
+    " AS BIGINT) AS ps_supplycost_c FROM ("
+    " SELECT DISTINCT p_partkey AS ps_partkey,"
+    " CAST((p_partkey * 53 + i * 97 + 11)"
+    " % (SELECT COUNT(*) FROM supplier) AS BIGINT) AS ps_suppkey"
+    f" FROM part, (VALUES (0), (1), (2), (3)) AS gen(i))"
+)
+
+MCS_REGION = "EUROPE"
+MCS_TYPE = "STANDARD"
+
+
+def min_cost_supplier(
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = MCS_REGION,
+    p_type: str = MCS_TYPE,
+) -> DataFrame:
+    """[p_partkey, p_brand, s_name, n_name, supplycost_c] — for each
+    part of one type, the cheapest in-region supplier (Q2 shape).
+    The classic correlated MIN subquery becomes a per-part ranked
+    window with a total (cost asc, suppkey asc) tiebreak; dimensions
+    broadcast, partsupp is derived in-plan."""
+    from pyspark.sql import Window
+
+    ps = derived_partsupp(part, supplier)
+    p = part.filter(F.col("p_type") == p_type).select(
+        F.col("p_partkey").alias("ps_partkey"), "p_brand"
+    )
+    n_region = nation.join(
+        F.broadcast(
+            region.filter(F.col("r_name") == region_name).select(
+                "r_regionkey"
+            )
+        ),
+        nation.n_regionkey == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    supp = supplier.select(
+        F.col("s_suppkey").alias("ps_suppkey"),
+        "s_name",
+        F.col("s_nationkey").alias("n_nationkey"),
+    ).join(F.broadcast(n_region), "n_nationkey")
+    cand = ps.join(F.broadcast(p), "ps_partkey").join(
+        F.broadcast(supp), "ps_suppkey"
+    )
+    w = Window.partitionBy("ps_partkey").orderBy(
+        F.asc("ps_supplycost_c"), F.asc("ps_suppkey")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("ps_partkey").alias("p_partkey"),
+            "p_brand",
+            "s_name",
+            "n_name",
+            F.col("ps_supplycost_c").alias("supplycost_c"),
+        )
+    )
+
+
+def min_cost_supplier_sql(
+    region_name: str = MCS_REGION, p_type: str = MCS_TYPE
+) -> str:
+    return (
+        f"WITH ps AS ({_DUCK_PARTSUPP}),"
+        " cand AS (SELECT ps.ps_partkey, p.p_brand, s.s_name,"
+        " n.n_name, ps.ps_supplycost_c, ps.ps_suppkey"
+        " FROM ps JOIN part p ON ps.ps_partkey = p.p_partkey"
+        " JOIN supplier s ON ps.ps_suppkey = s.s_suppkey"
+        " JOIN nation n ON s.s_nationkey = n.n_nationkey"
+        " JOIN region r ON n.n_regionkey = r.r_regionkey"
+        f" WHERE p.p_type = '{p_type}' AND r.r_name = '{region_name}'),"
+        " ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY"
+        " ps_partkey ORDER BY ps_supplycost_c ASC, ps_suppkey ASC)"
+        " AS rn FROM cand)"
+        " SELECT ps_partkey AS p_partkey, p_brand, s_name, n_name,"
+        " ps_supplycost_c AS supplycost_c FROM ranked WHERE rn = 1"
+    )
+
+
+IS_NATION = "NATION_9"
+IS_FRACTION_DEN = 2000  # keep parts holding > 1/2000 of nation value
+
+
+def important_stock(
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_name: str = IS_NATION,
+    fraction_den: int = IS_FRACTION_DEN,
+) -> DataFrame:
+    """[ps_partkey, value_c] — per-part inventory value held by one
+    nation's suppliers, keeping parts above a fixed fraction of the
+    nation total (Q11 shape). The HAVING-vs-scalar-subquery compare
+    is the exact integer cross-multiplication value_c * den >
+    total_c — no float threshold, so the boundary part is classified
+    identically by both engines."""
+    ps = derived_partsupp(part, supplier)
+    supp = supplier.select(
+        F.col("s_suppkey").alias("ps_suppkey"),
+        F.col("s_nationkey").alias("n_nationkey"),
+    ).join(
+        F.broadcast(
+            nation.filter(F.col("n_name") == nation_name).select(
+                "n_nationkey"
+            )
+        ),
+        "n_nationkey",
+    ).select("ps_suppkey")
+    held = ps.join(F.broadcast(supp), "ps_suppkey").select(
+        "ps_partkey",
+        (F.col("ps_availqty") * F.col("ps_supplycost_c")).alias("v_c"),
+    )
+    per_part = held.groupBy("ps_partkey").agg(
+        F.sum("v_c").cast("long").alias("value_c")
+    )
+    total = held.agg(F.sum("v_c").cast("long").alias("total_c"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_c") * F.lit(fraction_den) > F.col("total_c")
+        )
+        .select("ps_partkey", "value_c")
+    )
+
+
+def important_stock_sql(
+    nation_name: str = IS_NATION, fraction_den: int = IS_FRACTION_DEN
+) -> str:
+    return (
+        f"WITH ps AS ({_DUCK_PARTSUPP}),"
+        " held AS (SELECT ps.ps_partkey,"
+        " ps.ps_availqty * ps.ps_supplycost_c AS v_c"
+        " FROM ps JOIN supplier s ON ps.ps_suppkey = s.s_suppkey"
+        " JOIN nation n ON s.s_nationkey = n.n_nationkey"
+        f" WHERE n.n_name = '{nation_name}')"
+        " SELECT ps_partkey, CAST(SUM(v_c) AS BIGINT) AS value_c"
+        " FROM held GROUP BY ps_partkey"
+        f" HAVING CAST(SUM(v_c) AS BIGINT) * {fraction_den} >"
+        " (SELECT CAST(SUM(v_c) AS BIGINT) FROM held)"
+    )
+
+
+ES_NAME_TOKEN = "cold"
+ES_FROM_US = date_us(1997, 1, 1)
+ES_TO_US = date_us(1998, 1, 1)
+
+
+def excess_stock_suppliers(
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    lineitem: DataFrame,
+    name_token: str = ES_NAME_TOKEN,
+    from_us: int = ES_FROM_US,
+    to_us: int = ES_TO_US,
+) -> DataFrame:
+    """[s_suppkey, s_name, n_name] — suppliers holding excess stock
+    of a part-name family: availqty exceeds half the quantity they
+    shipped of that part in one year, among (part, supplier) pairs
+    that shipped at all (the derived partsupp's keys are synthetic,
+    so the no-sales branch of classic Q20 would be vacuously true
+    for every supplier — the inner join keeps the comparison
+    meaningful). The nested exists-with-aggregate becomes partsupp
+    |><| per-(part, supplier) shipped sums + the integer test
+    2*availqty > shipped_qty; the supplier list is a distinct
+    semi-join output."""
+    ps = derived_partsupp(part, supplier)
+    fam = part.filter(
+        F.col("p_name").startswith(name_token)
+    ).select(F.col("p_partkey").alias("ps_partkey"))
+    shipped = (
+        lineitem.filter(
+            ts_range_cond(lineitem, "l_shipdate", from_us, to_us)
+        )
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(
+            F.sum(F.round("l_quantity").cast("long")).alias("qty")
+        )
+    )
+    excess = (
+        ps.join(F.broadcast(fam), "ps_partkey")
+        .join(shipped, ["ps_partkey", "ps_suppkey"])
+        .filter(F.col("ps_availqty") * 2 > F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        excess.join(
+            supplier.select(
+                F.col("s_suppkey").alias("ps_suppkey"),
+                "s_name",
+                F.col("s_nationkey").alias("n_nationkey"),
+            ),
+            "ps_suppkey",
+        )
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              "n_nationkey")
+        .select(
+            F.col("ps_suppkey").alias("s_suppkey"), "s_name", "n_name"
+        )
+    )
+
+
+def excess_stock_suppliers_sql(
+    name_token: str = ES_NAME_TOKEN,
+    from_us: int = ES_FROM_US,
+    to_us: int = ES_TO_US,
+) -> str:
+    return (
+        f"WITH ps AS ({_DUCK_PARTSUPP}),"
+        " shipped AS (SELECT l_partkey AS ps_partkey,"
+        " l_suppkey AS ps_suppkey,"
+        " CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)"
+        " AS qty FROM lineitem"
+        f" WHERE epoch_us(l_shipdate) >= {from_us}"
+        f" AND epoch_us(l_shipdate) < {to_us}"
+        " GROUP BY 1, 2),"
+        " excess AS (SELECT DISTINCT ps.ps_suppkey FROM ps"
+        " JOIN part p ON ps.ps_partkey = p.p_partkey"
+        " JOIN shipped sh ON ps.ps_partkey = sh.ps_partkey"
+        " AND ps.ps_suppkey = sh.ps_suppkey"
+        f" WHERE p.p_name LIKE '{name_token}%'"
+        " AND ps.ps_availqty * 2 > sh.qty)"
+        " SELECT e.ps_suppkey AS s_suppkey, s.s_name, n.n_name"
+        " FROM excess e JOIN supplier s ON e.ps_suppkey = s.s_suppkey"
+        " JOIN nation n ON s.s_nationkey = n.n_nationkey"
+    )

@@ -1348,6 +1348,40 @@ def q_ngram_containment_pairs(spark, sf_dir):
     )
 
 
+def q_min_cost_supplier(spark, sf_dir):
+    """Cheapest in-region supplier per part of one type (Q2 shape)
+    over the deterministic derived partsupp — correlated MIN as a
+    per-part ranked window."""
+    return rel_mod.min_cost_supplier(
+        td.load_table(spark, sf_dir, "part"),
+        td.load_table(spark, sf_dir, "supplier"),
+        td.load_table(spark, sf_dir, "nation"),
+        td.load_table(spark, sf_dir, "region"),
+    )
+
+
+def q_important_stock(spark, sf_dir):
+    """Per-part inventory value above a fixed fraction of one
+    nation's total (Q11 shape) — exact integer cross-multiplied
+    threshold."""
+    return rel_mod.important_stock(
+        td.load_table(spark, sf_dir, "part"),
+        td.load_table(spark, sf_dir, "supplier"),
+        td.load_table(spark, sf_dir, "nation"),
+    )
+
+
+def q_excess_stock_suppliers(spark, sf_dir):
+    """Suppliers holding excess stock of a part-name family vs their
+    shipped quantity in one year (Q20 shape)."""
+    return rel_mod.excess_stock_suppliers(
+        td.load_table(spark, sf_dir, "part"),
+        td.load_table(spark, sf_dir, "supplier"),
+        td.load_table(spark, sf_dir, "nation"),
+        td.load_table(spark, sf_dir, "lineitem"),
+    )
+
+
 def q_event_path_counts(spark, sf_dir):
     """Top-20 per-user event-type trigram paths — sequence mining
     one level above event_type_transitions; the |types|^3-bounded
@@ -2769,6 +2803,9 @@ QUERIES: dict[str, QueryFn] = {
     "node2vec_walks": q_node2vec_walks,
     "event_path_counts": q_event_path_counts,
     "ngram_containment_pairs": q_ngram_containment_pairs,
+    "min_cost_supplier": q_min_cost_supplier,
+    "important_stock": q_important_stock,
+    "excess_stock_suppliers": q_excess_stock_suppliers,
     "curriculum_order": q_curriculum_order,
     "pca_components": q_pca_components,
     "louvain_communities": q_louvain_communities,
@@ -3342,6 +3379,9 @@ ORACLE_SQL: dict[str, str] = {
     "returned_items": rel_mod.returned_items_sql(),
     "disjunctive_revenue": rel_mod.disjunctive_revenue_sql(),
     "waiting_orders_by_supplier": rel_mod.waiting_orders_by_supplier_sql(),
+    "min_cost_supplier": rel_mod.min_cost_supplier_sql(),
+    "important_stock": rel_mod.important_stock_sql(),
+    "excess_stock_suppliers": rel_mod.excess_stock_suppliers_sql(),
     "bm25_topk": traindata_mod.bm25_topk_sql(),
     "revenue_rollup": rel_mod.revenue_rollup_sql(),
     "scd2_history": windows_mod.SCD2_HISTORY_SQL,
