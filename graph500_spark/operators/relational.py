@@ -1983,3 +1983,77 @@ def excess_stock_suppliers_sql(
         " FROM excess e JOIN supplier s ON e.ps_suppkey = s.s_suppkey"
         " JOIN nation n ON s.s_nationkey = n.n_nationkey"
     )
+
+
+# ---------------------------------------------------------------------------
+# late_line_priority — the TPC-H Q12 shape: fact-fact join with two-way
+# conditional counts grouped by a line attribute
+# ---------------------------------------------------------------------------
+
+Q12_FROM_US = date_us(1997, 1, 1)
+Q12_TO_US = date_us(1998, 1, 1)
+Q12_LATE_DAYS = 45
+
+
+def late_line_priority(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    from_us: int = Q12_FROM_US,
+    to_us: int = Q12_TO_US,
+    late_days: int = Q12_LATE_DAYS,
+) -> DataFrame:
+    """Late-shipment line counts split by order priority, grouped by
+    line status: [l_linestatus, high_line_count, low_line_count],
+    counting lines shipped more than ``late_days`` after their order
+    date within one ship-date year. high = 1-URGENT / 2-HIGH orders.
+
+    TPC-H Q12 shape adapted to the testdata schema — the testdata
+    lineitem carries no l_shipmode / l_commitdate / l_receiptdate, so
+    l_linestatus stands in for the group key and order-date lag for the
+    receipt-vs-commit lateness test; the plan shape is identical:
+    date-filtered fact ⋈ fact on orderkey (the one natural big-big
+    join) with the priority split folded into two conditional
+    aggregates of a single groupBy — one exchange total past the join,
+    never two scans or a pivot. Ship-date range pushes to the parquet
+    scan via ts_range_cond's redundant raw comparison.
+    """
+    li = lineitem.filter(
+        ts_range_cond(lineitem, "l_shipdate", from_us, to_us)
+    ).select(
+        "l_orderkey",
+        "l_linestatus",
+        event_micros(lineitem, "l_shipdate").alias("ship_us"),
+    )
+    o = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        event_micros(orders, "o_orderdate").alias("o_us"),
+    )
+    joined = li.join(
+        o, li.l_orderkey == o.o_orderkey, "inner"
+    ).filter(F.col("ship_us") > F.col("o_us") + F.lit(late_days * DAY_US))
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return joined.groupBy("l_linestatus").agg(
+        F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+    )
+
+
+def late_line_priority_sql(
+    from_us: int = Q12_FROM_US,
+    to_us: int = Q12_TO_US,
+    late_days: int = Q12_LATE_DAYS,
+) -> str:
+    return (
+        "SELECT l_linestatus,"
+        " CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')"
+        " THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,"
+        " CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')"
+        " THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count"
+        " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+        f" WHERE epoch_us(l.l_shipdate) >= {from_us}"
+        f" AND epoch_us(l.l_shipdate) < {to_us}"
+        " AND epoch_us(l.l_shipdate) >"
+        f" epoch_us(o.o_orderdate) + {late_days * DAY_US}"
+        " GROUP BY l_linestatus"
+    )

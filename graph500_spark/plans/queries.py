@@ -1245,6 +1245,17 @@ def q_waiting_orders_by_supplier(spark, sf_dir):
     )
 
 
+def q_late_line_priority(spark, sf_dir):
+    """Late-line counts split by order priority per line status (Q12
+    shape adapted — no shipmode column in the testdata) — the
+    orderkey fact-fact join with the priority split as conditional
+    aggregates of one groupBy."""
+    return rel_mod.late_line_priority(
+        td.load_table(spark, sf_dir, "lineitem"),
+        td.load_table(spark, sf_dir, "orders"),
+    )
+
+
 def q_bm25_topk(spark, sf_dir):
     """Okapi BM25 top-10 per fixed query — lexical retrieval for
     decontamination probes and hard-negative mining; query-term df
@@ -2796,6 +2807,7 @@ QUERIES: dict[str, QueryFn] = {
     "returned_items": q_returned_items,
     "disjunctive_revenue": q_disjunctive_revenue,
     "waiting_orders_by_supplier": q_waiting_orders_by_supplier,
+    "late_line_priority": q_late_line_priority,
     "bm25_topk": q_bm25_topk,
     "core_numbers": q_core_numbers,
     "community_graph": q_community_graph,
@@ -3379,6 +3391,7 @@ ORACLE_SQL: dict[str, str] = {
     "returned_items": rel_mod.returned_items_sql(),
     "disjunctive_revenue": rel_mod.disjunctive_revenue_sql(),
     "waiting_orders_by_supplier": rel_mod.waiting_orders_by_supplier_sql(),
+    "late_line_priority": rel_mod.late_line_priority_sql(),
     "min_cost_supplier": rel_mod.min_cost_supplier_sql(),
     "important_stock": rel_mod.important_stock_sql(),
     "excess_stock_suppliers": rel_mod.excess_stock_suppliers_sql(),

@@ -279,3 +279,53 @@ class TestDisjunctiveRevenue:
         # the per-table residuals Catalyst derives from the OR tree
         assert any("p_brand" in ln or "p_size" in ln for ln in pushed), plan
         assert any("l_quantity" in ln for ln in pushed), plan
+
+
+class TestLateLinePriority:
+    """Q12 shape: priority split of late lines per line status."""
+
+    def test_split_and_lateness(self, spark):
+        from graph500_spark.operators.relational import late_line_priority
+
+        DAY = 86_400_000_000_000  # ns
+        base = ns(1997, 3, 1)
+        li = spark.createDataFrame(
+            [
+                # order 1: shipped 50d after order date -> late
+                (1, 1, 1, base + 50 * DAY, 1.0, 100.0, 0.0, "N", "O"),
+                # order 1 second line: on time (10d)
+                (1, 2, 1, base + 10 * DAY, 1.0, 100.0, 0.0, "N", "F"),
+                # order 2 (low priority): late
+                (2, 3, 2, base + 46 * DAY, 1.0, 100.0, 0.0, "N", "F"),
+                # order 3: late but ships outside the window
+                (3, 4, 3, ns(1999, 6, 1), 1.0, 100.0, 0.0, "N", "O"),
+            ],
+            LI_SCHEMA + ", l_linestatus string",
+        )
+        orders = spark.createDataFrame(
+            [
+                (1, 10, base, "1-URGENT"),
+                (2, 11, base, "4-NOT SPECIFIED"),
+                (3, 12, ns(1999, 4, 1), "2-HIGH"),
+            ],
+            ORD_SCHEMA,
+        )
+        out = {
+            r["l_linestatus"]: (r["high_line_count"], r["low_line_count"])
+            for r in late_line_priority(li, orders).collect()
+        }
+        assert out == {"O": (1, 0), "F": (0, 1)}
+
+    def test_boundary_not_late(self, spark):
+        from graph500_spark.operators.relational import late_line_priority
+
+        DAY = 86_400_000_000_000
+        base = ns(1997, 3, 1)
+        li = spark.createDataFrame(
+            [(1, 1, 1, base + 45 * DAY, 1.0, 100.0, 0.0, "N", "O")],
+            LI_SCHEMA + ", l_linestatus string",
+        )
+        orders = spark.createDataFrame(
+            [(1, 10, base, "1-URGENT")], ORD_SCHEMA
+        )
+        assert late_line_priority(li, orders).count() == 0
