@@ -1237,3 +1237,234 @@ def curriculum_order_sql() -> str:
         " CAST(ROW_NUMBER() OVER (ORDER BY model_score_e5 DESC, doc_id)"
         " AS BIGINT) AS global_rank FROM scored"
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights — data selection for LM pretraining
+# (Xie et al. 2023, "Data Selection for Language Models via Importance
+# Resampling"): score every document in the raw pool by how much more
+# likely its hashed-unigram bag is under the target-domain distribution
+# than under the rest-of-pool distribution. Documents with high weights
+# are the ones importance resampling keeps.
+# ---------------------------------------------------------------------------
+
+DSIR_DIM = 1024
+DSIR_SCALE = 1_000_000  # micro-nats per log unit
+DSIR_TARGETS = ("src0", "src1")
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_sources: tuple[str, ...] = DSIR_TARGETS,
+    dim: int = DSIR_DIM,
+) -> DataFrame:
+    """[doc_id, n_tokens, dsir_weight_q] — per-document DSIR importance
+    weight in integer micro-nats: the sum over token occurrences of
+    ln(p_target(bucket)/p_rest(bucket)), with hashed n-gram features
+    (unigrams → md5-hash buckets mod ``dim``) and add-1 smoothing on
+    both distributions. Zero-token docs are absent (cf. unigram_logppl).
+
+    Exactness: each bucket's log-ratio is quantized ONCE —
+    round(ln((c_t+1)(N_r+dim) / ((c_r+1)(N_t+dim))) · 1e6) — the
+    numerator/denominator are exact int64 products (headroom to ~3e9
+    tokens per side; rescale to per-million counts beyond), so the only
+    float op is a single two-operand ln both engines evaluate on the
+    same double. Per-doc sums of the quantized values are exact.
+
+    Plan shape: one token explode feeds BOTH distributions via
+    conditional aggregation on a single groupBy(bucket) — never two
+    scans; totals are a second tiny agg; the ``dim``-row model
+    broadcasts back onto the token stream (the 1000-executor shape:
+    the model is a broadcast variable, the corpus shuffles once on
+    doc_id for the final sum).
+    """
+    from graph500_spark.operators.text import spark_strhash
+
+    h = spark_strhash("token")
+    toks = docs.select(
+        "doc_id",
+        F.col("source").isin(*target_sources).alias("is_target"),
+        F.explode(F.expr(SPARK_TOKENS)).alias("token"),
+    ).select(
+        "doc_id",
+        "is_target",
+        F.expr(f"cast(({h}) % {dim} as int)").alias("bucket"),
+    )
+    per_bucket = toks.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("c_t"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("c_r"),
+    )
+    totals = per_bucket.agg(
+        F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r")
+    )
+    model = per_bucket.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            F.log(
+                ((F.col("c_t") + 1) * (F.col("n_r") + dim)).cast("double")
+                / ((F.col("c_r") + 1) * (F.col("n_t") + dim)).cast("double")
+            )
+            * DSIR_SCALE
+        )
+        .cast("long")
+        .alias("lr_q"),
+    )
+    return (
+        toks.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("lr_q").cast("long").alias("dsir_weight_q"),
+        )
+    )
+
+
+def dsir_weights_sql(
+    target_sources: tuple[str, ...] = DSIR_TARGETS,
+    dim: int = DSIR_DIM,
+) -> str:
+    from graph500_spark.operators.text import duck_strhash
+
+    h = duck_strhash("token")
+    targets = ", ".join(f"'{s}'" for s in target_sources)
+    return (
+        "WITH toks AS (SELECT doc_id,"
+        f" source IN ({targets}) AS is_target,"
+        f" CAST(({h}) % {dim} AS INTEGER) AS bucket"
+        f" FROM (SELECT doc_id, source, unnest({DUCK_TOKENS}) AS token"
+        " FROM documents)),"
+        " per_bucket AS (SELECT bucket,"
+        " CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS c_t,"
+        " CAST(SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT) AS c_r"
+        " FROM toks GROUP BY bucket),"
+        " tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_t,"
+        " CAST(SUM(c_r) AS BIGINT) AS n_r FROM per_bucket),"
+        " model AS (SELECT bucket,"
+        f" CAST(round(ln(CAST((c_t + 1) * (n_r + {dim}) AS DOUBLE)"
+        f" / CAST((c_r + 1) * (n_t + {dim}) AS DOUBLE))"
+        f" * {DSIR_SCALE}) AS BIGINT) AS lr_q"
+        " FROM per_bucket CROSS JOIN tot)"
+        " SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,"
+        " CAST(SUM(lr_q) AS BIGINT) AS dsir_weight_q"
+        " FROM toks JOIN model USING (bucket) GROUP BY doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Population-stability-index drift per source — the distribution-shift
+# monitor a continuously-ingesting corpus pipeline runs per batch/source:
+# PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) between each source's hashed-token
+# distribution (p) and the corpus-wide distribution (q). PSI ≥ 0 always;
+# ~0 means the source looks like the corpus, large means drift.
+# ---------------------------------------------------------------------------
+
+PSI_DIM = 64
+
+
+def source_drift_psi(docs: DataFrame, dim: int = PSI_DIM) -> DataFrame:
+    """[source, psi_pico] — integer-exact PSI of every source's
+    hashed-token-bucket distribution against the whole corpus, in
+    pico-units (ppm probability × micro-nat log), ordered by source.
+
+    Exactness: probabilities are round-half-up integer ppm via the
+    ``(2·10⁶·num + den) div (2·den)`` trick (no float division); the
+    log-ratio is the single quantized ln over a ratio of exact int64
+    products (cf. dsir_weights); each PSI term is then an exact int64
+    product ≤ ~1.4e13, summed over ``dim`` buckets. Add-1 smoothing
+    keeps empty (source, bucket) cells finite; the (source × bucket)
+    grid is completed explicitly so absent cells contribute their
+    smoothed term identically in both engines.
+
+    Plan shape: one explode → one groupBy(source, bucket) with map-side
+    combine; the corpus marginal and per-source totals derive from that
+    ≤ |sources|·dim-row table (no rescan); the grid is a broadcast
+    product of two tiny aggregates left-joined back. At 100 TB only the
+    first aggregation touches the data."""
+    from graph500_spark.operators.text import spark_strhash
+
+    h = spark_strhash("token")
+    toks = docs.select(
+        "source", F.explode(F.expr(SPARK_TOKENS)).alias("token")
+    ).select(
+        "source", F.expr(f"cast(({h}) % {dim} as int)").alias("bucket")
+    )
+    cell = toks.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c_sb")
+    )
+    by_bucket = cell.groupBy("bucket").agg(
+        F.sum("c_sb").alias("c_b")
+    )
+    by_source = cell.groupBy("source").agg(F.sum("c_sb").alias("n_s"))
+    total = by_bucket.agg(F.sum("c_b").alias("n"))
+    grid = (
+        by_source.crossJoin(F.broadcast(by_bucket))
+        .join(cell, ["source", "bucket"], "left")
+        .select(
+            "source",
+            "bucket",
+            F.coalesce("c_sb", F.lit(0)).alias("c_sb"),
+            "c_b",
+            "n_s",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    num_p = (F.col("c_sb") + 1) * 1_000_000 * 2
+    den_p = (F.col("n_s") + dim) * 2
+    num_q = (F.col("c_b") + 1) * 1_000_000 * 2
+    den_q = (F.col("n") + dim) * 2
+    p_ppm = F.expr(
+        f"(2000000 * (c_sb + 1) + (n_s + {dim})) div (2 * (n_s + {dim}))"
+    )
+    q_ppm = F.expr(
+        f"(2000000 * (c_b + 1) + (n + {dim})) div (2 * (n + {dim}))"
+    )
+    lr_q = (
+        F.round(
+            F.log(
+                ((F.col("c_sb") + 1) * (F.col("n") + dim)).cast("double")
+                / ((F.col("c_b") + 1) * (F.col("n_s") + dim)).cast("double")
+            )
+            * DSIR_SCALE
+        )
+        .cast("long")
+    )
+    return (
+        grid.select(
+            "source", ((p_ppm - q_ppm) * lr_q).alias("term")
+        )
+        .groupBy("source")
+        .agg(F.sum("term").cast("long").alias("psi_pico"))
+        .orderBy("source")
+    )
+
+
+def source_drift_psi_sql(dim: int = PSI_DIM) -> str:
+    from graph500_spark.operators.text import duck_strhash
+
+    h = duck_strhash("token")
+    return (
+        "WITH toks AS (SELECT source,"
+        f" CAST(({h}) % {dim} AS INTEGER) AS bucket"
+        f" FROM (SELECT source, unnest({DUCK_TOKENS}) AS token"
+        " FROM documents)),"
+        " cell AS (SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS c_sb"
+        " FROM toks GROUP BY source, bucket),"
+        " by_bucket AS (SELECT bucket, CAST(SUM(c_sb) AS BIGINT) AS c_b"
+        " FROM cell GROUP BY bucket),"
+        " by_source AS (SELECT source, CAST(SUM(c_sb) AS BIGINT) AS n_s"
+        " FROM cell GROUP BY source),"
+        " tot AS (SELECT CAST(SUM(c_b) AS BIGINT) AS n FROM by_bucket),"
+        " grid AS (SELECT s.source, b.bucket,"
+        " COALESCE(c.c_sb, 0) AS c_sb, b.c_b, s.n_s, t.n"
+        " FROM by_source s CROSS JOIN by_bucket b CROSS JOIN tot t"
+        " LEFT JOIN cell c ON c.source = s.source AND c.bucket = b.bucket),"
+        " terms AS (SELECT source,"
+        f" ((2000000 * (c_sb + 1) + (n_s + {dim})) // (2 * (n_s + {dim}))"
+        f" - (2000000 * (c_b + 1) + (n + {dim})) // (2 * (n + {dim})))"
+        f" * CAST(round(ln(CAST((c_sb + 1) * (n + {dim}) AS DOUBLE)"
+        f" / CAST((c_b + 1) * (n_s + {dim}) AS DOUBLE))"
+        f" * {DSIR_SCALE}) AS BIGINT) AS term"
+        " FROM grid)"
+        " SELECT source, CAST(SUM(term) AS BIGINT) AS psi_pico"
+        " FROM terms GROUP BY source ORDER BY source"
+    )
