@@ -3045,6 +3045,72 @@ QUERIES = {k: QUERIES[k] for k in _ROUND5_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_ROUND5_FRONT)
 }
 
+# --- round-6 correctness window rotation.  After r05 every entry that
+# existed at the r05 snapshot has at least one driver-green row; the 30
+# below were added during round 5 (or deferred from its rotation note) and
+# have never had a driver-side CORRECTNESS row.  Front-load all 30 (23
+# hash-oracled + 7 rows-only-by-design iterative/sketch entries), then fill
+# the remaining 20 window slots with a third confirmation of the core
+# reference surface (SURVEY §2: generator, BFS family, SSSP, validation,
+# statistics) plus the flagship dedup/ANN/relational entries.
+_ROUND6_FRONT = [
+    # never driver-checked (round-5 additions + deferred variants)
+    "degree_histogram_log",
+    "kronecker_s8_datasource",
+    "lsh_buckets",
+    "simhash",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "market_share",
+    "product_type_profit",
+    "returned_items",
+    "disjunctive_revenue",
+    "waiting_orders_by_supplier",
+    "late_line_priority",
+    "bm25_topk",
+    "core_numbers",
+    "community_graph",
+    "neighbor_sample",
+    "node2vec_walks",
+    "event_path_counts",
+    "ngram_containment_pairs",
+    "min_cost_supplier",
+    "important_stock",
+    "excess_stock_suppliers",
+    "curriculum_order",
+    "pca_components",
+    "louvain_communities",
+    "louvain_quality",
+    "louvain_multilevel",
+    "louvain_multilevel_quality",
+    "bpe_merges",
+    "bpe_token_counts",
+    # third driver confirmation of the core §2 + flagship surface
+    "kronecker_s8",
+    "bfs_depth3",
+    "bfs_full",
+    "bfs_multi",
+    "sssp",
+    "connected_components",
+    "pagerank",
+    "degrees",
+    "dedup_edges",
+    "adjacency",
+    "pred_pack",
+    "check_edge_depths",
+    "validate_bfs_summary",
+    "run_statistics",
+    "teps_summary",
+    "exact_duplicates",
+    "minhash_near_duplicates",
+    "cosine_topk",
+    "pricing_summary",
+    "sessionize",
+]
+QUERIES = {k: QUERIES[k] for k in _ROUND6_FRONT} | {
+    k: v for k, v in QUERIES.items() if k not in set(_ROUND6_FRONT)
+}
+
 
 # ---------------------------------------------------------------------------
 # oracle_sql() registry
