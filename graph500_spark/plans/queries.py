@@ -3112,6 +3112,64 @@ QUERIES = {k: QUERIES[k] for k in _ROUND6_FRONT} | {
 }
 
 
+# --- round-6 additions: time-series analytics over the event stream
+# (operators/timeseries.py).  Registered AFTER the correctness window
+# per the rotation policy — they get driver rows next round; until
+# then the local oracle sweep is the gate. ---
+
+
+def q_event_acf(spark, sf_dir):
+    """Integer-exact autocorrelation of the hourly event-count series
+    (lags 1..12): all lags in ONE window pass over the dense per-type
+    grid."""
+    from graph500_spark.operators.timeseries import event_acf
+
+    return event_acf(td.load_table(spark, sf_dir, "events"))
+
+
+def q_event_trend(spark, sf_dir):
+    """OLS slope/intercept of the hourly count series from five integer
+    moments — one grouped aggregate, signed-ppm quantization."""
+    from graph500_spark.operators.timeseries import event_trend
+
+    return event_trend(td.load_table(spark, sf_dir, "events"))
+
+
+def q_event_ewma(spark, sf_dir):
+    """Integer EWMA recurrence (floor at every step — no closed form):
+    sequential Arrow kernel per series, recursive-CTE DuckDB oracle."""
+    from graph500_spark.operators.timeseries import event_ewma
+
+    return event_ewma(td.load_table(spark, sf_dir, "events"))
+
+
+def q_event_cusum(spark, sf_dir):
+    """One-sided CUSUM changepoint statistic in exact n-scaled integer
+    units (same sequential-kernel tier as EWMA)."""
+    from graph500_spark.operators.timeseries import event_cusum
+
+    return event_cusum(td.load_table(spark, sf_dir, "events"))
+
+
+def q_event_seasonality(spark, sf_dir):
+    """(dow, hour) weekly seasonal volume profile per event type —
+    pure integer calendar math on epoch micros, ppm shares."""
+    from graph500_spark.operators.timeseries import event_seasonality
+
+    return event_seasonality(td.load_table(spark, sf_dir, "events"))
+
+
+QUERIES.update(
+    {
+        "event_acf": q_event_acf,
+        "event_trend": q_event_trend,
+        "event_ewma": q_event_ewma,
+        "event_cusum": q_event_cusum,
+        "event_seasonality": q_event_seasonality,
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # oracle_sql() registry
 # ---------------------------------------------------------------------------
@@ -3614,3 +3672,18 @@ def _late_oracles() -> dict[str, str]:
 
 
 ORACLE_SQL.update(_late_oracles())
+
+
+def _round6_oracles() -> dict[str, str]:
+    from graph500_spark.operators import timeseries as ts_mod
+
+    return {
+        "event_acf": ts_mod.event_acf_sql(),
+        "event_trend": ts_mod.event_trend_sql(),
+        "event_ewma": ts_mod.event_ewma_sql(),
+        "event_cusum": ts_mod.event_cusum_sql(),
+        "event_seasonality": ts_mod.event_seasonality_sql(),
+    }
+
+
+ORACLE_SQL.update(_round6_oracles())
