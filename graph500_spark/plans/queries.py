@@ -3159,6 +3159,31 @@ def q_event_seasonality(spark, sf_dir):
     return event_seasonality(td.load_table(spark, sf_dir, "events"))
 
 
+def q_kmv_distinct_users(spark, sf_dir):
+    """KMV cardinality sketch vs exact distinct (operators/sketches.py):
+    deterministic, mergeable, engine-reproducible — the auditable twin
+    of approx_count_distinct."""
+    from graph500_spark.operators.sketches import kmv_distinct_users
+
+    return kmv_distinct_users(td.load_table(spark, sf_dir, "events"))
+
+
+def q_kmv_source_sketches(spark, sf_dir):
+    """Per-source KMV sketches + a __union__ row merged from the
+    sketches alone — the shard-to-coordinator mergeability demo."""
+    from graph500_spark.operators.sketches import kmv_source_sketches
+
+    return kmv_source_sketches(td.load_table(spark, sf_dir, "documents"))
+
+
+def q_cms_heavy_tokens(spark, sf_dir):
+    """Count-min frequency estimates for the exact top-20 tokens with
+    the overcount audit column (estimate ≥ exact by construction)."""
+    from graph500_spark.operators.sketches import cms_heavy_tokens
+
+    return cms_heavy_tokens(td.load_table(spark, sf_dir, "documents"))
+
+
 QUERIES.update(
     {
         "event_acf": q_event_acf,
@@ -3166,6 +3191,9 @@ QUERIES.update(
         "event_ewma": q_event_ewma,
         "event_cusum": q_event_cusum,
         "event_seasonality": q_event_seasonality,
+        "kmv_distinct_users": q_kmv_distinct_users,
+        "kmv_source_sketches": q_kmv_source_sketches,
+        "cms_heavy_tokens": q_cms_heavy_tokens,
     }
 )
 
@@ -3675,6 +3703,7 @@ ORACLE_SQL.update(_late_oracles())
 
 
 def _round6_oracles() -> dict[str, str]:
+    from graph500_spark.operators import sketches as sk_mod
     from graph500_spark.operators import timeseries as ts_mod
 
     return {
@@ -3683,6 +3712,9 @@ def _round6_oracles() -> dict[str, str]:
         "event_ewma": ts_mod.event_ewma_sql(),
         "event_cusum": ts_mod.event_cusum_sql(),
         "event_seasonality": ts_mod.event_seasonality_sql(),
+        "kmv_distinct_users": sk_mod.kmv_distinct_users_sql(),
+        "kmv_source_sketches": sk_mod.kmv_source_sketches_sql(),
+        "cms_heavy_tokens": sk_mod.cms_heavy_tokens_sql(),
     }
 
 
