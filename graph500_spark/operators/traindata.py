@@ -1408,10 +1408,6 @@ def source_drift_psi(docs: DataFrame, dim: int = PSI_DIM) -> DataFrame:
         )
         .crossJoin(F.broadcast(total))
     )
-    num_p = (F.col("c_sb") + 1) * 1_000_000 * 2
-    den_p = (F.col("n_s") + dim) * 2
-    num_q = (F.col("c_b") + 1) * 1_000_000 * 2
-    den_q = (F.col("n") + dim) * 2
     p_ppm = F.expr(
         f"(2000000 * (c_sb + 1) + (n_s + {dim})) div (2 * (n_s + {dim}))"
     )

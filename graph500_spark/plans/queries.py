@@ -3159,6 +3159,23 @@ def q_event_seasonality(spark, sf_dir):
     return event_seasonality(td.load_table(spark, sf_dir, "events"))
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023 shape): hashed-unigram
+    log-likelihood ratio of target-vs-rest source distributions, add-1
+    smoothed, integer micro-nats (operators/traindata.py)."""
+    from graph500_spark.operators.traindata import dsir_weights
+
+    return dsir_weights(td.load_table(spark, sf_dir, "documents"))
+
+
+def q_source_drift_psi(spark, sf_dir):
+    """Population-stability-index drift per source vs the corpus-wide
+    hashed-token distribution, integer pico-units."""
+    from graph500_spark.operators.traindata import source_drift_psi
+
+    return source_drift_psi(td.load_table(spark, sf_dir, "documents"))
+
+
 def q_kmv_distinct_users(spark, sf_dir):
     """KMV cardinality sketch vs exact distinct (operators/sketches.py):
     deterministic, mergeable, engine-reproducible — the auditable twin
@@ -3191,6 +3208,8 @@ QUERIES.update(
         "event_ewma": q_event_ewma,
         "event_cusum": q_event_cusum,
         "event_seasonality": q_event_seasonality,
+        "dsir_weights": q_dsir_weights,
+        "source_drift_psi": q_source_drift_psi,
         "kmv_distinct_users": q_kmv_distinct_users,
         "kmv_source_sketches": q_kmv_source_sketches,
         "cms_heavy_tokens": q_cms_heavy_tokens,
@@ -3712,6 +3731,8 @@ def _round6_oracles() -> dict[str, str]:
         "event_ewma": ts_mod.event_ewma_sql(),
         "event_cusum": ts_mod.event_cusum_sql(),
         "event_seasonality": ts_mod.event_seasonality_sql(),
+        "dsir_weights": traindata_mod.dsir_weights_sql(),
+        "source_drift_psi": traindata_mod.source_drift_psi_sql(),
         "kmv_distinct_users": sk_mod.kmv_distinct_users_sql(),
         "kmv_source_sketches": sk_mod.kmv_source_sketches_sql(),
         "cms_heavy_tokens": sk_mod.cms_heavy_tokens_sql(),
