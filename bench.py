@@ -273,6 +273,15 @@ def main() -> int:
             lambda: Q.q_louvain_communities(spark, sf_dir).count(),
         "louvain_multilevel":
             lambda: Q.q_louvain_multilevel(spark, sf_dir).count(),
+        "event_acf": lambda: Q.q_event_acf(spark, sf_dir).count(),
+        "event_ewma": lambda: Q.q_event_ewma(spark, sf_dir).count(),
+        "kmv_distinct_users":
+            lambda: Q.q_kmv_distinct_users(spark, sf_dir).count(),
+        "cms_heavy_tokens":
+            lambda: Q.q_cms_heavy_tokens(spark, sf_dir).count(),
+        "dsir_weights": lambda: Q.q_dsir_weights(spark, sf_dir).count(),
+        "source_drift_psi":
+            lambda: Q.q_source_drift_psi(spark, sf_dir).count(),
     }
 
     timings: dict[str, float] = {}
