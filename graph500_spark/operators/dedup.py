@@ -1045,3 +1045,143 @@ def levenshtein_near_duplicates_sql(max_dist: int = 20) -> str:
         f" AND abs(length(a.text) - length(b.text)) <= {max_dist}"
         f" WHERE levenshtein(a.text, b.text) <= {max_dist}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity join via prefix filtering (PPJoin-family):
+# all document pairs whose SHINGLE-SET Jaccard >= tau — the same
+# token-3-gram space the minhash/LSH pipeline approximates, computed
+# EXACTLY and without all-pairs work.  This is the deterministic
+# recall baseline for minhash_near_duplicates: every pair LSH finds
+# must appear here, and pairs here that LSH misses are its false
+# negatives (completeness comes from the prefix-filter theorem, not
+# from banding luck).
+#
+# Global token order = (document frequency asc, token asc): prefixes
+# are each set's RAREST tokens, so the candidate equi-join key is
+# maximally selective by construction (the rarest-first order is the
+# entire point of the technique).  Prefix length for Jaccard tau is
+# p = |A| - ceil(tau*|A|) + 1: if no intersection token fell in the
+# prefix, the intersection would fit in the last ceil(tau*|A|)-1
+# positions — fewer than the tau*|A| <= |A∩B| elements J >= tau
+# requires.  Both sides' prefixes therefore share a token (the
+# standard prefix-filter lemma), so the equi-join on prefix tokens is
+# a COMPLETE candidate generator; a length filter
+# (1e6*min_size >= tau_ppm*max_size) prunes before verification, and
+# verification recomputes the exact integer Jaccard from full sets.
+#
+# 100 TB shape: one distinct-token shuffle, one document-frequency
+# aggregate joined back (broadcast: vocabulary-sized), one window per
+# doc for prefix positions, an equi-join on RARE tokens (bounded
+# fan-out — a token in a prefix has low df by construction), and one
+# pair-keyed count for verification.  Never quadratic in the corpus.
+# ---------------------------------------------------------------------------
+
+SETSIM_TAU_PPM = 500_000  # tau = 0.5, the minhash family threshold
+
+
+def setsim_join_prefix(
+    docs: DataFrame, tau_ppm: int = SETSIM_TAU_PPM
+) -> DataFrame:
+    """[doc_a, doc_b, n_common, union_size, jaccard_ppm] — every pair
+    with shingle-set Jaccard >= tau, exact, via prefix filtering."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr(_SPARK_SHINGLE_HASHES)).alias("token"),
+    ).distinct()
+    dfreq = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(
+        F.col("df").asc(), F.col("token").asc()
+    )
+    w_sz = Window.partitionBy("doc_id")
+    ranked = (
+        toks.join(dfreq, "token")
+        .select(
+            "doc_id",
+            "token",
+            F.row_number().over(w_doc).alias("pos"),
+            F.count(F.lit(1)).over(w_sz).alias("sz"),
+        )
+    )
+    # prefix length p = sz - ceil(tau*sz) + 1, ceil via (a+b-1) div b
+    prefix = ranked.where(
+        F.expr(
+            f"pos <= sz - (({tau_ppm} * sz + 999999) div 1000000) + 1"
+        )
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "token")
+        .where(F.expr("a.doc_id < b.doc_id"))
+        .select(
+            F.expr("a.doc_id").alias("doc_a"),
+            F.expr("b.doc_id").alias("doc_b"),
+            F.expr("a.sz").alias("sz_a"),
+            F.expr("b.sz").alias("sz_b"),
+        )
+        .where(
+            F.expr(
+                f"1000000 * least(sz_a, sz_b)"
+                f" >= {tau_ppm} * greatest(sz_a, sz_b)"
+            )
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(toks.alias("ta"), F.expr("doc_a = ta.doc_id"))
+        .join(
+            toks.alias("tb"),
+            F.expr("doc_b = tb.doc_id AND ta.token = tb.token"),
+        )
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return (
+        inter.where(
+            F.expr(
+                f"1000000 * n_common >= {tau_ppm} * (sz_a + sz_b - n_common)"
+            )
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            (F.col("sz_a") + F.col("sz_b") - F.col("n_common")).alias(
+                "union_size"
+            ),
+            F.expr(
+                "CAST((1000000 * n_common)"
+                " div (sz_a + sz_b - n_common) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
+def setsim_join_prefix_sql(tau_ppm: int = SETSIM_TAU_PPM) -> str:
+    # The oracle states the blocking-free semantics directly (exact
+    # Jaccard over all same-order pairs) — the engine's prefix filter
+    # must therefore be COMPLETE, which is exactly what the gate
+    # checks (same discipline as levenshtein_near_duplicates).
+    return (
+        "WITH toks AS (SELECT DISTINCT doc_id, token FROM"
+        f" (SELECT doc_id, unnest({_DUCK_SHINGLE_HASHES}) AS token"
+        " FROM documents)),"
+        " sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz"
+        " FROM toks GROUP BY doc_id),"
+        " pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+        "  CAST(COUNT(*) AS BIGINT) AS n_common"
+        "  FROM toks a JOIN toks b ON a.token = b.token"
+        "  AND a.doc_id < b.doc_id GROUP BY 1, 2)"
+        " SELECT p.doc_a, p.doc_b, p.n_common,"
+        " sa.sz + sb.sz - p.n_common AS union_size,"
+        " CAST((1000000 * p.n_common)"
+        " // (sa.sz + sb.sz - p.n_common) AS BIGINT) AS jaccard_ppm"
+        " FROM pairs p JOIN sz sa ON p.doc_a = sa.doc_id"
+        " JOIN sz sb ON p.doc_b = sb.doc_id"
+        f" WHERE 1000000 * p.n_common"
+        f" >= {tau_ppm} * (sa.sz + sb.sz - p.n_common)"
+    )

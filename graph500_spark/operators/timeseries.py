@@ -465,3 +465,73 @@ def event_seasonality_sql() -> str:
         " PARTITION BY event_type) AS BIGINT) AS share_ppm"
         " FROM cells"
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-adjusted anomalies — residuals of the dense hourly grid
+# against the (dow, hour) seasonal profile, in exact cell-scaled
+# integer units: d = cell_cnt·x − cell_sum is the within-cell
+# mean-centered deviation (integer; sums to 0 per cell), and
+# |d| > cell_sum means the bucket deviates from its seasonal mean by
+# more than one mean's worth — the spike/dropout flag a volume
+# monitor raises AFTER seasonality is explained away (the naive
+# z-score in event_anomalies flags every Friday peak; this doesn't).
+# ---------------------------------------------------------------------------
+
+
+def seasonal_anomalies(events: DataFrame, minutes: int = 60) -> DataFrame:
+    """[event_type, bucket_start_us, n_events, expected_e6,
+    resid_units, is_anomaly] — hourly buckets vs their (dow, hour)
+    seasonal expectation."""
+    grid = _dense_counts(events, minutes)
+    keyed = grid.select(
+        "event_type",
+        "bucket",
+        "x",
+        F.expr("pmod(bucket div 86400000000 + 3, 7)").alias("dow"),
+        F.expr("pmod(bucket div 3600000000, 24)").alias("hour"),
+    )
+    cells = keyed.groupBy("event_type", "dow", "hour").agg(
+        F.sum("x").alias("cell_sum"),
+        F.count(F.lit(1)).alias("cell_cnt"),
+    )
+    return (
+        keyed.join(F.broadcast(cells), ["event_type", "dow", "hour"])
+        .select(
+            "event_type",
+            F.col("bucket").alias("bucket_start_us"),
+            F.col("x").alias("n_events"),
+            F.expr(f"CAST(({E6} * cell_sum) div cell_cnt AS BIGINT)").alias(
+                "expected_e6"
+            ),
+            (F.col("cell_cnt") * F.col("x") - F.col("cell_sum"))
+            .cast("long")
+            .alias("resid_units"),
+            F.expr(
+                "CAST(CASE WHEN abs(cell_cnt * x - cell_sum) > cell_sum"
+                " THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("is_anomaly"),
+        )
+    )
+
+
+def seasonal_anomalies_sql(minutes: int = 60) -> str:
+    return (
+        f"WITH {_grid_sql(minutes)},"
+        " keyed AS (SELECT event_type, bucket, x,"
+        " (bucket // 86400000000 + 3) % 7 AS dow,"
+        " (bucket // 3600000000) % 24 AS hour FROM grid),"
+        " cells AS (SELECT event_type, dow, hour,"
+        " CAST(SUM(x) AS BIGINT) AS cell_sum,"
+        " CAST(COUNT(*) AS BIGINT) AS cell_cnt"
+        " FROM keyed GROUP BY 1, 2, 3)"
+        " SELECT k.event_type, k.bucket AS bucket_start_us,"
+        " k.x AS n_events,"
+        f" CAST(({E6} * c.cell_sum) // c.cell_cnt AS BIGINT)"
+        "  AS expected_e6,"
+        " CAST(c.cell_cnt * k.x - c.cell_sum AS BIGINT) AS resid_units,"
+        " CAST(CASE WHEN abs(c.cell_cnt * k.x - c.cell_sum) > c.cell_sum"
+        "  THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly"
+        " FROM keyed k JOIN cells c ON c.event_type = k.event_type"
+        " AND c.dow = k.dow AND c.hour = k.hour"
+    )

@@ -3159,6 +3159,34 @@ def q_event_seasonality(spark, sf_dir):
     return event_seasonality(td.load_table(spark, sf_dir, "events"))
 
 
+def q_seasonal_anomalies(spark, sf_dir):
+    """Residuals vs the (dow, hour) seasonal profile in exact
+    cell-scaled integer units — the after-seasonality volume monitor
+    (operators/timeseries.py)."""
+    from graph500_spark.operators.timeseries import seasonal_anomalies
+
+    return seasonal_anomalies(td.load_table(spark, sf_dir, "events"))
+
+
+def q_setsim_join_prefix(spark, sf_dir):
+    """EXACT token-set Jaccard >= tau join via prefix filtering
+    (PPJoin-family, operators/dedup.py): rarest-token prefixes make
+    the candidate equi-join complete AND selective; the oracle states
+    the blocking-free all-pairs semantics."""
+    from graph500_spark.operators.dedup import setsim_join_prefix
+
+    return setsim_join_prefix(_docs(spark, sf_dir))
+
+
+def q_adamic_adar(spark, sf_dir):
+    """Top-100 non-adjacent pairs by Adamic-Adar score over the mod997
+    graph (operators/linkpred.py) — one wedge self-join, broadcast
+    degree terms, per-term single-log quantization."""
+    from graph500_spark.operators.linkpred import adamic_adar_topk
+
+    return adamic_adar_topk(clean_mod997_graph(spark, sf_dir))
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weights (Xie et al. 2023 shape): hashed-unigram
     log-likelihood ratio of target-vs-rest source distributions, add-1
@@ -3208,6 +3236,9 @@ QUERIES.update(
         "event_ewma": q_event_ewma,
         "event_cusum": q_event_cusum,
         "event_seasonality": q_event_seasonality,
+        "seasonal_anomalies": q_seasonal_anomalies,
+        "setsim_join_prefix": q_setsim_join_prefix,
+        "adamic_adar": q_adamic_adar,
         "dsir_weights": q_dsir_weights,
         "source_drift_psi": q_source_drift_psi,
         "kmv_distinct_users": q_kmv_distinct_users,
@@ -3722,10 +3753,14 @@ ORACLE_SQL.update(_late_oracles())
 
 
 def _round6_oracles() -> dict[str, str]:
+    from graph500_spark.operators import linkpred as lp_mod
     from graph500_spark.operators import sketches as sk_mod
     from graph500_spark.operators import timeseries as ts_mod
 
     return {
+        "seasonal_anomalies": ts_mod.seasonal_anomalies_sql(),
+        "setsim_join_prefix": dedup_mod.setsim_join_prefix_sql(),
+        "adamic_adar": lp_mod.adamic_adar_topk_sql(_CLEAN_MOD997),
         "event_acf": ts_mod.event_acf_sql(),
         "event_trend": ts_mod.event_trend_sql(),
         "event_ewma": ts_mod.event_ewma_sql(),
