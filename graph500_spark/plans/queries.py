@@ -3187,6 +3187,15 @@ def q_adamic_adar(spark, sf_dir):
     return adamic_adar_topk(clean_mod997_graph(spark, sf_dir))
 
 
+def q_value_histogram(spark, sf_dir):
+    """Equi-depth value histogram per event type: exact integer-rank
+    bucketing via the curriculum_order distributed-rank technique —
+    no single-partition sort, no float boundaries."""
+    from graph500_spark.streaming.windows import value_histogram_equidepth
+
+    return value_histogram_equidepth(td.load_table(spark, sf_dir, "events"))
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weights (Xie et al. 2023 shape): hashed-unigram
     log-likelihood ratio of target-vs-rest source distributions, add-1
@@ -3236,6 +3245,7 @@ QUERIES.update(
         "event_ewma": q_event_ewma,
         "event_cusum": q_event_cusum,
         "event_seasonality": q_event_seasonality,
+        "value_histogram": q_value_histogram,
         "seasonal_anomalies": q_seasonal_anomalies,
         "setsim_join_prefix": q_setsim_join_prefix,
         "adamic_adar": q_adamic_adar,
@@ -3758,6 +3768,7 @@ def _round6_oracles() -> dict[str, str]:
     from graph500_spark.operators import timeseries as ts_mod
 
     return {
+        "value_histogram": windows_mod.value_histogram_equidepth_sql(),
         "seasonal_anomalies": ts_mod.seasonal_anomalies_sql(),
         "setsim_join_prefix": dedup_mod.setsim_join_prefix_sql(),
         "adamic_adar": lp_mod.adamic_adar_topk_sql(_CLEAN_MOD997),

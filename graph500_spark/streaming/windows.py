@@ -1233,3 +1233,81 @@ CONVERSION_LATENCY_SQL = (
     " round(quantile_cont(gap_us, 0.9), 3) AS p90_us,"
     " CAST(MAX(gap_us) AS BIGINT) AS max_us FROM gaps"
 )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth value histogram — the optimizer-style distribution
+# profile (k buckets of equal row count per event_type).  Exact and
+# float-free: each row's global rank within its type comes from the
+# curriculum_order technique — per-(type,value) counts, a cumulative
+# window over the (small) DISTINCT-value axis, and a within-value
+# row_number on the unique event_id tiebreak — never a single-
+# partition global sort; bucket = ((rank−1)·k) div n is pure integer.
+# min/max per bucket are stored input doubles (no arithmetic), so the
+# oracle hash-matches without rounding conventions.
+# ---------------------------------------------------------------------------
+
+HIST_BUCKETS = 8
+
+
+def value_histogram_equidepth(
+    events: DataFrame, k: int = HIST_BUCKETS
+) -> DataFrame:
+    """[event_type, bucket, n_rows, min_value, max_value] — k
+    equal-depth buckets of the per-type value distribution, bucketed
+    by exact (value, event_id) rank."""
+    from pyspark.sql import Window
+
+    rows = events.select("event_type", "value", "event_id")
+    per_val = rows.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_val.select(
+        "event_type",
+        "value",
+        (F.sum("c").over(w_cum) - F.col("c")).alias("before"),
+    )
+    w_in = Window.partitionBy("event_type", "value").orderBy("event_id")
+    w_n = Window.partitionBy("event_type")
+    ranked = (
+        rows.join(cum, ["event_type", "value"])
+        .select(
+            "event_type",
+            "value",
+            (F.col("before") + F.row_number().over(w_in)).alias("rank"),
+            F.count(F.lit(1)).over(w_n).alias("n"),
+        )
+    )
+    return (
+        ranked.select(
+            "event_type",
+            "value",
+            F.expr(f"((rank - 1) * {k}) div n").cast("long").alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+def value_histogram_equidepth_sql(k: int = HIST_BUCKETS) -> str:
+    # naive single-sort semantic statement — the engine's distributed
+    # rank must agree with it exactly
+    return (
+        "WITH ranked AS (SELECT event_type, value,"
+        " ROW_NUMBER() OVER (PARTITION BY event_type"
+        "  ORDER BY value, event_id) AS rank,"
+        " COUNT(*) OVER (PARTITION BY event_type) AS n FROM events)"
+        f" SELECT event_type, CAST(((rank - 1) * {k}) // n AS BIGINT)"
+        " AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,"
+        " MIN(value) AS min_value, MAX(value) AS max_value"
+        " FROM ranked GROUP BY 1, 2"
+    )
