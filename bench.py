@@ -282,6 +282,11 @@ def main() -> int:
         "dsir_weights": lambda: Q.q_dsir_weights(spark, sf_dir).count(),
         "source_drift_psi":
             lambda: Q.q_source_drift_psi(spark, sf_dir).count(),
+        "setsim_join_prefix":
+            lambda: Q.q_setsim_join_prefix(spark, sf_dir).count(),
+        "adamic_adar": lambda: Q.q_adamic_adar(spark, sf_dir).count(),
+        "value_histogram":
+            lambda: Q.q_value_histogram(spark, sf_dir).count(),
     }
 
     timings: dict[str, float] = {}
@@ -457,6 +462,13 @@ def _heavy_tier(spark, sf_dir: str) -> dict[str, float]:
     dedup.release_caches()
     shot("corpus_clean_20x", lambda: corpus_mod.corpus_clean(docs20).count())
     dedup.release_caches()
+    # NOTE: setsim_join_prefix is deliberately NOT run on the 20x
+    # corpus: an exact set-similarity join over a corpus where every
+    # doc has 19 exact twins is the documented anti-pattern (the
+    # pipeline contract is exact-dedup FIRST — corpus_clean — then
+    # near-dup on survivors; 20x exact dups turn every mid-frequency
+    # prefix token into a quadratic candidate bucket). Its headline
+    # timing runs on the real sf corpus above.
 
     # end-to-end staged pipeline (stats -> annotations -> clean ->
     # spans -> split -> pack), INCLUDING every stage's parquet write —

@@ -1113,10 +1113,23 @@ def setsim_join_prefix(
             f"pos <= sz - (({tau_ppm} * sz + 999999) div 1000000) + 1"
         )
     )
+    # positional filter (PPJoin): a pair needs overlap
+    # t = ceil(tau/(1+tau)·(|A|+|B|)); a match on a prefix token at
+    # positions (pos_a, pos_b) bounds the remaining overlap by
+    # min(|A|−pos_a, |B|−pos_b)+1.  Complete because the EARLIEST
+    # common token (which the prefix lemma puts inside both prefixes)
+    # has the loosest bound and any true pair passes through it.
+    t_den = 1_000_000 + tau_ppm
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "token")
         .where(F.expr("a.doc_id < b.doc_id"))
+        .where(
+            F.expr(
+                "least(a.sz - a.pos, b.sz - b.pos) + 1 >="
+                f" ({tau_ppm} * (a.sz + b.sz) + {t_den - 1}) div {t_den}"
+            )
+        )
         .select(
             F.expr("a.doc_id").alias("doc_a"),
             F.expr("b.doc_id").alias("doc_b"),
