@@ -35,9 +35,18 @@ def ewma_monitor_stream(
     minutes: int = 60,
     alpha_num: int = 1,
     alpha_den: int = 8,
+    evict_idle: bool = True,
 ) -> DataFrame:
     """Append-mode stream of [event_type, bucket_start_us, n_events,
-    ewma_e6] — the integer EWMA recurrence advanced per micro-batch."""
+    ewma_e6] — the integer EWMA recurrence advanced per micro-batch.
+
+    evict_idle=True (production default) arms a processing-time
+    timeout that drops idle series' state. CAVEAT for bounded runs:
+    with ANY GroupStateTimeout armed, Trigger.AvailableNow never
+    self-terminates — the runner keeps firing empty micro-batches to
+    service pending timeouts (and processAllAvailable never settles).
+    Bounded replays / tests must either pass evict_idle=False (state
+    is finite anyway) or stop() the query explicitly."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -86,7 +95,8 @@ def ewma_monitor_stream(
                 b += win_us
             if rows:
                 state.update((rows[-1][1], s))
-                state.setTimeoutDuration(3_600_000)
+                if evict_idle:
+                    state.setTimeoutDuration(3_600_000)
         yield pd.DataFrame(
             rows,
             columns=[
@@ -97,10 +107,15 @@ def ewma_monitor_stream(
             ],
         )
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if evict_idle
+        else GroupStateTimeout.NoTimeout
+    )
     return events_stream.groupBy("event_type").applyInPandasWithState(
         update,
         outputStructType=OUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=timeout,
     )

@@ -16,14 +16,17 @@ def test_stream_ewma_equals_batch(spark):
     from graph500_spark.streaming.windows import stream_events
 
     out = (
-        ewma_monitor_stream(stream_events(spark, SF_SMALL))
+        # evict_idle=False: bounded replay — with a timeout armed,
+        # AvailableNow never self-terminates (see operator docstring)
+        ewma_monitor_stream(stream_events(spark, SF_SMALL), evict_idle=False)
         .writeStream.format("memory")
         .queryName("ewma_monitor_test")
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
-    out.awaitTermination(120)
+    out.awaitTermination(300)
+    out.stop()  # defensive: never leak a query into the shared session
     streamed = {
         (r["event_type"], r["bucket_start_us"]): (r["n_events"], r["ewma_e6"])
         for r in spark.table("ewma_monitor_test").collect()
@@ -62,14 +65,15 @@ def test_stream_ewma_multibatch_gap_fill(spark):
         .parquet(f"{d}/b=*")
     )
     q = (
-        ewma_monitor_stream(stream)
+        ewma_monitor_stream(stream, evict_idle=False)
         .writeStream.format("memory")
         .queryName("ewma_gap_test")
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
+    q.stop()  # defensive: never leak a query into the shared session
     got = {
         r["bucket_start_us"]: (r["n_events"], r["ewma_e6"])
         for r in spark.table("ewma_gap_test").collect()

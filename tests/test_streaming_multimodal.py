@@ -48,6 +48,11 @@ def test_sessionize_stream_smoke(spark):
         .start()
     )
     out.awaitTermination(120)
+    # With a GroupStateTimeout armed, AvailableNow never
+    # self-terminates (it keeps firing empty batches to service
+    # pending timeouts) — stop explicitly so the query doesn't leak
+    # into the shared suite session (see streaming/monitor.py).
+    out.stop()
     got = spark.table("sessions_test")
     assert got.columns == [
         "user_id",
