@@ -1,0 +1,56 @@
+"""Stats-clean plan truncation for iterative dataflows.
+
+The hazard (measured, Spark 4.1): ``df.localCheckpoint(eager=True)``
+truncates the PHYSICAL lineage but propagates the original plan's
+*statistics* into the new ``LogicalRDD`` leaf.  Catalyst's
+size-in-bytes estimator multiplies child sizes at every join
+(``SizeInBytesOnlyStatsPlanVisitor``), so in an iterative loop whose
+round r references round r−1's frame more than once the sizeInBytes
+VALUE compounds geometrically — digits grow Fibonacci-like (~×1.6 per
+round; measured 4 → 428 digits in 8 rounds of the CC shape).  After a
+few dozen rounds the stats are million-digit BigIntegers and every
+plan/persist call drags ``BigInteger.multiplyToomCook3`` for CPU-
+minutes — the incremental-CC streaming test froze the whole suite
+this way (stats compound across micro-batches too, because the
+carried state's checkpoint keeps re-propagating them).
+
+``truncate_plan`` materializes the frame (eager local checkpoint,
+same semantics as before) and then rewraps the checkpointed RDD in a
+FRESH ``LogicalRDD`` without origin stats, so every round restarts
+from the flat ``defaultSizeInBytes`` leaf estimate.  Loops that want
+a broadcast join still say so explicitly (every loop here does), so
+losing the propagated estimate costs nothing.
+
+Block lifecycle: the wrapper shares the checkpointed RDD; explicit
+``unpersist()`` on the wrapper is a no-op, and superseded rounds'
+blocks are reclaimed by Spark's ContextCleaner when the driver drops
+the last reference (the loops rebind their variables every round, so
+this happens promptly).
+
+The rewrap uses two JVM-internal calls (``parseDataType``,
+``internalCreateDataFrame``); if a future Spark moves them, the
+helper degrades to the plain eager localCheckpoint — correct, merely
+re-exposed to the stats pathology at extreme round counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def truncate_plan(df: DataFrame) -> DataFrame:
+    """Eagerly materialize ``df`` and return it as a leaf plan with
+    RESET statistics (see module docstring).  Drop-in replacement for
+    ``df.localCheckpoint(eager=True)`` in iterative loops; chainable
+    as ``df.transform(truncate_plan)``."""
+    ck = df.localCheckpoint(eager=True)
+    try:
+        spark = ck.sparkSession
+        jrdd = ck._jdf.queryExecution().toRdd()
+        jschema = spark._jsparkSession.parseDataType(ck.schema.json())
+        jdf = spark._jsparkSession.internalCreateDataFrame(
+            jrdd, jschema, False
+        )
+        return DataFrame(jdf, spark)
+    except Exception:  # pragma: no cover — internal-API drift guard
+        return ck

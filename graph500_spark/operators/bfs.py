@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from graph500_spark.functions.plantrunc import truncate_plan
 
 PRED_SCHEMA = T.StructType(
     [
@@ -94,7 +95,7 @@ def bfs(
 
     frontier = spark.createDataFrame(
         [(int(root), int(root), 0)], schema=PRED_SCHEMA
-    ).localCheckpoint(eager=True)
+    ).transform(truncate_plan)
     reached = frontier
     depth = 0
     n_frontier = 1
@@ -143,7 +144,7 @@ def bfs(
             # level's twice (join + anti-join) — exponential plan-tree
             # growth that overflows the JVM stack on deep graphs
             # (persist() alone does not truncate the logical plan).
-            new_frontier = candidates.localCheckpoint(eager=True)
+            new_frontier = candidates.transform(truncate_plan)
             n_new = new_frontier.count()
             if n_new == 0:
                 break
@@ -208,7 +209,7 @@ def bfs_multi(
     frontier = spark.createDataFrame(
         [(int(r), int(r), int(r), 0) for r in roots],
         schema=MULTI_PRED_SCHEMA,
-    ).localCheckpoint(eager=True)
+    ).transform(truncate_plan)
     reached = frontier
     depth = 0
     n_frontier = len(roots)
@@ -247,7 +248,7 @@ def bfs_multi(
                     .join(reached_side, ["root", "vertex"], "left_anti")
                 )
             candidates = candidates.withColumn("depth", F.lit(depth))
-            new_frontier = candidates.localCheckpoint(eager=True)
+            new_frontier = candidates.transform(truncate_plan)
             n_new = new_frontier.count()
             if n_new == 0:
                 break

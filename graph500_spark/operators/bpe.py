@@ -51,6 +51,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graph500_spark.operators.text import TOKEN_REGEX
+from graph500_spark.functions.plantrunc import truncate_plan
 
 END_OF_WORD = "</w>"
 
@@ -119,7 +120,7 @@ def bpe_learn(
     words = (
         word_frequencies(docs)
         .select("word", "wcount", _spaced_symbols().alias("syms"))
-        .localCheckpoint(eager=True)
+        .transform(truncate_plan)
     )
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(num_merges):
@@ -150,8 +151,8 @@ def bpe_learn(
             F.regexp_replace("syms", merge_pattern(left, right), merged),
         )
         if (rank + 1) % checkpoint_every == 0:
-            words = words.localCheckpoint(eager=True)
-    words = words.localCheckpoint(eager=True)
+            words = words.transform(truncate_plan)
+    words = words.transform(truncate_plan)
     merges_df = spark.createDataFrame(
         merges,
         "rank: int, left: string, right: string, merged: string,"

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from graph500_spark.functions.plantrunc import truncate_plan
 
 BC_SCALE = 1_000_000
 
@@ -60,7 +61,7 @@ def betweenness_sampled(
         frontier = spark.createDataFrame(
             [(r, r, 0, 1) for r in roots],
             "root: long, vertex: long, depth: int, sigma: long",
-        ).localCheckpoint(eager=True)
+        ).transform(truncate_plan)
         levels = [frontier]
         # `seen` stays a LAZY union of the checkpointed levels (each
         # leaf is cached; never recopied into a new checkpoint — the
@@ -85,7 +86,7 @@ def betweenness_sampled(
                     F.lit(depth + 1).cast("int").alias("depth"),
                     "sigma",
                 )
-                .localCheckpoint(eager=True)
+                .transform(truncate_plan)
             )
             if nxt.count() == 0:
                 break
@@ -98,7 +99,7 @@ def betweenness_sampled(
         # ---- backward: δ_q accumulation from the deepest level up
         delta = levels[-1].select(
             "root", "vertex", F.lit(0).cast("long").alias("delta_q")
-        ).localCheckpoint(eager=True)
+        ).transform(truncate_plan)
         # deepest-level vertices carry δ = 0 but still appear in the
         # output (bc_q = 0 unless another root contributes) — same
         # row universe as the oracle's level union
@@ -151,7 +152,7 @@ def betweenness_sampled(
                         "delta_q"
                     ),
                 )
-                .localCheckpoint(eager=True)
+                .transform(truncate_plan)
             )
             acc_parts.append(
                 delta.filter(F.col("vertex") != F.col("root"))

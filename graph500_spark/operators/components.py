@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from graph500_spark.functions.plantrunc import truncate_plan
 
 
 def connected_components(
@@ -49,7 +50,7 @@ def connected_components(
         edges.select(F.col("src").alias("vertex"))
         .distinct()
         .withColumn("label", F.col("vertex"))
-        .localCheckpoint(eager=True)
+        .transform(truncate_plan)
     )
     frontier = labels
     n_frontier = labels.count()
@@ -76,7 +77,7 @@ def connected_components(
                 labels.unionByName(proposals)
                 .groupBy("vertex")
                 .agg(F.min("label").alias("label"))
-                .localCheckpoint(eager=True)
+                .transform(truncate_plan)
             )
             changed = (
                 merged.join(
@@ -142,12 +143,12 @@ def connected_components_stars(
     verts = (
         edges_clean.select(F.col("src").alias("vertex"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(truncate_plan)
     )
     E = (
         edges_clean.select("src", "dst")
         .filter(F.col("src") < F.col("dst"))  # one row per undirected edge
-        .localCheckpoint(eager=True)
+        .transform(truncate_plan)
     )
     n_edges = E.count()
 
@@ -180,7 +181,7 @@ def connected_components_stars(
 
     try:
         for _ in range(max_rounds):
-            new_E = small_star(large_star(E)).localCheckpoint(eager=True)
+            new_E = small_star(large_star(E)).transform(truncate_plan)
             n_new = new_E.count()
             stable = (
                 n_new == n_edges
@@ -244,7 +245,7 @@ def strongly_connected_components(
         edges.select(F.col("src").alias("vertex"))
         .unionAll(edges.select(F.col("dst").alias("vertex")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(truncate_plan)
     )
     remaining = verts
     parts: list[DataFrame] = []
@@ -322,12 +323,12 @@ def strongly_connected_components(
             marked.filter("mark")
             .join(colors, "vertex")
             .select("vertex", F.col("color").alias("scc_id"))
-            .localCheckpoint(eager=True)
+            .transform(truncate_plan)
         )
         parts.append(members)
         remaining = remaining.join(
             members.select("vertex"), "vertex", "left_anti"
-        ).localCheckpoint(eager=True)
+        ).transform(truncate_plan)
     if not remaining.rdd.isEmpty():
         raise RuntimeError(
             f"scc did not converge in {max_outer} outer rounds"

@@ -41,6 +41,7 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from graph500_spark.functions.plantrunc import truncate_plan
 
 
 def hits(
@@ -56,7 +57,7 @@ def hits(
         edges.select(F.col("src").alias("vertex"))
         .unionByName(edges.select(F.col("dst").alias("vertex")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(truncate_plan)
     )
     n = verts.count()
     m = edges.count()  # also materializes the edge cache
@@ -67,7 +68,7 @@ def hits(
 
     auth = verts.select(
         "vertex", (F.lit(1.0) / F.lit(float(n))).alias("score")
-    ).localCheckpoint(eager=True)
+    ).transform(truncate_plan)
 
     def half_step(
         scores: DataFrame, out_edges: bool, scale: float = 1.0
@@ -105,11 +106,11 @@ def hits(
         # cache is dropped on return).
         hub = half_step(auth, out_edges=True)
         if last:
-            hub = hub.localCheckpoint(eager=True)
+            hub = hub.transform(truncate_plan)
         prev_auth = auth
         auth = half_step(
             hub, out_edges=False, scale=iter_scale
-        ).localCheckpoint(eager=True)
+        ).transform(truncate_plan)
         # Safe to drop: mid-loop the lazy hub tree referencing it is
         # superseded next iteration; on the last iteration hub was
         # checkpointed above, truncating its lineage.

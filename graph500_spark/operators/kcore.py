@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from graph500_spark.functions.plantrunc import truncate_plan
 
 
 def k_core(
@@ -65,7 +66,7 @@ def k_core(
             .join(
                 survivors.select(F.col("vertex").alias("dst")), "dst", "left_semi"
             )
-            .localCheckpoint(eager=True)
+            .transform(truncate_plan)
         )
         old = edges
         edges = new_edges
@@ -111,7 +112,7 @@ def core_numbers(
     c = (
         edges.groupBy(F.col("src").alias("vertex"))
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=True)
+        .transform(truncate_plan)
     )
     for _ in range(max_iters):
         nbr = edges.join(
@@ -134,7 +135,7 @@ def core_numbers(
         new_c = (
             c.join(h, "vertex")
             .select("vertex", F.least("c", "h").alias("c"))
-            .localCheckpoint(eager=True)
+            .transform(truncate_plan)
         )
         changed = (
             new_c.join(

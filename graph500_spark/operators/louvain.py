@@ -74,6 +74,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from graph500_spark.functions.plantrunc import truncate_plan
 
 
 def louvain_communities(
@@ -120,7 +121,7 @@ def louvain_communities(
         two_m = edges.agg(F.sum("w")).first()[0]
         comm = deg.select(
             "vertex", F.col("vertex").alias("community"), "deg"
-        ).localCheckpoint(eager=True)
+        ).transform(truncate_plan)
         best_comm, best_qnum = comm, None
         quiet_rounds = 0
         for it in range(max_iters):
@@ -214,7 +215,7 @@ def louvain_communities(
                     F.col("new_c").isNotNull().alias("did_move"),
                     F.coalesce("own_k", F.lit(0)).alias("own_k"),
                 )
-                .localCheckpoint(eager=True)
+                .transform(truncate_plan)
             )
             # One scalar job: move count + within-edge total (= the
             # modularity numerator's first term, for the CURRENT comm).
@@ -364,10 +365,10 @@ def louvain_multilevel(
     community algorithm. All arithmetic stays integer end to end."""
     mapping = louvain_communities(
         spark, edges_clean, max_iters, shuffle_partitions
-    ).localCheckpoint(eager=True)
+    ).transform(truncate_plan)
     g = edges_clean
     for _ in range(1, levels):
-        g = contract_graph(g, mapping).localCheckpoint(eager=True)
+        g = contract_graph(g, mapping).transform(truncate_plan)
         up = louvain_communities(
             spark, g, max_iters, shuffle_partitions
         )
@@ -382,7 +383,7 @@ def louvain_multilevel(
             .select(
                 "vertex", F.col("community_up").alias("community")
             )
-            .localCheckpoint(eager=True)
+            .transform(truncate_plan)
         )
     return mapping
 

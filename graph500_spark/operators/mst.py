@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graph500_spark.operators.components import connected_components
+from graph500_spark.functions.plantrunc import truncate_plan
 
 
 def minimum_spanning_forest(
@@ -63,7 +64,7 @@ def minimum_spanning_forest(
             F.col("weight").cast("long").alias("weight"),
         )
         .filter(F.col("lo") != F.col("hi"))
-        .localCheckpoint(eager=True)
+        .transform(truncate_plan)
     )
 
     comp = (
@@ -71,7 +72,7 @@ def minimum_spanning_forest(
         .unionByName(edges.select(F.col("hi").alias("vertex")))
         .distinct()
         .withColumn("comp", F.col("vertex"))
-        .localCheckpoint(eager=True)
+        .transform(truncate_plan)
     )
 
     forest_parts: list[DataFrame] = []
@@ -105,7 +106,7 @@ def minimum_spanning_forest(
             .agg(F.min("edge").alias("edge"))
             .select("edge.*")
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(truncate_plan)
         )
         n_sel = selected.count()
         if n_sel == 0:
@@ -132,7 +133,7 @@ def minimum_spanning_forest(
                 "vertex",
                 F.coalesce("new_comp", "comp").alias("comp"),
             )
-            .localCheckpoint(eager=True)
+            .transform(truncate_plan)
         )
 
     if saved_sp is not None:

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from graph500_spark.functions.plantrunc import truncate_plan
 
 
 def pagerank(
@@ -88,9 +89,7 @@ def pagerank(
             teleport_col = F.when(
                 in_s, F.lit((1.0 - damping) / len(sources))
             ).otherwise(F.lit(0.0))
-        ranks = deg.select("vertex", init.alias("rank")).localCheckpoint(
-            eager=True
-        )
+        ranks = deg.select("vertex", init.alias("rank")).transform(truncate_plan)
         for it in range(n_iterations):
             # Checkpointed rank state carries no Catalyst stats, so
             # without the driver-known-count hint every iteration
@@ -121,7 +120,7 @@ def pagerank(
             # plan depth stays O(1) (≤2 rounds deep) regardless of
             # n_iterations (same lineage discipline as operators/bfs.py).
             if it % 2 == 1 or it == n_iterations - 1:
-                new_ranks = new_ranks.localCheckpoint(eager=True)
+                new_ranks = new_ranks.transform(truncate_plan)
             ranks = new_ranks
 
         out = ranks.select(

@@ -37,6 +37,7 @@ from collections.abc import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from graph500_spark.functions.plantrunc import truncate_plan
 
 
 def pregel(
@@ -61,7 +62,7 @@ def pregel(
     # The edge table is stationary across supersteps — cache it so the
     # upstream construction doesn't re-execute per round.
     edges = edges.persist()
-    state = vertices.localCheckpoint(eager=True)
+    state = vertices.transform(truncate_plan)
     n_state = state.count()
 
     try:
@@ -74,7 +75,7 @@ def pregel(
                 .groupBy("vertex")
                 .agg(*merge)
             )
-            new_state = apply_fn(state, inbox).localCheckpoint(eager=True)
+            new_state = apply_fn(state, inbox).transform(truncate_plan)
             if until_unchanged:
                 # Fixpoint test on exact state equality (both sides are
                 # checkpoint leaves, so this is one cheap job).

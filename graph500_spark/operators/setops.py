@@ -8,6 +8,7 @@ physical detail Spark replaces with hash shuffles / broadcast semi-joins.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from graph500_spark.functions.plantrunc import truncate_plan
 
 
 def set_difference(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -66,7 +67,7 @@ def maximal_independent_set(
         edges_clean.select(F.col("src").alias("vertex"))
         .distinct()
         .select("vertex", pr.alias("p"))
-        .localCheckpoint()
+        .transform(truncate_plan)
     )
     edges = edges_clean.select("src", "dst").persist()
     mis_parts: list[DataFrame] = []
@@ -99,7 +100,7 @@ def maximal_independent_set(
                 | (F.col("p") < F.col("min_nb_p"))
             )
             .select("vertex")
-            .localCheckpoint()
+            .transform(truncate_plan)
         )
         mis_parts.append(winners)
         dropped = winners.unionAll(
@@ -108,7 +109,7 @@ def maximal_independent_set(
                 "left_semi",
             ).select(F.col("dst").alias("vertex"))
         )
-        nxt = remaining.join(dropped, "vertex", "left_anti").localCheckpoint()
+        nxt = remaining.join(dropped, "vertex", "left_anti").transform(truncate_plan)
         if nxt.rdd.isEmpty():
             remaining = nxt
             break

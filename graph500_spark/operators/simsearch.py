@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
+from graph500_spark.functions.plantrunc import truncate_plan
 
 N_PLANES = 4
 
@@ -784,7 +785,7 @@ def ann_recall(
     exact = (
         cosine_topk(embeddings, k, query_filter)
         .select("query_id", "neighbor_id")
-        .localCheckpoint()
+        .transform(truncate_plan)
     )
     methods = {
         "ivf": cosine_topk_ivf(embeddings, k=k, query_filter=query_filter),

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from graph500_spark.functions.plantrunc import truncate_plan
 
 DIST_SCHEMA = T.StructType(
     [
@@ -62,7 +63,7 @@ def sssp(
 
     dist = spark.createDataFrame(
         [(int(root), 0, int(root))], schema=DIST_SCHEMA
-    ).localCheckpoint(eager=True)
+    ).transform(truncate_plan)
     frontier = dist
     n_frontier = 1
     rounds = 0
@@ -96,7 +97,7 @@ def sssp(
                     F.col("best.dist").alias("dist"),
                     F.col("best.pred").alias("pred"),
                 )
-                .localCheckpoint(eager=True)
+                .transform(truncate_plan)
             )
             # improved = entries that changed this round (new vertex or
             # struct-smaller entry) — the next frontier

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from graph500_spark.operators.text import DUCK_TOKENS, SPARK_TOKENS
+from graph500_spark.functions.plantrunc import truncate_plan
 
 # Knuth multiplicative hash on the doc id — identical integer
 # arithmetic in both engines (doc_id ⋅ K stays far below 2^63 for any
@@ -1205,7 +1206,7 @@ def curriculum_order(
     )
     local = ranged.withColumn(
         "local_rank", F.row_number().over(w).cast("long")
-    ).localCheckpoint(eager=True)
+    ).transform(truncate_plan)
     counts = sorted(
         (r["part"], r["n"])
         for r in local.groupBy("part").agg(

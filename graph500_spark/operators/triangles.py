@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from graph500_spark.functions.plantrunc import truncate_plan
 
 
 def orient_edges(edges_clean: DataFrame) -> DataFrame:
@@ -329,7 +330,7 @@ def k_truss(
     half = (
         edges_clean.filter(F.col("src") < F.col("dst"))
         .select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .localCheckpoint()
+        .transform(truncate_plan)
     )
     n = half.count()
     for _ in range(max_rounds):
@@ -337,7 +338,7 @@ def k_truss(
         survivors = half.join(sup, ["u", "v"]).filter(
             F.col("support") >= k - 2
         )
-        nxt = survivors.localCheckpoint()
+        nxt = survivors.transform(truncate_plan)
         m = nxt.count()
         if m == n:
             return nxt.select("u", "v", "support")

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from graph500_spark.functions.plantrunc import truncate_plan
 
 WALK_HASH_MOD = 1000000007
 _PACK_SHIFT = 1 << 24  # neighbor ids < 2^24 in all test graphs
@@ -53,7 +54,7 @@ def random_walks(
         edges.select(F.col("src").alias("vertex"))
         .distinct()
         .withColumn("walk_id", F.col("vertex"))
-        .localCheckpoint(eager=True)
+        .transform(truncate_plan)
     )
     n = frontier.count()
     out = frontier.select("walk_id", F.lit(0).alias("step"), "vertex")
@@ -78,7 +79,7 @@ def random_walks(
         frontier = packed.select(
             "walk_id",
             (F.col("pick") % F.lit(_PACK_SHIFT)).alias("vertex"),
-        ).localCheckpoint(eager=True)
+        ).transform(truncate_plan)
         out = out.unionByName(
             frontier.select(
                 "walk_id", F.lit(step).alias("step"), "vertex"
@@ -117,7 +118,7 @@ def neighbor_sample(
         edges.select(F.col("src").alias("vertex"))
         .distinct()
         .select(F.col("vertex").alias("seed"), "vertex")
-        .localCheckpoint(eager=True)
+        .transform(truncate_plan)
     )
     frontier = seeds
     out = None
@@ -141,7 +142,7 @@ def neighbor_sample(
             cand.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k)
             .select("seed", F.lit(layer).alias("layer"), "src", "dst")
-            .localCheckpoint(eager=True)
+            .transform(truncate_plan)
         )
         out = picked if out is None else out.unionByName(picked)
         frontier = picked.select(
@@ -229,7 +230,7 @@ def node2vec_walks(
             F.col("vertex").alias("cur"),
             F.lit(-1).cast("long").alias("prev"),
         )
-        .localCheckpoint(eager=True)
+        .transform(truncate_plan)
     )
     n = frontier.count()
     out = frontier.select(
@@ -267,7 +268,7 @@ def node2vec_walks(
             "walk_id",
             (F.col("pick") % F.lit(_PACK_SHIFT)).alias("cur"),
             F.col("cur_was").alias("prev"),
-        ).localCheckpoint(eager=True)
+        ).transform(truncate_plan)
         out = out.unionByName(
             frontier.select(
                 "walk_id", F.lit(step).alias("step"),

@@ -29,6 +29,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from graph500_spark.operators import corpus as corpus_mod
 from graph500_spark.operators import text as tx
+from graph500_spark.functions.plantrunc import truncate_plan
 
 DOC_SCHEMA = T.StructType(
     [
@@ -144,7 +145,7 @@ def start_corpus_ingest(
             new_hashes.select("text_hash")
             if prev is None
             else prev.union(new_hashes.select("text_hash"))
-        ).localCheckpoint(eager=True)
+        ).transform(truncate_plan)
         if prev is not None:
             prev.unpersist()
         new_hashes.unpersist()

@@ -41,6 +41,7 @@ from pyspark.sql.streaming import StreamingQuery
 from graph500_spark.operators import graph_build as gb
 from graph500_spark.operators.components import connected_components
 from graph500_spark.streaming.ingest import edge_stream
+from graph500_spark.functions.plantrunc import truncate_plan
 
 
 def _contract(
@@ -90,16 +91,12 @@ def start_incremental_cc(
         spark_s = batch_df.sparkSession
         if not state["seeded"]:
             try:
-                seed = spark_s.read.parquet(components_out).localCheckpoint(
-                    eager=True
-                )
+                seed = spark_s.read.parquet(components_out).transform(truncate_plan)
                 state["map"] = seed
             except Exception:
                 state["map"] = None
             state["seeded"] = True
-        new_map = _contract(spark_s, batch_df, state["map"]).localCheckpoint(
-            eager=True
-        )
+        new_map = _contract(spark_s, batch_df, state["map"]).transform(truncate_plan)
         # production: keyed upsert of changed rows into a transactional
         # table; overwrite is the plain-parquet stand-in
         new_map.write.mode("overwrite").parquet(components_out)

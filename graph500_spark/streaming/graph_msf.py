@@ -32,6 +32,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from graph500_spark.operators.mst import minimum_spanning_forest
+from graph500_spark.functions.plantrunc import truncate_plan
 
 WEIGHTED_EDGE_SCHEMA = T.StructType(
     [
@@ -73,9 +74,7 @@ def start_incremental_msf(
         spark_s = batch_df.sparkSession
         if not state["seeded"]:
             try:
-                seed = spark_s.read.parquet(forest_out).localCheckpoint(
-                    eager=True
-                )
+                seed = spark_s.read.parquet(forest_out).transform(truncate_plan)
                 state["forest"] = seed
             except Exception:
                 state["forest"] = None
@@ -90,7 +89,7 @@ def start_incremental_msf(
         )
         forest = minimum_spanning_forest(
             spark_s, pool, shuffle_partitions=shuffle_partitions
-        ).localCheckpoint(eager=True)
+        ).transform(truncate_plan)
         # production: transactional keyed rewrite; parquet overwrite is
         # the container-honest stand-in (the forest is <= |V|-1 rows)
         forest.write.mode("overwrite").parquet(forest_out)
