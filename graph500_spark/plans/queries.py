@@ -3786,3 +3786,74 @@ def _round6_oracles() -> dict[str, str]:
 
 
 ORACLE_SQL.update(_round6_oracles())
+
+
+# --- round-7 correctness window rotation.  The driver checks the FIRST 50
+# queries() entries each round.  After r06, exactly 14 registry entries have
+# never had a driver-side CORRECTNESS row (the round-6 additions, registered
+# after that round's window by policy).  Front-load all 14 — this closes
+# driver coverage at 244/244 — then fill the remaining 36 slots with entries
+# that have exactly ONE driver-green row so far, preferring (a) the operators
+# touched this round (k_truss degree-orientation, the plantrunc A/B loop set)
+# so the fixes get driver verification, and (b) family spread across the
+# graph-analytics / dedup / text / event-time surfaces.
+_ROUND7_FRONT = [
+    # never driver-checked (round-6 additions)
+    "event_acf",
+    "event_trend",
+    "event_ewma",
+    "event_cusum",
+    "event_seasonality",
+    "value_histogram",
+    "seasonal_anomalies",
+    "setsim_join_prefix",
+    "adamic_adar",
+    "dsir_weights",
+    "source_drift_psi",
+    "kmv_distinct_users",
+    "kmv_source_sketches",
+    "cms_heavy_tokens",
+    # touched this round: driver re-verification of the perf fixes
+    "k_truss",
+    "modularity",
+    "maximal_independent_set",
+    "adamic_adar_topk",
+    # second confirmation, graph analytics family
+    "betweenness_sampled",
+    "min_spanning_forest",
+    "strongly_connected_components",
+    "katz_centrality",
+    "eccentricity_sampled",
+    "common_neighbors_topk",
+    "jaccard_topk",
+    "four_cycle_count",
+    "reciprocity",
+    "degree_assortativity",
+    "avg_path_length_sampled",
+    "graph_summary",
+    "cc_sizes",
+    "weighted_degrees",
+    "closeness_sampled",
+    "ego_subgraph",
+    "sampled_subgraph",
+    # second confirmation, dedup / corpus family
+    "levenshtein_near_duplicates",
+    "simhash_near_duplicates_blocked",
+    "embedding_near_duplicates_ivf",
+    "duplicate_spans",
+    "merged_dup_spans",
+    "decontaminate_bloom",
+    "pack_chunks",
+    "tfidf_top_terms",
+    "stratified_sample",
+    # second confirmation, text / behavioral family
+    "language_id",
+    "text_quality",
+    "fingerprint",
+    "pii_scrub",
+    "user_rfm",
+    "funnel_counts",
+]
+QUERIES = {k: QUERIES[k] for k in _ROUND7_FRONT} | {
+    k: v for k, v in QUERIES.items() if k not in set(_ROUND7_FRONT)
+}
