@@ -35,7 +35,16 @@ re-exposed to the stats pathology at extreme round counts.
 
 from __future__ import annotations
 
+import os
+import warnings
+
 from pyspark.sql import DataFrame
+
+# A/B knob: SPARK_GRAFT_PLANTRUNC=off degrades to the plain eager
+# localCheckpoint (stats propagated) so the rewrap's cost/benefit can be
+# measured in isolation — used by tools/ab_plantrunc.py; never set it in
+# long-running loops (reintroduces the BigInteger stats blowup).
+_warned_fallback = False
 
 
 def truncate_plan(df: DataFrame) -> DataFrame:
@@ -44,6 +53,8 @@ def truncate_plan(df: DataFrame) -> DataFrame:
     ``df.localCheckpoint(eager=True)`` in iterative loops; chainable
     as ``df.transform(truncate_plan)``."""
     ck = df.localCheckpoint(eager=True)
+    if os.environ.get("SPARK_GRAFT_PLANTRUNC", "") == "off":
+        return ck
     try:
         spark = ck.sparkSession
         jrdd = ck._jdf.queryExecution().toRdd()
@@ -53,4 +64,17 @@ def truncate_plan(df: DataFrame) -> DataFrame:
         )
         return DataFrame(jdf, spark)
     except Exception:  # pragma: no cover — internal-API drift guard
+        # Visible once per process: silently degrading would re-expose
+        # iterative loops to the geometric stats blowup after a Spark
+        # upgrade moves the two internal calls above.
+        global _warned_fallback
+        if not _warned_fallback:
+            _warned_fallback = True
+            warnings.warn(
+                "truncate_plan: stats-clean rewrap unavailable on this "
+                "Spark build; falling back to plain localCheckpoint "
+                "(propagated-stats blowup hazard in long loops)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return ck
