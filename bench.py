@@ -284,7 +284,8 @@ def main() -> int:
             lambda: Q.q_source_drift_psi(spark, sf_dir).count(),
         "setsim_join_prefix":
             lambda: Q.q_setsim_join_prefix(spark, sf_dir).count(),
-        "adamic_adar": lambda: Q.q_adamic_adar(spark, sf_dir).count(),
+        "adamic_adar_nonedges":
+            lambda: Q.q_adamic_adar_nonedges(spark, sf_dir).count(),
         "value_histogram":
             lambda: Q.q_value_histogram(spark, sf_dir).count(),
     }

@@ -1,7 +1,7 @@
-"""Link prediction over the clean undirected graph: Adamic-Adar and
-common-neighbor scores for non-adjacent vertex pairs — the classic
-"who should be connected" primitive (recommendations, knowledge-graph
-completion, dedup-cluster stitching).
+"""Link prediction over the clean undirected graph: Adamic-Adar
+scores for non-adjacent vertex pairs — the classic "who should be
+connected" primitive (recommendations, knowledge-graph completion,
+dedup-cluster stitching).
 
 Adamic-Adar(u,v) = Σ_{z ∈ N(u)∩N(v)} 1/ln(deg z): common neighbors,
 inversely weighted by how promiscuous each shared neighbor is.
@@ -12,14 +12,36 @@ engines evaluate identically (the unigram_logppl discipline); the
 per-pair sum of quantized terms is exact integer. deg ≥ 2 always
 holds for a wedge center (it has two distinct neighbors), so ln > 0.
 
-Plan shape: wedges come from ONE self-equi-join of the symmetric
-edge list on the center vertex z (u < v kills mirror duplicates),
-with the degree table broadcast onto the center; existing edges are
-removed by a left-anti join; the top-k is a distributed TakeOrdered.
-Wedge fan-out is Σ_z deg(z)² — the hub-quadratic shape shared with
-triangle counting; at 100 TB the standard mitigations apply (cap or
-sample per-center adjacency, as four_cycle_count does) and the
-deterministic full enumeration here is the exact-semantics tier.
+Hub safety (the 100 TB shape): the naive wedge self-join enumerates
+every neighbor PAIR of every center — Σ_z deg(z)² rows, so one
+10⁶-degree hub is 10¹² wedges. `adamic_adar_topk(max_center_degree=D)`
+runs the quadratic enumeration ONLY over centers with deg ≤ D
+(volume ≤ D·|E|), then restores exactness for the top-k with a
+bounded second phase:
+
+  1. S_low(u,v): exact partial scores from low-degree centers (one
+     capped wedge join + integer agg).
+  2. Candidates: the top m = candidate_factor·k non-edge pairs by
+     S_low.  Hub adjacency is LINEAR (Σ_{hub} deg(hub) ≤ 2|E| rows),
+     so each candidate's exact hub contribution is recovered by two
+     equi-joins against the broadcast candidate set — never a hub
+     self-join.
+  3. Soundness certificate, checked in-engine: any pair OUTSIDE the
+     candidate set has true score ≤ c + H₂, where c is the m-th
+     partial score (every non-candidate's S_low ≤ c) and H₂ is the
+     second-largest per-vertex hub mass H(u) = Σ_{hub z ∈ N(u)}
+     term_q(z) (a pair needs BOTH endpoints hub-adjacent, so its hub
+     contribution ≤ min(H(u), H(v)) ≤ H₂).  If the k-th exact
+     candidate score exceeds that bound, the returned top-k is the
+     global exact top-k — same rows, same scores, same hash as the
+     uncapped enumeration (and the full-enumeration SQL oracle).
+     Otherwise the operator RAISES (never silently approximates);
+     the caller widens D or candidate_factor.
+
+With no hubs above D the low phase IS the full enumeration and the
+certificate is vacuous (H₂ = 0).  Driver-side state: three scalar
+reads (hub count, cutoff c+H₂, k-th score) — the BFS-loop O(1)
+discipline.
 """
 
 from __future__ import annotations
@@ -29,48 +51,169 @@ from pyspark.sql import functions as F
 
 AA_TOPK = 100
 
+_TERM_Q_EXPR = "CAST(round(1000000 / ln(CAST(deg AS DOUBLE))) AS BIGINT)"
 
-def adamic_adar_topk(edges: DataFrame, k: int = AA_TOPK) -> DataFrame:
-    """[u, v, n_common, aa_score_q] — top-k non-adjacent pairs by
-    Adamic-Adar score (micro-units), ties broken by (u, v) asc.
-    `edges` must be the clean symmetric edge list [src, dst]."""
+
+def _center_terms(edges: DataFrame) -> DataFrame:
+    """[z, deg, term_q] — per-center Adamic-Adar weight, quantized
+    once (degree-1 vertices center no wedge and ln(1)=0, excluded)."""
     deg = edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     )
-    # term quantized once per center vertex
-    terms = deg.where(F.col("deg") >= 2).select(
+    return deg.where(F.col("deg") >= 2).select(
         F.col("src").alias("z"),
-        F.expr(
-            "CAST(round(1000000 / ln(CAST(deg AS DOUBLE))) AS BIGINT)"
-        ).alias("term_q"),
+        F.col("deg"),
+        F.expr(_TERM_Q_EXPR).alias("term_q"),
     )
+
+
+def _scored_pairs(edges: DataFrame, terms: DataFrame) -> DataFrame:
+    """[u, v, n_common, aa_score_q] for u < v, summed over the given
+    center set: ONE self-equi-join of the symmetric edge list on the
+    center (u < v kills mirror duplicates), center terms broadcast."""
+    centers = terms.select("z", "term_q")
+    zu = edges.select(F.col("src").alias("z"), F.col("dst").alias("u"))
+    zv = edges.select(F.col("src").alias("z"), F.col("dst").alias("v"))
     wedges = (
-        edges.select(F.col("src").alias("z"), F.col("dst").alias("u"))
-        .join(
-            edges.select(F.col("src").alias("z"), F.col("dst").alias("v")),
-            "z",
-        )
+        zu.join(F.broadcast(centers), "z")
+        .join(zv, "z")
         .where(F.col("u") < F.col("v"))
     )
-    scored = (
-        wedges.join(F.broadcast(terms), "z")
-        .groupBy("u", "v")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_common"),
-            F.sum("term_q").cast("long").alias("aa_score_q"),
-        )
+    return wedges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.sum("term_q").cast("long").alias("aa_score_q"),
     )
-    non_edges = scored.join(
+
+
+def adamic_adar_topk(
+    edges: DataFrame,
+    k: int = AA_TOPK,
+    max_center_degree: int | None = None,
+    candidate_factor: int = 8,
+) -> DataFrame:
+    """[u, v, n_common, aa_score_q] — top-k non-adjacent pairs by
+    Adamic-Adar score (micro-units), ties broken by (u, v) asc.
+    `edges` must be the clean symmetric edge list [src, dst].
+
+    ``max_center_degree=D`` bounds the wedge join to centers with
+    deg ≤ D and restores exact top-k via the certified hub phase (see
+    module docstring); raises ValueError when the certificate cannot
+    be established — never silently approximates."""
+    terms = _center_terms(edges)
+    if max_center_degree is None:
+        scored = _scored_pairs(edges, terms)
+        non_edges = scored.join(
+            edges.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+            ["u", "v"],
+            "left_anti",
+        )
+        return non_edges.orderBy(
+            F.col("aa_score_q").desc(), F.col("u").asc(), F.col("v").asc()
+        ).limit(k)
+
+    hubs = terms.where(F.col("deg") > max_center_degree)
+    n_hubs = hubs.count()
+    low_terms = terms.where(F.col("deg") <= max_center_degree)
+    low_scored = _scored_pairs(edges, low_terms)
+    low_non_edges = low_scored.join(
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v")),
         ["u", "v"],
         "left_anti",
     )
-    return non_edges.orderBy(
-        F.col("aa_score_q").desc(), F.col("u").asc(), F.col("v").asc()
-    ).limit(k)
+    if n_hubs == 0:
+        return low_non_edges.orderBy(
+            F.col("aa_score_q").desc(), F.col("u").asc(), F.col("v").asc()
+        ).limit(k)
+
+    m = max(candidate_factor * k, k)
+    cand = (
+        low_non_edges.orderBy(
+            F.col("aa_score_q").desc(), F.col("u").asc(), F.col("v").asc()
+        )
+        .limit(m)
+        .withColumnRenamed("n_common", "n_low")
+        .withColumnRenamed("aa_score_q", "s_low")
+        .localCheckpoint(eager=True)  # ≤ m rows: broadcast side below
+    )
+    # hub adjacency is linear in |E| — never self-joined
+    hub_adj = edges.select(
+        F.col("dst").alias("vx"), F.col("src").alias("z")
+    ).join(F.broadcast(hubs.select("z", "term_q")), "z")
+    # exact hub contribution per candidate: z adjacent to BOTH ends
+    au = hub_adj.select(F.col("vx").alias("u"), "z", "term_q")
+    av = hub_adj.select(F.col("vx").alias("v"), "z")
+    hub_part = (
+        F.broadcast(cand.select("u", "v"))
+        .join(au, "u")
+        .join(av, ["v", "z"], "left_semi")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hub"),
+            F.sum("term_q").cast("long").alias("s_hub"),
+        )
+    )
+    exact = (
+        cand.join(hub_part, ["u", "v"], "left")
+        .select(
+            "u",
+            "v",
+            (F.col("n_low") + F.coalesce(F.col("n_hub"), F.lit(0)))
+            .cast("long")
+            .alias("n_common"),
+            (F.col("s_low") + F.coalesce(F.col("s_hub"), F.lit(0)))
+            .cast("long")
+            .alias("aa_score_q"),
+            F.col("s_low"),
+        )
+        .orderBy(
+            F.col("aa_score_q").desc(), F.col("u").asc(), F.col("v").asc()
+        )
+        .localCheckpoint(eager=True)  # ≤ m rows
+    )
+    # soundness certificate (O(m) driver rows + two scalar reads).
+    # Non-candidate pairs: wedge-connected-through-low-centers pairs
+    # beyond the top-m (exist only when the candidate list is full,
+    # bounded by c = m-th partial score) and pairs whose ONLY common
+    # neighbors are hubs (S_low = 0 ≤ c).  Either way true score
+    # ≤ c + H₂.
+    rows = exact.collect()
+    h2_rows = (
+        hub_adj.groupBy("vx")
+        .agg(F.sum("term_q").cast("long").alias("h"))
+        .orderBy(F.col("h").desc())
+        .limit(2)
+        .collect()
+    )
+    h2 = h2_rows[1]["h"] if len(h2_rows) > 1 else 0
+    if len(rows) < k:
+        # fewer certified candidates than requested: a hub-only pair
+        # could deserve a slot and we cannot bound it from below
+        raise ValueError(
+            "adamic_adar_topk: exactness certificate failed "
+            f"(only {len(rows)} candidates for k={k} with {n_hubs} "
+            "hub centers present); widen max_center_degree or "
+            "candidate_factor"
+        )
+    kth_score = rows[k - 1]["aa_score_q"]
+    c = min(r["s_low"] for r in rows) if len(rows) == m else 0
+    if not kth_score > c + h2:
+        raise ValueError(
+            "adamic_adar_topk: exactness certificate failed "
+            f"(kth_score={kth_score} <= cutoff {c} + H2 {h2}); "
+            "widen max_center_degree or candidate_factor"
+        )
+    return (
+        exact.select("u", "v", "n_common", "aa_score_q")
+        .orderBy(
+            F.col("aa_score_q").desc(), F.col("u").asc(), F.col("v").asc()
+        )
+        .limit(k)
+    )
 
 
 def adamic_adar_topk_sql(clean_edges_sql: str, k: int = AA_TOPK) -> str:
+    """Full-enumeration oracle — valid for the capped engine path too,
+    because the certificate guarantees identical top-k rows/scores."""
     return (
         f"WITH edges AS ({clean_edges_sql}),"
         " deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg"

@@ -173,33 +173,29 @@ def adamic_adar_topk(
     k: int = 100,
     max_center_degree: int | None = None,
 ) -> DataFrame:
-    """Adamic-Adar link prediction: like common_neighbors_topk but
-    each shared neighbor w contributes 1/ln(deg(w)) — rare shared
-    neighbors are stronger evidence than hubs. [u, v, aa_q] with the
-    weight quantized to round(10^6/ln(deg)) integers so per-pair sums
-    are exact and shuffle-order-free (degree-1 centers are excluded:
-    ln(1)=0 and a degree-1 vertex centers no wedge anyway). Same
-    wedge-join plan and hub-cap knob as the unweighted form."""
+    """Adamic-Adar link prediction, ALL-PAIRS variant (adjacent pairs
+    included): like common_neighbors_topk but each shared neighbor w
+    contributes 1/ln(deg(w)) — rare shared neighbors are stronger
+    evidence than hubs. [u, v, aa_q], quantized to round(10^6/ln(deg))
+    integers so per-pair sums are exact and shuffle-order-free.
+
+    Thin wrapper over the shared wedge-scoring kernel in
+    `operators/linkpred.py` (which also hosts the NON-EDGE variant
+    `adamic_adar_topk` with the certified exact-top-k hub machinery);
+    here ``max_center_degree`` is the documented APPROXIMATE knob —
+    capped centers simply stop contributing."""
+    from graph500_spark.operators.linkpred import (
+        _center_terms,
+        _scored_pairs,
+    )
+
     edges = edges_clean.select("src", "dst")
-    deg = edges.groupBy(F.col("src").alias("w")).agg(
-        F.count(F.lit(1)).alias("wdeg")
-    )
+    terms = _center_terms(edges)
     if max_center_degree is not None:
-        deg = deg.filter(F.col("wdeg") <= max_center_degree)
-    weights = deg.filter(F.col("wdeg") >= 2).select(
-        "w",
-        F.round(F.lit(float(AA_SCALE)) / F.log("wdeg"))
-        .cast("long")
-        .alias("w_q"),
-    )
-    a = edges.select(F.col("src").alias("w"), F.col("dst").alias("u"))
-    b = edges.select(F.col("src").alias("w"), F.col("dst").alias("v"))
-    wedges = a.join(b, "w").filter(F.col("u") < F.col("v")).join(
-        F.broadcast(weights), "w"
-    )
+        terms = terms.where(F.col("deg") <= max_center_degree)
     return (
-        wedges.groupBy("u", "v")
-        .agg(F.sum("w_q").alias("aa_q"))
+        _scored_pairs(edges, terms)
+        .select("u", "v", F.col("aa_score_q").alias("aa_q"))
         .orderBy(F.col("aa_q").desc(), F.col("u").asc(), F.col("v").asc())
         .limit(k)
     )

@@ -3178,13 +3178,19 @@ def q_setsim_join_prefix(spark, sf_dir):
     return setsim_join_prefix(_docs(spark, sf_dir))
 
 
-def q_adamic_adar(spark, sf_dir):
-    """Top-100 non-adjacent pairs by Adamic-Adar score over the mod997
-    graph (operators/linkpred.py) — one wedge self-join, broadcast
-    degree terms, per-term single-log quantization."""
+def q_adamic_adar_nonedges(spark, sf_dir):
+    """Top-100 NON-ADJACENT pairs by Adamic-Adar score over the mod997
+    graph (operators/linkpred.py; key distinguishes it from the
+    all-pairs `adamic_adar_topk`) — capped-center wedge join with the
+    certified exact-top-k hub phase; max_center_degree=512 exceeds
+    every mod997 degree at the tested SFs so the low phase is the full
+    enumeration there, while the cap keeps the wedge volume ≤ 512·|E|
+    on hub-heavy graphs."""
     from graph500_spark.operators.linkpred import adamic_adar_topk
 
-    return adamic_adar_topk(clean_mod997_graph(spark, sf_dir))
+    return adamic_adar_topk(
+        clean_mod997_graph(spark, sf_dir), max_center_degree=512
+    )
 
 
 def q_value_histogram(spark, sf_dir):
@@ -3248,7 +3254,7 @@ QUERIES.update(
         "value_histogram": q_value_histogram,
         "seasonal_anomalies": q_seasonal_anomalies,
         "setsim_join_prefix": q_setsim_join_prefix,
-        "adamic_adar": q_adamic_adar,
+        "adamic_adar_nonedges": q_adamic_adar_nonedges,
         "dsir_weights": q_dsir_weights,
         "source_drift_psi": q_source_drift_psi,
         "kmv_distinct_users": q_kmv_distinct_users,
@@ -3771,7 +3777,7 @@ def _round6_oracles() -> dict[str, str]:
         "value_histogram": windows_mod.value_histogram_equidepth_sql(),
         "seasonal_anomalies": ts_mod.seasonal_anomalies_sql(),
         "setsim_join_prefix": dedup_mod.setsim_join_prefix_sql(),
-        "adamic_adar": lp_mod.adamic_adar_topk_sql(_CLEAN_MOD997),
+        "adamic_adar_nonedges": lp_mod.adamic_adar_topk_sql(_CLEAN_MOD997),
         "event_acf": ts_mod.event_acf_sql(),
         "event_trend": ts_mod.event_trend_sql(),
         "event_ewma": ts_mod.event_ewma_sql(),
@@ -3807,7 +3813,7 @@ _ROUND7_FRONT = [
     "value_histogram",
     "seasonal_anomalies",
     "setsim_join_prefix",
-    "adamic_adar",
+    "adamic_adar_nonedges",
     "dsir_weights",
     "source_drift_psi",
     "kmv_distinct_users",

@@ -93,3 +93,57 @@ def test_adamic_adar_exact_on_constructed_graph(spark):
 
     t0 = round(1_000_000 / math.log(3))
     assert rows == {(1, 3): (1, t0), (2, 3): (1, t0)}
+
+
+def _sym(und):
+    return und + [(b, a) for a, b in und]
+
+
+def test_adamic_adar_capped_matches_uncapped(spark):
+    """Certified hub phase: a mega-hub adjacent to everything plus
+    low-degree wedge structure — the capped run must return exactly
+    the uncapped top-k (rows AND scores) and pass its in-engine
+    certificate."""
+    from graph500_spark.operators.linkpred import adamic_adar_topk
+
+    # centers 10..19 each adjacent to (0,1); centers 20..24 to (2,3);
+    # hub 99 adjacent to every vertex => every pair gains one hub
+    # common neighbor; pairs (0,1) and (2,3) are non-adjacent.
+    und = []
+    for z in range(10, 20):
+        und += [(z, 0), (z, 1)]
+    for z in range(20, 25):
+        und += [(z, 2), (z, 3)]
+    verts = sorted({v for e in und for v in e})
+    und += [(99, v) for v in verts]
+    edges = spark.createDataFrame(_sym(und), "src long, dst long")
+
+    full = adamic_adar_topk(edges, k=3).collect()
+    capped = adamic_adar_topk(edges, k=3, max_center_degree=10).collect()
+    assert [tuple(r) for r in capped] == [tuple(r) for r in full]
+    # hub 99 (deg = |verts|) is above the cap, so the hub phase ran:
+    # top pair (0,1) must include the hub's term in its exact score
+    import math
+
+    # centers are degree 3 (both endpoints + the hub edge)
+    t_center = round(1_000_000 / math.log(3))
+    t_hub = round(1_000_000 / math.log(len(verts)))
+    (u, v, n_common, score) = tuple(capped[0])
+    assert (u, v) == (0, 1)
+    assert n_common == 11  # ten deg-3 centers + the hub
+    assert score == 10 * t_center + t_hub
+
+
+def test_adamic_adar_certificate_failure_raises(spark):
+    """Hub-only pairs that the low phase can never see must make the
+    capped run RAISE (never silently approximate): graph where all
+    common neighbors are hubs."""
+    import pytest
+
+    from graph500_spark.operators.linkpred import adamic_adar_topk
+
+    # two hubs 100, 101 each adjacent to 0..9; no low-degree centers.
+    und = [(h, v) for h in (100, 101) for v in range(10)]
+    edges = spark.createDataFrame(_sym(und), "src long, dst long")
+    with pytest.raises(ValueError, match="certificate"):
+        adamic_adar_topk(edges, k=5, max_center_degree=4)
