@@ -417,6 +417,37 @@ def event_cusum_sql(minutes: int = 60, h_buckets: int = 24) -> str:
 # ---------------------------------------------------------------------------
 
 
+# Cross-engine sign discipline: Spark `div` truncates toward zero while
+# DuckDB `//` floors, so naive `pmod(us div D + k, m)` diverges from the
+# oracle for NEGATIVE (pre-1970) epoch micros.  `(x - pmod(x, D)) div D`
+# is an exact integer division, i.e. true FLOOR division on both engines
+# (DuckDB's integer `//` ALSO truncates toward zero — measured: -7 // 2 =
+# -3 — so the oracle needs the same explicit-floor spelling, built by
+# `_floor_div_sql`); the outer pmod then yields the same nonnegative
+# residue everywhere.
+_FLOOR_DOW_EXPR = (
+    "pmod(({col} - pmod({col}, 86400000000)) div 86400000000 + 3, 7)"
+)
+_FLOOR_HOUR_EXPR = (
+    "pmod(({col} - pmod({col}, 3600000000)) div 3600000000, 24)"
+)
+
+
+def _floor_div_sql(col: str, d: int) -> str:
+    """DuckDB integer FLOOR division (its `//` truncates toward zero,
+    same as Spark `div`): subtract the nonnegative residue first, so
+    the division is exact and the truncation direction is moot."""
+    return f"(({col} - (({col} % {d} + {d}) % {d})) // {d})"
+
+
+def _dow_sql(col: str) -> str:
+    return f"(({_floor_div_sql(col, 86_400_000_000)} + 3) % 7 + 7) % 7"
+
+
+def _hour_sql(col: str) -> str:
+    return f"({_floor_div_sql(col, 3_600_000_000)} % 24 + 24) % 24"
+
+
 def event_seasonality(events: DataFrame) -> DataFrame:
     """[event_type, dow, hour, n_events, share_ppm] — weekly seasonal
     volume profile per event type; share_ppm = bucket's ppm share of
@@ -426,10 +457,12 @@ def event_seasonality(events: DataFrame) -> DataFrame:
         events.select("event_type", us.cast("long").alias("us"))
         .select(
             "event_type",
-            F.expr("pmod(us div 86400000000 + 3, 7)")
+            F.expr(_FLOOR_DOW_EXPR.format(col="us"))
             .cast("long")
             .alias("dow"),
-            F.expr("pmod(us div 3600000000, 24)").cast("long").alias("hour"),
+            F.expr(_FLOOR_HOUR_EXPR.format(col="us"))
+            .cast("long")
+            .alias("hour"),
         )
         .groupBy("event_type", "dow", "hour")
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
@@ -455,8 +488,8 @@ def event_seasonality(events: DataFrame) -> DataFrame:
 def event_seasonality_sql() -> str:
     return (
         "WITH cells AS (SELECT event_type,"
-        " (epoch_us(ts) // 86400000000 + 3) % 7 AS dow,"
-        " (epoch_us(ts) // 3600000000) % 24 AS hour,"
+        f" {_dow_sql('epoch_us(ts)')} AS dow,"
+        f" {_hour_sql('epoch_us(ts)')} AS hour,"
         " CAST(COUNT(*) AS BIGINT) AS n_events"
         " FROM events GROUP BY 1, 2, 3)"
         " SELECT event_type, CAST(dow AS BIGINT) AS dow,"
@@ -488,8 +521,8 @@ def seasonal_anomalies(events: DataFrame, minutes: int = 60) -> DataFrame:
         "event_type",
         "bucket",
         "x",
-        F.expr("pmod(bucket div 86400000000 + 3, 7)").alias("dow"),
-        F.expr("pmod(bucket div 3600000000, 24)").alias("hour"),
+        F.expr(_FLOOR_DOW_EXPR.format(col="bucket")).alias("dow"),
+        F.expr(_FLOOR_HOUR_EXPR.format(col="bucket")).alias("hour"),
     )
     cells = keyed.groupBy("event_type", "dow", "hour").agg(
         F.sum("x").alias("cell_sum"),
@@ -519,8 +552,8 @@ def seasonal_anomalies_sql(minutes: int = 60) -> str:
     return (
         f"WITH {_grid_sql(minutes)},"
         " keyed AS (SELECT event_type, bucket, x,"
-        " (bucket // 86400000000 + 3) % 7 AS dow,"
-        " (bucket // 3600000000) % 24 AS hour FROM grid),"
+        f" {_dow_sql('bucket')} AS dow,"
+        f" {_hour_sql('bucket')} AS hour FROM grid),"
         " cells AS (SELECT event_type, dow, hour,"
         " CAST(SUM(x) AS BIGINT) AS cell_sum,"
         " CAST(COUNT(*) AS BIGINT) AS cell_cnt"

@@ -95,8 +95,13 @@ def ewma_monitor_stream(
                 b += win_us
             if rows:
                 state.update((rows[-1][1], s))
-                if evict_idle:
-                    state.setTimeoutDuration(3_600_000)
+        # Re-arm OUTSIDE the rows-branch: Spark clears any previously
+        # armed timeout on every invocation, so a micro-batch carrying
+        # only late data (all buckets <= the stored mark) would
+        # otherwise permanently disarm idle-state eviction for this
+        # series — a slow state-store leak.
+        if evict_idle and state.exists:
+            state.setTimeoutDuration(3_600_000)
         yield pd.DataFrame(
             rows,
             columns=[

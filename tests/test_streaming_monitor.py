@@ -59,6 +59,16 @@ def test_stream_ewma_multibatch_gap_fill(spark):
     spark.createDataFrame(rows_b2, schema).coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{d}/b=2")
+    # FileStreamSource orders files by modification time; pin distinct
+    # mtimes so b=1 is always the first micro-batch (identical mtimes
+    # would let b=2 go first, making the hour-0 rows "late" → flake).
+    import glob
+    import os
+
+    for i, part in enumerate(
+        sorted(glob.glob(f"{d}/b=*/part-*.parquet"))
+    ):
+        os.utime(part, (1_000_000_000 + i, 1_000_000_000 + i))
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)

@@ -105,3 +105,40 @@ def test_seasonality_shares_sum_to_e6(spark):
         # floor rounding: sum in (1e6 − ncells, 1e6]
         assert E6 - len(cells) < total <= E6
         assert all(0 <= c["dow"] <= 6 and 0 <= c["hour"] <= 23 for c in cells)
+
+
+def test_seasonality_calendar_sign_consistent_cross_engine(spark):
+    """dow/hour math must agree between Spark and the DuckDB oracle
+    spelling for NEGATIVE (pre-1970) epoch micros too — Spark `div`
+    truncates while DuckDB `//` floors, so both sides use an explicit
+    floor-division + pmod spelling (round-7 advice fix)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from graph500_spark.operators.timeseries import (
+        _FLOOR_DOW_EXPR,
+        _FLOOR_HOUR_EXPR,
+    )
+
+    us_vals = [
+        0, 1, -1, 123_456_789,
+        -86_400_000_000, -86_400_000_001, 86_400_000_000,
+        -5 * 3_600_000_000 - 7, -30 * 86_400_000_000 - 12345,
+    ]
+    df = spark.createDataFrame([(v,) for v in us_vals], "us long")
+    got = {
+        r["us"]: (r["dow"], r["hour"])
+        for r in df.select(
+            "us",
+            F.expr(_FLOOR_DOW_EXPR.format(col="us")).alias("dow"),
+            F.expr(_FLOOR_HOUR_EXPR.format(col="us")).alias("hour"),
+        ).collect()
+    }
+    from graph500_spark.operators.timeseries import _dow_sql, _hour_sql
+
+    for v in us_vals:
+        duck = duckdb.sql(
+            f"SELECT {_dow_sql(str(v))}, {_hour_sql(str(v))}"
+        ).fetchone()
+        pyref = ((v // 86_400_000_000 + 3) % 7, (v // 3_600_000_000) % 24)
+        assert got[v] == tuple(duck) == pyref, v
