@@ -432,7 +432,15 @@ def simhash_sql(fn: str = DEFAULT_HASH) -> str:
 
 def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
     """[doc_a, doc_b, hamming] — within-source pairs with simhash
-    hamming distance <= max_hamming (source is the blocking key)."""
+    hamming distance <= max_hamming (source is the blocking key).
+
+    VERIFIER / BASELINE — do NOT run standalone at scale: blocking
+    only on `source` is quadratic within a source, and a corpus-scale
+    source is billions of docs. The scale path is
+    `simhash_near_duplicates_blocked` (Manku 4×15-bit chunk buckets —
+    pigeonhole-complete for hamming <= 3, quadratic only within a
+    chunk-value bucket); this form exists to label its recall on
+    small slices."""
     sh = simhash(docs).join(docs.select("doc_id", "source"), "doc_id")
     a = sh.select(
         F.col("doc_id").alias("doc_a"),
@@ -554,7 +562,13 @@ def simhash_near_duplicates_blocked_sql(max_hamming: int = 3) -> str:
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.3) -> DataFrame:
     """[doc_a, doc_b, jaccard] — within-source pairwise token-3-gram
-    Jaccard >= threshold. Quadratic per block by design (verifier)."""
+    Jaccard >= threshold.
+
+    VERIFIER / BASELINE — do NOT run standalone at scale: quadratic
+    within each `source` block by design (exact reference for recall
+    labeling on small slices). Scale paths for the same relation:
+    `setsim_join_prefix` (exact, PPJoin rarest-token prefix filter)
+    or `minhash_near_duplicates` (LSH-bucketed, verified)."""
     sh = shingle_hashes(docs).join(docs.select("doc_id", "source"), "doc_id")
     a = sh.select(
         F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"), "source"
@@ -582,9 +596,14 @@ def ngram_containment_pairs(
     |A n B| / |A| >= threshold, within source blocks: the
     contamination-detection relation Jaccard misses (a short eval
     doc fully CONTAINED in a long train doc scores near-zero Jaccard
-    but containment 1.0). Ordered pairs both directions, a != b —
-    same blocked-quadratic verifier shape as ngram_jaccard_pairs,
-    with the candidate block the LSH/minhash tiers supply at scale."""
+    but containment 1.0). Ordered pairs both directions, a != b.
+
+    VERIFIER / BASELINE — do NOT run standalone at scale: same
+    quadratic-within-source shape as ngram_jaccard_pairs. At scale,
+    generate candidates with `minhash_near_duplicates` /
+    `setsim_join_prefix` (or the decontaminate_* 5-gram inverted
+    index + Bloom pre-filter) and compute containment only on that
+    candidate set."""
     sh = shingle_hashes(docs).join(docs.select("doc_id", "source"), "doc_id")
     a = sh.select(
         F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"), "source"
