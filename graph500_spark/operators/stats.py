@@ -51,6 +51,18 @@ def _order_stats(df: DataFrame, col: str) -> DataFrame:
     )
 
 
+def order_stats_over(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Reference-convention order statistics (mpi/logfile.h quartile
+    indexing) for each named column — one row per column, ordered by
+    quantity name. Public building block for stats entries over real
+    per-run results tables (e.g. the 64-root BFS harness)."""
+    out = None
+    for col in cols:
+        one = _order_stats(df, col)
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy("quantity")
+
+
 def run_statistics(runs: DataFrame) -> DataFrame:
     """Summary over per-run measurements
     [run_id, bfs_time, validate_time, edge_count] (FIXTURES.md §1.6):

@@ -3863,3 +3863,69 @@ _ROUND7_FRONT = [
 QUERIES = {k: QUERIES[k] for k in _ROUND7_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_ROUND7_FRONT)
 }
+
+
+# --- round-7 addition: the spec's 64-root statistics path over a REAL
+# multi-root BFS results table (the existing run_statistics entry pins
+# the statistics algebra over the RUNS_SQL fixture; this one pins the
+# whole pipeline: 64 deterministic roots -> batched multi-source BFS ->
+# per-root reached/visited-edge counts -> reference-convention order
+# stats, mirroring mpi/logfile.h:46-107's nedge quartile block).
+# Registered AFTER the round-7 correctness window per the rotation
+# policy; the local oracle sweep is the gate until it rotates in.
+
+ROOTS_64 = [(31 * i) % 997 for i in range(64)]
+
+
+def q_bfs_64roots_stats(spark, sf_dir):
+    """Order statistics over 64 per-root BFS runs on the mod997 graph:
+    per root, n_reached and nedge = (sum of reached-vertex degrees)/2 —
+    the deterministic columns of the spec's per-run table (wall-clock
+    TEPS is not cross-engine hashable; its algebra is pinned by
+    teps_summary). All 64 roots advance in ONE batched (root, vertex)
+    frontier (bfs_multi), the Spark-first form of the reference's
+    64-sequential-BFS loop."""
+    from graph500_spark.operators.stats import order_stats_over
+
+    g = clean_mod997_graph(spark, sf_dir)
+    pred = bfs_mod.bfs_multi(
+        spark, g, ROOTS_64, prepartition=False, shuffle_partitions=8
+    )
+    deg = g.groupBy(F.col("src").alias("vertex")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    per_root = (
+        pred.join(deg, "vertex")
+        .groupBy("root")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reached"),
+            F.expr("CAST(sum(degree) div 2 AS BIGINT)").alias("nedge"),
+        )
+    )
+    return _round_floats(order_stats_over(per_root, ["n_reached", "nedge"]))
+
+
+def _bfs_64roots_stats_sql() -> str:
+    st_nedge = _ORDER_STATS_SQL_TEMPLATE.format(name="nedge")
+    st_reached = _ORDER_STATS_SQL_TEMPLATE.format(name="n_reached")
+    return (
+        "WITH depths AS (SELECT root, vertex, depth FROM ("
+        + bfs_multi_sql(MOD997_EDGES_SQL, ROOTS_64)
+        + f")), clean AS ({_CLEAN_MOD997}),"
+        " deg AS (SELECT src AS vertex, CAST(COUNT(*) AS BIGINT) AS degree"
+        "  FROM clean GROUP BY src),"
+        " per_root AS (SELECT d.root,"
+        "  CAST(COUNT(*) AS BIGINT) AS n_reached,"
+        "  CAST(SUM(g.degree) // 2 AS BIGINT) AS nedge"
+        "  FROM depths d JOIN deg g ON g.vertex = d.vertex GROUP BY d.root),"
+        " src_nedge AS (SELECT nedge AS x FROM per_root),"
+        " src_n_reached AS (SELECT n_reached AS x FROM per_root),"
+        f" st_nedge AS ({st_nedge}),"
+        f" st_n_reached AS ({st_reached})"
+        " SELECT * FROM (SELECT * FROM st_n_reached"
+        " UNION ALL SELECT * FROM st_nedge) ORDER BY quantity"
+    )
+
+
+QUERIES.update({"bfs_64roots_stats": q_bfs_64roots_stats})
+ORACLE_SQL["bfs_64roots_stats"] = _bfs_64roots_stats_sql()
