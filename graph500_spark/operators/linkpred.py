@@ -1,5 +1,5 @@
-"""Link prediction over the clean undirected graph: Adamic-Adar
-scores for non-adjacent vertex pairs — the classic "who should be
+"""Link prediction over the clean undirected graph: Adamic-Adar and
+common-neighbor scores for vertex pairs — the classic "who should be
 connected" primitive (recommendations, knowledge-graph completion,
 dedup-cluster stitching).
 
@@ -14,18 +14,19 @@ holds for a wedge center (it has two distinct neighbors), so ln > 0.
 
 Hub safety (the 100 TB shape): the naive wedge self-join enumerates
 every neighbor PAIR of every center — Σ_z deg(z)² rows, so one
-10⁶-degree hub is 10¹² wedges. `adamic_adar_topk(max_center_degree=D)`
-runs the quadratic enumeration ONLY over centers with deg ≤ D
-(volume ≤ D·|E|), then restores exactness for the top-k with a
-bounded second phase:
+10⁶-degree hub is 10¹² wedges.  ``max_center_degree=D`` runs the
+quadratic enumeration ONLY over centers with deg ≤ D (volume ≤ D·|E|),
+then restores exactness for the top-k with a bounded second phase —
+the CERTIFIED pattern shared by `adamic_adar_topk` (weighted,
+non-edges) and `common_neighbors_topk_certified` (unweighted, all
+pairs):
 
   1. S_low(u,v): exact partial scores from low-degree centers (one
      capped wedge join + integer agg).
-  2. Candidates: the top m = candidate_factor·k non-edge pairs by
-     S_low.  Hub adjacency is LINEAR (Σ_{hub} deg(hub) ≤ 2|E| rows),
-     so each candidate's exact hub contribution is recovered by two
-     equi-joins against the broadcast candidate set — never a hub
-     self-join.
+  2. Candidates: the top m = candidate_factor·k pairs by S_low.  Hub
+     adjacency is LINEAR (Σ_{hub} deg(hub) ≤ 2|E| rows), so each
+     candidate's exact hub contribution is recovered by two equi-joins
+     against the broadcast candidate set — never a hub self-join.
   3. Soundness certificate, checked in-engine: any pair OUTSIDE the
      candidate set has true score ≤ c + H₂, where c is the m-th
      partial score (every non-candidate's S_low ≤ c) and H₂ is the
@@ -39,9 +40,11 @@ bounded second phase:
      the caller widens D or candidate_factor.
 
 With no hubs above D the low phase IS the full enumeration and the
-certificate is vacuous (H₂ = 0).  Driver-side state: three scalar
-reads (hub count, cutoff c+H₂, k-th score) — the BFS-loop O(1)
-discipline.
+certificate is vacuous (H₂ = 0).  Driver-side state: O(m) candidate
+rows + two scalar reads — the BFS-loop bounded-driver discipline.
+(`triangles.common_neighbors_topk` keeps its documented APPROXIMATE
+cap knob — capped centers silently stop contributing — for callers
+that want the cheap census; this module is the exact tier.)
 """
 
 from __future__ import annotations
@@ -54,21 +57,23 @@ AA_TOPK = 100
 _TERM_Q_EXPR = "CAST(round(1000000 / ln(CAST(deg AS DOUBLE))) AS BIGINT)"
 
 
-def _center_terms(edges: DataFrame) -> DataFrame:
-    """[z, deg, term_q] — per-center Adamic-Adar weight, quantized
-    once (degree-1 vertices center no wedge and ln(1)=0, excluded)."""
+def _center_terms(edges: DataFrame, weighted: bool = True) -> DataFrame:
+    """[z, deg, term_q] — per-center weight: round(1e6/ln(deg)) for the
+    Adamic-Adar score, 1 for plain common-neighbor counts (degree-1
+    vertices center no wedge and ln(1)=0, excluded either way)."""
     deg = edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     )
+    term = F.expr(_TERM_Q_EXPR) if weighted else F.lit(1).cast("long")
     return deg.where(F.col("deg") >= 2).select(
         F.col("src").alias("z"),
         F.col("deg"),
-        F.expr(_TERM_Q_EXPR).alias("term_q"),
+        term.alias("term_q"),
     )
 
 
 def _scored_pairs(edges: DataFrame, terms: DataFrame) -> DataFrame:
-    """[u, v, n_common, aa_score_q] for u < v, summed over the given
+    """[u, v, n_common, score_q] for u < v, summed over the given
     center set: ONE self-equi-join of the symmetric edge list on the
     center (u < v kills mirror duplicates), center terms broadcast."""
     centers = terms.select("z", "term_q")
@@ -81,58 +86,57 @@ def _scored_pairs(edges: DataFrame, terms: DataFrame) -> DataFrame:
     )
     return wedges.groupBy("u", "v").agg(
         F.count(F.lit(1)).cast("long").alias("n_common"),
-        F.sum("term_q").cast("long").alias("aa_score_q"),
+        F.sum("term_q").cast("long").alias("score_q"),
     )
 
 
-def adamic_adar_topk(
-    edges: DataFrame,
-    k: int = AA_TOPK,
-    max_center_degree: int | None = None,
-    candidate_factor: int = 8,
-) -> DataFrame:
-    """[u, v, n_common, aa_score_q] — top-k non-adjacent pairs by
-    Adamic-Adar score (micro-units), ties broken by (u, v) asc.
-    `edges` must be the clean symmetric edge list [src, dst].
-
-    ``max_center_degree=D`` bounds the wedge join to centers with
-    deg ≤ D and restores exact top-k via the certified hub phase (see
-    module docstring); raises ValueError when the certificate cannot
-    be established — never silently approximates."""
-    terms = _center_terms(edges)
-    if max_center_degree is None:
-        scored = _scored_pairs(edges, terms)
-        non_edges = scored.join(
-            edges.select(F.col("src").alias("u"), F.col("dst").alias("v")),
-            ["u", "v"],
-            "left_anti",
-        )
-        return non_edges.orderBy(
-            F.col("aa_score_q").desc(), F.col("u").asc(), F.col("v").asc()
-        ).limit(k)
-
-    hubs = terms.where(F.col("deg") > max_center_degree)
-    n_hubs = hubs.count()
-    low_terms = terms.where(F.col("deg") <= max_center_degree)
-    low_scored = _scored_pairs(edges, low_terms)
-    low_non_edges = low_scored.join(
+def _drop_edges(pairs: DataFrame, edges: DataFrame) -> DataFrame:
+    return pairs.join(
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v")),
         ["u", "v"],
         "left_anti",
     )
+
+
+def _topk(pairs: DataFrame, k: int) -> DataFrame:
+    return pairs.orderBy(
+        F.col("score_q").desc(), F.col("u").asc(), F.col("v").asc()
+    ).limit(k)
+
+
+def _certified_wedge_topk(
+    edges: DataFrame,
+    k: int,
+    max_center_degree: int | None,
+    candidate_factor: int,
+    weighted: bool,
+    include_edges: bool,
+    op_name: str,
+) -> DataFrame:
+    """Shared certified exact-top-k engine (module docstring) —
+    returns [u, v, n_common, score_q]."""
+    terms = _center_terms(edges, weighted=weighted)
+    if max_center_degree is None:
+        scored = _scored_pairs(edges, terms)
+        if not include_edges:
+            scored = _drop_edges(scored, edges)
+        return _topk(scored, k)
+
+    hubs = terms.where(F.col("deg") > max_center_degree)
+    n_hubs = hubs.count()
+    low_scored = _scored_pairs(
+        edges, terms.where(F.col("deg") <= max_center_degree)
+    )
+    if not include_edges:
+        low_scored = _drop_edges(low_scored, edges)
     if n_hubs == 0:
-        return low_non_edges.orderBy(
-            F.col("aa_score_q").desc(), F.col("u").asc(), F.col("v").asc()
-        ).limit(k)
+        return _topk(low_scored, k)
 
     m = max(candidate_factor * k, k)
     cand = (
-        low_non_edges.orderBy(
-            F.col("aa_score_q").desc(), F.col("u").asc(), F.col("v").asc()
-        )
-        .limit(m)
+        _topk(low_scored, m)
         .withColumnRenamed("n_common", "n_low")
-        .withColumnRenamed("aa_score_q", "s_low")
+        .withColumnRenamed("score_q", "s_low")
         .localCheckpoint(eager=True)  # ≤ m rows: broadcast side below
     )
     # hub adjacency is linear in |E| — never self-joined
@@ -162,11 +166,8 @@ def adamic_adar_topk(
             .alias("n_common"),
             (F.col("s_low") + F.coalesce(F.col("s_hub"), F.lit(0)))
             .cast("long")
-            .alias("aa_score_q"),
+            .alias("score_q"),
             F.col("s_low"),
-        )
-        .orderBy(
-            F.col("aa_score_q").desc(), F.col("u").asc(), F.col("v").asc()
         )
         .localCheckpoint(eager=True)  # ≤ m rows
     )
@@ -176,7 +177,10 @@ def adamic_adar_topk(
     # bounded by c = m-th partial score) and pairs whose ONLY common
     # neighbors are hubs (S_low = 0 ≤ c).  Either way true score
     # ≤ c + H₂.
-    rows = exact.collect()
+    rows = sorted(
+        exact.collect(),
+        key=lambda r: (-r["score_q"], r["u"], r["v"]),
+    )
     h2_rows = (
         hub_adj.groupBy("vx")
         .agg(F.sum("term_q").cast("long").alias("h"))
@@ -189,26 +193,70 @@ def adamic_adar_topk(
         # fewer certified candidates than requested: a hub-only pair
         # could deserve a slot and we cannot bound it from below
         raise ValueError(
-            "adamic_adar_topk: exactness certificate failed "
+            f"{op_name}: exactness certificate failed "
             f"(only {len(rows)} candidates for k={k} with {n_hubs} "
             "hub centers present); widen max_center_degree or "
             "candidate_factor"
         )
-    kth_score = rows[k - 1]["aa_score_q"]
+    kth_score = rows[k - 1]["score_q"]
     c = min(r["s_low"] for r in rows) if len(rows) == m else 0
     if not kth_score > c + h2:
         raise ValueError(
-            "adamic_adar_topk: exactness certificate failed "
+            f"{op_name}: exactness certificate failed "
             f"(kth_score={kth_score} <= cutoff {c} + H2 {h2}); "
             "widen max_center_degree or candidate_factor"
         )
-    return (
-        exact.select("u", "v", "n_common", "aa_score_q")
-        .orderBy(
-            F.col("aa_score_q").desc(), F.col("u").asc(), F.col("v").asc()
-        )
-        .limit(k)
+    return _topk(exact.select("u", "v", "n_common", "score_q"), k)
+
+
+def adamic_adar_topk(
+    edges: DataFrame,
+    k: int = AA_TOPK,
+    max_center_degree: int | None = None,
+    candidate_factor: int = 8,
+) -> DataFrame:
+    """[u, v, n_common, aa_score_q] — top-k NON-ADJACENT pairs by
+    Adamic-Adar score (micro-units), ties broken by (u, v) asc.
+    `edges` must be the clean symmetric edge list [src, dst].
+
+    ``max_center_degree=D`` bounds the wedge join to centers with
+    deg ≤ D and restores exact top-k via the certified hub phase (see
+    module docstring); raises ValueError when the certificate cannot
+    be established — never silently approximates."""
+    out = _certified_wedge_topk(
+        edges,
+        k,
+        max_center_degree,
+        candidate_factor,
+        weighted=True,
+        include_edges=False,
+        op_name="adamic_adar_topk",
     )
+    return out.withColumnRenamed("score_q", "aa_score_q")
+
+
+def common_neighbors_topk_certified(
+    edges: DataFrame,
+    k: int = AA_TOPK,
+    max_center_degree: int | None = None,
+    candidate_factor: int = 8,
+) -> DataFrame:
+    """[u, v, n_common] — top-k pairs (adjacent included, matching
+    `triangles.common_neighbors_topk`) by exact common-neighbor count,
+    ties broken by (u, v) asc — the CERTIFIED exact tier of the hub
+    cap: unlike the triangles variant's approximate knob, a capped run
+    either returns exactly the full-enumeration top-k or raises."""
+    out = _certified_wedge_topk(
+        edges,
+        k,
+        max_center_degree,
+        candidate_factor,
+        weighted=False,
+        include_edges=True,
+        op_name="common_neighbors_topk_certified",
+    )
+    # unweighted ⇒ score_q == n_common
+    return out.select("u", "v", "n_common")
 
 
 def adamic_adar_topk_sql(clean_edges_sql: str, k: int = AA_TOPK) -> str:
@@ -233,4 +281,22 @@ def adamic_adar_topk_sql(clean_edges_sql: str, k: int = AA_TOPK) -> str:
         "   WHERE e.src = s.u AND e.dst = s.v))"
         " SELECT u, v, n_common, aa_score_q FROM non_edges"
         f" ORDER BY aa_score_q DESC, u ASC, v ASC LIMIT {k}"
+    )
+
+
+def common_neighbors_certified_sql(
+    clean_edges_sql: str, k: int = AA_TOPK
+) -> str:
+    """Full-enumeration oracle for the certified common-neighbor
+    top-k (adjacent pairs included)."""
+    return (
+        f"WITH edges AS ({clean_edges_sql}),"
+        " wedges AS (SELECT e1.src AS z, e1.dst AS u, e2.dst AS v"
+        "  FROM edges e1 JOIN edges e2 ON e1.src = e2.src"
+        "  AND e1.dst < e2.dst"
+        "  WHERE e1.src IN (SELECT src FROM edges"
+        "   GROUP BY src HAVING COUNT(*) >= 2))"
+        " SELECT u, v, CAST(COUNT(*) AS BIGINT) AS n_common"
+        " FROM wedges GROUP BY u, v"
+        f" ORDER BY n_common DESC, u ASC, v ASC LIMIT {k}"
     )

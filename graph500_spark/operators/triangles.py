@@ -195,7 +195,7 @@ def adamic_adar_topk(
         terms = terms.where(F.col("deg") <= max_center_degree)
     return (
         _scored_pairs(edges, terms)
-        .select("u", "v", F.col("aa_score_q").alias("aa_q"))
+        .select("u", "v", F.col("score_q").alias("aa_q"))
         .orderBy(F.col("aa_q").desc(), F.col("u").asc(), F.col("v").asc())
         .limit(k)
     )

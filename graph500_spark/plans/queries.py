@@ -3929,3 +3929,36 @@ def _bfs_64roots_stats_sql() -> str:
 
 QUERIES.update({"bfs_64roots_stats": q_bfs_64roots_stats})
 ORACLE_SQL["bfs_64roots_stats"] = _bfs_64roots_stats_sql()
+
+
+def q_common_neighbors_certified(spark, sf_dir):
+    """Top-100 pairs by exact common-neighbor count under the hub cap
+    (operators/linkpred.py::common_neighbors_topk_certified) — the
+    certified-exact tier of the wedge family: a capped run either
+    equals full enumeration row-for-row (proven in-engine) or raises.
+    D=512 exceeds every mod997 degree at the tested SFs, so the low
+    phase is the full enumeration there; the hub machinery is pinned
+    by tests on a constructed mega-hub graph."""
+    from graph500_spark.operators.linkpred import (
+        common_neighbors_topk_certified,
+    )
+
+    return common_neighbors_topk_certified(
+        clean_mod997_graph(spark, sf_dir), max_center_degree=512
+    )
+
+
+def _common_neighbors_certified_oracle() -> str:
+    from graph500_spark.operators.linkpred import (
+        common_neighbors_certified_sql,
+    )
+
+    return common_neighbors_certified_sql(_CLEAN_MOD997)
+
+
+QUERIES.update(
+    {"common_neighbors_certified": q_common_neighbors_certified}
+)
+ORACLE_SQL["common_neighbors_certified"] = (
+    _common_neighbors_certified_oracle()
+)

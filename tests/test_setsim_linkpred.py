@@ -147,3 +147,27 @@ def test_adamic_adar_certificate_failure_raises(spark):
     edges = spark.createDataFrame(_sym(und), "src long, dst long")
     with pytest.raises(ValueError, match="certificate"):
         adamic_adar_topk(edges, k=5, max_center_degree=4)
+
+
+def test_common_neighbors_certified_matches_uncapped(spark):
+    """Unweighted certified tier: capped run equals the uncapped
+    top-k on the mega-hub graph (adjacent pairs included)."""
+    from graph500_spark.operators.linkpred import (
+        common_neighbors_topk_certified,
+    )
+
+    und = []
+    for z in range(10, 20):
+        und += [(z, 0), (z, 1)]
+    for z in range(20, 25):
+        und += [(z, 2), (z, 3)]
+    verts = sorted({v for e in und for v in e})
+    und += [(99, v) for v in verts]
+    edges = spark.createDataFrame(_sym(und), "src long, dst long")
+
+    full = common_neighbors_topk_certified(edges, k=4).collect()
+    capped = common_neighbors_topk_certified(
+        edges, k=4, max_center_degree=10
+    ).collect()
+    assert [tuple(r) for r in capped] == [tuple(r) for r in full]
+    assert tuple(capped[0]) == (0, 1, 11)  # ten centers + the hub
