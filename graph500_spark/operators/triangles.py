@@ -357,40 +357,101 @@ def k_truss(
     edge lies in ≥ k−2 triangles — [u, v, support], u < v, with the
     fixpoint support.
 
-    Iterative peel: recompute per-edge triangle support over the
-    surviving half-edge set, drop edges below k−2, repeat until no
-    edge is dropped (support is monotone under deletion, so the loop
-    converges). Edges are degree-oriented ONCE up front (original-
-    graph degrees — a fixed strict total order under which every
-    out-neighborhood is O(√|E|) wide, and peeling only shrinks
-    neighborhoods) and the [lo, hi] columns are carried through the
-    peel, so each round is one wedge self-join + semi-join + count at
-    the optimal O(|E|^{3/2}) wedge volume with NO per-round
-    re-ranking — hub-safe where the previous id-ordered wedge join
-    was hub-quadratic. Driver-side loop state is one count per round
-    (the BFS-loop discipline); the surviving set is checkpointed per
-    round so plan depth stays O(1). The DuckDB oracle unrolls a fixed
-    number of peel rounds over the plain u<v representation — valid
-    because support is orientation-invariant and rounds past the
-    fixpoint are no-ops — and the engine raises if max_rounds is hit
-    without convergence, so a silent truncation can never masquerade
-    as the fixpoint."""
+    INCREMENTAL peel (round 7): full support is computed ONCE over the
+    degree-oriented wedge join (`_edge_support_oriented` — O(|E|^{3/2})
+    wedge volume, hub-safe), then each round only accounts for the
+    triangles DESTROYED by that round's removals: removing edge set R
+    deletes exactly the triangles containing ≥ 1 R-edge, so each
+    surviving side's support drops by its count of such triangles.
+    Those triangles are enumerated from R outward — removed edges join
+    the adjacency on their LOWER-degree endpoint (Σ_R deg(lo) rows,
+    linear in the removed neighborhood, never a wedge self-join),
+    triple-normalized and deduped (covers triangles with 2–3 removed
+    sides once). Per-round cost is proportional to what was peeled,
+    not to the surviving graph — on real graphs most edges survive,
+    so rounds after the first are near-free where the previous
+    formulation re-ran the full wedge join every round.
+
+    Orientation is computed once from original degrees (a fixed strict
+    total order keeps every out-neighborhood O(√|E|); peeling only
+    shrinks neighborhoods) and carried as [lo, hi]. Driver state is
+    one count per round (BFS-loop discipline); state is checkpointed
+    per round so plan depth stays O(1). The DuckDB oracle unrolls
+    full-recompute peel rounds over the plain u<v representation —
+    valid because (a) support is orientation-invariant and (b) the
+    delta update maintains exactly "triangles within the current
+    graph", so engine and oracle agree at the fixpoint; the engine
+    raises if max_rounds is hit without convergence, so a silent
+    truncation can never masquerade as the fixpoint."""
     half = (
         edges_clean.filter(F.col("src") < F.col("dst"))
         .select(F.col("src").alias("u"), F.col("dst").alias("v"))
     )
     half_or = _orient_half(half).transform(truncate_plan)
-    n = half_or.count()
+    sup = _edge_support_oriented(half_or)
+    cur = (
+        half_or.join(sup, ["u", "v"])
+        .select("u", "v", "lo", "hi", "support")
+        .transform(truncate_plan)
+    )
     for _ in range(max_rounds):
-        sup = _edge_support_oriented(half_or)
-        survivors = half_or.join(sup, ["u", "v"]).filter(
-            F.col("support") >= k - 2
+        removed = cur.filter(F.col("support") < k - 2)
+        if removed.rdd.isEmpty():
+            return cur.select("u", "v", "support")
+        survivors = cur.filter(F.col("support") >= k - 2)
+        adj = cur.select(
+            F.col("u").alias("a"), F.col("v").alias("b")
+        ).unionAll(cur.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        # triangles of the CURRENT graph containing >=1 removed edge:
+        # enumerate z from the removed edge's lower-degree endpoint
+        rz = (
+            removed.select("lo", "hi")
+            .join(
+                adj.select(F.col("a").alias("lo"), F.col("b").alias("z")),
+                "lo",
+            )
+            .join(
+                adj.select(F.col("a").alias("hi"), F.col("b").alias("z")),
+                ["hi", "z"],
+                "left_semi",
+            )
         )
-        nxt = survivors.transform(truncate_plan)
-        m = nxt.count()
-        if m == n:
-            return nxt.select("u", "v", "support")
-        half_or, n = nxt.select("u", "v", "lo", "hi"), m
+        tri = rz.select(
+            F.least("lo", "hi", "z").alias("t1"),
+            (
+                F.col("lo") + F.col("hi") + F.col("z")
+                - F.least("lo", "hi", "z")
+                - F.greatest("lo", "hi", "z")
+            ).alias("t2"),
+            F.greatest("lo", "hi", "z").alias("t3"),
+        ).distinct()
+        dec = (
+            tri.select(F.col("t1").alias("u"), F.col("t2").alias("v"))
+            .unionAll(
+                tri.select(F.col("t1").alias("u"), F.col("t3").alias("v"))
+            )
+            .unionAll(
+                tri.select(F.col("t2").alias("u"), F.col("t3").alias("v"))
+            )
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).cast("long").alias("dec"))
+        )
+        cur = (
+            survivors.join(dec, ["u", "v"], "left")
+            .select(
+                "u",
+                "v",
+                "lo",
+                "hi",
+                (
+                    F.col("support")
+                    - F.coalesce(F.col("dec"), F.lit(0))
+                )
+                .cast("long")
+                .alias("support"),
+            )
+            .transform(truncate_plan)
+        )
     raise RuntimeError(
         f"k_truss did not converge in {max_rounds} rounds"
     )

@@ -243,6 +243,48 @@ class TestKTruss:
         )
         assert k_truss(edges, k=3).count() == 0
 
+    def test_k_truss_matches_bruteforce_on_random_graph(self, spark):
+        """Multi-round cascading peel vs a pure-Python full-recompute
+        reference — pins the incremental delta update (support is only
+        adjusted for triangles destroyed by each round's removals)
+        against the definitionally-correct algorithm, for several k."""
+        from graph500_spark.operators.triangles import k_truss
+
+        n = 40
+        und = sorted(
+            {
+                (min(a, b), max(a, b))
+                for a in range(n)
+                for b in range(n)
+                if a != b
+                and ((a * 1315423911 + b * 2654435761) % 100) < 18
+            }
+        )
+
+        def py_truss(half_edges, k):
+            es = set(half_edges)
+            while True:
+                nbrs: dict[int, set[int]] = {}
+                for a, b in es:
+                    nbrs.setdefault(a, set()).add(b)
+                    nbrs.setdefault(b, set()).add(a)
+                sup = {
+                    (a, b): len(nbrs[a] & nbrs[b]) for (a, b) in es
+                }
+                bad = {e for e, s in sup.items() if s < k - 2}
+                if not bad:
+                    return sup
+                es -= bad
+
+        sym = und + [(b, a) for a, b in und]
+        edges = spark.createDataFrame(sym, "src: long, dst: long")
+        for k in (3, 4, 5, 6):
+            got = {
+                (r.u, r.v): r.support
+                for r in k_truss(edges, k=k).collect()
+            }
+            assert got == py_truss(und, k), f"k={k}"
+
 
 class TestModularity:
     def test_two_cliques_perfect_split(self, spark):
