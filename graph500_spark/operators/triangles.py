@@ -215,7 +215,11 @@ def jaccard_topk(
 
     Same wedge-join plan as common_neighbors_topk (one self-join of
     the symmetric adjacency on the shared-neighbor center, hub-cap
-    knob for the O(d²) wedge blowup at scale), plus one broadcast-or-
+    knob for the O(d²) wedge blowup at scale — APPROXIMATE when set:
+    a ratio score has no per-pair-degree-free soundness bound, so the
+    certified-exact treatment in operators/linkpred.py applies only
+    to the additive scores; use common_neighbors_topk_certified /
+    adamic_adar_topk there for the exact tier), plus one broadcast-or-
     shuffle join of the degree table onto each pair. The score is
     integer-exact: jaccard_q = (10^6·cn) div (deg_u + deg_v − cn) —
     truncating integer division over positive longs, identical in

@@ -236,3 +236,14 @@ def test_user_rfm_broadcasts_global_max(spark):
         if ln.startswith("(") and "Scan parquet" in ln
     ]
     assert len(detail_scans) <= 2
+
+
+def test_certified_wedge_topk_plan_shape(spark):
+    """The certified hub-cap entries must keep the wedge join an
+    equi-join (no cartesian/nested-loop) and broadcast the center
+    terms onto it — the 100 TB shape the docstrings claim."""
+    for name in ("adamic_adar_nonedges", "common_neighbors_certified"):
+        plan = plan_of(Q.QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name  # terms onto wedges
