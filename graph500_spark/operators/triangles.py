@@ -513,6 +513,52 @@ def adamic_adar_topk_sql(clean_sql: str, k: int = 100) -> str:
     )
 
 
+def four_clique_count(edges_clean: DataFrame) -> DataFrame:
+    """[n_four_cliques] — global count of K4 subgraphs, the densest
+    4-vertex graphlet (graph-ML feature / community-density signal).
+
+    Degree-oriented DAG enumeration (the kClist pattern, extending the
+    Suri–Vassilvitskii triangle orientation one level): in the
+    acyclic orientation every K4 appears as exactly ONE ordered chain
+    a→b→c plus a common out-neighbor d of all three, so the count is
+    triangles ⋈ out(a) semi-joined against out(b) and out(c). Wedge
+    and extension volumes stay within the oriented out-degree bound
+    O(√|E|) per vertex — hub-safe where a naive 6-way edge join is
+    hub-quartic. The oriented table is persisted once and feeds all
+    join branches."""
+    oriented = orient_edges(edges_clean).persist()
+    ab = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    bc = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    ac = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"], "left_semi")
+    ad = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("d"))
+    bd = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("d"))
+    cd = oriented.select(F.col("lo").alias("c"), F.col("hi").alias("d"))
+    k4 = (
+        tri.join(ad, "a")
+        .join(bd, ["b", "d"], "left_semi")
+        .join(cd, ["c", "d"], "left_semi")
+    )
+    return k4.agg(
+        F.count(F.lit(1)).cast("long").alias("n_four_cliques")
+    )
+
+
+def four_clique_count_sql(clean_sql: str) -> str:
+    """Plain a<b<c<d 6-way join oracle — valid against the oriented
+    engine because each K4 is counted exactly once either way."""
+    return (
+        f"WITH clean AS ({clean_sql}),"
+        " h AS (SELECT src AS x, dst AS y FROM clean WHERE src < dst)"
+        " SELECT CAST(COUNT(*) AS BIGINT) AS n_four_cliques"
+        " FROM h e1 JOIN h e2 ON e2.x = e1.x AND e2.y > e1.y"
+        " JOIN h e3 ON e3.x = e1.x AND e3.y > e2.y"
+        " JOIN h e4 ON e4.x = e1.y AND e4.y = e2.y"
+        " JOIN h e5 ON e5.x = e1.y AND e5.y = e3.y"
+        " JOIN h e6 ON e6.x = e2.y AND e6.y = e3.y"
+    )
+
+
 def four_cycle_count(
     edges_clean: DataFrame, max_center_degree: int | None = None
 ) -> DataFrame:

@@ -3962,3 +3962,19 @@ QUERIES.update(
 ORACLE_SQL["common_neighbors_certified"] = (
     _common_neighbors_certified_oracle()
 )
+
+
+def q_four_clique_count(spark, sf_dir):
+    """Global K4 census over the mod997 graph — degree-oriented DAG
+    enumeration (kClist pattern): triangles extended by a common
+    out-neighbor, O(sqrt(E))-bounded fan-out per vertex (hub-safe
+    where a naive 6-way edge join is hub-quartic)."""
+    return triangles_mod.four_clique_count(
+        clean_mod997_graph(spark, sf_dir)
+    )
+
+
+QUERIES.update({"four_clique_count": q_four_clique_count})
+ORACLE_SQL["four_clique_count"] = triangles_mod.four_clique_count_sql(
+    _CLEAN_MOD997
+)

@@ -379,3 +379,26 @@ class TestSampledSubgraph:
         )
         assert sampled_subgraph(edges, keep_permille=1000).count() == 4
         assert sampled_subgraph(edges, keep_permille=0).count() == 0
+
+
+class TestFourClique:
+    def test_k5_contains_five_k4s(self, spark):
+        from graph500_spark.operators.triangles import four_clique_count
+
+        k5 = [(a, b) for a in range(5) for b in range(5) if a != b]
+        edges = spark.createDataFrame(k5, "src: long, dst: long")
+        assert four_clique_count(edges).collect()[0][
+            "n_four_cliques"
+        ] == 5  # C(5,4)
+
+    def test_clique_free_graph_zero(self, spark):
+        from graph500_spark.operators.triangles import four_clique_count
+
+        # two triangles sharing an edge: no K4
+        und = [(0, 1), (1, 2), (0, 2), (1, 3), (2, 3)]
+        edges = spark.createDataFrame(
+            und + [(b, a) for a, b in und], "src: long, dst: long"
+        )
+        assert four_clique_count(edges).collect()[0][
+            "n_four_cliques"
+        ] == 0
