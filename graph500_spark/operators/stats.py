@@ -415,3 +415,111 @@ def source_token_gini_sql() -> str:
         " ROUND(b / (CAST(n AS DOUBLE) * s)"
         " - (n + 1) / CAST(n AS DOUBLE), 6) AS token_gini FROM agg"
     )
+
+
+def rich_club(edges_clean: DataFrame) -> DataFrame:
+    """[k, n_rich, e_rich, phi_ppm] — rich-club coefficient curve:
+    for each distinct degree value k, the density among vertices of
+    degree > k — φ(k) = E_k / C(|R_k|, 2), ppm-quantized (rows with
+    |R_k| < 2 are omitted: φ undefined).
+
+    One-pass shape (no threshold cross join, no range join): an edge
+    has both endpoints in R_k iff min(deg_u, deg_v) > k, so both
+    |R_k| and E_k are STRICT suffix sums over one merged value axis
+    (degree values ∪ min-endpoint-degree values) — two tiny grouped
+    counts, two cumulative windows over ≤ max_degree rows, equi-joins
+    only. The single-partition window is bounded by the distinct
+    degree count (the degree_gini discipline); exact integers end to
+    end."""
+    from pyspark.sql import Window
+
+    deg = edges_clean.groupBy(F.col("src").alias("vertex")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    degcnt = deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    half = edges_clean.filter(F.col("src") < F.col("dst"))
+    mcnt = (
+        half.join(
+            deg.select(F.col("vertex").alias("src"),
+                       F.col("degree").alias("du")), "src"
+        )
+        .join(
+            deg.select(F.col("vertex").alias("dst"),
+                       F.col("degree").alias("dv")), "dst"
+        )
+        .select(F.least("du", "dv").alias("degree"))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("ecnt"))
+    )
+    axis = (
+        degcnt.select("degree")
+        .unionAll(mcnt.select("degree"))
+        .distinct()
+    )
+    vals = (
+        axis.join(degcnt, "degree", "left")
+        .join(mcnt, "degree", "left")
+        .select(
+            "degree",
+            F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"),
+            F.coalesce("ecnt", F.lit(0)).cast("long").alias("ecnt"),
+        )
+    )
+    w = Window.orderBy(F.col("degree").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = vals.select(
+        "degree",
+        "cnt",
+        (F.sum("cnt").over(w) - F.col("cnt")).cast("long").alias("n_rich"),
+        (F.sum("ecnt").over(w) - F.col("ecnt")).cast("long")
+        .alias("e_rich"),
+    )
+    return (
+        curve.filter((F.col("cnt") > 0) & (F.col("n_rich") >= 2))
+        .select(
+            F.col("degree").alias("k"),
+            "n_rich",
+            "e_rich",
+            F.expr(
+                "CAST((2000000 * e_rich)"
+                " div (n_rich * (n_rich - 1)) AS BIGINT)"
+            ).alias("phi_ppm"),
+        )
+    )
+
+
+def rich_club_sql(clean_sql: str) -> str:
+    return (
+        f"WITH clean AS ({clean_sql}),"
+        " deg AS (SELECT src AS vertex, CAST(COUNT(*) AS BIGINT) AS degree"
+        "  FROM clean GROUP BY src),"
+        " degcnt AS (SELECT degree, CAST(COUNT(*) AS BIGINT) AS cnt"
+        "  FROM deg GROUP BY degree),"
+        " half AS (SELECT src, dst FROM clean WHERE src < dst),"
+        " mcnt AS (SELECT LEAST(du.degree, dv.degree) AS degree,"
+        "  CAST(COUNT(*) AS BIGINT) AS ecnt FROM half h"
+        "  JOIN deg du ON du.vertex = h.src"
+        "  JOIN deg dv ON dv.vertex = h.dst"
+        "  GROUP BY 1),"
+        " axis AS (SELECT degree FROM degcnt"
+        "  UNION SELECT degree FROM mcnt),"
+        " vals AS (SELECT a.degree,"
+        "  CAST(COALESCE(d.cnt, 0) AS BIGINT) AS cnt,"
+        "  CAST(COALESCE(m.ecnt, 0) AS BIGINT) AS ecnt"
+        "  FROM axis a LEFT JOIN degcnt d ON d.degree = a.degree"
+        "  LEFT JOIN mcnt m ON m.degree = a.degree),"
+        " curve AS (SELECT degree, cnt,"
+        "  CAST(SUM(cnt) OVER (ORDER BY degree DESC"
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt"
+        "   AS BIGINT) AS n_rich,"
+        "  CAST(SUM(ecnt) OVER (ORDER BY degree DESC"
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ecnt"
+        "   AS BIGINT) AS e_rich FROM vals)"
+        " SELECT degree AS k, n_rich, e_rich,"
+        "  CAST((2000000 * e_rich) // (n_rich * (n_rich - 1)) AS BIGINT)"
+        "   AS phi_ppm"
+        " FROM curve WHERE cnt > 0 AND n_rich >= 2"
+    )

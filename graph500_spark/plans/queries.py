@@ -3978,3 +3978,15 @@ QUERIES.update({"four_clique_count": q_four_clique_count})
 ORACLE_SQL["four_clique_count"] = triangles_mod.four_clique_count_sql(
     _CLEAN_MOD997
 )
+
+
+def q_rich_club(spark, sf_dir):
+    """Rich-club coefficient curve over the mod997 graph — density
+    among vertices of degree > k per distinct degree threshold, via
+    merged-axis strict suffix sums (equi-joins + two bounded windows,
+    no range join)."""
+    return stats_mod.rich_club(clean_mod997_graph(spark, sf_dir))
+
+
+QUERIES.update({"rich_club": q_rich_club})
+ORACLE_SQL["rich_club"] = stats_mod.rich_club_sql(_CLEAN_MOD997)

@@ -100,3 +100,22 @@ class TestGini:
         )
         row = source_token_gini(docs).collect()[0]
         assert row.token_gini == 0.0
+
+
+def test_rich_club_hand_graph(spark):
+    """Star + triangle core: hand-computable curve. Core {0,1,2} is a
+    triangle and vertex 0 also feeds 3 leaves, so deg(0)=5, deg(1)=
+    deg(2)=2, leaves deg 1."""
+    from graph500_spark.operators.stats import rich_club
+
+    und = [(0, 1), (0, 2), (1, 2), (0, 10), (0, 11), (0, 12)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    rows = {r["k"]: (r["n_rich"], r["e_rich"], r["phi_ppm"])
+            for r in rich_club(edges).collect()}
+    # k=1: R = {0,1,2} (deg>1), edges among them = 3 (triangle+spokes
+    # 0-1, 0-2, 1-2), phi = 3/C(3,2) = 1.0
+    assert rows[1] == (3, 3, 1_000_000)
+    # k=2: R = {0} alone -> omitted (n_rich < 2)
+    assert 2 not in rows
