@@ -607,3 +607,69 @@ def four_cycle_count_sql(clean_sql: str) -> str:
         " SELECT CAST(SUM(cn * (cn - 1) // 2) // 2 AS BIGINT)"
         " AS n_four_cycles FROM cn"
     )
+
+
+def edge_clustering(edges_clean: DataFrame) -> DataFrame:
+    """[u, v, support, min_deg, ec_ppm] — Radicchi edge-clustering
+    coefficient per undirected edge: support / (min(deg_u, deg_v) − 1),
+    the fraction of possible triangles through the edge that exist
+    (low values mark inter-community bridges; support-0 edges with
+    min_deg ≥ 2 are genuine local bridges and ARE emitted). Edges with
+    min_deg = 1 are omitted (denominator 0 — a pendant edge closes no
+    triangle by construction). ppm-quantized integer division, exact
+    cross-engine. One degree-oriented support pass + two degree joins."""
+    half = (
+        edges_clean.filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    )
+    sup = edge_support(half)
+    deg = edges_clean.groupBy(F.col("src").alias("vertex")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    joined = (
+        half.join(sup, ["u", "v"], "left")
+        .join(deg.select(F.col("vertex").alias("u"),
+                         F.col("degree").alias("du")), "u")
+        .join(deg.select(F.col("vertex").alias("v"),
+                         F.col("degree").alias("dv")), "v")
+        .select(
+            "u",
+            "v",
+            F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+            F.least("du", "dv").cast("long").alias("min_deg"),
+        )
+    )
+    return joined.filter(F.col("min_deg") >= 2).select(
+        "u",
+        "v",
+        "support",
+        "min_deg",
+        F.expr(
+            "CAST((1000000 * support) div (min_deg - 1) AS BIGINT)"
+        ).alias("ec_ppm"),
+    )
+
+
+def edge_clustering_sql(clean_sql: str) -> str:
+    return (
+        f"WITH clean AS ({clean_sql}),"
+        " h AS (SELECT src AS u, dst AS v FROM clean WHERE src < dst),"
+        " tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c"
+        "  FROM h e1 JOIN h e2 ON e2.u = e1.v"
+        "  JOIN h e3 ON e3.u = e1.u AND e3.v = e2.v),"
+        " sup AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS support"
+        "  FROM (SELECT a AS u, b AS v FROM tri"
+        "   UNION ALL SELECT b AS u, c AS v FROM tri"
+        "   UNION ALL SELECT a AS u, c AS v FROM tri) GROUP BY u, v),"
+        " deg AS (SELECT src AS vertex, CAST(COUNT(*) AS BIGINT) AS degree"
+        "  FROM clean GROUP BY src)"
+        " SELECT h.u, h.v,"
+        "  CAST(COALESCE(s.support, 0) AS BIGINT) AS support,"
+        "  CAST(LEAST(du.degree, dv.degree) AS BIGINT) AS min_deg,"
+        "  CAST((1000000 * COALESCE(s.support, 0))"
+        "   // (LEAST(du.degree, dv.degree) - 1) AS BIGINT) AS ec_ppm"
+        " FROM h LEFT JOIN sup s ON s.u = h.u AND s.v = h.v"
+        " JOIN deg du ON du.vertex = h.u"
+        " JOIN deg dv ON dv.vertex = h.v"
+        " WHERE LEAST(du.degree, dv.degree) >= 2"
+    )

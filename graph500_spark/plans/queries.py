@@ -3990,3 +3990,16 @@ def q_rich_club(spark, sf_dir):
 
 QUERIES.update({"rich_club": q_rich_club})
 ORACLE_SQL["rich_club"] = stats_mod.rich_club_sql(_CLEAN_MOD997)
+
+
+def q_edge_clustering(spark, sf_dir):
+    """Radicchi edge-clustering coefficient per edge of the mod997
+    graph — degree-oriented support pass + two degree joins; low
+    ec_ppm marks inter-community bridge edges."""
+    return triangles_mod.edge_clustering(clean_mod997_graph(spark, sf_dir))
+
+
+QUERIES.update({"edge_clustering": q_edge_clustering})
+ORACLE_SQL["edge_clustering"] = triangles_mod.edge_clustering_sql(
+    _CLEAN_MOD997
+)

@@ -402,3 +402,24 @@ class TestFourClique:
         assert four_clique_count(edges).collect()[0][
             "n_four_cliques"
         ] == 0
+
+
+class TestEdgeClustering:
+    def test_hand_graph(self, spark):
+        from graph500_spark.operators.triangles import edge_clustering
+
+        # triangle 0-1-2 plus bridge 2-3 plus triangle 3-4-5
+        und = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5), (3, 5)]
+        edges = spark.createDataFrame(
+            und + [(b, a) for a, b in und], "src: long, dst: long"
+        )
+        rows = {
+            (r.u, r.v): (r.support, r.min_deg, r.ec_ppm)
+            for r in edge_clustering(edges).collect()
+        }
+        # bridge (2,3): no triangle, min_deg 3 -> ec 0 (a local bridge)
+        assert rows[(2, 3)] == (0, 3, 0)
+        # (0,1): 1 triangle of min_deg-1 = 1 possible -> ec 1.0
+        assert rows[(0, 1)] == (1, 2, 1_000_000)
+        # pendant-free graph: all 7 edges have min_deg >= 2
+        assert len(rows) == 7
