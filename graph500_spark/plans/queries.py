@@ -4003,3 +4003,16 @@ QUERIES.update({"edge_clustering": q_edge_clustering})
 ORACLE_SQL["edge_clustering"] = triangles_mod.edge_clustering_sql(
     _CLEAN_MOD997
 )
+
+
+def q_truss_numbers(spark, sf_dir):
+    """Truss decomposition of the mod997 graph — ascending-k peel over
+    the incremental support machinery (total work ~ one support pass +
+    removals, not max_k support passes). Rows-only by design
+    (unbounded-k iterative fixpoint is not SQL-expressible); pinned by
+    a brute-force parity test and the trussness>=k == k_truss(k)
+    membership cross-check in tests/test_pagerank_triangles.py."""
+    return triangles_mod.truss_numbers(clean_mod997_graph(spark, sf_dir))
+
+
+QUERIES.update({"truss_numbers": q_truss_numbers})

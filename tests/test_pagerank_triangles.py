@@ -423,3 +423,60 @@ class TestEdgeClustering:
         assert rows[(0, 1)] == (1, 2, 1_000_000)
         # pendant-free graph: all 7 edges have min_deg >= 2
         assert len(rows) == 7
+
+
+class TestTrussNumbers:
+    def test_matches_bruteforce_and_k_truss(self, spark):
+        from graph500_spark.operators.triangles import (
+            k_truss,
+            truss_numbers,
+        )
+
+        n = 30
+        und = sorted(
+            {
+                (min(a, b), max(a, b))
+                for a in range(n)
+                for b in range(n)
+                if a != b
+                and ((a * 2654435761 + b * 40503) % 100) < 22
+            }
+        )
+
+        def py_trussness(half_edges):
+            es = set(half_edges)
+            t = {}
+            k = 3
+            while es:
+                while True:
+                    nbrs: dict[int, set[int]] = {}
+                    for a, b in es:
+                        nbrs.setdefault(a, set()).add(b)
+                        nbrs.setdefault(b, set()).add(a)
+                    bad = {
+                        (a, b)
+                        for (a, b) in es
+                        if len(nbrs[a] & nbrs[b]) < k - 2
+                    }
+                    if not bad:
+                        break
+                    for e in bad:
+                        t[e] = k - 1
+                    es -= bad
+                k += 1
+            return t
+
+        sym = und + [(b, a) for a, b in und]
+        edges = spark.createDataFrame(sym, "src: long, dst: long")
+        got = {
+            (r.u, r.v): r.trussness
+            for r in truss_numbers(edges).collect()
+        }
+        want = py_trussness(und)
+        assert got == want
+        # cross-check: {e : trussness >= k} == k_truss(k) membership
+        for k in (3, 4, 5):
+            in_truss = {
+                (r.u, r.v) for r in k_truss(edges, k=k).collect()
+            }
+            assert {e for e, t in got.items() if t >= k} == in_truss, k
