@@ -495,20 +495,35 @@ def _heavy_tier(spark, sf_dir: str) -> dict[str, float]:
         )
 
         def spec64():
+            # validation="batched" = the reference's benchmark-mode
+            # gate (NBFS==64 && validation, mpi/bfs.hpp:2554-2557,
+            # main.cc:129-146): one 5-check multi-root pass over all
+            # 64 pred trees (raises on any violation, so reaching the
+            # stats line IS the green gate).
             res = run_benchmark(
                 spark,
                 scale=16,
                 edgefactor=16,
                 num_roots=64,
-                validation=False,
+                validation="batched",
                 root_batch=16,
             )
             _order, teps = benchmark_statistics(spark, res)
             holder["teps64"] = teps.collect()[0]
+            holder["ec64"] = [r["edge_count"] for r in res.runs]
 
         shot("spec64_s16_harness", spec64)
         out["spec64_s16_harmonic_teps"] = round(
             float(holder["teps64"]["harmonic_mean_teps"]), 1
+        )
+        out["spec64_s16_validate_ok"] = 1.0 if "teps64" in holder else 0.0
+        # pf_nedge golden (mpi/utils.hpp:3663-3708): every sampled
+        # root sits in the giant component at s16, so all 64 runs
+        # must visit exactly the reference's hardcoded edge count.
+        out["spec64_s16_pf_nedge_ok"] = (
+            1.0
+            if all(ec == 1_048_570.0 for ec in holder.get("ec64", []))
+            else 0.0
         )
 
     # --- 20x-duplicated corpus (every doc has 19 exact twins) ---

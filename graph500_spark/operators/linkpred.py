@@ -52,6 +52,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graph500_spark.functions.plantrunc import truncate_plan
+
 AA_TOPK = 100
 
 _TERM_Q_EXPR = "CAST(round(1000000 / ln(CAST(deg AS DOUBLE))) AS BIGINT)"
@@ -137,7 +139,9 @@ def _certified_wedge_topk(
         _topk(low_scored, m)
         .withColumnRenamed("n_common", "n_low")
         .withColumnRenamed("score_q", "s_low")
-        .localCheckpoint(eager=True)  # ≤ m rows: broadcast side below
+        # ≤ m rows: broadcast side below. truncate_plan (not raw
+        # localCheckpoint) per the repo-wide checkpoint convention.
+        .transform(truncate_plan)
     )
     # hub adjacency is linear in |E| — never self-joined
     hub_adj = edges.select(
@@ -169,7 +173,7 @@ def _certified_wedge_topk(
             .alias("score_q"),
             F.col("s_low"),
         )
-        .localCheckpoint(eager=True)  # ≤ m rows
+        .transform(truncate_plan)  # ≤ m rows
     )
     # soundness certificate (O(m) driver rows + two scalar reads).
     # Non-candidate pairs: wedge-connected-through-low-centers pairs

@@ -213,19 +213,37 @@ def jaccard_topk(
     |N(u)∩N(v)| / |N(u)∪N(v)| — [u, v, n_common, union_size,
     jaccard_q], u < v, ordered by (jaccard_q desc, u, v).
 
-    Same wedge-join plan as common_neighbors_topk (one self-join of
-    the symmetric adjacency on the shared-neighbor center, hub-cap
-    knob for the O(d²) wedge blowup at scale — APPROXIMATE when set:
-    a ratio score has no per-pair-degree-free soundness bound, so the
-    certified-exact treatment in operators/linkpred.py applies only
-    to the additive scores; use common_neighbors_topk_certified /
-    adamic_adar_topk there for the exact tier), plus one broadcast-or-
-    shuffle join of the degree table onto each pair. The score is
-    integer-exact: jaccard_q = (10^6·cn) div (deg_u + deg_v − cn) —
-    truncating integer division over positive longs, identical in
-    Spark (`div`) and DuckDB (`//`), so the ranking is
-    shuffle-order-free and cross-engine stable (the kmeans_cells
-    quantization discipline applied to a ratio score)."""
+    VERIFIER / BASELINE — do NOT run standalone at 100 TB scale.
+    The exact form is one wedge self-join of the symmetric adjacency
+    on the shared-neighbor center: Σ deg(z)² rows, so a single
+    10⁶-degree hub emits 10¹² wedges. Unlike the ADDITIVE scores
+    (see `operators/linkpred.py`), a ratio score admits NO certified
+    hub cap: the c + H₂ certificate bounds what hub centers can add
+    to a pair's score, but Jaccard needs a bound on what they can
+    add to its RANK — counterexample: two degree-2 vertices whose
+    only two neighbors are both hubs have Jaccard 1.0 (the global
+    maximum) with ZERO low-center wedge evidence, so no candidate
+    list built from capped centers can contain them and no additive
+    bound can certify their absence. Scale twins computing the same
+    similarity relation bucketed, never all-pairs:
+      * threshold form — `dedup.minhash_near_duplicates` (LSH bands)
+        or `dedup.setsim_join_prefix` (PPJoin prefix filter) over
+        neighbor lists as token sets;
+      * top-k under an EXPLICITLY approximate contract —
+        `max_center_degree` here (capped hub centers silently stop
+        contributing, documented-approximate, hub-only pairs missed
+        per the counterexample above);
+      * exact top-k at scale — use the certified additive scores
+        (`linkpred.adamic_adar_topk`, `common_neighbors_topk_
+        certified`) as the ranking and this operator only to verify
+        a bounded candidate set.
+    Plan: wedge join + one broadcast-or-shuffle join of the degree
+    table onto each pair. The score is integer-exact: jaccard_q =
+    (10^6·cn) div (deg_u + deg_v − cn) — truncating integer division
+    over positive longs, identical in Spark (`div`) and DuckDB
+    (`//`), so the ranking is shuffle-order-free and cross-engine
+    stable (the kmeans_cells quantization discipline applied to a
+    ratio score)."""
     edges = edges_clean.select("src", "dst")
     deg = edges.groupBy(F.col("src").alias("vertex")).agg(
         F.count(F.lit(1)).cast("long").alias("degree")
@@ -393,9 +411,16 @@ def k_truss(
     )
     half_or = _orient_half(half).transform(truncate_plan)
     sup = _edge_support_oriented(half_or)
+    # LEFT join + coalesce(0): triangle-free edges must enter the peel
+    # with support 0 (k=2 ⇒ the 2-truss is the whole graph; an inner
+    # join would silently drop them — only coincidentally harmless for
+    # k ≥ 3, where round 1 removes them anyway).
     cur = (
-        half_or.join(sup, ["u", "v"])
-        .select("u", "v", "lo", "hi", "support")
+        half_or.join(sup, ["u", "v"], "left")
+        .select(
+            "u", "v", "lo", "hi",
+            F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+        )
         .transform(truncate_plan)
     )
     for _ in range(max_rounds):
@@ -524,9 +549,13 @@ def four_clique_count(edges_clean: DataFrame) -> DataFrame:
     triangles ⋈ out(a) semi-joined against out(b) and out(c). Wedge
     and extension volumes stay within the oriented out-degree bound
     O(√|E|) per vertex — hub-safe where a naive 6-way edge join is
-    hub-quartic. The oriented table is persisted once and feeds all
-    join branches."""
-    oriented = orient_edges(edges_clean).persist()
+    hub-quartic. The oriented table is materialized once via
+    truncate_plan (it feeds all six join branches; plain persist()
+    with no unpersist would accumulate cached copies across the
+    bench's repeated runs — superseded checkpoint blocks are instead
+    reclaimed by the ContextCleaner when the frame goes out of
+    scope)."""
+    oriented = orient_edges(edges_clean).transform(truncate_plan)
     ab = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     bc = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
     ac = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
@@ -559,42 +588,58 @@ def four_clique_count_sql(clean_sql: str) -> str:
     )
 
 
-def four_cycle_count(
-    edges_clean: DataFrame, max_center_degree: int | None = None
-) -> DataFrame:
-    """[n_four_cycles] — global count of simple 4-cycles:
-    C4 = (1/2)·Σ_{u<v} C(cn(u,v), 2), where cn is the
-    common-neighbor count (each 4-cycle u-w-v-x-u is counted once by
-    the pair {u, v} choosing {w, x} and once by {w, x} choosing
-    {u, v} — hence the /2).
+def four_cycle_count(edges_clean: DataFrame) -> DataFrame:
+    """[n_four_cycles] — EXACT global count of simple 4-cycles via
+    degree-oriented wedge enumeration (Chiba–Nishizeki / ESCAPE).
 
-    Reuses the wedge-join plan (one adjacency self-join + pair
-    count), so the quadrilateral census costs the same as
-    common-neighbors link prediction; the hub cap is the same
-    O(d²)-wedge knob. Exact integer arithmetic: cn·(cn−1) is even,
-    and the total Σ is even before the final div 2 — both divisions
-    truncate identically in both engines."""
-    edges = edges_clean.select("src", "dst")
-    if max_center_degree is not None:
-        deg = edges.groupBy(F.col("src").alias("w")).agg(
-            F.count(F.lit(1)).alias("wdeg")
+    Let ≺ be the acyclic degree-orientation order and, for an
+    endpoint pair {p, q}, let W(p, q) = # common neighbors w with
+    w ≺ max≺(p, q). Then
+        C4 = Σ_{p,q} C(W(p,q), 2):
+    every 4-cycle is counted exactly once, at the diagonal pair that
+    CONTAINS the cycle's maximum vertex M — there all other three
+    vertices (including both centers) precede the pair's max = M,
+    while at the opposite diagonal M itself is a center exceeding
+    both endpoints, so that pair sees W ≤ 1 and contributes nothing.
+    The qualifying centers split by DAG wedge type into OO (w ≺ both
+    endpoints — an unordered pair of w's out-neighbors) and IO
+    (p ≺ w ≺ q — a directed 2-path p→w→q); II centers (w ≻ both) are
+    exactly the excluded ones.
+
+    Why this is the hub-safe exact plan (the round-7 weak flag): the
+    plain cn-based identity needs ALL wedges — Σ deg(w)² rows, 10¹²
+    for one 10⁶-degree hub. Here OO wedges cost Σ C(outdeg,2) and IO
+    wedges Σ indeg(w)·outdeg(w); outdeg ≤ O(√|E|) under degree
+    orientation, and the unbounded in-degree only ever multiplies the
+    bounded out-degree, so BOTH streams are O(|E|^{3/2}) — the same
+    optimal bound as triangle counting, with no approximation knob.
+    The plain-cn SQL oracle is unchanged: both formulas count every
+    cycle exactly once. W·(W−1)/2 is summed in DECIMAL(38,0) (big
+    product-sum discipline) before the final BIGINT cast."""
+    oriented = orient_edges(edges_clean).transform(truncate_plan)
+    o1 = oriented.select(F.col("lo").alias("w"), F.col("hi").alias("p"))
+    o2 = oriented.select(F.col("lo").alias("w"), F.col("hi").alias("q"))
+    oo = o1.join(o2, "w").filter(F.col("p") < F.col("q")).select("p", "q")
+    io = (
+        oriented.select(F.col("lo").alias("a"), F.col("hi").alias("w"))
+        .join(
+            oriented.select(F.col("lo").alias("w"), F.col("hi").alias("b")),
+            "w",
         )
-        ok = deg.filter(F.col("wdeg") <= max_center_degree).select(
-            F.col("w").alias("src")
+        .select(
+            F.least("a", "b").alias("p"), F.greatest("a", "b").alias("q")
         )
-        edges = edges.join(ok, "src", "left_semi")
-    a = edges.select(F.col("src").alias("w"), F.col("dst").alias("u"))
-    b = edges.select(F.col("src").alias("w"), F.col("dst").alias("v"))
-    cn = (
-        a.join(b, "w")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("cn"))
     )
-    return cn.agg(
-        F.expr("cast(sum(cn * (cn - 1) div 2) div 2 as bigint)").alias(
-            "n_four_cycles"
-        )
+    wedge_counts = (
+        oo.unionAll(io)
+        .groupBy("p", "q")
+        .agg(F.count(F.lit(1)).cast("long").alias("nw"))
+    )
+    return wedge_counts.agg(
+        F.expr(
+            "cast(sum(cast(nw as decimal(38,0)) * (nw - 1) div 2)"
+            " as bigint)"
+        ).alias("n_four_cycles")
     )
 
 

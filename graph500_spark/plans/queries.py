@@ -776,7 +776,11 @@ def q_adamic_adar_topk(spark, sf_dir):
 
 def q_jaccard_topk(spark, sf_dir):
     """Neighborhood-Jaccard link prediction: wedge join + degree join,
-    integer-exact (10^6·cn) div (du+dv−cn) score."""
+    integer-exact (10^6·cn) div (du+dv−cn) score. VERIFIER tier at
+    scale — the exact ratio score has no certified hub cap (see the
+    operator docstring's hub-only-pair counterexample); scale twins:
+    minhash-LSH / setsim_join_prefix (threshold) or the certified
+    additive scores in operators/linkpred.py (exact top-k)."""
     return triangles_mod.jaccard_topk(clean_mod997_graph(spark, sf_dir))
 
 
@@ -1684,8 +1688,10 @@ def q_hapax_stats(spark, sf_dir):
 
 
 def q_four_cycle_count(spark, sf_dir):
-    """Global 4-cycle census from the wedge join: C4 = ½·ΣC(cn,2) —
-    exact integer arithmetic end to end."""
+    """Global 4-cycle census, EXACT and hub-safe: degree-oriented
+    OO/IO wedge enumeration (ESCAPE), C4 = Σ C(W(p,q), 2) with W
+    counting centers below the pair max — O(|E|^1.5) wedge volume,
+    no approximation knob (round-8 fix of the unbounded wedge join)."""
     return triangles_mod.four_cycle_count(clean_mod997_graph(spark, sf_dir))
 
 
@@ -4016,3 +4022,82 @@ def q_truss_numbers(spark, sf_dir):
 
 
 QUERIES.update({"truss_numbers": q_truss_numbers})
+
+
+# --- round-8 correctness-window rotation.  The driver hash-checks the
+# FIRST 50 registry entries each round; per the rotation policy
+# (PLANS.md), front-load (a) the 6 round-7 late additions that have
+# never had a driver CORRECTNESS row (closing driver coverage at
+# 250/250), (b) driver re-verification of everything touched this
+# round (four_cycle_count's new exact oriented plan, k_truss's
+# left-join support seed, the linkpred truncate_plan swap behind the
+# certified top-k entries, jaccard_topk's verifier-tier relabel), and
+# (c) third confirmations of families last checked in r01-r05: the
+# validation five, the ANN ladder, graph analytics, relational
+# flagships, text/token scoring, behavioral mirrors.  Entries added
+# DURING round 8 are registered after this block, i.e. outside the
+# window, and are gated by the local oracle sweep until they rotate in.
+_ROUND8_FRONT = [
+    # never driver-checked (round-7 late additions)
+    "bfs_64roots_stats",
+    "common_neighbors_certified",
+    "four_clique_count",
+    "rich_club",
+    "edge_clustering",
+    "truss_numbers",
+    # touched this round: driver re-verification
+    "four_cycle_count",
+    "k_truss",
+    "jaccard_topk",
+    "adamic_adar_nonedges",
+    "adamic_adar_topk",
+    "common_neighbors_topk",
+    # third confirmation: BFS validation + SSSP family
+    "check_value_ranges",
+    "check_root_self_parents",
+    "check_depth_consistency",
+    "check_tree_edges",
+    "edge_visit_count",
+    "validate_sssp_summary",
+    # third confirmation: graph analytics
+    "k_core",
+    "hits",
+    "label_propagation",
+    "pagerank_personalized",
+    "triangle_counts",
+    "global_triangle_count",
+    "clustering_coefficient",
+    "connected_components_stars",
+    "random_walks",
+    # third confirmation: ANN ladder
+    "kmeans_cells",
+    "cosine_topk",
+    "cosine_topk_lsh",
+    "ivf_cells",
+    "cosine_topk_ivf",
+    "pq_codes",
+    "cosine_topk_pq",
+    "cosine_topk_pq_rerank",
+    "ann_recall",
+    # third confirmation: relational flagships
+    "pricing_summary",
+    "discount_revenue",
+    "revenue_by_nation",
+    "order_priority_counts",
+    "top_suppliers_by_revenue",
+    "promo_revenue_share",
+    # third confirmation: text / token scoring
+    "unigram_logppl",
+    "vocab_coverage",
+    "nb_train",
+    "nb_predict",
+    "token_count_detailed",
+    "repetition_stats",
+    # third confirmation: behavioral mirrors
+    "sessionize",
+    "retention_cohorts",
+]
+assert len(_ROUND8_FRONT) == 50 and len(set(_ROUND8_FRONT)) == 50
+QUERIES = {k: QUERIES[k] for k in _ROUND8_FRONT} | {
+    k: v for k, v in QUERIES.items() if k not in set(_ROUND8_FRONT)
+}

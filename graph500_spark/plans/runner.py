@@ -51,12 +51,20 @@ def run_benchmark(
     scale: int,
     edgefactor: int = 16,
     num_roots: int = 16,
-    validation: bool = True,
+    validation: bool | str = True,
     results_path: str | None = None,
     root_batch: int = 1,
 ) -> BenchmarkResult:
     """The full pipeline at a given SCALE. num_roots=64 is spec mode,
     16 is the reference's own --test mode (run-benchmark.py:112).
+
+    ``validation`` — True runs the 5-check validator per root inside
+    the timing loop (spec-strict, mpi/main.cc:129-146); "batched"
+    runs ONE multi-root validation pass over all pred trees after the
+    timed runs (``validate.validate_bfs_multi`` — same checks, same
+    zero-violation gate, 5 dataflows total instead of 5 × n_roots;
+    validate_time is then reported as the batch wall divided across
+    runs); False skips validation (timing-only runs).
 
     ``root_batch`` > 1 runs the BFS phase in batches of that many
     roots through one shared multi-source frontier
@@ -97,6 +105,8 @@ def run_benchmark(
         for i in range(0, len(pending), max(1, root_batch))
     ]
 
+    batched_validation = validation == "batched"
+    kept_preds: list[DataFrame] = []
     for batch in batches:
         t0 = time.monotonic()
         if len(batch) == 1:
@@ -119,7 +129,7 @@ def run_benchmark(
         for run_id, root in batch:
             pred = pred_all.filter(F.col("root") == int(root)).drop("root")
             t1 = time.monotonic()
-            if validation:
+            if validation is True:
                 summary = validate.validate_bfs(edges_raw, pred, root, nverts)
                 bad = summary.filter(F.col("violations") > 0).count()
                 if bad:
@@ -147,7 +157,27 @@ def run_benchmark(
                     "run_id int, root long, bfs_time double,"
                     " validate_time double, edge_count double, teps double",
                 ).write.mode("append").parquet(results_path)
-        pred_all.unpersist()
+        if batched_validation:
+            kept_preds.append(pred_all)  # unpersisted after the pass
+        else:
+            pred_all.unpersist()
+
+    if batched_validation and kept_preds:
+        t1 = time.monotonic()
+        pred_multi = kept_preds[0]
+        for p in kept_preds[1:]:
+            pred_multi = pred_multi.unionByName(p)
+        summary = validate.validate_bfs_multi(edges_raw, pred_multi, nverts)
+        bad = summary.filter(F.col("violations") > 0)
+        if bad.limit(1).count():
+            raise AssertionError(
+                "BFS validation failed (batched): " + str(bad.collect())
+            )
+        per_run = (time.monotonic() - t1) / max(1, len(result.runs))
+        for row in result.runs:
+            row["validate_time"] += per_run
+        for p in kept_preds:
+            p.unpersist()
 
     edges_clean.unpersist()
     edges_raw.unpersist()

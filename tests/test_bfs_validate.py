@@ -169,3 +169,50 @@ class TestBfsMulti:
             mine = {k: v for k, v in got.items() if k[0] == root}
             assert mine == want, f"root {root} diverges"
         g.unpersist()
+
+
+def test_validate_bfs_multi_matches_per_root_and_fires(spark):
+    """Batched multi-root validator (spec64's benchmark-mode gate):
+    per-(root, check) violation counts identical to validate_bfs run
+    per root, zero on real trees, non-zero on injected corruption."""
+    raw = generator.generate_kronecker_edges(spark, 7, 8).persist()
+    clean = gb.build_clean_edges(raw).persist()
+    from graph500_spark.operators import roots as roots_mod
+
+    rts = roots_mod.find_roots(spark, raw, 1 << 7, num_roots=3)
+    pm = bfs_mod.bfs_multi(spark, clean, rts, prepartition=False).persist()
+    multi = {
+        (r["root"], r["check"]): r["violations"]
+        for r in V.validate_bfs_multi(raw, pm, 1 << 7).collect()
+    }
+    assert len(multi) == 5 * len(rts)
+    assert all(v == 0 for v in multi.values()), multi
+    for root in rts:
+        single = V.validate_bfs(
+            raw,
+            pm.filter(F.col("root") == int(root)).drop("root"),
+            root,
+            1 << 7,
+        ).collect()
+        for r in single:
+            assert multi[(root, r["check"])] == r["violations"]
+    # corrupt one tree's root depth: that root (and ONLY that root)
+    # must report depth_consistency + edge_depths violations
+    bad = pm.withColumn(
+        "depth",
+        F.when(
+            (F.col("root") == int(rts[0]))
+            & (F.col("vertex") == F.col("root")),
+            F.lit(7),
+        ).otherwise(F.col("depth")),
+    )
+    viol = {
+        (r["root"], r["check"]): r["violations"]
+        for r in V.validate_bfs_multi(raw, bad, 1 << 7).collect()
+        if r["violations"] > 0
+    }
+    assert viol and all(root == rts[0] for root, _ in viol)
+    assert any(c == "depth_consistency" for _, c in viol)
+    pm.unpersist()
+    clean.unpersist()
+    raw.unpersist()
