@@ -456,6 +456,7 @@ def _heavy_tier(spark, sf_dir: str) -> dict[str, float]:
     if os.environ.get("SPARK_GRAFT_BENCH_HUBSTRESS", "1") != "0":
         from graph500_spark.operators.linkpred import adamic_adar_topk
         from graph500_spark.operators.triangles import (
+            four_cycle_count,
             k_truss,
             triangle_counts,
         )
@@ -475,6 +476,13 @@ def _heavy_tier(spark, sf_dir: str) -> dict[str, float]:
                 lambda: adamic_adar_topk(
                     g14, k=100, max_center_degree=512, candidate_factor=16
                 ).count(),
+            ),
+            # round 8: the exact oriented C4 plan (OO/IO wedges) —
+            # the row that would have caught the old unbounded wedge
+            # self-join (hub-quadratic) on a hub-heavy graph
+            (
+                "hub_four_cycle_s14",
+                lambda: four_cycle_count(g14).collect(),
             ),
         ):
             mark = _stage_mark(spark)
@@ -613,7 +621,24 @@ def _streaming_tier(spark, kron16) -> dict[str, float]:
     """Throughput of the two incremental pipelines, driven availableNow
     over an 8-file directory (so the run sequences real micro-batches).
     Values are input rows/sec consumed end-to-end (including sink
-    writes and cross-batch state joins)."""
+    writes and cross-batch state joins).
+
+    Measurement hygiene (round 8, after the r7 streaming-rate A/B —
+    tools/ab_streaming.py, PLANS.md round 8): this tier runs LAST,
+    after ~115 queries + s22 + spec64 + hub-stress in the same JVM;
+    r7 grew that preceding work by ~107s and the driver streaming
+    rates dropped 6-16% with ZERO code changes on the ingest path
+    (git-verified). Drop the session's leftover cached blocks and
+    hint a full GC before timing, so the tier measures streaming
+    throughput rather than tail-of-session heap pressure. kron16 is
+    re-materialized by the untimed prep writes below."""
+    spark.catalog.clearCache()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+    kron16.persist()  # re-pin after the cache drop (untimed prep)
+    kron16.count()
     import shutil
     import tempfile
 

@@ -4101,3 +4101,30 @@ assert len(_ROUND8_FRONT) == 50 and len(set(_ROUND8_FRONT)) == 50
 QUERIES = {k: QUERIES[k] for k in _ROUND8_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_ROUND8_FRONT)
 }
+
+
+# --- round-8 additions (registered AFTER the window per rotation
+# policy; local oracle sweep is the gate until they rotate in).
+
+
+def q_k_truss_from_trussness(spark, sf_dir):
+    """4-truss MEMBERSHIP served from the truss decomposition:
+    {e : trussness(e) >= k} is exactly the k-truss edge set for every
+    k, so one truss_numbers pass answers all per-k truss queries —
+    the serving path that makes per-k peels redundant. Oracle: the
+    same unrolled k_truss peel projected to membership, which
+    hash-checks the full decomposition against the SQL peel at k=4
+    (stronger than the rows-only gate truss_numbers itself gets)."""
+    tn = triangles_mod.truss_numbers(clean_mod997_graph(spark, sf_dir))
+    return (
+        tn.filter(F.col("trussness") >= 4)
+        .select("u", "v")
+    )
+
+
+QUERIES.update({"k_truss_from_trussness": q_k_truss_from_trussness})
+ORACLE_SQL["k_truss_from_trussness"] = (
+    "WITH peel AS ("
+    + triangles_mod.k_truss_sql(_CLEAN_MOD997, k=4, rounds=8)
+    + ") SELECT u, v FROM peel"
+)
