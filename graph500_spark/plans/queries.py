@@ -4128,3 +4128,100 @@ ORACLE_SQL["k_truss_from_trussness"] = (
     + triangles_mod.k_truss_sql(_CLEAN_MOD997, k=4, rounds=8)
     + ") SELECT u, v FROM peel"
 )
+
+
+def q_graphlet_census_4(spark, sf_dir):
+    """Connected 4-vertex graphlet census of the mod997 graph
+    (non-induced counts: 3-stars, 4-paths, tailed triangles, 4-cycles,
+    diamonds, 4-cliques) — one shared degree-oriented edge table feeds
+    the triangle/support/C4-wedge/K4 branches; exact integer
+    identities end to end (ESCAPE counting, brute-force parity in
+    tests/test_graphlets.py)."""
+    from graph500_spark.operators import graphlets as graphlets_mod
+
+    return graphlets_mod.graphlet_census_4(clean_mod997_graph(spark, sf_dir))
+
+
+def _graphlet_census_sql():
+    from graph500_spark.operators import graphlets as graphlets_mod
+
+    return graphlets_mod.graphlet_census_4_sql(_CLEAN_MOD997)
+
+
+QUERIES.update({"graphlet_census_4": q_graphlet_census_4})
+ORACLE_SQL["graphlet_census_4"] = _graphlet_census_sql()
+
+
+_BIPART_OFFSET = 1_000_000_000
+
+
+def q_copurchase_butterflies(spark, sf_dir):
+    """Butterfly census of the order-part co-purchase graph: C4 count
+    over the bipartite lineitem (orderkey, partkey) edge set — the
+    standard bipartite motif metric (every 4-cycle in a bipartite
+    graph is a butterfly: two orders sharing two parts). Distinct
+    pairs first (a part can repeat within an order), part ids offset
+    into their own vertex space, then the exact degree-oriented OO/IO
+    wedge plan — parts are hubs (avg degree ~30-300 per part at these
+    SFs), exactly the shape the oriented counting is for."""
+    from graph500_spark.operators import triangles as tri_mod
+
+    li = (
+        td.load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").cast("long").alias("o"),
+            (F.col("l_partkey").cast("long") + F.lit(_BIPART_OFFSET))
+            .alias("p"),
+        )
+        .distinct()
+    )
+    sym = li.select(F.col("o").alias("src"), F.col("p").alias("dst")).unionAll(
+        li.select(F.col("p").alias("src"), F.col("o").alias("dst"))
+    )
+    return tri_mod.four_cycle_count(sym).select(
+        F.col("n_four_cycles").alias("n_butterflies")
+    )
+
+
+_BIPART_SQL = (
+    "WITH bp AS (SELECT DISTINCT l_orderkey AS o,"
+    f" {_BIPART_OFFSET} + l_partkey AS p FROM lineitem)"
+    " SELECT o AS src, p AS dst FROM bp"
+    " UNION ALL SELECT p AS src, o AS dst FROM bp"
+)
+
+
+def _butterflies_sql():
+    from graph500_spark.operators import triangles as tri_mod
+
+    sub = tri_mod.four_cycle_count_sql(_BIPART_SQL)
+    return (
+        "WITH c4 AS (" + sub + ")"
+        " SELECT n_four_cycles AS n_butterflies FROM c4"
+    )
+
+
+QUERIES.update({"copurchase_butterflies": q_copurchase_butterflies})
+ORACLE_SQL["copurchase_butterflies"] = _butterflies_sql()
+
+
+def q_association_rules(spark, sf_dir):
+    """Market-basket association rules over lineitem (order, part)
+    baskets: top-100 ordered part pairs by integer-exact lift (ppm),
+    min_support 2 — order-side wedge join (fan-out = basket size,
+    bounded by construction) + broadcast item counts."""
+    from graph500_spark.operators import basket as basket_mod
+
+    return basket_mod.association_rules(
+        td.load_table(spark, sf_dir, "lineitem"), min_support=2
+    )
+
+
+def _association_rules_sql():
+    from graph500_spark.operators import basket as basket_mod
+
+    return basket_mod.association_rules_sql(min_support=2)
+
+
+QUERIES.update({"association_rules": q_association_rules})
+ORACLE_SQL["association_rules"] = _association_rules_sql()
