@@ -42,7 +42,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graph500_spark.functions.plantrunc import truncate_plan
-from graph500_spark.operators.triangles import orient_edges
+from graph500_spark.operators.triangles import (
+    _c4_wedge_counts,
+    orient_edges,
+)
 
 
 def graphlet_census_4(edges_clean: DataFrame) -> DataFrame:
@@ -125,29 +128,13 @@ def graphlet_census_4(edges_clean: DataFrame) -> DataFrame:
         )
     )
 
-    # --- 4-cycles: OO/IO oriented wedges (four_cycle_count's plan,
-    # re-expressed over the SHARED oriented table) ---
-    o1 = oriented.select(F.col("lo").alias("w"), F.col("hi").alias("p"))
-    o2 = oriented.select(F.col("lo").alias("w"), F.col("hi").alias("q"))
-    oo = o1.join(o2, "w").filter(F.col("p") < F.col("q")).select("p", "q")
-    io = (
-        oriented.select(F.col("lo").alias("x"), F.col("hi").alias("w"))
-        .join(
-            oriented.select(F.col("lo").alias("w"), F.col("hi").alias("y")),
-            "w",
-        )
-        .select(F.least("x", "y").alias("p"), F.greatest("x", "y").alias("q"))
-    )
-    cycles = (
-        oo.unionAll(io)
-        .groupBy("p", "q")
-        .agg(F.count(F.lit(1)).cast("long").alias("nw"))
-        .agg(
-            F.expr(
-                "cast(sum(cast(nw as decimal(38,0)) * (nw - 1) div 2)"
-                " as bigint)"
-            ).alias("n_4cycles")
-        )
+    # --- 4-cycles: OO/IO oriented wedges over the SHARED oriented
+    # table (salted IO join — see triangles._c4_wedge_counts) ---
+    cycles = _c4_wedge_counts(oriented).agg(
+        F.expr(
+            "cast(sum(cast(nw as decimal(38,0)) * (nw - 1) div 2)"
+            " as bigint)"
+        ).alias("n_4cycles")
     )
 
     # --- diamonds: Σ_e C(sup,2) ---

