@@ -568,3 +568,125 @@ def seasonal_anomalies_sql(minutes: int = 60) -> str:
         " FROM keyed k JOIN cells c ON c.event_type = k.event_type"
         " AND c.dow = k.dow AND c.hour = k.hour"
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt's linear-trend smoothing (double exponential) — the classic
+# short-horizon forecasting baseline over the same dense count grid.
+# Same sequential tier as EWMA/CUSUM: the per-step integer floor
+# destroys any closed form, so the engine runs an Arrow kernel per
+# series and the oracle replays the identical recurrence with a
+# recursive CTE. The TREND state is signed, so every division uses
+# the sign/abs truncating spelling (module docstring).
+# ---------------------------------------------------------------------------
+
+
+def _tdiv(num: np.ndarray | int, den: int) -> int:
+    """Truncate-toward-zero integer division (matches Spark `div`
+    and the sign/abs SQL spelling; numpy/python // floors)."""
+    n = int(num)
+    s = -1 if n < 0 else 1
+    return s * (abs(n) // den)
+
+
+def event_holt(
+    events: DataFrame,
+    minutes: int = 60,
+    alpha_num: int = 1,
+    alpha_den: int = 8,
+    beta_num: int = 1,
+    beta_den: int = 16,
+) -> DataFrame:
+    """[event_type, bucket_start_us, n_events, level_e6, trend_e6,
+    forecast_e6] — Holt double-exponential smoothing of the hourly
+    count series in integer micro-units, α = 1/8, β = 1/16:
+
+        forecast_t = level_{t−1} + trend_{t−1}          (one-step)
+        level_t = tdiv(a·x_t·E6 + (d−a)·forecast_t, d)
+        trend_t = tdiv(b·(level_t − level_{t−1}) + (db−b)·trend_{t−1}, db)
+
+    init level_0 = x_0·E6, trend_0 = 0, forecast_0 = level_0 (the
+    zero-information forecast). tdiv truncates toward zero — the
+    signed-trend analog of the EWMA floor, spelled identically in
+    the kernel and the oracle."""
+    grid = _dense_counts(events, minutes)
+    schema = (
+        "event_type string, bucket_start_us long, n_events long,"
+        " level_e6 long, trend_e6 long, forecast_e6 long"
+    )
+    a, d = alpha_num, alpha_den
+    b, db = beta_num, beta_den
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket")
+        x = pdf["x"].to_numpy(dtype=np.int64)
+        n = len(x)
+        lev = np.zeros(n, dtype=np.int64)
+        tr = np.zeros(n, dtype=np.int64)
+        fc = np.zeros(n, dtype=np.int64)
+        if n:
+            lev[0] = x[0] * E6
+            fc[0] = lev[0]
+        for i in range(1, n):
+            fc[i] = lev[i - 1] + tr[i - 1]
+            lev[i] = _tdiv(a * x[i] * E6 + (d - a) * fc[i], d)
+            tr[i] = _tdiv(
+                b * (lev[i] - lev[i - 1]) + (db - b) * tr[i - 1], db
+            )
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"].to_numpy(),
+                "bucket_start_us": pdf["bucket"].to_numpy(),
+                "n_events": x,
+                "level_e6": lev,
+                "trend_e6": tr,
+                "forecast_e6": fc,
+            }
+        )
+
+    return grid.groupBy("event_type").applyInPandas(kernel, schema)
+
+
+def _tdiv_sql(num: str, den: int) -> str:
+    return (
+        f"CAST(sign({num}) AS BIGINT) * (abs({num}) // {den})"
+    )
+
+
+def event_holt_sql(
+    minutes: int = 60,
+    alpha_num: int = 1,
+    alpha_den: int = 8,
+    beta_num: int = 1,
+    beta_den: int = 16,
+) -> str:
+    a, d = alpha_num, alpha_den
+    b, db = beta_num, beta_den
+    lev_num = f"({a} * g.x * {E6} + {d - a} * (r.lev + r.tr))"
+    lev_expr = _tdiv_sql(lev_num, d)
+    # outer select sees the subquery's projected columns (lev, tr),
+    # not the recursive alias r
+    tr_num = f"({b} * (lev_new - lev) + {db - b} * tr)"
+    tr_expr = _tdiv_sql(tr_num, db)
+    return (
+        f"WITH RECURSIVE {_grid_sql(minutes)},"
+        " g2 AS (SELECT event_type, bucket, x, ROW_NUMBER() OVER ("
+        "  PARTITION BY event_type ORDER BY bucket) - 1 AS idx FROM grid),"
+        " rec AS ("
+        "  SELECT event_type, idx, bucket, x,"
+        f"  CAST(x * {E6} AS BIGINT) AS lev,"
+        "  CAST(0 AS BIGINT) AS tr,"
+        f"  CAST(x * {E6} AS BIGINT) AS fc FROM g2 WHERE idx = 0"
+        "  UNION ALL"
+        "  SELECT event_type, idx, bucket, x,"
+        "   CAST(lev_new AS BIGINT),"
+        f"   CAST({tr_expr} AS BIGINT),"
+        "   CAST(fc_new AS BIGINT)"
+        "  FROM (SELECT g.event_type, g.idx, g.bucket, g.x, r.lev, r.tr,"
+        "    r.lev + r.tr AS fc_new,"
+        f"    {lev_expr} AS lev_new"
+        "   FROM rec r JOIN g2 g ON g.event_type = r.event_type"
+        "   AND g.idx = r.idx + 1))"
+        " SELECT event_type, bucket AS bucket_start_us, x AS n_events,"
+        " lev AS level_e6, tr AS trend_e6, fc AS forecast_e6 FROM rec"
+    )

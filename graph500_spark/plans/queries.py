@@ -4241,3 +4241,38 @@ QUERIES.update({"embedding_propagation": q_embedding_propagation})
 ORACLE_SQL["embedding_propagation"] = (
     simsearch_mod.embedding_propagation_sql(_CLEAN_MOD997)
 )
+
+
+def q_event_holt(spark, sf_dir):
+    """Holt double-exponential (level+trend) smoothing of the hourly
+    event-count series, integer micro-units with truncate-toward-zero
+    divisions (signed trend) — Arrow kernel per series; recursive-CTE
+    oracle replays the identical recurrence."""
+    from graph500_spark.operators.timeseries import (
+        event_holt,
+        event_holt_sql,
+    )
+
+    return event_holt(td.load_table(spark, sf_dir, "events"))
+
+
+from graph500_spark.operators.timeseries import event_holt_sql as _holt_sql
+
+QUERIES.update({"event_holt": q_event_holt})
+ORACLE_SQL["event_holt"] = _holt_sql()
+
+
+def q_ab_test_zscores(spark, sf_dir):
+    """Experiment readout: per-event-type Welch z between user-parity
+    variants — ONE (metric, variant) hash agg with exact integer
+    moments (DECIMAL(38,0) squares), single rounded double
+    expressions at the end (embedding_dim_stats convention)."""
+    from graph500_spark.operators.abtest import ab_test_zscores
+
+    return ab_test_zscores(td.load_table(spark, sf_dir, "events"))
+
+
+from graph500_spark.operators.abtest import ab_test_zscores_sql as _ab_sql
+
+QUERIES.update({"ab_test_zscores": q_ab_test_zscores})
+ORACLE_SQL["ab_test_zscores"] = _ab_sql()

@@ -142,3 +142,33 @@ def test_seasonality_calendar_sign_consistent_cross_engine(spark):
         ).fetchone()
         pyref = ((v // 86_400_000_000 + 3) % 7, (v // 3_600_000_000) % 24)
         assert got[v] == tuple(duck) == pyref, v
+
+
+def test_holt_replays_reference_recurrence(spark):
+    from graph500_spark.operators.timeseries import _tdiv, event_holt
+
+    counts = [4, 8, 2, 0, 6, 6, 7, 1]
+    ev = _events(spark, {"a": counts})
+    rows = sorted(
+        event_holt(ev).collect(), key=lambda r: r["bucket_start_us"]
+    )
+    # independent replay of the documented recurrence
+    a, d, b, db = 1, 8, 1, 16
+    lev, tr, fc = counts[0] * E6, 0, counts[0] * E6
+    assert (rows[0]["level_e6"], rows[0]["trend_e6"],
+            rows[0]["forecast_e6"]) == (lev, tr, fc)
+    for i in range(1, len(counts)):
+        fc = lev + tr
+        lev_new = _tdiv(a * counts[i] * E6 + (d - a) * fc, d)
+        tr = _tdiv(b * (lev_new - lev) + (db - b) * tr, db)
+        lev = lev_new
+        assert rows[i]["forecast_e6"] == fc, i
+        assert rows[i]["level_e6"] == lev, i
+        assert rows[i]["trend_e6"] == tr, i
+    # declining series drives the SIGNED trend negative and the
+    # truncation toward zero (not floor) must hold
+    ev2 = _events(spark, {"a": [9, 6, 3, 0, 0, 0]})
+    rows2 = sorted(
+        event_holt(ev2).collect(), key=lambda r: r["bucket_start_us"]
+    )
+    assert rows2[-1]["trend_e6"] < 0
