@@ -447,3 +447,64 @@ def weighted_degrees_sql(weighted_sql: str) -> str:
         " CAST(SUM(weight) AS BIGINT) AS strength"
         " FROM we GROUP BY src"
     )
+
+
+def negative_edge_samples(edges_clean: DataFrame) -> DataFrame:
+    """[u, v] — deterministic NON-edge vertex pairs, the negative
+    examples a link-prediction training set pairs against its
+    positives (u < v after normalization, one candidate per source
+    vertex, only pairs whose both endpoints exist in the graph).
+
+    Candidate partner for vertex u is the multiplicative hash
+    w = (u·K + 1) mod M mod (max_vertex + 1) — stable under graph
+    growth like sampled_subgraph, no RNG state. Pipeline: one scalar
+    max reduce, a narrow per-row partner map, a semi-join to keep
+    partners that are real vertices, an anti-join against the edge
+    set (both orientations covered by the symmetric edge list), and
+    u ≠ w. No quadratic candidate space is ever materialized — the
+    candidate count is |V| before filtering. At 100 TB: two hash
+    shuffles on vertex id; k candidates per vertex = k map columns,
+    same plan."""
+    verts = edges_clean.select(F.col("src").alias("u")).distinct()
+    max_v = verts.agg(F.max("u").alias("m"))
+    cand = (
+        verts.crossJoin(F.broadcast(max_v))
+        .select(
+            "u",
+            (
+                (F.col("u") * SUBGRAPH_HASH_K + 1)
+                % SUBGRAPH_HASH_MOD
+                % (F.col("m") + 1)
+            ).alias("w"),
+        )
+        .filter(F.col("u") != F.col("w"))
+    )
+    cand = cand.join(
+        verts.select(F.col("u").alias("w")), "w", "left_semi"
+    )
+    pairs = cand.select(
+        F.least("u", "w").alias("u"), F.greatest("u", "w").alias("v")
+    ).distinct()
+    return pairs.join(
+        edges_clean.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+
+
+def negative_edge_samples_sql(clean_sql: str) -> str:
+    k, m = SUBGRAPH_HASH_K, SUBGRAPH_HASH_MOD
+    return (
+        f"WITH clean AS ({clean_sql}),"
+        " verts AS (SELECT DISTINCT src AS u FROM clean),"
+        " mx AS (SELECT MAX(u) AS m FROM verts),"
+        f" cand AS (SELECT u, (u * {k} + 1) % {m} % (mx.m + 1) AS w"
+        "  FROM verts, mx),"
+        " cand2 AS (SELECT c.u, c.w FROM cand c"
+        "  JOIN verts vv ON vv.u = c.w WHERE c.u <> c.w),"
+        " pairs AS (SELECT DISTINCT LEAST(u, w) AS u,"
+        "  GREATEST(u, w) AS v FROM cand2)"
+        " SELECT p.u, p.v FROM pairs p"
+        " WHERE NOT EXISTS (SELECT 1 FROM clean e"
+        "  WHERE e.src = p.u AND e.dst = p.v)"
+    )

@@ -2057,3 +2057,66 @@ def late_line_priority_sql(
         f" epoch_us(o.o_orderdate) + {late_days * DAY_US}"
         " GROUP BY l_linestatus"
     )
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto frontier) — preference queries, a distinct operator
+# class from ranking: no weighting of the dimensions, just dominance.
+# ---------------------------------------------------------------------------
+
+
+def part_skyline(part: DataFrame) -> DataFrame:
+    """[price_cents, size] — the Pareto frontier of parts minimizing
+    (retail price, size): points no other part beats-or-ties on both
+    dimensions while beating strictly on one. The preference-query
+    primitive ("cheapest-smallest" tradeoff curve).
+
+    Plan (2-D skyline = prefix-min, made distribution-friendly):
+    (1) DOMAIN REDUCTION — groupBy(price) keeping min(size): for any
+        price only its minimum size can be on the frontier, and the
+        distributed aggregation shrinks the input from row count to
+        price-domain size (cents values are bounded by the price
+        range — at 100 TB this is the step that does the work);
+    (2) one running-min window ordered by price over the REDUCED
+        table: a price's min-size point survives iff it is strictly
+        below every cheaper price's min size. The window is
+        single-partition by construction but runs over the
+        domain-sized table, not the corpus (the documented extension
+        for an unbounded domain is range-partitioned prefix-min).
+    Price quantized to integer cents (round(×100), exact both
+    engines); output is frontier POINTS (exact duplicates collapse in
+    step 1 — neither of two equal points dominates the other)."""
+    from pyspark.sql import Window
+
+    g = (
+        part.select(
+            F.expr("CAST(round(p_retailprice * 100) AS BIGINT)").alias(
+                "price_cents"
+            ),
+            "p_size",
+        )
+        .groupBy("price_cents")
+        .agg(F.min("p_size").cast("long").alias("size"))
+    )
+    w = Window.orderBy("price_cents").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        g.select(
+            "price_cents", "size", F.min("size").over(w).alias("m")
+        )
+        .filter(F.col("m").isNull() | (F.col("m") > F.col("size")))
+        .select("price_cents", "size")
+    )
+
+
+def part_skyline_sql() -> str:
+    return (
+        "WITH g AS (SELECT"
+        " CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,"
+        " CAST(MIN(p_size) AS BIGINT) AS size FROM part GROUP BY 1)"
+        " SELECT price_cents, size FROM g a"
+        " WHERE NOT EXISTS (SELECT 1 FROM g b"
+        "  WHERE b.price_cents <= a.price_cents AND b.size <= a.size"
+        "  AND (b.price_cents < a.price_cents OR b.size < a.size))"
+    )

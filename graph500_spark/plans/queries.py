@@ -4276,3 +4276,28 @@ from graph500_spark.operators.abtest import ab_test_zscores_sql as _ab_sql
 
 QUERIES.update({"ab_test_zscores": q_ab_test_zscores})
 ORACLE_SQL["ab_test_zscores"] = _ab_sql()
+
+
+def q_part_skyline(spark, sf_dir):
+    """Pareto frontier of parts on (price, size) — skyline preference
+    query: distributed domain-reduction groupBy + one prefix-min
+    window over the reduced table; NOT-EXISTS dominance oracle."""
+    return rel_mod.part_skyline(td.load_table(spark, sf_dir, "part"))
+
+
+QUERIES.update({"part_skyline": q_part_skyline})
+ORACLE_SQL["part_skyline"] = rel_mod.part_skyline_sql()
+
+
+def q_negative_edge_samples(spark, sf_dir):
+    """Link-prediction negatives: deterministic multiplicative-hash
+    partner per vertex, semi-join to real vertices, anti-join against
+    the symmetric edge set — |V| candidates, never a quadratic
+    space."""
+    return gb.negative_edge_samples(clean_mod997_graph(spark, sf_dir))
+
+
+QUERIES.update({"negative_edge_samples": q_negative_edge_samples})
+ORACLE_SQL["negative_edge_samples"] = gb.negative_edge_samples_sql(
+    _CLEAN_MOD997
+)
