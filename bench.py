@@ -302,6 +302,22 @@ def main() -> int:
             lambda: Q.q_adamic_adar_nonedges(spark, sf_dir).count(),
         "value_histogram":
             lambda: Q.q_value_histogram(spark, sf_dir).count(),
+        # round-8 additions (graphlet_census_4 is deliberately NOT
+        # benched: the 26%-dense sf0.1 mod997 graph makes its K4
+        # branch a 45s census — same policy as four_clique_count;
+        # both stay oracle-gated at both SFs)
+        "copurchase_butterflies":
+            lambda: Q.q_copurchase_butterflies(spark, sf_dir).collect(),
+        "association_rules":
+            lambda: Q.q_association_rules(spark, sf_dir).count(),
+        "embedding_propagation":
+            lambda: Q.q_embedding_propagation(spark, sf_dir).count(),
+        "event_holt": lambda: Q.q_event_holt(spark, sf_dir).count(),
+        "ab_test_zscores":
+            lambda: Q.q_ab_test_zscores(spark, sf_dir).count(),
+        "part_skyline": lambda: Q.q_part_skyline(spark, sf_dir).count(),
+        "negative_edge_samples":
+            lambda: Q.q_negative_edge_samples(spark, sf_dir).count(),
     }
 
     timings: dict[str, float] = {}
