@@ -81,7 +81,13 @@ def ab_test_zscores(events: DataFrame) -> DataFrame:
         F.col("s2_b").cast("double") / F.col("n_b")
         - (F.col("s_b") / F.col("n_b")) * (F.col("s_b") / F.col("n_b"))
     ) / (scale * scale)
-    se = F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+    # Filter on the PRE-sqrt variance sum, mirroring the SQL oracle's
+    # WHERE clause: a tiny negative sum (all-equal arms with large
+    # quantized values past 2^53 in the DOUBLE cast) would make
+    # sqrt() NaN, and Spark orders NaN above every number — so a
+    # post-sqrt `> 0` filter KEEPS exactly the degenerate row the
+    # filter exists to drop, while DuckDB's pre-sqrt guard drops it.
+    var_sum = var_a / F.col("n_a") + var_b / F.col("n_b")
     return (
         agg.filter((F.col("n_a") >= 2) & (F.col("n_b") >= 2))
         .select(
@@ -90,11 +96,13 @@ def ab_test_zscores(events: DataFrame) -> DataFrame:
             "n_b",
             F.round(mean_a, 6).cast("double").alias("mean_a"),
             F.round(mean_b, 6).cast("double").alias("mean_b"),
-            se.alias("_se"),
-            F.round((mean_a - mean_b) / se, 6).cast("double").alias("z"),
+            var_sum.alias("_varsum"),
+            F.round((mean_a - mean_b) / F.sqrt(var_sum), 6)
+            .cast("double")
+            .alias("z"),
         )
-        .filter(F.col("_se") > 0)
-        .drop("_se")
+        .filter(F.col("_varsum") > 0)
+        .drop("_varsum")
     )
 
 

@@ -449,30 +449,42 @@ def weighted_degrees_sql(weighted_sql: str) -> str:
     )
 
 
-def negative_edge_samples(edges_clean: DataFrame) -> DataFrame:
+# Per-candidate-slot offset for multi-negative sampling: slot i adds
+# i·SALT before the mod, decorrelating the k partners of one vertex.
+# SALT < SUBGRAPH_HASH_MOD and coprime to it (MOD is prime).
+NEG_SAMPLE_SALT = 777767777
+
+
+def negative_edge_samples(edges_clean: DataFrame, k: int = 1) -> DataFrame:
     """[u, v] — deterministic NON-edge vertex pairs, the negative
     examples a link-prediction training set pairs against its
-    positives (u < v after normalization, one candidate per source
-    vertex, only pairs whose both endpoints exist in the graph).
+    positives (u < v after normalization, up to ``k`` candidates per
+    source vertex, only pairs whose both endpoints exist in the
+    graph). Real link-pred training wants k ≈ 5-20 negatives per
+    positive; k=1 is the legacy single-candidate form (slot 0's
+    partner is bit-identical to it).
 
-    Candidate partner for vertex u is the multiplicative hash
-    w = (u·K + 1) mod M mod (max_vertex + 1) — stable under graph
-    growth like sampled_subgraph, no RNG state. Pipeline: one scalar
-    max reduce, a narrow per-row partner map, a semi-join to keep
-    partners that are real vertices, an anti-join against the edge
-    set (both orientations covered by the symmetric edge list), and
-    u ≠ w. No quadratic candidate space is ever materialized — the
-    candidate count is |V| before filtering. At 100 TB: two hash
-    shuffles on vertex id; k candidates per vertex = k map columns,
-    same plan."""
+    Candidate partner i ∈ [0, k) for vertex u is the multiplicative
+    hash w_i = (u·K + 1 + i·SALT) mod M mod (max_vertex + 1) — stable
+    under graph growth like sampled_subgraph, no RNG state. Pipeline:
+    one scalar max reduce, a narrow per-row k-slot explode (k map
+    columns — NEVER a quadratic candidate space; the candidate count
+    is k·|V| before filtering), a semi-join to keep partners that are
+    real vertices, an anti-join against the edge set (both
+    orientations covered by the symmetric edge list), and u ≠ w.
+    At 100 TB: two hash shuffles on vertex id, independent of k."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     verts = edges_clean.select(F.col("src").alias("u")).distinct()
     max_v = verts.agg(F.max("u").alias("m"))
+    offsets = F.array(*[F.lit(i * NEG_SAMPLE_SALT) for i in range(k)])
     cand = (
         verts.crossJoin(F.broadcast(max_v))
+        .select("u", "m", F.explode(offsets).alias("off"))
         .select(
             "u",
             (
-                (F.col("u") * SUBGRAPH_HASH_K + 1)
+                (F.col("u") * SUBGRAPH_HASH_K + 1 + F.col("off"))
                 % SUBGRAPH_HASH_MOD
                 % (F.col("m") + 1)
             ).alias("w"),
@@ -492,14 +504,16 @@ def negative_edge_samples(edges_clean: DataFrame) -> DataFrame:
     )
 
 
-def negative_edge_samples_sql(clean_sql: str) -> str:
-    k, m = SUBGRAPH_HASH_K, SUBGRAPH_HASH_MOD
+def negative_edge_samples_sql(clean_sql: str, k: int = 1) -> str:
+    hk, m = SUBGRAPH_HASH_K, SUBGRAPH_HASH_MOD
+    offs = ", ".join(f"({i * NEG_SAMPLE_SALT})" for i in range(max(1, k)))
     return (
         f"WITH clean AS ({clean_sql}),"
         " verts AS (SELECT DISTINCT src AS u FROM clean),"
         " mx AS (SELECT MAX(u) AS m FROM verts),"
-        f" cand AS (SELECT u, (u * {k} + 1) % {m} % (mx.m + 1) AS w"
-        "  FROM verts, mx),"
+        f" offs(off) AS (VALUES {offs}),"
+        f" cand AS (SELECT u, (u * {hk} + 1 + off) % {m} % (mx.m + 1) AS w"
+        "  FROM verts, mx, offs),"
         " cand2 AS (SELECT c.u, c.w FROM cand c"
         "  JOIN verts vv ON vv.u = c.w WHERE c.u <> c.w),"
         " pairs AS (SELECT DISTINCT LEAST(u, w) AS u,"

@@ -215,11 +215,13 @@ def graphlet_census_4_sql(clean_sql: str) -> str:
         "  JOIN h e4 ON e4.u = e1.v AND e4.v = e2.v"
         "  JOIN h e5 ON e5.u = e1.v AND e5.v = e3.v"
         "  JOIN h e6 ON e6.u = e2.v AND e6.v = e3.v)"
-        " SELECT s1.n_3stars,"
-        "  CAST(s2.p_raw - 3 * t.t AS BIGINT) AS n_4paths,"
+        # COALESCE every SUM-derived column: on an empty edge set the
+        # SUMs (and p_raw − 3t) are NULL while the engine pins zeros.
+        " SELECT COALESCE(s1.n_3stars, 0) AS n_3stars,"
+        "  COALESCE(CAST(s2.p_raw - 3 * t.t AS BIGINT), 0) AS n_4paths,"
         "  COALESCE(s3.n_tailed_triangles, 0) AS n_tailed_triangles,"
         "  COALESCE(s4.n_4cycles, 0) AS n_4cycles,"
         "  COALESCE(s5.n_diamonds, 0) AS n_diamonds,"
-        "  s6.n_4cliques"
+        "  COALESCE(s6.n_4cliques, 0) AS n_4cliques"
         " FROM s1, s2, s3, s4, s5, s6, t"
     )

@@ -4152,7 +4152,11 @@ QUERIES.update({"graphlet_census_4": q_graphlet_census_4})
 ORACLE_SQL["graphlet_census_4"] = _graphlet_census_sql()
 
 
-_BIPART_OFFSET = 1_000_000_000
+# Part-id offset into a disjoint vertex space. TPC-H l_orderkey grows
+# ~6M·SF, so 1e9 would collide at SF ≳ 170; 1e13 keeps orderkeys
+# (≲ 6e11 even at SF 100,000 ≈ 100 TB) strictly below offset part ids,
+# and offset + max partkey (~2e10) stays far inside int64.
+_BIPART_OFFSET = 10_000_000_000_000
 
 
 def q_copurchase_butterflies(spark, sf_dir):
@@ -4300,4 +4304,93 @@ def q_negative_edge_samples(spark, sf_dir):
 QUERIES.update({"negative_edge_samples": q_negative_edge_samples})
 ORACLE_SQL["negative_edge_samples"] = gb.negative_edge_samples_sql(
     _CLEAN_MOD997
+)
+
+
+# --- round-9 rotation window ----------------------------------------
+# The driver hash-checks the FIRST 50 entries. Front-load the 9
+# round-8 additions (their first driver confirmation — closes driver
+# coverage at 259/259), then rotate third-confirmation slots onto the
+# families the round-8 window did NOT cover (dedup, train-prep,
+# time-series, behavioral, sketches, graph diagnostics). Round-9
+# additions are registered AFTER this block per rotation policy.
+_ROUND9_FRONT = [
+    # never driver-checked (round-8 additions)
+    "k_truss_from_trussness",
+    "graphlet_census_4",
+    "copurchase_butterflies",
+    "association_rules",
+    "embedding_propagation",
+    "event_holt",
+    "ab_test_zscores",
+    "part_skyline",
+    "negative_edge_samples",
+    # re-confirmation: dedup family
+    "exact_duplicates",
+    "minhash_near_duplicates",
+    "simhash_near_duplicates_blocked",
+    "levenshtein_near_duplicates",
+    "embedding_near_duplicates_ivf",
+    "setsim_join_prefix",
+    "dup_clusters",
+    "duplicate_spans",
+    "merged_dup_spans",
+    "dedup_doc_lines",
+    # re-confirmation: training-set prep
+    "decontaminate_bloom",
+    "pack_chunks",
+    "tfidf_top_terms",
+    "stratified_sample",
+    "curriculum_order",
+    "length_bucketed_batches",
+    "bm25_topk",
+    "corpus_mix",
+    "train_test_split",
+    # re-confirmation: time-series
+    "event_acf",
+    "event_trend",
+    "event_ewma",
+    "event_cusum",
+    "event_seasonality",
+    "seasonal_anomalies",
+    "event_gapfill",
+    "event_rollup",
+    # re-confirmation: behavioral / event-time
+    "user_rfm",
+    "funnel_counts",
+    "click_attribution",
+    "multi_touch_attribution",
+    "conversion_latency",
+    "scd2_history",
+    # re-confirmation: sketches
+    "kmv_distinct_users",
+    "kmv_source_sketches",
+    "cms_heavy_tokens",
+    # re-confirmation: graph diagnostics
+    "modularity",
+    "katz_centrality",
+    "strongly_connected_components",
+    "reciprocity",
+    "degree_assortativity",
+]
+assert len(_ROUND9_FRONT) == 50 and len(set(_ROUND9_FRONT)) == 50
+QUERIES = {k: QUERIES[k] for k in _ROUND9_FRONT} | {
+    k: v for k, v in QUERIES.items() if k not in set(_ROUND9_FRONT)
+}
+
+
+# --- round-9 additions (AFTER the window per rotation policy) --------
+
+
+def q_negative_edge_samples_k8(spark, sf_dir):
+    """Link-prediction negatives at training fan-out: k=8 hash-slot
+    candidates per vertex (i·SALT offset before the mod), same
+    two-shuffle plan as the single-candidate form — candidate space is
+    k·|V|, never quadratic."""
+    return gb.negative_edge_samples(clean_mod997_graph(spark, sf_dir), k=8)
+
+
+QUERIES.update({"negative_edge_samples_k8": q_negative_edge_samples_k8})
+ORACLE_SQL["negative_edge_samples_k8"] = gb.negative_edge_samples_sql(
+    _CLEAN_MOD997, k=8
 )

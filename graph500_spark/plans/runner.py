@@ -46,6 +46,16 @@ class BenchmarkResult:
         )
 
 
+def _append_run_row(
+    spark: SparkSession, results_path: str, row: dict
+) -> None:
+    spark.createDataFrame(
+        [tuple(row.values())],
+        "run_id int, root long, bfs_time double,"
+        " validate_time double, edge_count double, teps double",
+    ).write.mode("append").parquet(results_path)
+
+
 def run_benchmark(
     spark: SparkSession,
     scale: int,
@@ -151,12 +161,11 @@ def run_benchmark(
                 "teps": float(ec) / bfs_time if bfs_time > 0 else 0.0,
             }
             result.runs.append(row)
-            if results_path is not None:
-                spark.createDataFrame(
-                    [tuple(row.values())],
-                    "run_id int, root long, bfs_time double,"
-                    " validate_time double, edge_count double, teps double",
-                ).write.mode("append").parquet(results_path)
+            # Batched mode defers the append: validate_time is only
+            # final after the batched wall is amortized below, and an
+            # eager write would persist permanently-understated rows.
+            if results_path is not None and not batched_validation:
+                _append_run_row(spark, results_path, row)
         if batched_validation:
             kept_preds.append(pred_all)  # unpersisted after the pass
         else:
@@ -176,6 +185,9 @@ def run_benchmark(
         per_run = (time.monotonic() - t1) / max(1, len(result.runs))
         for row in result.runs:
             row["validate_time"] += per_run
+        if results_path is not None:
+            for row in result.runs:
+                _append_run_row(spark, results_path, row)
         for p in kept_preds:
             p.unpersist()
 

@@ -43,3 +43,43 @@ def test_negative_samples_are_nonedges(spark):
     # determinism
     out2 = {(r["u"], r["v"]) for r in negative_edge_samples(edges).collect()}
     assert out == out2
+
+
+def test_negative_samples_k_multiplies_yield(spark):
+    """k>1 yields more negatives (k slots per vertex), every pair is
+    still a valid non-edge, slot 0 keeps the legacy k=1 output, and
+    the engine matches the SQL oracle at k=8."""
+    import duckdb
+
+    from graph500_spark.operators.graph_build import (
+        negative_edge_samples_sql,
+    )
+
+    und = [(i, (i + 1) % 40) for i in range(40)]  # 40-cycle
+    sym = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(sym, "src: long, dst: long")
+    edge_set = {(min(a, b), max(a, b)) for a, b in und}
+    verts = set(range(40))
+
+    k1 = {(r["u"], r["v"]) for r in negative_edge_samples(edges).collect()}
+    k8 = {
+        (r["u"], r["v"])
+        for r in negative_edge_samples(edges, k=8).collect()
+    }
+    assert k1 <= k8  # slot 0 preserved
+    # 8 slots over 40 vertices: demand a real multiple after dedup
+    # and the edge anti-join (ratio-of-negatives check)
+    assert len(k8) >= 4 * len(k1)
+    for u, v in k8:
+        assert u < v and u in verts and v in verts
+        assert (u, v) not in edge_set
+
+    vals = ", ".join(f"({a}, {b})" for a, b in sym)
+    clean = f"SELECT * FROM (VALUES {vals}) AS t(src, dst)"
+    got = {
+        (int(u), int(v))
+        for u, v in duckdb.sql(
+            negative_edge_samples_sql(clean, k=8)
+        ).fetchall()
+    }
+    assert got == k8
