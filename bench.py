@@ -320,14 +320,34 @@ def main() -> int:
             lambda: Q.q_negative_edge_samples(spark, sf_dir).count(),
     }
 
+    # Measured-variance rows (round-8 postmortem: louvain_multilevel
+    # recorded 29.2s in the committed baseline where two same-day runs
+    # with identical code gave 11.6-12s — driver-side GC/scheduling
+    # noise, not plan drift). The multi-round iterative entries launch
+    # hundreds of short stages, so one GC pause lands in every rep of
+    # a min-of-2; they get min-of-3 plus an explicit JVM GC hint
+    # before each rep so the committed baseline (the 2x gate's
+    # denominator) reproduces within ~15% across same-session runs.
+    _MIN_OF_3 = {
+        "louvain_multilevel",
+        "louvain_communities",
+        "betweenness_sampled",
+        "min_spanning_forest",
+        "strongly_connected_components",
+        "closeness_sampled",
+    }
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in bench_queries.items():
         if fn is None:
             best = mod997_construct_sec
         else:
+            reps = 3 if name in _MIN_OF_3 else 2
             best = float("inf")
-            for _ in range(2):
+            for _ in range(reps):
+                if name in _MIN_OF_3:
+                    spark.sparkContext._jvm.System.gc()
                 t0 = time.monotonic()
                 fn()
                 best = min(best, time.monotonic() - t0)
@@ -354,7 +374,8 @@ def main() -> int:
         "heavy_total_sec": round(_heavy_seconds(heavy), 3),
         "streaming": streaming,
         "timing_note": (
-            "min-of-2 steady-state; construction timed"
+            "min-of-2 steady-state (min-of-3 + GC hint for the"
+            " measured-variance iterative rows); construction timed"
             " separately (construction, construction_mod997);"
             " dedup-family entries are warm-cache;"
             " heavy tier is cold single-shot data-bound"
@@ -470,12 +491,16 @@ def _heavy_tier(spark, sf_dir: str) -> dict[str, float]:
     # hub-quadratic wedge join shows up as one straggler task.
     # Skippable via SPARK_GRAFT_BENCH_HUBSTRESS=0.
     if os.environ.get("SPARK_GRAFT_BENCH_HUBSTRESS", "1") != "0":
+        from graph500_spark.operators.graphlets import graphlet_census_4
         from graph500_spark.operators.linkpred import adamic_adar_topk
         from graph500_spark.operators.triangles import (
             four_cycle_count,
             k_truss,
             triangle_counts,
         )
+
+        def _graphlet_census(g):
+            return graphlet_census_4(g).collect()
 
         g14 = build_clean_edges(
             generate_kronecker_edges(spark, 14, 16)
@@ -499,6 +524,15 @@ def _heavy_tier(spark, sf_dir: str) -> dict[str, float]:
             (
                 "hub_four_cycle_s14",
                 lambda: four_cycle_count(g14).collect(),
+            ),
+            # round 9: the full 4-graphlet census shares the salted
+            # C4 wedge machinery + the K4 chain; it has no sf0.1 row
+            # by policy (README: K4 is O(|E|^1.5), ~45s on the dense
+            # derived graph), so this is its only perf guard.
+            # Expected ~2x the four_cycle + four_clique rows at s14.
+            (
+                "hub_graphlet_census_s14",
+                lambda: _graphlet_census(g14),
             ),
         ):
             mark = _stage_mark(spark)

@@ -642,3 +642,140 @@ def dedup_rate_by_source_sql() -> str:
         " ROUND((n_docs - n_distinct_texts) / CAST(n_docs AS DOUBLE), 6)"
         " AS dup_rate FROM per"
     )
+
+
+# ---------------------------------------------------------------------------
+# Ingest-order novelty curve + near-dup cluster representatives
+# ---------------------------------------------------------------------------
+
+NOVELTY_BUCKETS = 10
+
+
+def gram_novelty(
+    docs: DataFrame, n: int = DECON_N, buckets: int = NOVELTY_BUCKETS
+) -> DataFrame:
+    """[bucket, n_grams, n_novel, novel_ppm] — the marginal-value
+    curve of a corpus in ingest order: docs are split into `buckets`
+    equal doc_id ranges, and each bucket reports how many of its
+    distinct token n-grams were never seen in any earlier bucket
+    (gram first-occurrence = MIN(doc_id) over the whole corpus).
+    A novelty rate that collapses toward 0 in late buckets says new
+    data is mostly re-crawl — the curve that decides when collecting
+    more of a source stops paying.
+
+    Plan: per-doc distinct gram hashes exploded inside the scan; ONE
+    gram-keyed shuffle computes both the per-bucket distinct counts
+    and the first-occurrence bucket (MIN over doc ids, then bucket
+    arithmetic) — the novel count is a second tiny aggregate over the
+    gram table. Bucket width comes from one scalar MAX(doc_id)
+    broadcast (the negative_edge_samples pattern). At 100 TB: the
+    gram shuffle is the only full-data exchange; everything after is
+    per-gram rows."""
+    grams = docs.select(
+        "doc_id", F.explode(F.expr(dd.spark_shingle_hashes(n))).alias("g")
+    )
+    mx = docs.agg(F.max("doc_id").alias("m"))
+    # integer floor division in BOTH engines (double-division + cast
+    # would round in DuckDB but truncate in Spark)
+    gb = grams.crossJoin(F.broadcast(mx)).select(
+        "g",
+        F.expr(f"(doc_id * {buckets}) div (m + 1)")
+        .cast("long")
+        .alias("bucket"),
+    )
+    # one (gram) shuffle: per-gram first bucket + the bucket set
+    per_gram = gb.groupBy("g").agg(
+        F.min("bucket").alias("first_bucket"),
+        F.collect_set("bucket").alias("bks"),
+    )
+    per_bucket = per_gram.select(
+        F.explode("bks").alias("bucket"), "first_bucket"
+    ).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum(
+            (F.col("first_bucket") == F.col("bucket")).cast("long")
+        ).cast("long").alias("n_novel"),
+    )
+    return per_bucket.select(
+        "bucket",
+        "n_grams",
+        "n_novel",
+        F.expr(
+            "(1000000 * n_novel + n_grams div 2) div n_grams"
+        ).cast("long").alias("novel_ppm"),
+    )
+
+
+def gram_novelty_sql(
+    n: int = DECON_N, buckets: int = NOVELTY_BUCKETS
+) -> str:
+    return (
+        f"WITH grams AS (SELECT doc_id,"
+        f" unnest({dd.duck_shingle_hashes(n)}) AS g FROM documents),"
+        " mx AS (SELECT MAX(doc_id) AS m FROM documents),"
+        " gb AS (SELECT g, CAST((doc_id"
+        f" * {buckets}) // (mx.m + 1) AS BIGINT) AS bucket"
+        " FROM grams, mx),"
+        " per_gram AS (SELECT g, bucket,"
+        " MIN(MIN(bucket)) OVER (PARTITION BY g) AS first_bucket"
+        " FROM gb GROUP BY g, bucket),"
+        " per_bucket AS (SELECT bucket,"
+        " CAST(COUNT(*) AS BIGINT) AS n_grams,"
+        " CAST(SUM(CASE WHEN first_bucket = bucket THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS n_novel"
+        " FROM per_gram GROUP BY bucket)"
+        " SELECT bucket, n_grams, n_novel,"
+        " CAST((1000000 * n_novel + n_grams // 2) // n_grams AS BIGINT)"
+        " AS novel_ppm FROM per_bucket"
+    )
+
+
+def cluster_representatives(
+    spark, docs: DataFrame, jaccard_threshold: float = NEAR_DUP_JACCARD
+) -> DataFrame:
+    """[cluster, rep_doc_id, n_members] — one canonical document per
+    near-duplicate cluster: the longest member (n_chars), ties to the
+    smallest doc_id. This is the SERVING side of dup_clusters — the
+    op that turns a duplicate-cluster labeling into the deduplicated
+    corpus (keep rep_doc_id, drop the rest), keeping the best copy
+    instead of an arbitrary one.
+
+    Plan: the dup_clusters labeling (LSH-bounded near-dup pairs + CC
+    over the dup-density-bounded subgraph) joined back to doc
+    metadata, then ONE cluster-keyed max_by aggregate — no window, no
+    sort; the argmax is a (len, -doc_id) struct max with map-side
+    partials."""
+    cl = dup_clusters(spark, docs, jaccard_threshold)
+    m = cl.join(docs.select("doc_id", "n_chars"), "doc_id")
+    return (
+        m.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.max(
+                F.struct(
+                    F.col("n_chars").alias("len"),
+                    (-F.col("doc_id")).alias("neg_id"),
+                )
+            ).alias("best"),
+        )
+        .select(
+            "cluster",
+            (-F.col("best.neg_id")).cast("long").alias("rep_doc_id"),
+            "n_members",
+        )
+    )
+
+
+def cluster_representatives_sql(
+    jaccard_threshold: float = NEAR_DUP_JACCARD,
+) -> str:
+    return (
+        f"WITH cl AS ({dup_clusters_sql(jaccard_threshold)}),"
+        " m AS (SELECT cl.cluster, cl.doc_id, d.n_chars"
+        " FROM cl JOIN documents d USING (doc_id))"
+        " SELECT cluster,"
+        " CAST(-(MAX([n_chars, -doc_id])[2]) AS BIGINT)"
+        " AS rep_doc_id,"
+        " CAST(COUNT(*) AS BIGINT) AS n_members"
+        " FROM m GROUP BY cluster"
+    )

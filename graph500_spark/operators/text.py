@@ -18,7 +18,7 @@ pipeline with any downstream groupBy in one stage.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 TOKEN_REGEX = "[A-Za-z0-9]+"
@@ -976,3 +976,99 @@ DEDUP_DOC_LINES_SQL = (
     " CAST(len(ls) AS BIGINT) AS n_lines,"
     " CAST(len(ls) - len(kept) AS BIGINT) AS n_removed FROM k"
 )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit
+# ---------------------------------------------------------------------------
+
+
+def zipf_slope(docs: DataFrame, top_n: int = 500) -> DataFrame:
+    """One-row Zipf's-law fit over the corpus token rank-frequency
+    curve: [n_fit, slope, intercept] — the OLS line through
+    (ln rank, ln count) for the top_n most frequent tokens. Natural
+    text gives slope ≈ −1; a much flatter slope flags synthetic /
+    templated corpora, a steeper one flags boilerplate domination —
+    the corpus-health sibling of hapax_stats at the head of the
+    distribution instead of the tail.
+
+    Determinism discipline: the per-row logs are quantized to integer
+    micro-nats (x_q = round(10^6 ln rank), y_q = round(10^6 ln c) —
+    one log per row, no float accumulation), the OLS moments are
+    exact integer sums (DECIMAL(38,0) for the x·y / x·x products,
+    which exceed int64 at 10^6 quantization), and slope/intercept are
+    single double expressions at the end, rounded to 6 (the
+    embedding_dim_stats convention).
+
+    Plan: one token-count shuffle (map-side partials absorb the Zipf
+    skew) → distributed TakeOrdered for the top_n rows (count desc,
+    token asc — fully deterministic) → rank via row_number over the
+    top_n-row result (the window is over the REDUCED table, never the
+    vocabulary) → one tiny aggregate. At 100 TB the only full-data
+    exchange is the token count."""
+    tok = docs.select(F.explode(F.expr(SPARK_TOKENS)).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    top = counts.orderBy(
+        F.col("c").desc(), F.col("token").asc()
+    ).limit(top_n)
+    w = Window.orderBy(F.col("c").desc(), F.col("token").asc())
+    xy = top.withColumn("rank", F.row_number().over(w)).select(
+        F.round(F.log("rank") * PPL_SCALE).cast("long").alias("x_q"),
+        F.round(F.log("c") * PPL_SCALE).cast("long").alias("y_q"),
+    )
+    agg = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x_q").cast("decimal(38,0)").alias("sx"),
+        F.sum("y_q").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x_q").cast("decimal(38,0)") * F.col("y_q")).alias(
+            "sxy"
+        ),
+        F.sum(F.col("x_q").cast("decimal(38,0)") * F.col("x_q")).alias(
+            "sxx"
+        ),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") / F.col("n")
+        - slope * F.col("sx").cast("double") / F.col("n")
+    ) / float(PPL_SCALE)
+    return agg.select(
+        F.col("n").alias("n_fit"),
+        F.round(slope, 6).cast("double").alias("slope"),
+        F.round(intercept, 6).cast("double").alias("intercept"),
+    )
+
+
+def zipf_slope_sql(top_n: int = 500) -> str:
+    return (
+        f"WITH tok AS (SELECT unnest({DUCK_TOKENS}) AS token"
+        " FROM documents),"
+        " counts AS (SELECT token, COUNT(*) AS c FROM tok"
+        " GROUP BY token),"
+        " top_n AS (SELECT c FROM counts"
+        f" ORDER BY c DESC, token ASC LIMIT {top_n}),"
+        " xy AS (SELECT"
+        " CAST(round(ln(ROW_NUMBER() OVER (ORDER BY c DESC))"
+        f" * {PPL_SCALE}) AS BIGINT) AS x_q,"
+        f" CAST(round(ln(c) * {PPL_SCALE}) AS BIGINT) AS y_q"
+        " FROM top_n),"
+        " agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,"
+        " CAST(SUM(x_q) AS DECIMAL(38,0)) AS sx,"
+        " CAST(SUM(y_q) AS DECIMAL(38,0)) AS sy,"
+        " SUM(CAST(x_q AS DECIMAL(38,0)) * y_q) AS sxy,"
+        " SUM(CAST(x_q AS DECIMAL(38,0)) * x_q) AS sxx FROM xy)"
+        " SELECT n AS n_fit,"
+        " ROUND(CAST(n * sxy - sx * sy AS DOUBLE)"
+        " / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,"
+        " ROUND((CAST(sy AS DOUBLE) / n"
+        " - CAST(n * sxy - sx * sy AS DOUBLE)"
+        " / CAST(n * sxx - sx * sx AS DOUBLE)"
+        f" * CAST(sx AS DOUBLE) / n) / {PPL_SCALE}, 6) AS intercept"
+        " FROM agg"
+    )

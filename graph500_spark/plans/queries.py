@@ -4394,3 +4394,61 @@ QUERIES.update({"negative_edge_samples_k8": q_negative_edge_samples_k8})
 ORACLE_SQL["negative_edge_samples_k8"] = gb.negative_edge_samples_sql(
     _CLEAN_MOD997, k=8
 )
+
+
+def q_zipf_slope(spark, sf_dir):
+    """Zipf rank-frequency OLS fit over the corpus token distribution
+    (top-500 head): one token-count shuffle + distributed TakeOrdered;
+    quantized-log integer moments, DECIMAL(38,0) products."""
+    return text_mod.zipf_slope(_docs(spark, sf_dir))
+
+
+QUERIES.update({"zipf_slope": q_zipf_slope})
+ORACLE_SQL["zipf_slope"] = text_mod.zipf_slope_sql()
+
+
+def q_gram_novelty(spark, sf_dir):
+    """Ingest-order novelty curve: per doc_id-decile fraction of
+    distinct 5-grams first seen in that decile — ONE gram-keyed
+    shuffle computes first-occurrence and per-bucket distincts."""
+    return corpus_mod.gram_novelty(_docs(spark, sf_dir))
+
+
+QUERIES.update({"gram_novelty": q_gram_novelty})
+ORACLE_SQL["gram_novelty"] = corpus_mod.gram_novelty_sql()
+
+
+def q_cluster_representatives(spark, sf_dir):
+    """Canonical doc per near-dup cluster (longest member, ties to
+    min doc_id): dup_clusters labeling + one cluster-keyed struct-max
+    aggregate — the op that turns cluster labels into the
+    deduplicated corpus."""
+    return corpus_mod.cluster_representatives(spark, _docs(spark, sf_dir))
+
+
+QUERIES.update({"cluster_representatives": q_cluster_representatives})
+ORACLE_SQL["cluster_representatives"] = (
+    corpus_mod.cluster_representatives_sql()
+)
+
+
+def q_embedding_int8_quant(spark, sf_dir):
+    """Per-dimension symmetric int8 quantization + reconstruction
+    error audit: two 64-key hash aggs; per-row picounit-quantized
+    squared error keeps the sums exact."""
+    return simsearch_mod.embedding_int8_quant(_embs(spark, sf_dir))
+
+
+QUERIES.update({"embedding_int8_quant": q_embedding_int8_quant})
+ORACLE_SQL["embedding_int8_quant"] = simsearch_mod.embedding_int8_quant_sql()
+
+
+def q_mmr_diverse_topk(spark, sf_dir):
+    """Diversity-aware retrieval (greedy MMR, lambda=1/2 exact in
+    integers: score2 = 2*rel - max_sim): distributed candidate top-m +
+    m x m sims, bounded m-row driver greedy; unrolled-CTE oracle."""
+    return simsearch_mod.mmr_diverse_topk(_embs(spark, sf_dir))
+
+
+QUERIES.update({"mmr_diverse_topk": q_mmr_diverse_topk})
+ORACLE_SQL["mmr_diverse_topk"] = simsearch_mod.mmr_diverse_topk_sql()
