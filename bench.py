@@ -318,6 +318,23 @@ def main() -> int:
         "part_skyline": lambda: Q.q_part_skyline(spark, sf_dir).count(),
         "negative_edge_samples":
             lambda: Q.q_negative_edge_samples(spark, sf_dir).count(),
+        # round-9 additions (cluster_representatives is NOT separately
+        # benched: it is dup_clusters + one agg, and the dup_clusters
+        # machinery is already covered by split_by_cluster/dup_clusters
+        # rows; mmr_diverse_topk is bounded by cosine_topk's corpus
+        # pass + a 32-row driver finish, benched to pin that bound)
+        "zipf_slope": lambda: Q.q_zipf_slope(spark, sf_dir).count(),
+        "gram_novelty": lambda: Q.q_gram_novelty(spark, sf_dir).count(),
+        "embedding_int8_quant":
+            lambda: Q.q_embedding_int8_quant(spark, sf_dir).count(),
+        "mmr_diverse_topk":
+            lambda: Q.q_mmr_diverse_topk(spark, sf_dir).count(),
+        "negative_edge_samples_k8":
+            lambda: Q.q_negative_edge_samples_k8(spark, sf_dir).count(),
+        "markov_stationary":
+            lambda: Q.q_markov_stationary(spark, sf_dir).count(),
+        "event_value_ecdf":
+            lambda: Q.q_event_value_ecdf(spark, sf_dir).count(),
     }
 
     # Measured-variance rows (round-8 postmortem: louvain_multilevel

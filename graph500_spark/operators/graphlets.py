@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from graph500_spark.functions.plantrunc import truncate_plan
 from graph500_spark.operators.triangles import (
     _c4_wedge_counts,
+    _k4_hinge_count,
     orient_edges,
 )
 
@@ -145,16 +146,9 @@ def graphlet_census_4(edges_clean: DataFrame) -> DataFrame:
         ).alias("n_diamonds")
     )
 
-    # --- 4-cliques: oriented chain + common out-neighbor ---
-    ad = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("d"))
-    bd = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("d"))
-    cd = oriented.select(F.col("lo").alias("c"), F.col("hi").alias("d"))
-    k4 = (
-        tri.join(ad, "a")
-        .join(bd, ["b", "d"], "left_semi")
-        .join(cd, ["c", "d"], "left_semi")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_4cliques"))
-    )
+    # --- 4-cliques: hinge pairing of oriented triangles (round 9 —
+    # replaces the kClist extension chain; see _k4_hinge_count) ---
+    k4 = _k4_hinge_count(oriented, tri, deg, "n_4cliques")
 
     out = (
         stars.crossJoin(paths)

@@ -538,39 +538,77 @@ def adamic_adar_topk_sql(clean_sql: str, k: int = 100) -> str:
     )
 
 
+def _k4_hinge_count(
+    oriented: DataFrame, tri: DataFrame, deg: DataFrame, alias: str
+) -> DataFrame:
+    """One-row [alias] — K4 count from an oriented-triangle table via
+    the HINGE plan: pair triangles sharing their (a, b) prefix (the
+    K4's two orientation-smallest vertices), order the third corners
+    by the SAME (degree, id) key orient_edges uses, and semi-join the
+    (c1, c2) pair against the oriented edge list. Every K4 {w≺x≺y≺z}
+    is counted exactly once — at hinge (w, x), as the pair (y, z).
+
+    Why hinge instead of the kClist extension chain (tri ⋈ out(a)
+    semi out(b) semi out(c)): the extension materializes
+    Σ_tri outdeg(a) rows before filtering — 223M on Kronecker s14,
+    measured 22-34s with EVERY task uniformly busy (not skew: AQE
+    coalesces the small-bytes tri exchange while the in-task
+    expansion is 80× larger). The hinge candidate volume is
+    Σ_(a,b) C(t_ab, 2) = 39M on the same graph — bounded per hinge by
+    C(outdeg, 2) since t_ab ≤ outdeg(a) — measured 7.5s, max task
+    5.4s, identical count (PLANS.md round 9). Both are O(|E|^{3/2});
+    the hinge form's constant tracks the diamond count instead of the
+    triangle-times-outdegree product."""
+    trid = tri.join(
+        deg.select(F.col("vertex").alias("c"), F.col("degree").alias("dc")),
+        "c",
+    )
+    u1 = trid.select(
+        "a", "b", F.col("c").alias("c1"), F.col("dc").alias("d1")
+    )
+    u2 = trid.select(
+        "a", "b", F.col("c").alias("c2"), F.col("dc").alias("d2")
+    )
+    cd = oriented.select(F.col("lo").alias("c1"), F.col("hi").alias("c2"))
+    return (
+        u1.join(u2, ["a", "b"])
+        .filter(F.struct("d1", "c1") < F.struct("d2", "c2"))
+        .join(cd, ["c1", "c2"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias(alias))
+    )
+
+
 def four_clique_count(edges_clean: DataFrame) -> DataFrame:
     """[n_four_cliques] — global count of K4 subgraphs, the densest
     4-vertex graphlet (graph-ML feature / community-density signal).
 
-    Degree-oriented DAG enumeration (the kClist pattern, extending the
-    Suri–Vassilvitskii triangle orientation one level): in the
-    acyclic orientation every K4 appears as exactly ONE ordered chain
-    a→b→c plus a common out-neighbor d of all three, so the count is
-    triangles ⋈ out(a) semi-joined against out(b) and out(c). Wedge
-    and extension volumes stay within the oriented out-degree bound
-    O(√|E|) per vertex — hub-safe where a naive 6-way edge join is
-    hub-quartic. The oriented table is materialized once via
-    truncate_plan (it feeds all six join branches; plain persist()
-    with no unpersist would accumulate cached copies across the
-    bench's repeated runs — superseded checkpoint blocks are instead
-    reclaimed by the ContextCleaner when the frame goes out of
-    scope)."""
+    Degree-oriented hinge enumeration: every K4 appears exactly once
+    as a pair of oriented triangles sharing the K4's two
+    orientation-smallest vertices, with the larger-corner pair closed
+    by an oriented edge (see _k4_hinge_count for the plan rationale
+    vs the kClist extension chain it replaced in round 9). Candidate
+    volume is bounded by C(outdeg, 2) per hinge — hub-safe where a
+    naive 6-way edge join is hub-quartic. The oriented table is
+    materialized once via truncate_plan (it feeds multiple join
+    branches; plain persist() with no unpersist would accumulate
+    cached copies across the bench's repeated runs — superseded
+    checkpoint blocks are instead reclaimed by the ContextCleaner
+    when the frame goes out of scope)."""
+    deg = edges_clean.groupBy(F.col("src").alias("vertex")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
     oriented = orient_edges(edges_clean).transform(truncate_plan)
     ab = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     bc = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
     ac = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
-    tri = ab.join(bc, "b").join(ac, ["a", "c"], "left_semi")
-    ad = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("d"))
-    bd = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("d"))
-    cd = oriented.select(F.col("lo").alias("c"), F.col("hi").alias("d"))
-    k4 = (
-        tri.join(ad, "a")
-        .join(bd, ["b", "d"], "left_semi")
-        .join(cd, ["c", "d"], "left_semi")
+    # tri feeds BOTH sides of the hinge self-join — materialize it
+    # once (Catalyst does not CSE across plan branches)
+    tri = (
+        ab.join(bc, "b")
+        .join(ac, ["a", "c"], "left_semi")
+        .transform(truncate_plan)
     )
-    return k4.agg(
-        F.count(F.lit(1)).cast("long").alias("n_four_cliques")
-    )
+    return _k4_hinge_count(oriented, tri, deg, "n_four_cliques")
 
 
 def four_clique_count_sql(clean_sql: str) -> str:

@@ -4452,3 +4452,29 @@ def q_mmr_diverse_topk(spark, sf_dir):
 
 QUERIES.update({"mmr_diverse_topk": q_mmr_diverse_topk})
 ORACLE_SQL["mmr_diverse_topk"] = simsearch_mod.mmr_diverse_topk_sql()
+
+
+def q_markov_stationary(spark, sf_dir):
+    """Long-run event-type mix: fixed-point power iteration of the
+    per-user next-event Markov chain (20 supersteps, truncating
+    integer micro-probabilities; broadcast transition table)."""
+    return windows_mod.markov_stationary(
+        spark, td.load_table(spark, sf_dir, "events")
+    )
+
+
+QUERIES.update({"markov_stationary": q_markov_stationary})
+ORACLE_SQL["markov_stationary"] = windows_mod.markov_stationary_sql()
+
+
+def q_event_value_ecdf(spark, sf_dir):
+    """Per-type empirical CDF over cent-quantized values: one
+    (type, value) hash agg -> cumulative window over the compressed
+    distinct-value table; ppm-rounded ratios."""
+    return windows_mod.event_value_ecdf(
+        td.load_table(spark, sf_dir, "events")
+    )
+
+
+QUERIES.update({"event_value_ecdf": q_event_value_ecdf})
+ORACLE_SQL["event_value_ecdf"] = windows_mod.EVENT_VALUE_ECDF_SQL

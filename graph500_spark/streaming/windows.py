@@ -1311,3 +1311,168 @@ def value_histogram_equidepth_sql(k: int = HIST_BUCKETS) -> str:
         " MIN(value) AS min_value, MAX(value) AS max_value"
         " FROM ranked GROUP BY 1, 2"
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary mix + per-type value ECDF
+# ---------------------------------------------------------------------------
+
+MARKOV_SCALE = 1_000_000
+MARKOV_ITERS = 20
+
+
+def markov_stationary(
+    spark: SparkSession, events: DataFrame, n_iterations: int = MARKOV_ITERS
+) -> DataFrame:
+    """[event_type, p_micro] — the long-run event-type mix: power
+    iteration of the per-user next-event Markov chain (the
+    event_type_transitions bigram counts, row-normalized), started
+    uniform, truncated at n_iterations. The steady-state answer to
+    'what does a session converge to?' — next-action priors,
+    simulation seeds, and drift detection against the empirical mix.
+
+    Fixed-point discipline (the katz_centrality convention): p is
+    integer micro-probability; each edge contributes
+    (p(u)·n_uv) div r_u — a truncating integer division both engines
+    spell exactly (div / //), so every superstep's sums are
+    order-free and an unrolled-CTE oracle lands on identical bits.
+    Types with no outgoing transitions shed their mass (absorbing
+    dust, deterministic); total mass stays ≈ 10^6 minus truncation.
+
+    Scale shape: the chain has |event_type| states — the transition
+    table is tiny and BROADCAST by the pregel loop; per superstep the
+    only work is one broadcast join + one |types|-key agg. The one
+    full-data pass is building the bigram counts (a single user-keyed
+    window exchange)."""
+    from graph500_spark.operators.pregel import pregel
+
+    counts = event_type_transitions(events)
+    totals = counts.groupBy("from_type").agg(
+        F.sum("n_transitions").cast("long").alias("r")
+    )
+    edges = counts.join(totals, "from_type").select(
+        F.col("from_type").alias("src"),
+        F.col("to_type").alias("dst"),
+        F.col("n_transitions").cast("long").alias("n"),
+        "r",
+    )
+    types = events.select(F.col("event_type").alias("vertex")).distinct()
+    k = types.count()  # |event_type| — a bounded driver scalar
+    init = types.select(
+        "vertex", F.lit(MARKOV_SCALE // k).cast("long").alias("p_q")
+    )
+    out = pregel(
+        spark,
+        edges,
+        init,
+        send=lambda j: j.select(
+            F.col("dst").alias("vertex"),
+            F.expr("(p_q * n) div r").alias("msg"),
+        ),
+        merge=[F.sum("msg").cast("long").alias("msg")],
+        apply_fn=lambda st, inbox: st.join(inbox, "vertex", "left").select(
+            "vertex",
+            F.coalesce("msg", F.lit(0)).cast("long").alias("p_q"),
+        ),
+        n_supersteps=n_iterations,
+    )
+    return out.select(
+        F.col("vertex").alias("event_type"),
+        F.col("p_q").cast("long").alias("p_micro"),
+    )
+
+
+def markov_stationary_sql(n_iterations: int = MARKOV_ITERS) -> str:
+    parts = [
+        f"WITH counts AS MATERIALIZED ({EVENT_TYPE_TRANSITIONS_SQL}),",
+        " totals AS (SELECT from_type,"
+        " CAST(SUM(n_transitions) AS BIGINT) AS r FROM counts"
+        " GROUP BY from_type),",
+        " ed AS MATERIALIZED (SELECT c.from_type AS src,"
+        " c.to_type AS dst, CAST(c.n_transitions AS BIGINT) AS n, t.r"
+        " FROM counts c JOIN totals t USING (from_type)),",
+        " ty AS MATERIALIZED (SELECT DISTINCT event_type AS vertex"
+        " FROM events),",
+        f" p0 AS MATERIALIZED (SELECT vertex, CAST({MARKOV_SCALE}"
+        " // (SELECT COUNT(*) FROM ty) AS BIGINT) AS p_q FROM ty)",
+    ]
+    for i in range(1, n_iterations + 1):
+        parts.append(
+            f", m{i} AS MATERIALIZED (SELECT e.dst AS vertex,"
+            " CAST(SUM((p.p_q * e.n) // e.r) AS BIGINT) AS msg"
+            f" FROM ed e JOIN p{i - 1} p ON p.vertex = e.src"
+            " GROUP BY e.dst)"
+        )
+        parts.append(
+            f", p{i} AS MATERIALIZED (SELECT t.vertex,"
+            " CAST(COALESCE(m.msg, 0) AS BIGINT) AS p_q"
+            f" FROM ty t LEFT JOIN m{i} m ON m.vertex = t.vertex)"
+        )
+    parts.append(
+        " SELECT vertex AS event_type, p_q AS p_micro"
+        f" FROM p{n_iterations}"
+    )
+    return "".join(parts)
+
+
+def event_value_ecdf(events: DataFrame) -> DataFrame:
+    """[event_type, value_cents, n, cum_n, ecdf_ppm] — the empirical
+    CDF of event values per type (one row per DISTINCT value): the
+    transform behind percentile features, drift tests (KS distance
+    is an ECDF difference), and calibrated thresholds.
+
+    Values quantized to cents (the repo's money convention) so
+    grouping and ordering are exact integers; ecdf = cum_n/total as
+    ONE rounded double expression to ppm. Plan: one (type, value)
+    hash agg compresses the data to distinct values, then a
+    cumulative-sum window per type over the COMPRESSED table plus a
+    broadcast of per-type totals. At 100 TB the window sorts only
+    distinct values per type; if one type's value domain explodes,
+    the standard extension is range-partitioned prefix sums (the
+    part_skyline note)."""
+    from pyspark.sql import Window
+
+    vals = events.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    counts = vals.groupBy("event_type", "value_cents").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value_cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("total")
+    )
+    return (
+        counts.withColumn("cum_n", F.sum("n").over(w).cast("long"))
+        .join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "value_cents",
+            "n",
+            "cum_n",
+            F.round(F.col("cum_n") * 1_000_000 / F.col("total"))
+            .cast("long")
+            .alias("ecdf_ppm"),
+        )
+    )
+
+
+EVENT_VALUE_ECDF_SQL = (
+    "WITH counts AS (SELECT event_type,"
+    " CAST(round(value * 100) AS BIGINT) AS value_cents,"
+    " CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),"
+    " c2 AS (SELECT event_type, value_cents, n,"
+    " CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY value_cents"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+    " AS cum_n,"
+    " CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS total"
+    " FROM counts)"
+    " SELECT event_type, value_cents, n, cum_n,"
+    " CAST(round(cum_n * 1000000 / CAST(total AS DOUBLE)) AS BIGINT)"
+    " AS ecdf_ppm FROM c2"
+)
