@@ -1465,3 +1465,90 @@ def source_drift_psi_sql(dim: int = PSI_DIM) -> str:
         " SELECT source, CAST(SUM(term) AS BIGINT) AS psi_pico"
         " FROM terms GROUP BY source ORDER BY source"
     )
+
+
+def source_top_terms(docs: DataFrame, k: int = 10) -> DataFrame:
+    """[source, term, n_occ, ctfidf_micro, rank] — each source's k most
+    CHARACTERISTIC terms by class-based TF-IDF (the BERTopic c-TF-IDF
+    shape, Grootendorst 2022): treat each source as one class document,
+    score = (c_ts / C_s) · ln(1 + C̄ / f_t) with c_ts the term's count
+    in the source, C_s the source's token total, C̄ the mean source
+    size, f_t the corpus-wide term count. The what-makes-this-source-
+    different readout used for corpus curation and mixture debugging —
+    complements tfidf_top_terms (per-DOC) and source_drift_psi
+    (distributional drift).
+
+    Determinism: the score is ONE double expression per row (a ratio,
+    one log, one product — no float accumulation; all inputs exact
+    integer counts), rounded to micro-units; ties break (score desc,
+    term asc). Plan: one (source, term) count shuffle with map-side
+    partials (Zipf skew absorbed there), corpus term totals by a
+    second term-keyed agg joined back, totals broadcast; top-k via a
+    window PARTITIONED BY source over the per-source vocabulary —
+    never a global sort. At 100 TB the only full-data exchange is the
+    (source, term) count."""
+    tok = docs.select(
+        "source", F.explode(F.expr(SPARK_TOKENS)).alias("term")
+    )
+    cts = tok.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ")
+    )
+    src_tot = cts.groupBy("source").agg(
+        F.sum("n_occ").cast("long").alias("c_s")
+    )
+    term_tot = cts.groupBy("term").agg(
+        F.sum("n_occ").cast("long").alias("f_t")
+    )
+    avg_c = src_tot.agg(
+        (F.sum("c_s") / F.count(F.lit(1))).alias("c_bar")
+    )
+    scored = (
+        cts.join(F.broadcast(src_tot), "source")
+        .join(term_tot, "term")
+        .crossJoin(F.broadcast(avg_c))
+        .select(
+            "source",
+            "term",
+            "n_occ",
+            F.round(
+                F.col("n_occ")
+                / F.col("c_s")
+                * F.log(F.lit(1.0) + F.col("c_bar") / F.col("f_t"))
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("ctfidf_micro"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("ctfidf_micro"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def source_top_terms_sql(k: int = 10) -> str:
+    return (
+        "WITH tok AS (SELECT source,"
+        f" unnest({DUCK_TOKENS}) AS term FROM documents),"
+        " cts AS (SELECT source, term,"
+        " CAST(COUNT(*) AS BIGINT) AS n_occ FROM tok GROUP BY 1, 2),"
+        " st AS (SELECT source, CAST(SUM(n_occ) AS BIGINT) AS c_s"
+        " FROM cts GROUP BY source),"
+        " tt AS (SELECT term, CAST(SUM(n_occ) AS BIGINT) AS f_t"
+        " FROM cts GROUP BY term),"
+        " ac AS (SELECT SUM(c_s) / COUNT(*) AS c_bar FROM st),"
+        " scored AS (SELECT cts.source, cts.term, cts.n_occ,"
+        " CAST(round(cts.n_occ / CAST(st.c_s AS DOUBLE)"
+        "  * ln(1.0 + ac.c_bar / CAST(tt.f_t AS DOUBLE))"
+        "  * 1000000) AS BIGINT) AS ctfidf_micro"
+        " FROM cts JOIN st USING (source) JOIN tt USING (term), ac),"
+        " ranked AS (SELECT source, term, n_occ, ctfidf_micro,"
+        " CAST(ROW_NUMBER() OVER (PARTITION BY source"
+        "  ORDER BY ctfidf_micro DESC, term ASC) AS INTEGER) AS rank"
+        " FROM scored)"
+        " SELECT source, term, n_occ, ctfidf_micro, rank FROM ranked"
+        f" WHERE rank <= {k}"
+    )

@@ -4478,3 +4478,14 @@ def q_event_value_ecdf(spark, sf_dir):
 
 QUERIES.update({"event_value_ecdf": q_event_value_ecdf})
 ORACLE_SQL["event_value_ecdf"] = windows_mod.EVENT_VALUE_ECDF_SQL
+
+
+def q_source_top_terms(spark, sf_dir):
+    """Per-source characteristic terms (c-TF-IDF): one (source, term)
+    count shuffle + per-source window over the reduced vocab; single
+    rounded double score per row."""
+    return traindata_mod.source_top_terms(_docs(spark, sf_dir))
+
+
+QUERIES.update({"source_top_terms": q_source_top_terms})
+ORACLE_SQL["source_top_terms"] = traindata_mod.source_top_terms_sql()
