@@ -335,6 +335,8 @@ def main() -> int:
             lambda: Q.q_markov_stationary(spark, sf_dir).count(),
         "event_value_ecdf":
             lambda: Q.q_event_value_ecdf(spark, sf_dir).count(),
+        "source_top_terms":
+            lambda: Q.q_source_top_terms(spark, sf_dir).count(),
     }
 
     # Measured-variance rows (round-8 postmortem: louvain_multilevel

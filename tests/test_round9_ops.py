@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 from graph500_spark.operators.corpus import (
     cluster_representatives,
     gram_novelty,
@@ -121,3 +123,26 @@ def test_mmr_prefers_diversity(spark):
         by_rank[2]["score2_micro"]
         == 2 * by_rank[2]["rel_micro"] - 1_000_000
     )
+
+
+def test_source_top_terms_characteristic(spark):
+    from graph500_spark.operators.traindata import source_top_terms
+
+    # source A is about cats, source B about dogs; shared filler
+    # words score below the class-specific ones.
+    docs = _docs(
+        spark,
+        [
+            (1, "cat cat cat the the"),
+            (2, "dog dog dog the the"),
+        ],
+    )
+    # reassign sources (the _docs helper pins source='s')
+    docs = docs.withColumn(
+        "source",
+        (F.col("doc_id") % 2 == 1).cast("int").cast("string"),
+    )
+    rows = source_top_terms(docs, k=1).collect()
+    top = {r["source"]: r["term"] for r in rows}
+    assert set(top.values()) <= {"cat", "dog"}
+    assert len(set(top.values())) == 2
