@@ -1490,8 +1490,13 @@ def source_top_terms(docs: DataFrame, k: int = 10) -> DataFrame:
     tok = docs.select(
         "source", F.explode(F.expr(SPARK_TOKENS)).alias("term")
     )
-    cts = tok.groupBy("source", "term").agg(
-        F.count(F.lit(1)).cast("long").alias("n_occ")
+    # cts feeds THREE branches (source totals, term totals, scoring);
+    # materialize so the tokenize+count pass runs once, not three
+    # times (Catalyst does not CSE across plan branches)
+    cts = (
+        tok.groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+        .transform(truncate_plan)
     )
     src_tot = cts.groupBy("source").agg(
         F.sum("n_occ").cast("long").alias("c_s")
