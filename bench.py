@@ -337,6 +337,8 @@ def main() -> int:
             lambda: Q.q_event_value_ecdf(spark, sf_dir).count(),
         "source_top_terms":
             lambda: Q.q_source_top_terms(spark, sf_dir).count(),
+        "ks_source_drift":
+            lambda: Q.q_ks_source_drift(spark, sf_dir).count(),
     }
 
     # Measured-variance rows (round-8 postmortem: louvain_multilevel

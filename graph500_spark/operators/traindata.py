@@ -1557,3 +1557,125 @@ def source_top_terms_sql(k: int = 10) -> str:
         " SELECT source, term, n_occ, ctfidf_micro, rank FROM ranked"
         f" WHERE rank <= {k}"
     )
+
+
+def ks_source_drift(docs: DataFrame) -> DataFrame:
+    """[source, n_source, ks_ppm, at_value] — the two-sample
+    Kolmogorov-Smirnov distance between each source's document-length
+    distribution (n_chars) and the whole corpus: D_s = sup_x
+    |F_s(x) − F_all(x)|, the standard drift test a data pipeline runs
+    per ingest source (the ECDF-difference sibling of
+    source_drift_psi's binned PSI). at_value is the length where the
+    sup is attained (ties to the smallest), n_source the source's doc
+    count.
+
+    EXACT integer sup: the supremum of an ECDF difference is attained
+    at a sample point, and with cum_s, cum_all, n_s, n_all all
+    integers, |F_s − F_all| at x orders identically to
+    |cum_s(x)·n_all − cum_all(x)·n_s| (the positive denominator
+    n_s·n_all is constant per source) — so the argmax is an integer
+    comparison with no float rounding anywhere in the selection;
+    ks_ppm is ONE rounded double division on the winning row.
+
+    Plan: one (source, value) count shuffle compresses the data; the
+    per-source ECDF needs cum counts at EVERY corpus-distinct value,
+    so the distinct-value table is crossed with the (tiny, broadcast)
+    source list and left-joined — |V|·|S| rows, windowed cumsums per
+    source and for the corpus over the COMPRESSED value domain; the
+    argmax is one more per-source window. At 100 TB: the count
+    shuffle is the only full-data exchange; if one source's value
+    domain explodes, the standard extension is range-partitioned
+    prefix sums (the part_skyline note)."""
+    vals = docs.select("source", F.col("n_chars").cast("long").alias("x"))
+    sv = vals.groupBy("source", "x").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).transform(truncate_plan)
+    corpus = sv.groupBy("x").agg(F.sum("c").cast("long").alias("c_all"))
+    n_all_df = sv.agg(F.sum("c").cast("long").alias("n_all"))
+    n_s = sv.groupBy("source").agg(F.sum("c").cast("long").alias("n_s"))
+    sources = n_s.select("source")
+    grid = corpus.crossJoin(F.broadcast(sources)).join(
+        sv, ["source", "x"], "left"
+    ).select(
+        "source",
+        "x",
+        "c_all",
+        F.coalesce("c", F.lit(0)).cast("long").alias("c_s"),
+    )
+    w_s = (
+        Window.partitionBy("source")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "source",
+        "x",
+        F.sum("c_s").over(w_s).cast("long").alias("cum_s"),
+        F.sum("c_all").over(w_s).cast("long").alias("cum_all"),
+    )
+    scored = (
+        cum.join(F.broadcast(n_s), "source")
+        .crossJoin(F.broadcast(n_all_df))
+        .select(
+            "source",
+            "x",
+            "n_s",
+            "n_all",
+            F.abs(
+                F.col("cum_s") * F.col("n_all")
+                - F.col("cum_all") * F.col("n_s")
+            ).alias("num"),
+        )
+    )
+    w_max = Window.partitionBy("source").orderBy(
+        F.desc("num"), F.asc("x")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w_max))
+        .filter(F.col("rk") == 1)
+        .select(
+            "source",
+            F.col("n_s").alias("n_source"),
+            F.round(
+                F.col("num")
+                * 1_000_000
+                / (F.col("n_s").cast("double") * F.col("n_all"))
+            )
+            .cast("long")
+            .alias("ks_ppm"),
+            F.col("x").alias("at_value"),
+        )
+    )
+
+
+def ks_source_drift_sql() -> str:
+    return (
+        "WITH sv AS (SELECT source, CAST(n_chars AS BIGINT) AS x,"
+        " CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2),"
+        " corpus AS (SELECT x, CAST(SUM(c) AS BIGINT) AS c_all"
+        " FROM sv GROUP BY x),"
+        " na AS (SELECT CAST(SUM(c) AS BIGINT) AS n_all FROM sv),"
+        " ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s"
+        " FROM sv GROUP BY source),"
+        " grid AS (SELECT ns.source, corpus.x, corpus.c_all,"
+        " CAST(COALESCE(sv.c, 0) AS BIGINT) AS c_s"
+        " FROM corpus CROSS JOIN ns"
+        " LEFT JOIN sv ON sv.source = ns.source AND sv.x = corpus.x),"
+        " cum AS (SELECT source, x,"
+        " CAST(SUM(c_s) OVER (PARTITION BY source ORDER BY x"
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        " AS BIGINT) AS cum_s,"
+        " CAST(SUM(c_all) OVER (PARTITION BY source ORDER BY x"
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        " AS BIGINT) AS cum_all FROM grid),"
+        " scored AS (SELECT cum.source, cum.x, ns.n_s, na.n_all,"
+        " abs(cum.cum_s * na.n_all - cum.cum_all * ns.n_s) AS num"
+        " FROM cum JOIN ns ON ns.source = cum.source, na),"
+        " ranked AS (SELECT source, x, n_s, n_all, num,"
+        " ROW_NUMBER() OVER (PARTITION BY source"
+        "  ORDER BY num DESC, x ASC) AS rk FROM scored)"
+        " SELECT source, n_s AS n_source,"
+        " CAST(round(num * 1000000"
+        "  / (CAST(n_s AS DOUBLE) * n_all)) AS BIGINT) AS ks_ppm,"
+        " x AS at_value FROM ranked WHERE rk = 1"
+    )

@@ -4489,3 +4489,15 @@ def q_source_top_terms(spark, sf_dir):
 
 QUERIES.update({"source_top_terms": q_source_top_terms})
 ORACLE_SQL["source_top_terms"] = traindata_mod.source_top_terms_sql()
+
+
+def q_ks_source_drift(spark, sf_dir):
+    """Per-source two-sample KS distance on doc length vs the corpus:
+    integer-exact sup selection (|cum_s*n_all - cum_all*n_s| argmax),
+    one (source, value) count shuffle, windows over the compressed
+    value domain."""
+    return traindata_mod.ks_source_drift(_docs(spark, sf_dir))
+
+
+QUERIES.update({"ks_source_drift": q_ks_source_drift})
+ORACLE_SQL["ks_source_drift"] = traindata_mod.ks_source_drift_sql()

@@ -146,3 +146,25 @@ def test_source_top_terms_characteristic(spark):
     top = {r["source"]: r["term"] for r in rows}
     assert set(top.values()) <= {"cat", "dog"}
     assert len(set(top.values())) == 2
+
+
+def test_ks_source_drift_hand_computed(spark):
+    from graph500_spark.operators.traindata import ks_source_drift
+
+    # source A lengths {1,2}, source B lengths {10,20}; corpus
+    # F_all at x=2 is 0.5 while F_A(2)=1.0 and F_B(2)=0 -> both
+    # sources attain D=0.5, A at x=2 (sup of F_A-F_all), B at x=2
+    # as well (|0 - 0.5|).
+    rows = [
+        (1, "a", "en", "A", 1),
+        (2, "bb", "en", "A", 2),
+        (3, "c" * 10, "en", "B", 10),
+        (4, "d" * 20, "en", "B", 20),
+    ]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    got = {
+        r["source"]: (r["n_source"], r["ks_ppm"], r["at_value"])
+        for r in ks_source_drift(docs).collect()
+    }
+    assert got["A"] == (2, 500000, 2)
+    assert got["B"] == (2, 500000, 2)
