@@ -1613,7 +1613,12 @@ def embedding_int8_quant(embeddings: DataFrame) -> DataFrame:
     amax = ex.groupBy("dim").agg(F.max(F.abs(F.col("x"))).alias("amax"))
     lv = float(INT8_LEVELS)
     q = F.round(F.col("x") * lv / F.col("amax"))
-    err = F.col("x") - q * F.col("amax") / lv
+    # amax == 0 means a constant-zero dimension: quantization is
+    # lossless there, and without the guard the x/amax division
+    # NULLs the whole dim's error sum in both engines
+    err = F.when(F.col("amax") == 0, F.lit(0.0)).otherwise(
+        F.col("x") - q * F.col("amax") / lv
+    )
     per_row = ex.join(F.broadcast(amax), "dim").select(
         "dim",
         F.round(err * err * ERR_SCALE).cast("long").alias("e2"),
@@ -1643,9 +1648,10 @@ def embedding_int8_quant_sql() -> str:
         " amax AS (SELECT dim, MAX(abs(x)) AS amax FROM ex"
         " GROUP BY dim),"
         " per_row AS (SELECT ex.dim,"
+        " CASE WHEN amax = 0 THEN CAST(0 AS BIGINT) ELSE"
         f" CAST(round((x - round(x * {lv} / amax) * amax / {lv})"
         f" * (x - round(x * {lv} / amax) * amax / {lv})"
-        f" * {ERR_SCALE}) AS BIGINT) AS e2"
+        f" * {ERR_SCALE}) AS BIGINT) END AS e2"
         " FROM ex JOIN amax ON amax.dim = ex.dim),"
         " agg AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,"
         " CAST(SUM(e2) AS BIGINT) AS sum_err2_pico FROM per_row"
@@ -1706,6 +1712,11 @@ def mmr_diverse_topk(
         )
         .orderBy(F.col("rel_micro").desc(), F.col("vec_id").asc())
         .limit(m)
+        # cand feeds THREE consumers (rel collect + both sides of the
+        # sims self-join); Catalyst does not CSE across plan branches,
+        # so materialize the m-row table once or the full corpus
+        # scoring pass runs three times
+        .transform(truncate_plan)
     )
     a = cand.select(
         F.col("vec_id").alias("ida"),

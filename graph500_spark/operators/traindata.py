@@ -1575,7 +1575,10 @@ def ks_source_drift(docs: DataFrame) -> DataFrame:
     |cum_s(x)·n_all − cum_all(x)·n_s| (the positive denominator
     n_s·n_all is constant per source) — so the argmax is an integer
     comparison with no float rounding anywhere in the selection;
-    ks_ppm is ONE rounded double division on the winning row.
+    ks_ppm is ONE rounded double division on the winning row. The
+    cross-products are accumulated in DECIMAL(38,0) (HUGEINT in
+    DuckDB): cum·n can reach n_s·n_all ≈ 1e19 at corpus scale, past
+    int64 — same big-product discipline as graphlets.py.
 
     Plan: one (source, value) count shuffle compresses the data; the
     per-source ECDF needs cum counts at EVERY corpus-distinct value,
@@ -1622,8 +1625,8 @@ def ks_source_drift(docs: DataFrame) -> DataFrame:
             "n_s",
             "n_all",
             F.abs(
-                F.col("cum_s") * F.col("n_all")
-                - F.col("cum_all") * F.col("n_s")
+                F.col("cum_s").cast("decimal(38,0)") * F.col("n_all")
+                - F.col("cum_all").cast("decimal(38,0)") * F.col("n_s")
             ).alias("num"),
         )
     )
@@ -1637,9 +1640,9 @@ def ks_source_drift(docs: DataFrame) -> DataFrame:
             "source",
             F.col("n_s").alias("n_source"),
             F.round(
-                F.col("num")
-                * 1_000_000
+                F.col("num").cast("double")
                 / (F.col("n_s").cast("double") * F.col("n_all"))
+                * 1_000_000
             )
             .cast("long")
             .alias("ks_ppm"),
@@ -1669,13 +1672,15 @@ def ks_source_drift_sql() -> str:
         "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
         " AS BIGINT) AS cum_all FROM grid),"
         " scored AS (SELECT cum.source, cum.x, ns.n_s, na.n_all,"
-        " abs(cum.cum_s * na.n_all - cum.cum_all * ns.n_s) AS num"
+        " abs(CAST(cum.cum_s AS HUGEINT) * na.n_all"
+        "  - CAST(cum.cum_all AS HUGEINT) * ns.n_s) AS num"
         " FROM cum JOIN ns ON ns.source = cum.source, na),"
         " ranked AS (SELECT source, x, n_s, n_all, num,"
         " ROW_NUMBER() OVER (PARTITION BY source"
         "  ORDER BY num DESC, x ASC) AS rk FROM scored)"
         " SELECT source, n_s AS n_source,"
-        " CAST(round(num * 1000000"
-        "  / (CAST(n_s AS DOUBLE) * n_all)) AS BIGINT) AS ks_ppm,"
+        " CAST(round(CAST(num AS DOUBLE)"
+        "  / (CAST(n_s AS DOUBLE) * n_all) * 1000000) AS BIGINT)"
+        " AS ks_ppm,"
         " x AS at_value FROM ranked WHERE rk = 1"
     )

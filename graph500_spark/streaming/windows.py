@@ -1358,6 +1358,12 @@ def markov_stationary(
     )
     types = events.select(F.col("event_type").alias("vertex")).distinct()
     k = types.count()  # |event_type| — a bounded driver scalar
+    if k == 0:
+        # empty events table: return the empty mix like sibling
+        # operators instead of dividing by zero below
+        return spark.createDataFrame(
+            [], "event_type string, p_micro bigint"
+        )
     init = types.select(
         "vertex", F.lit(MARKOV_SCALE // k).cast("long").alias("p_q")
     )
