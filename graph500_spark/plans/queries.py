@@ -4501,3 +4501,73 @@ def q_ks_source_drift(spark, sf_dir):
 
 QUERIES.update({"ks_source_drift": q_ks_source_drift})
 ORACLE_SQL["ks_source_drift"] = traindata_mod.ks_source_drift_sql()
+
+
+# --- round-10 window rotation ---------------------------------------
+# Driver checks the FIRST 50 queries() entries each round. Front-load:
+# (a) the 10 round-9 additions that have never had a driver
+#     CORRECTNESS row (they passed the judge's independent oracle gate
+#     in round 9; a green driver row closes coverage at 269/269), then
+# (b) the 40 stalest re-confirmations — every entry whose latest
+#     driver check is round 2 or 3 (36 entries) plus the four oldest
+#     round-4 entries — so the window keeps cycling the registry.
+_ROUND10_FRONT = [
+    # never driver-checked (round-9 additions)
+    "negative_edge_samples_k8",
+    "zipf_slope",
+    "gram_novelty",
+    "cluster_representatives",
+    "embedding_int8_quant",
+    "mmr_diverse_topk",
+    "markov_stationary",
+    "event_value_ecdf",
+    "source_top_terms",
+    "ks_source_drift",
+    # re-confirmation: last checked round 2
+    "apply_vertex_map",
+    "clean_edges",
+    "copart_projection",
+    "count_vertices",
+    "count_vertices_approx",
+    "degree_distribution",
+    "degree_order_map",
+    "degree_quantiles",
+    "find_roots",
+    "initial_edges_cycle",
+    "initial_edges_tree",
+    "kronecker_s8_weighted",
+    "max_vertex",
+    "random_edges_s8",
+    "self_loop_filter",
+    "set_difference",
+    "set_intersection",
+    "set_union",
+    "symmetrize",
+    "token_count",
+    "top_degrees",
+    # re-confirmation: last checked round 3
+    "corpus_clean",
+    "corpus_mix_temperature",
+    "corpus_stats_rollup",
+    "embedding_near_duplicates",
+    "event_anomalies",
+    "event_props_stats",
+    "event_value_quantiles",
+    "event_value_quantiles_approx",
+    "media_decode_stats",
+    "media_resize_features",
+    "ngram_jaccard_pairs",
+    "session_stats",
+    "simhash_near_duplicates",
+    "term_doc_frequency",
+    "top_events_per_user",
+    # re-confirmation: oldest round-4 entries
+    "cap_per_source",
+    "customer_order_distribution",
+    "decontaminate",
+    "decontaminate_salted",
+]
+assert len(_ROUND10_FRONT) == 50 and len(set(_ROUND10_FRONT)) == 50
+QUERIES = {k: QUERIES[k] for k in _ROUND10_FRONT} | {
+    k: v for k, v in QUERIES.items() if k not in set(_ROUND10_FRONT)
+}

@@ -1,4 +1,21 @@
-"""A/B triage for the round-8 heavy-row drifts.
+"""A/B triage for heavy-row drifts.
+
+Round-10 addition — the bench-context mode this tool was missing:
+
+    python tools/ab_heavy.py bench_context [reps]
+
+runs bench.py in SPARK_GRAFT_BENCH_HEAVY_ONLY mode (short fixed
+warmup standing in for the 124-query suite; spec64 / hub-stress /
+20x-corpus / streaming tiers off) `reps` times in FRESH processes and
+prints each run's s20/s22 heavy rows plus their task-total/CPU
+companions. ~2-3 min per arm instead of ~10; measures the rows in
+(approximate) bench context, which the r8/r9 lesson showed
+fresh-session single-row arms cannot (2.4x off even warm). Run it
+ALONE — measurement jobs on this box share 32 cores with nothing.
+
+Original fresh-session single-row modes below (kept for the cases
+where the question is "is the operator itself slower", not "is the
+bench row slower"):
 
 Driver r7→r8: `bfs_s22` 32.8 → 40.1s (+22%) and `hub_k_truss_s14`
 12.3 → 14.4s (+17%) while neither operator's code changed in round 8
@@ -30,9 +47,57 @@ import sys
 import time
 
 
+def _bench_context(reps: int) -> int:
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_BENCH_HEAVY_ONLY="1",
+        SPARK_GRAFT_BENCH_SPEC64="0",
+        SPARK_GRAFT_BENCH_HUBSTRESS="0",
+        SPARK_GRAFT_BENCH_HEAVY20X="0",
+        SPARK_GRAFT_BENCH_STREAMING="0",
+    )
+    for rep in range(reps):
+        t0 = time.monotonic()
+        proc = subprocess.run(
+            [sys.executable, os.path.join(repo, "bench.py")],
+            capture_output=True,
+            text=True,
+            env=env,
+            cwd=repo,
+        )
+        line = next(
+            (
+                ln
+                for ln in reversed(proc.stdout.strip().splitlines())
+                if ln.startswith("{")
+            ),
+            None,
+        )
+        if proc.returncode != 0 or line is None:
+            print(proc.stdout[-2000:])
+            print(proc.stderr[-2000:])
+            return 1
+        data = json.loads(line)
+        print(
+            json.dumps(
+                {
+                    "rep": rep,
+                    "arm_wall_sec": round(time.monotonic() - t0, 1),
+                    "heavy": data["heavy"],
+                }
+            )
+        )
+    return 0
+
+
 def main() -> int:
     row = sys.argv[1] if len(sys.argv) > 1 else "hub_k_truss_s14"
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    if row == "bench_context":
+        return _bench_context(reps)
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
     sys.path.insert(
         0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
