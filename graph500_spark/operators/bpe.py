@@ -34,11 +34,18 @@ join (word → its subword count / pieces) — no per-document merge
 replay. That asymmetry (train on vocab, apply by lookup) is what
 makes BPE viable at corpus scale.
 
-The merge sequence is not expressible in one SQL statement (iterative
-argmax); the driver gate records these entries rows-only, and
-tests/test_bpe.py pins the full merge table and segmentations against
-an independent pure-Python reference implementation (the mst.py
-Kruskal-cross-check pattern).
+The merge sequence IS expressible as one SQL statement for a FIXED
+merge count — the same unrolled-CTE discipline that oracles
+markov_stationary (N supersteps) and mmr_diverse_topk (k greedy
+steps): bpe_learn_sql / bpe_token_counts_sql emit one CTE chain per
+merge round (pair explode+count → 1-row argmax → merge application),
+so the driver gate hash-checks both entries (round 10; previously
+rows-only). DuckDB's RE2 regex has no lookarounds, so the oracle
+applies merges with LITERAL left-to-right replace over a
+space-doubled segmentation: doubling delimiters makes every token
+carry its own spaces, ' L  R ' → ' LR ' is non-overlapping and
+boundary-exact, then doubles collapse back (validated against the
+same pure-Python reference as the Spark side in tests/test_bpe.py).
 
 Reference scope: /root/reference has no text surface (integer graph
 code only — mpi/main.cc); this module is engine capability beyond
@@ -201,4 +208,89 @@ def bpe_vocab(words: DataFrame) -> DataFrame:
         )
         .groupBy("symbol")
         .agg(F.sum("wcount").alias("freq"))
+    )
+
+
+def _bpe_rounds_sql(num_merges: int, min_count: int) -> str:
+    """The shared CTE chain: w0 (initial segmentation of the
+    word-frequency table) through w{N} (final segmentation), plus one
+    b{r} best-pair CTE per round. Each round is vocabulary-scale.
+
+    Merge application (literal, no regex — RE2 lacks lookarounds):
+    double every delimiter so each token owns a space on both sides,
+    replace ' L  R ' with ' LR ' (DuckDB replace scans left-to-right
+    non-overlapping, resuming AFTER the replacement — exactly BPE's
+    merge order on runs), collapse doubles, trim. The CASE guard
+    reproduces bpe_learn's early stop: once the best pair's count
+    drops below min_count nothing changes, so every later round sees
+    the same sub-threshold best and also no-ops."""
+    parts = [
+        "WITH wf AS MATERIALIZED (SELECT word,"
+        " CAST(COUNT(*) AS BIGINT) AS wcount FROM (SELECT"
+        f" unnest(regexp_extract_all(lower(text), '{TOKEN_REGEX}'))"
+        " AS word FROM documents) GROUP BY word),"
+        " w0 AS MATERIALIZED (SELECT word, wcount, concat_ws(' ',"
+        " array_to_string(string_split(word, ''), ' '),"
+        f" '{END_OF_WORD}') AS syms FROM wf)"
+    ]
+    for r in range(1, num_merges + 1):
+        prev = f"w{r-1}"
+        parts.append(
+            f"b{r} AS MATERIALIZED (SELECT pair,"
+            " CAST(SUM(wcount) AS BIGINT) AS pc FROM (SELECT wcount,"
+            " unnest(list_transform(range(1,"
+            f" len(string_split(syms, ' '))), i ->"
+            f" string_split(syms, ' ')[i] || ' ' ||"
+            f" string_split(syms, ' ')[i + 1])) AS pair FROM {prev})"
+            " GROUP BY pair ORDER BY pc DESC, pair ASC LIMIT 1)"
+        )
+        parts.append(
+            f"w{r} AS MATERIALIZED (SELECT word, wcount,"
+            f" CASE WHEN b.pc >= {min_count} THEN"
+            " trim(replace(replace(replace(' ' || syms || ' ',"
+            " ' ', '  '),"
+            # in the doubled string the pair's interior gap is TWO
+            # spaces: search ' L  R ', insert ' LR '
+            " ' ' || replace(b.pair, ' ', '  ') || ' ',"
+            " ' ' || replace(b.pair, ' ', '') || ' '),"
+            " '  ', ' '))"
+            f" ELSE syms END AS syms FROM {prev}, b{r} b)"
+        )
+    return ", ".join(parts)
+
+
+def bpe_learn_sql(num_merges: int = 30, min_count: int = 2) -> str:
+    """DuckDB mirror of bpe_learn's merge table: [rank, left, right,
+    merged, pair_count] in application order, early-stopped rows
+    filtered exactly as the driver loop breaks."""
+    rounds = _bpe_rounds_sql(num_merges, min_count)
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({r - 1} AS INTEGER) AS rank,"
+        f" split_part(pair, ' ', 1) AS \"left\","
+        f" split_part(pair, ' ', 2) AS \"right\","
+        f" replace(pair, ' ', '') AS merged,"
+        f" pc AS pair_count FROM b{r} WHERE pc >= {min_count}"
+        # the merge at rank r happened only if no EARLIER round
+        # stopped; sub-threshold rounds no-op, so pc is monotone
+        # non-recoverable and the per-row filter is exact
+        for r in range(1, num_merges + 1)
+    )
+    return f"{rounds} SELECT * FROM ({rows}) ORDER BY rank"
+
+
+def bpe_token_counts_sql(num_merges: int = 30, min_count: int = 2) -> str:
+    """DuckDB mirror of bpe_token_counts over the trained
+    segmentation: [doc_id, n_tokens, n_bpe_tokens]."""
+    rounds = _bpe_rounds_sql(num_merges, min_count)
+    return (
+        f"{rounds},"
+        f" lookup AS (SELECT word,"
+        f" CAST(len(string_split(syms, ' ')) AS BIGINT) AS n_sub"
+        f" FROM w{num_merges}),"
+        " dw AS (SELECT doc_id,"
+        f" unnest(regexp_extract_all(lower(text), '{TOKEN_REGEX}'))"
+        " AS word FROM documents)"
+        " SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,"
+        " CAST(SUM(n_sub) AS BIGINT) AS n_bpe_tokens"
+        " FROM dw JOIN lookup USING (word) GROUP BY doc_id"
     )

@@ -4571,3 +4571,16 @@ assert len(_ROUND10_FRONT) == 50 and len(set(_ROUND10_FRONT)) == 50
 QUERIES = {k: QUERIES[k] for k in _ROUND10_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_ROUND10_FRONT)
 }
+
+
+# --- round 10: BPE entries move from rows-only to hash-verified ------
+# (r9 verdict item 4: the merge loop is deterministic for a fixed
+# merge count — the unrolled-CTE discipline applies; see
+# operators/bpe.py for the RE2-safe literal-replace application)
+from graph500_spark.operators.bpe import (  # noqa: E402
+    bpe_learn_sql,
+    bpe_token_counts_sql,
+)
+
+ORACLE_SQL["bpe_merges"] = bpe_learn_sql(num_merges=30)
+ORACLE_SQL["bpe_token_counts"] = bpe_token_counts_sql(num_merges=30)
