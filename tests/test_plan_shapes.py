@@ -247,3 +247,59 @@ def test_certified_wedge_topk_plan_shape(spark):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "BroadcastHashJoin" in plan, name  # terms onto wedges
+
+
+def _tree(plan: str) -> list[str]:
+    """The operator-tree section of a formatted explain."""
+    return plan.split("\n\n")[0].splitlines()
+
+
+def _compressed_below_window(tree: list[str], window_idx: int) -> bool:
+    """True if the window at tree line `window_idx` consumes an
+    aggregated (domain-compressed) or TakeOrdered-reduced input: some
+    HashAggregate / TakeOrderedAndProject line appears below it before
+    the first raw scan."""
+    for line in tree[window_idx + 1:]:
+        if "HashAggregate" in line or "TakeOrderedAndProject" in line:
+            return True
+        if "Scan" in line:
+            return False
+    return False
+
+
+def test_ecdf_window_runs_over_compressed_domain(spark):
+    """event_value_ecdf's cumulative window must consume the
+    (type, value) hash-aggregated table — a refactor that windows the
+    raw event rows turns a |distinct values| sort into a |events| sort
+    and breaks the operator's 100 TB story."""
+    tree = _tree(plan_of(Q.QUERIES["event_value_ecdf"](spark, SF)))
+    windows = [i for i, l in enumerate(tree) if "Window (" in l]
+    assert windows, "plan lost its window"
+    for wi in windows:
+        assert _compressed_below_window(tree, wi), tree[wi]
+
+
+def test_ks_windows_run_over_compressed_domain(spark):
+    """ks_source_drift: the per-source cumsum window consumes the
+    compressed (source, value) grid, and the per-source argmax is
+    rank<=1 so Spark must push a WindowGroupLimit (top-1 per group
+    retains k rows per partition instead of sorting whole groups)."""
+    tree = _tree(plan_of(Q.QUERIES["ks_source_drift"](spark, SF)))
+    windows = [i for i, l in enumerate(tree) if "Window (" in l]
+    assert len(windows) >= 2, "expected cumsum + argmax windows"
+    # innermost window = the ECDF cumsum; must sit above the count agg
+    assert _compressed_below_window(tree, windows[-1]), tree[windows[-1]]
+    assert any("WindowGroupLimit" in l for l in tree), (
+        "argmax lost its top-1 group-limit pushdown"
+    )
+
+
+def test_zipf_window_runs_over_reduced_head(spark):
+    """zipf_slope's rank window must consume the TakeOrdered top-500
+    head, never the full token-count table."""
+    tree = _tree(plan_of(Q.QUERIES["zipf_slope"](spark, SF)))
+    windows = [i for i, l in enumerate(tree) if "Window (" in l]
+    assert windows
+    assert any(
+        "TakeOrderedAndProject" in l for l in tree[windows[-1] + 1:]
+    ), "window input is not the reduced head"
