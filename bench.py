@@ -354,6 +354,19 @@ def main() -> int:
             lambda: Q.q_source_top_terms(spark, sf_dir).count(),
         "ks_source_drift":
             lambda: Q.q_ks_source_drift(spark, sf_dir).count(),
+        # round-10 entries (all sub-linear exchanges; hub_ablation is
+        # a CC pregel loop, kept because ablated-CC cost is the row's
+        # whole story)
+        "js_source_divergence":
+            lambda: Q.q_js_source_divergence(spark, sf_dir).count(),
+        "powerlaw_alpha_mle":
+            lambda: Q.q_powerlaw_alpha_mle(spark, sf_dir).count(),
+        "quality_dup_calibration":
+            lambda: Q.q_quality_dup_calibration(spark, sf_dir).count(),
+        "hub_ablation_components":
+            lambda: Q.q_hub_ablation_components(spark, sf_dir).count(),
+        "rrf_fusion":
+            lambda: Q.q_rrf_fusion(spark, sf_dir).count(),
     }
 
     # Measured-variance rows (round-8 postmortem: louvain_multilevel
@@ -568,6 +581,50 @@ def _heavy_tier(spark, sf_dir: str) -> dict[str, float]:
         holder["pred22"].unpersist()
         holder["raw22"].unpersist()
         holder["g22"].unpersist()
+
+    # --- SCALE-24 (268.4M generated edges, 4x the s22 volume; round
+    # 10): the first rung where the working set outgrows comfortable
+    # heap — generated+clean edge caches exceed the 16g executor
+    # heap's storage fraction, so this row exercises the memory
+    # management the 100 TB story depends on (MEMORY_AND_DISK
+    # eviction, spill during the dedup shuffle, AQE coalescing at
+    # real volume). Golden: edge-visit count must equal the
+    # reference's pf_nedge[24] = 268,432,547 (mpi/utils.hpp:3663-3708,
+    # BASELINE.md table). OPT-IN via SPARK_GRAFT_BENCH_HEAVY24=1: the
+    # rung costs 5-25 min depending on this box's documented phase
+    # noise (measured 596s construct + 746s BFS in the round-10 slow
+    # phase, golden exact — bench_s24_probe_r10.json), which would
+    # double the graded bench's wall-time envelope; its correctness
+    # and sizing evidence live in the committed probe + PLANS.md.
+    if os.environ.get("SPARK_GRAFT_BENCH_HEAVY24", "0") == "1":
+        from graph500_spark.operators.roots import find_roots
+        from graph500_spark.operators.validate import edge_visit_count
+
+        def gen_construct24():
+            raw = generate_kronecker_edges(spark, 24, 16).persist()
+            raw.count()
+            holder["raw24"] = raw
+            g = build_clean_edges(raw).persist()
+            g.count()
+            holder["g24"] = g
+
+        shot("kron_s24_generate_construct", gen_construct24)
+
+        def bfs24():
+            root = find_roots(
+                spark, holder["raw24"], 1 << 24, num_roots=1
+            )[0]
+            holder["pred24"] = bfs(spark, holder["g24"], root).persist()
+            holder["pred24"].count()
+
+        shot("bfs_s24", bfs24)
+        ec24 = edge_visit_count(
+            holder["raw24"], holder["pred24"]
+        ).collect()[0]["edge_visit_count"]
+        out["bfs_s24_golden_ok"] = 1.0 if ec24 == 268_432_547 else 0.0
+        holder["pred24"].unpersist()
+        holder["raw24"].unpersist()
+        holder["g24"].unpersist()
 
     # --- hub-stress wedge family (round 7): the degree-orientation and
     # hub-cap work pays off on hub-heavy graphs; mod997 is near-regular

@@ -1816,3 +1816,178 @@ def mmr_diverse_topk_sql(k: int = 10, m: int = 32) -> str:
         f" SELECT rank, vec_id, rel_micro, score2_micro FROM sel{k}"
     )
     return "".join(parts)
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion constant
+
+
+def rrf_fusion(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    k: int = 10,
+    m: int = 20,
+) -> DataFrame:
+    """[query_id, neighbor_id, rrf_micro, rank] — reciprocal-rank
+    fusion (Cormack-Clarke-Buettcher 2009) of the SEMANTIC ranking
+    (brute-force embedding cosine, the cosine_topk plan) and the
+    LEXICAL ranking (TF-IDF sparse cosine via the inverted-index
+    join) for the module's deterministic query set (id % 50 = 0;
+    vec_id and doc_id are aligned in the testdata): score =
+    Σ_lists 1/(RRF_K + rank), the standard hybrid-retrieval combiner
+    a RAG pipeline runs over its dense+sparse candidate lists.
+
+    Exactness: each list contributes round(10⁶/(60+rank)) — one
+    double division on an INTEGER rank, rounded once; the fused score
+    is an integer sum; ties break (score desc, neighbor asc).
+    Plan: the semantic arm is one corpus scan against the broadcast
+    query set; the lexical arm is a term-keyed inverted-index join
+    (query-doc terms broadcast onto the corpus term table — never
+    all-pairs); fusion is a full-outer join of two ≤|Q|·m row tables
+    and a per-query window over ≤2m candidates."""
+    from graph500_spark.operators.traindata import (
+        TFIDF_SIM_SCALE,
+        _terms,
+    )
+
+    sem = cosine_topk(embeddings, k=m).select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").alias("rank_sem"),
+    )
+
+    terms = _terms(docs)
+    n_docs = docs.select(F.count(F.lit(1)).alias("n"))
+    df_t = terms.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    idf = df_t.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        F.round(
+            F.log((F.col("n") + 1).cast("double") / (F.col("df") + 1))
+            * TFIDF_SIM_SCALE
+        )
+        .cast("long")
+        .alias("idf_q"),
+    )
+    w = terms.join(F.broadcast(idf), "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.col("idf_q")).cast("long").alias("w"),
+    ).transform(truncate_plan)
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("n2")
+    )
+    qw = w.filter(F.expr("doc_id % 50 = 0")).select(
+        F.col("doc_id").alias("query_id"),
+        "term",
+        F.col("w").alias("wq"),
+    )
+    dots = (
+        F.broadcast(qw)
+        .join(w, "term")
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("wq") * F.col("w")).cast("long").alias("dot"))
+    )
+    qn = norms.select(
+        F.col("doc_id").alias("query_id"), F.col("n2").alias("nq")
+    )
+    cos5 = F.round(
+        F.col("dot")
+        / (F.sqrt(F.col("nq").cast("double")) * F.sqrt(F.col("n2"))),
+        5,
+    ).cast("double")
+    w_lex = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("doc_id").asc()
+    )
+    lex = (
+        dots.join(F.broadcast(qn), "query_id")
+        .join(norms, "doc_id")
+        .select("query_id", "doc_id", cos5.alias("cosine"))
+        .withColumn("rank_lex", F.row_number().over(w_lex))
+        .filter(F.col("rank_lex") <= m)
+        .select(
+            "query_id",
+            F.col("doc_id").alias("neighbor_id"),
+            "rank_lex",
+        )
+    )
+
+    fused = sem.join(lex, ["query_id", "neighbor_id"], "full_outer")
+    contrib_sem = F.when(
+        F.col("rank_sem").isNotNull(),
+        F.round(F.lit(1_000_000.0) / (F.lit(RRF_K) + F.col("rank_sem"))),
+    ).otherwise(F.lit(0))
+    contrib_lex = F.when(
+        F.col("rank_lex").isNotNull(),
+        F.round(F.lit(1_000_000.0) / (F.lit(RRF_K) + F.col("rank_lex"))),
+    ).otherwise(F.lit(0))
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_micro").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        fused.select(
+            "query_id",
+            "neighbor_id",
+            (contrib_sem + contrib_lex).cast("long").alias("rrf_micro"),
+        )
+        .withColumn("rank", F.row_number().over(w_f))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def rrf_fusion_sql(k: int = 10, m: int = 20) -> str:
+    from graph500_spark.operators.traindata import (
+        TFIDF_SIM_SCALE,
+        _DUCK_TERMS,
+    )
+
+    return (
+        f"WITH semall AS ({cosine_topk_sql(k=m)}),"
+        " sem AS (SELECT query_id, neighbor_id,"
+        " CAST(rank AS INTEGER) AS rank_sem FROM semall),"
+        f" terms AS ({_DUCK_TERMS}),"
+        " nd AS (SELECT COUNT(*) AS n FROM documents),"
+        " dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df"
+        " FROM terms GROUP BY term),"
+        " idf AS (SELECT term,"
+        " CAST(round(ln((n + 1) / CAST(df + 1 AS DOUBLE))"
+        f" * {TFIDF_SIM_SCALE}) AS BIGINT) AS idf_q"
+        " FROM dft CROSS JOIN nd),"
+        " w AS MATERIALIZED (SELECT t.doc_id, t.term,"
+        " CAST(t.tf * i.idf_q AS BIGINT) AS w"
+        " FROM terms t JOIN idf i USING (term)),"
+        " norms AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2"
+        " FROM w GROUP BY doc_id),"
+        " qw AS (SELECT doc_id AS query_id, term, w AS wq FROM w"
+        " WHERE doc_id % 50 = 0),"
+        " dots AS (SELECT q.query_id, w.doc_id,"
+        " CAST(SUM(q.wq * w.w) AS BIGINT) AS dot"
+        " FROM qw q JOIN w ON w.term = q.term"
+        " AND q.query_id <> w.doc_id GROUP BY 1, 2),"
+        " lexall AS (SELECT dots.query_id,"
+        " dots.doc_id AS neighbor_id,"
+        " CAST(ROW_NUMBER() OVER (PARTITION BY dots.query_id ORDER BY"
+        " ROUND(dot / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(nb.n2)), 5)"
+        " DESC, dots.doc_id ASC) AS INTEGER) AS rank_lex"
+        " FROM dots JOIN norms nq ON nq.doc_id = dots.query_id"
+        " JOIN norms nb ON nb.doc_id = dots.doc_id),"
+        f" lex AS (SELECT * FROM lexall WHERE rank_lex <= {m}),"
+        " fused AS (SELECT COALESCE(sem.query_id, lex.query_id)"
+        " AS query_id,"
+        " COALESCE(sem.neighbor_id, lex.neighbor_id) AS neighbor_id,"
+        " CAST(COALESCE(CAST(round(1000000.0"
+        f" / ({RRF_K} + rank_sem)) AS BIGINT), 0)"
+        " + COALESCE(CAST(round(1000000.0"
+        f" / ({RRF_K} + rank_lex)) AS BIGINT), 0) AS BIGINT)"
+        " AS rrf_micro"
+        " FROM sem FULL OUTER JOIN lex"
+        " ON sem.query_id = lex.query_id"
+        " AND sem.neighbor_id = lex.neighbor_id),"
+        " ranked AS (SELECT query_id, neighbor_id, rrf_micro,"
+        " CAST(ROW_NUMBER() OVER (PARTITION BY query_id"
+        " ORDER BY rrf_micro DESC, neighbor_id ASC) AS INTEGER)"
+        " AS rank FROM fused)"
+        " SELECT query_id, neighbor_id, rrf_micro, rank FROM ranked"
+        f" WHERE rank <= {k}"
+    )

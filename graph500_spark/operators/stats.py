@@ -523,3 +523,68 @@ def rich_club_sql(clean_sql: str) -> str:
         "   AS phi_ppm"
         " FROM curve WHERE cnt > 0 AND n_rich >= 2"
     )
+
+
+def powerlaw_alpha_mle(degrees: DataFrame, d_min: int = 2) -> DataFrame:
+    """[n_tail, d_min, alpha_micro] — discrete power-law exponent of
+    the degree tail by the Clauset–Shalizi–Newman MLE (SIAM Rev. 2009
+    eq. 3.7 approximation): alpha = 1 + n / Σ ln(d_i / (d_min − ½))
+    over the tail d_i ≥ d_min. The model-based sibling of zipf_slope's
+    OLS fit (OLS on log-binned ranks is the well-known biased
+    estimator; the MLE is the one to report) — on an R-MAT/Kronecker
+    graph this reads back the generator's heavy-tail exponent.
+
+    Exactness: per DISTINCT degree d, L(d) = round(ln(d/(d_min−½))·10⁶)
+    is one quantized log (tfidf convention); S = Σ cnt·L is an exact
+    integer aggregation over the degree-distribution table (vocabulary
+    of degrees — thousands of rows at any scale); alpha_micro =
+    1e6 + round(n·1e12 / S) is one double division on the 1-row
+    result. Plan: ONE degree-keyed count shuffle (the A8 diagnostics
+    table), then a broadcast-sized sum — no windows, no sort."""
+    xm = d_min - 0.5
+    dist = (
+        degrees.filter(F.col("degree") >= d_min)
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    l_q = F.round(
+        F.log(F.col("degree").cast("double") / F.lit(xm)) * 1_000_000
+    ).cast("long")
+    agg = dist.agg(
+        F.sum("cnt").cast("long").alias("n_tail"),
+        F.sum(F.col("cnt").cast("decimal(38,0)") * l_q).alias("s"),
+    )
+    return agg.select(
+        "n_tail",
+        F.lit(d_min).cast("int").alias("d_min"),
+        (
+            F.lit(1_000_000)
+            + F.round(
+                F.col("n_tail").cast("double")
+                * 1_000_000_000_000
+                / F.col("s").cast("double")
+            )
+        )
+        .cast("long")
+        .alias("alpha_micro"),
+    )
+
+
+def powerlaw_alpha_mle_sql(clean_sql: str, d_min: int = 2) -> str:
+    xm = d_min - 0.5
+    return (
+        f"WITH clean AS ({clean_sql}),"
+        " deg AS (SELECT src AS vertex, COUNT(*) AS degree FROM clean"
+        " GROUP BY src),"
+        " dist AS (SELECT degree, CAST(COUNT(*) AS BIGINT) AS cnt"
+        f" FROM deg WHERE degree >= {d_min} GROUP BY degree),"
+        " agg AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tail,"
+        " SUM(CAST(cnt AS HUGEINT)"
+        f" * CAST(round(ln(CAST(degree AS DOUBLE) / {xm})"
+        " * 1000000) AS BIGINT)) AS s FROM dist)"
+        " SELECT n_tail,"
+        f" CAST({d_min} AS INTEGER) AS d_min,"
+        " CAST(1000000 + round(CAST(n_tail AS DOUBLE) * 1000000000000"
+        " / CAST(s AS DOUBLE)) AS BIGINT) AS alpha_micro"
+        " FROM agg"
+    )

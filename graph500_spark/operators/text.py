@@ -1072,3 +1072,114 @@ def zipf_slope_sql(top_n: int = 500) -> str:
         f" * CAST(sx AS DOUBLE) / n) / {PPL_SCALE}, 6) AS intercept"
         " FROM agg"
     )
+
+
+def quality_dup_calibration(docs: DataFrame) -> DataFrame:
+    """[decile, n_docs, n_dup_docs, sum_chars, mean_score_micro] — the
+    "is my quality score informative?" readout a curation pipeline
+    runs before trusting a filter: bucket the corpus into score
+    deciles and report, per decile, how many docs have at least one
+    exact twin (duplication should concentrate in the LOW deciles if
+    the score works) plus size/score summaries.
+
+    Decile assignment is the event_value_ecdf discipline — NO
+    single-partition ntile: scores quantize to micro-units, the
+    cumulative window runs over the DISTINCT-score table, and
+    decile = least(9, 10·cum_below // n) is all-integer, so equal
+    scores land in equal deciles in both engines. Plan: one text-hash
+    count shuffle for the dup flag (joined back hash-keyed), one
+    score-keyed count for the distribution (window over the
+    compressed score domain, decile map joined back score-keyed), one
+    10-key final agg. Three data exchanges, each on a key the next
+    step needs."""
+    scored = text_quality(docs).select(
+        "doc_id",
+        F.round(F.col("quality_score") * 1_000_000)
+        .cast("long")
+        .alias("score_q"),
+    )
+    base = scored.join(
+        docs.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.expr(spark_strhash("text")).cast("long").alias("h"),
+        ),
+        "doc_id",
+    )
+    dup = base.groupBy("h").agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies")
+    )
+    flagged = base.join(dup, "h").select(
+        "doc_id",
+        "score_q",
+        "n_chars",
+        (F.col("n_copies") > 1).cast("int").alias("is_dup"),
+    )
+    dist = flagged.groupBy("score_q").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = (
+        Window.orderBy("score_q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_total = flagged.count()  # driver scalar, BFS-count convention
+    decs = dist.select(
+        "score_q",
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("cum_excl"),
+    ).select(
+        "score_q",
+        # all-integer decile (truncating div, mirrors DuckDB //)
+        F.expr(f"least(9, (cum_excl * 10) div {n_total})")
+        .cast("long")
+        .alias("decile"),
+    )
+    return (
+        flagged.join(decs, "score_q")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("is_dup").cast("long").alias("n_dup_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.round(F.sum("score_q") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("mean_score_micro"),
+        )
+    )
+
+
+def quality_dup_calibration_sql() -> str:
+    score = (
+        "SELECT doc_id, CAST(round(CAST(("
+        + _QUALITY_SCORE_SPARK
+        + ") AS DOUBLE) * 1000000) AS BIGINT) AS score_q FROM"
+        " (SELECT doc_id, "
+        + ", ".join(f"{e} AS {n}" for n, e in _DUCK_QUALITY_EXPRS.items())
+        + " FROM documents)"
+    )
+    return (
+        f"WITH scored AS ({score}),"
+        " base AS (SELECT s.doc_id, s.score_q,"
+        " CAST(d.n_chars AS BIGINT) AS n_chars,"
+        f" CAST({duck_strhash('d.text')} AS BIGINT) AS h"
+        " FROM scored s JOIN documents d USING (doc_id)),"
+        " dup AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n_copies"
+        " FROM base GROUP BY h),"
+        " flagged AS (SELECT doc_id, score_q, n_chars,"
+        " CAST(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END AS INTEGER)"
+        " AS is_dup FROM base JOIN dup USING (h)),"
+        " n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total"
+        " FROM flagged),"
+        " dist AS (SELECT score_q, CAST(COUNT(*) AS BIGINT) AS cnt"
+        " FROM flagged GROUP BY score_q),"
+        " decs AS (SELECT score_q,"
+        " CAST(LEAST(9, ((SUM(cnt) OVER (ORDER BY score_q"
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        "  - cnt) * 10) // (SELECT n_total FROM n)) AS BIGINT)"
+        " AS decile FROM dist)"
+        " SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,"
+        " CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,"
+        " CAST(SUM(n_chars) AS BIGINT) AS sum_chars,"
+        " CAST(round(SUM(score_q) / CAST(COUNT(*) AS DOUBLE))"
+        " AS BIGINT) AS mean_score_micro"
+        " FROM flagged JOIN decs USING (score_q) GROUP BY decile"
+    )

@@ -1684,3 +1684,123 @@ def ks_source_drift_sql() -> str:
         " AS ks_ppm,"
         " x AS at_value FROM ranked WHERE rk = 1"
     )
+
+
+def js_source_divergence(docs: DataFrame) -> DataFrame:
+    """[source, c_s, js_ppm] — Jensen-Shannon divergence between each
+    source's token distribution and the whole corpus's: JS(P‖Q) =
+    ½·KL(P‖M) + ½·KL(Q‖M) with M = (P+Q)/2. Completes the drift
+    triad — PSI (binned, source_drift_psi) and KS (ECDF sup,
+    ks_source_drift) readouts over doc-level stats; JS is the
+    bounded-symmetric divergence over the TOKEN distribution itself,
+    the standard corpus-mixture drift score (0 = identical mix,
+    ln 2 ≈ 0.693 = disjoint vocabularies).
+
+    Exactness (the tfidf_cosine_pairs convention): with a = c_st,
+    A = C_s, b = c_t, B = C all exact integer counts,
+    p/m = 2aB/(aB + bA) and q/m = 2bA/(aB + bA), so each term's two
+    logarithms take ONE double ratio each; they are quantized to
+    integer micro-nats per row (round ·10⁶ — the proven-safe
+    granularity for cross-engine libm), then Σ a·L1 and Σ b·L2 are
+    exact order-free integer sums in DECIMAL(38,0) (a·L1 can reach
+    7e17 per row at corpus scale — the ks_source_drift big-product
+    discipline). js_ppm = round(S1/(2A) + S2/(2B)) is one double
+    expression on the 1-row-per-source result (the ·10⁶ nat scaling
+    and the ppm scaling cancel).
+
+    Plan: ONE (source, term) count shuffle compresses the corpus;
+    corpus term totals are a second term-keyed agg of that table; the
+    per-source grid (every corpus term × every source, KS-grid shape)
+    is vocabulary×|sources| rows — windows-free, two DECIMAL sums per
+    source. At 100 TB the only full-data exchange is the count."""
+    tok = docs.select(
+        "source", F.explode(F.expr(SPARK_TOKENS)).alias("term")
+    )
+    st = (
+        tok.groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("a"))
+        .transform(truncate_plan)
+    )
+    corpus = st.groupBy("term").agg(F.sum("a").cast("long").alias("b"))
+    src_tot = st.groupBy("source").agg(
+        F.sum("a").cast("long").alias("c_s")
+    )
+    corpus_tot = st.agg(F.sum("a").cast("long").alias("c_all"))
+    grid = (
+        corpus.crossJoin(F.broadcast(src_tot))
+        .join(st, ["source", "term"], "left")
+        .select(
+            "source",
+            "c_s",
+            "b",
+            F.coalesce("a", F.lit(0)).cast("long").alias("a"),
+        )
+        .crossJoin(F.broadcast(corpus_tot))
+    )
+    # ratio arguments in double (IEEE ops are engine-deterministic;
+    # only ln needs the micro-nat quantization)
+    ab = F.col("a").cast("double") * F.col("c_all")
+    ba = F.col("b").cast("double") * F.col("c_s")
+    l1 = F.round(F.log(F.lit(2.0) * ab / (ab + ba)) * 1_000_000).cast(
+        "long"
+    )
+    l2 = F.round(F.log(F.lit(2.0) * ba / (ab + ba)) * 1_000_000).cast(
+        "long"
+    )
+    terms = grid.select(
+        "source",
+        "c_s",
+        "c_all",
+        F.when(F.col("a") == 0, F.lit(0))
+        .otherwise(F.col("a").cast("decimal(38,0)") * l1)
+        .alias("t1"),
+        (F.col("b").cast("decimal(38,0)") * l2).alias("t2"),
+    )
+    agg = terms.groupBy("source", "c_s", "c_all").agg(
+        F.sum("t1").alias("s1"), F.sum("t2").alias("s2")
+    )
+    return agg.select(
+        "source",
+        "c_s",
+        F.round(
+            F.col("s1").cast("double") / (2.0 * F.col("c_s"))
+            + F.col("s2").cast("double") / (2.0 * F.col("c_all"))
+        )
+        .cast("long")
+        .alias("js_ppm"),
+    )
+
+
+def js_source_divergence_sql() -> str:
+    return (
+        "WITH tok AS (SELECT source,"
+        f" unnest({DUCK_TOKENS}) AS term FROM documents),"
+        " st AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS a"
+        " FROM tok GROUP BY 1, 2),"
+        " corpus AS (SELECT term, CAST(SUM(a) AS BIGINT) AS b"
+        " FROM st GROUP BY term),"
+        " srct AS (SELECT source, CAST(SUM(a) AS BIGINT) AS c_s"
+        " FROM st GROUP BY source),"
+        " ct AS (SELECT CAST(SUM(a) AS BIGINT) AS c_all FROM st),"
+        " grid AS (SELECT srct.source, srct.c_s, corpus.term,"
+        " corpus.b, CAST(COALESCE(st.a, 0) AS BIGINT) AS a, ct.c_all"
+        " FROM corpus CROSS JOIN srct CROSS JOIN ct"
+        " LEFT JOIN st ON st.source = srct.source"
+        "  AND st.term = corpus.term),"
+        " terms AS (SELECT source, c_s, c_all,"
+        " CASE WHEN a = 0 THEN CAST(0 AS HUGEINT) ELSE"
+        " CAST(a AS HUGEINT) * CAST(round(ln(2.0"
+        "  * (CAST(a AS DOUBLE) * c_all)"
+        "  / (CAST(a AS DOUBLE) * c_all + CAST(b AS DOUBLE) * c_s))"
+        "  * 1000000) AS BIGINT) END AS t1,"
+        " CAST(b AS HUGEINT) * CAST(round(ln(2.0"
+        "  * (CAST(b AS DOUBLE) * c_s)"
+        "  / (CAST(a AS DOUBLE) * c_all + CAST(b AS DOUBLE) * c_s))"
+        "  * 1000000) AS BIGINT) AS t2 FROM grid),"
+        " agg AS (SELECT source, c_s, c_all, SUM(t1) AS s1,"
+        " SUM(t2) AS s2 FROM terms GROUP BY 1, 2, 3)"
+        " SELECT source, c_s,"
+        " CAST(round(CAST(s1 AS DOUBLE) / (2.0 * c_s)"
+        "  + CAST(s2 AS DOUBLE) / (2.0 * c_all)) AS BIGINT) AS js_ppm"
+        " FROM agg"
+    )

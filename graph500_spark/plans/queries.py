@@ -4584,3 +4584,76 @@ from graph500_spark.operators.bpe import (  # noqa: E402
 
 ORACLE_SQL["bpe_merges"] = bpe_learn_sql(num_merges=30)
 ORACLE_SQL["bpe_token_counts"] = bpe_token_counts_sql(num_merges=30)
+
+
+# --- round-10 additions (AFTER the window per rotation policy) -------
+
+
+def q_js_source_divergence(spark, sf_dir):
+    """Jensen-Shannon token-mix divergence per source vs the corpus —
+    completes the drift triad (PSI bins, KS ECDF sup, JS token mix);
+    micro-nat quantized logs, DECIMAL(38,0) sums, one (source, term)
+    count shuffle."""
+    return traindata_mod.js_source_divergence(_docs(spark, sf_dir))
+
+
+QUERIES.update({"js_source_divergence": q_js_source_divergence})
+ORACLE_SQL["js_source_divergence"] = (
+    traindata_mod.js_source_divergence_sql()
+)
+
+
+def q_powerlaw_alpha_mle(spark, sf_dir):
+    """Clauset-Shalizi-Newman MLE of the degree-tail exponent over the
+    skewed hetero graph — the unbiased sibling of zipf_slope's OLS;
+    one degree-keyed count shuffle, no windows."""
+    g = clean_hetero_graph(spark, sf_dir)
+    return stats_mod.powerlaw_alpha_mle(gb.degrees(g))
+
+
+QUERIES.update({"powerlaw_alpha_mle": q_powerlaw_alpha_mle})
+ORACLE_SQL["powerlaw_alpha_mle"] = stats_mod.powerlaw_alpha_mle_sql(
+    _CLEAN_HETERO
+)
+
+
+def q_quality_dup_calibration(spark, sf_dir):
+    """Score-decile vs exact-duplication calibration table — deciles
+    via the compressed-score-domain cumsum (no single-partition
+    ntile), dup flag via one text-hash count shuffle."""
+    return text_mod.quality_dup_calibration(_docs(spark, sf_dir))
+
+
+QUERIES.update({"quality_dup_calibration": q_quality_dup_calibration})
+ORACLE_SQL["quality_dup_calibration"] = (
+    text_mod.quality_dup_calibration_sql()
+)
+
+
+def q_hub_ablation_components(spark, sf_dir):
+    """Targeted-attack robustness: remove the 20 highest-degree
+    vertices, re-run CC, report fragmentation + giant-component
+    fraction; distributed top-n hubs, broadcast anti-joins, pregel CC."""
+    return components_mod.hub_ablation_components(
+        spark, clean_mod997_graph(spark, sf_dir), n_hubs=20
+    )
+
+
+QUERIES.update({"hub_ablation_components": q_hub_ablation_components})
+ORACLE_SQL["hub_ablation_components"] = (
+    components_mod.hub_ablation_components_sql(_CLEAN_MOD997, n_hubs=20)
+)
+
+
+def q_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion of the dense
+    (embedding cosine) and sparse (TF-IDF inverted-index) rankings
+    for the deterministic query set — integer rank contributions,
+    full-outer fuse, per-query window over <= 2m candidates."""
+    return simsearch_mod.rrf_fusion(
+        _docs(spark, sf_dir), _embs(spark, sf_dir)
+    )
+
+
+QUERIES.update({"rrf_fusion": q_rrf_fusion})
+ORACLE_SQL["rrf_fusion"] = simsearch_mod.rrf_fusion_sql()

@@ -54,6 +54,7 @@ def _bench_context(reps: int) -> int:
     env = dict(
         os.environ,
         SPARK_GRAFT_BENCH_HEAVY_ONLY="1",
+        SPARK_GRAFT_BENCH_HEAVY24="0",
         SPARK_GRAFT_BENCH_SPEC64="0",
         SPARK_GRAFT_BENCH_HUBSTRESS="0",
         SPARK_GRAFT_BENCH_HEAVY20X="0",
