@@ -367,6 +367,11 @@ def main() -> int:
             lambda: Q.q_hub_ablation_components(spark, sf_dir).count(),
         "rrf_fusion":
             lambda: Q.q_rrf_fusion(spark, sf_dir).count(),
+        # the BPE training loop (30 merges over the word-frequency
+        # table) + the fertility readout — benched as one row since
+        # fertility re-trains; the loop is ~60 vocab-scale stages
+        "bpe_fertility_by_lang":
+            lambda: Q.q_bpe_fertility_by_lang(spark, sf_dir).count(),
     }
 
     # Measured-variance rows (round-8 postmortem: louvain_multilevel

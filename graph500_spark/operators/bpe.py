@@ -294,3 +294,75 @@ def bpe_token_counts_sql(num_merges: int = 30, min_count: int = 2) -> str:
         " CAST(SUM(n_sub) AS BIGINT) AS n_bpe_tokens"
         " FROM dw JOIN lookup USING (word) GROUP BY doc_id"
     )
+
+
+def bpe_vocab_sql(num_merges: int = 30, min_count: int = 2) -> str:
+    """DuckDB mirror of bpe_vocab over the trained segmentation:
+    [symbol, freq]."""
+    rounds = _bpe_rounds_sql(num_merges, min_count)
+    return (
+        f"{rounds}"
+        " SELECT symbol, CAST(SUM(wcount) AS BIGINT) AS freq FROM ("
+        " SELECT unnest(string_split(syms, ' ')) AS symbol, wcount"
+        f" FROM w{num_merges}) GROUP BY symbol"
+    )
+
+
+def bpe_fertility_by_lang(docs: DataFrame, words: DataFrame) -> DataFrame:
+    """[lang, n_docs, n_tokens, n_bpe_tokens, fertility_micro] — mean
+    subwords per word under the trained segmentation, by language: THE
+    tokenizer-equity readout (Petrov et al. 2023, "Language Model
+    Tokenizers Introduce Unfairness") a multilingual pipeline checks
+    before fixing a vocabulary — languages the merges underserve pay
+    more tokens per word for the same text.
+
+    Same apply-side plan as bpe_token_counts (broadcast word→n_sub
+    lookup, corpus scanned once), aggregated per lang instead of per
+    doc; fertility_micro is one rounded double division per lang
+    row."""
+    lookup = words.select(
+        "word",
+        F.size(F.split("syms", " ")).cast("long").alias("n_sub"),
+    )
+    doc_words = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_REGEX}', 0)")
+        ).alias("word"),
+    )
+    return (
+        doc_words.join(F.broadcast(lookup), "word")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("n_sub").cast("long").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_sub") * 1_000_000 / F.count(F.lit(1)).cast("double")
+            )
+            .cast("long")
+            .alias("fertility_micro"),
+        )
+    )
+
+
+def bpe_fertility_by_lang_sql(
+    num_merges: int = 30, min_count: int = 2
+) -> str:
+    rounds = _bpe_rounds_sql(num_merges, min_count)
+    return (
+        f"{rounds},"
+        " lookup AS (SELECT word,"
+        f" CAST(len(string_split(syms, ' ')) AS BIGINT) AS n_sub"
+        f" FROM w{num_merges}),"
+        " dw AS (SELECT doc_id, lang,"
+        f" unnest(regexp_extract_all(lower(text), '{TOKEN_REGEX}'))"
+        " AS word FROM documents)"
+        " SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,"
+        " CAST(COUNT(*) AS BIGINT) AS n_tokens,"
+        " CAST(SUM(n_sub) AS BIGINT) AS n_bpe_tokens,"
+        " CAST(round(SUM(n_sub) * 1000000 / CAST(COUNT(*) AS DOUBLE))"
+        " AS BIGINT) AS fertility_micro"
+        " FROM dw JOIN lookup USING (word) GROUP BY lang"
+    )

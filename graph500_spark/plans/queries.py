@@ -4657,3 +4657,42 @@ def q_rrf_fusion(spark, sf_dir):
 
 QUERIES.update({"rrf_fusion": q_rrf_fusion})
 ORACLE_SQL["rrf_fusion"] = simsearch_mod.rrf_fusion_sql()
+
+
+def q_bpe_vocab(spark, sf_dir):
+    """Trained subword vocabulary with corpus frequencies — the
+    lookup table BPE application ships; one symbol explode over the
+    word table + one symbol-keyed agg."""
+    from graph500_spark.operators.bpe import bpe_learn, bpe_vocab
+
+    _, words = bpe_learn(spark, _docs(spark, sf_dir), num_merges=30)
+    return bpe_vocab(words)
+
+
+from graph500_spark.operators.bpe import (  # noqa: E402
+    bpe_fertility_by_lang_sql,
+    bpe_vocab_sql,
+)
+
+QUERIES.update({"bpe_vocab": q_bpe_vocab})
+ORACLE_SQL["bpe_vocab"] = bpe_vocab_sql(num_merges=30)
+
+
+def q_bpe_fertility_by_lang(spark, sf_dir):
+    """Tokenizer-equity readout: mean subwords per word by language
+    under the trained segmentation (Petrov et al. 2023); apply-side
+    broadcast lookup, corpus scanned once, per-lang agg."""
+    from graph500_spark.operators.bpe import (
+        bpe_fertility_by_lang,
+        bpe_learn,
+    )
+
+    docs = _docs(spark, sf_dir)
+    _, words = bpe_learn(spark, docs, num_merges=30)
+    return bpe_fertility_by_lang(docs, words)
+
+
+QUERIES.update({"bpe_fertility_by_lang": q_bpe_fertility_by_lang})
+ORACLE_SQL["bpe_fertility_by_lang"] = bpe_fertility_by_lang_sql(
+    num_merges=30
+)
