@@ -1109,12 +1109,18 @@ def quality_dup_calibration(docs: DataFrame) -> DataFrame:
     dup = base.groupBy("h").agg(
         F.count(F.lit(1)).cast("long").alias("n_copies")
     )
+    # flagged feeds THREE consumers (the n_total count, the score
+    # distribution, the final join) — materialize so the quality-score
+    # + dup-flag passes run once (Catalyst does not CSE across plan
+    # branches)
+    from graph500_spark.functions.plantrunc import truncate_plan
+
     flagged = base.join(dup, "h").select(
         "doc_id",
         "score_q",
         "n_chars",
         (F.col("n_copies") > 1).cast("int").alias("is_dup"),
-    )
+    ).transform(truncate_plan)
     dist = flagged.groupBy("score_q").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
