@@ -404,3 +404,227 @@ def louvain_multilevel_quality(
         spark, edges_clean, levels, max_iters, shuffle_partitions
     )
     return modularity(edges_clean, comm)
+
+
+def _louvain_chain(e: str, p: str, max_iters: int) -> list[str]:
+    """CTE parts for ONE unrolled local-moving chain (round 10)
+    reading (src, dst, w) from the CTE named ``e``; every chain CTE is
+    prefixed with ``p`` so two chains (multilevel) can share a
+    statement. One block per round — community degree sums, the
+    k_{v,c} table (self-loop ROWS excluded; strengths and two_m keep
+    them, the contracted-graph convention), the per-vertex argmax
+    with the exact (score desc, cd asc) tiebreak, the integer gain
+    test, the (vertex + it) % 2 parity gate — plus the
+    modularity-numerator score of every visited state and the
+    strict-greater best-visited selection (ties → earliest state; the
+    post-loop final state wins only strictly — the driver loop's
+    bookkeeping exactly). The winning assignment lands in ``{p}win``.
+
+    Why a fixed unroll is EXACT despite the driver's early break: the
+    loop stops after two consecutive quiet rounds, i.e. both parity
+    classes are at a fixpoint; every further synchronous round then
+    reproduces the same state (round it+2 re-examines the same parity
+    class on the same state), so the extra oracle rounds score
+    duplicate states that can never win the strict-greater /
+    earliest-tie argmax."""
+    tm = f"(SELECT two_m FROM {p}tm)"
+    parts = [
+        f"{p}dg AS MATERIALIZED (SELECT src AS vertex,"
+        f" CAST(SUM(w) AS BIGINT) AS deg FROM {e} GROUP BY src)",
+        f"{p}tm AS MATERIALIZED (SELECT CAST(SUM(w) AS BIGINT)"
+        f" AS two_m FROM {e})",
+        f"{p}c0 AS MATERIALIZED (SELECT vertex,"
+        f" CAST(vertex AS BIGINT) AS community, deg FROM {p}dg)",
+    ]
+    for i in range(max_iters):
+        parts += [
+            f"{p}cs{i} AS MATERIALIZED (SELECT community,"
+            f" CAST(SUM(deg) AS BIGINT) AS d_c FROM {p}c{i}"
+            " GROUP BY community)",
+            f"{p}q{i} AS MATERIALIZED (SELECT"
+            f" (SELECT CAST(COALESCE(SUM(e.w), 0) AS BIGINT) FROM {e} e"
+            f" JOIN {p}c{i} a ON a.vertex = e.src"
+            f" JOIN {p}c{i} b ON b.vertex = e.dst"
+            " WHERE e.src <> e.dst AND a.community = b.community)"
+            f" * {tm}"
+            f" - (SELECT CAST(SUM(d_c * d_c) AS BIGINT) FROM {p}cs{i})"
+            " AS qnum)",
+            f"{p}kv{i} AS MATERIALIZED (SELECT e.src AS vertex,"
+            " b.community AS cd, CAST(SUM(e.w) AS BIGINT) AS k"
+            f" FROM {e} e JOIN {p}c{i} b ON b.vertex = e.dst"
+            " WHERE e.src <> e.dst GROUP BY 1, 2)",
+            f"{p}ann{i} AS MATERIALIZED (SELECT kv.vertex, kv.cd,"
+            " kv.k, c.community AS ca, c.deg, csa.d_c AS d_ca,"
+            " csd.d_c AS d_cd"
+            f" FROM {p}kv{i} kv JOIN {p}c{i} c ON c.vertex = kv.vertex"
+            f" JOIN {p}cs{i} csa ON csa.community = c.community"
+            f" JOIN {p}cs{i} csd ON csd.community = kv.cd)",
+            f"{p}own{i} AS (SELECT vertex, CAST(COALESCE(MAX("
+            "CASE WHEN cd = ca THEN k END), 0) AS BIGINT) AS own_k"
+            f" FROM {p}ann{i} GROUP BY vertex)",
+            f"{p}bm{i} AS (SELECT vertex, cd, score FROM ("
+            " SELECT vertex, cd,"
+            f" 2 * {tm} * k - deg * d_cd AS score,"
+            " ROW_NUMBER() OVER (PARTITION BY vertex ORDER BY"
+            f" 2 * {tm} * k - deg * d_cd DESC,"
+            " cd ASC) AS rn"
+            f" FROM {p}ann{i} WHERE cd <> ca) WHERE rn = 1)",
+            f"{p}mv{i} AS MATERIALIZED (SELECT a.vertex,"
+            " b.cd AS new_c"
+            f" FROM (SELECT DISTINCT vertex, ca, deg, d_ca"
+            f" FROM {p}ann{i}) a"
+            f" JOIN {p}own{i} o ON o.vertex = a.vertex"
+            f" JOIN {p}bm{i} b ON b.vertex = a.vertex"
+            f" WHERE b.score > 2 * {tm} * o.own_k"
+            " - a.deg * (a.d_ca - a.deg)"
+            f" AND (a.vertex + {i}) % 2 = 0)",
+            f"{p}c{i+1} AS MATERIALIZED (SELECT c.vertex,"
+            " CAST(COALESCE(m.new_c, c.community) AS BIGINT)"
+            f" AS community, c.deg FROM {p}c{i} c"
+            f" LEFT JOIN {p}mv{i} m ON m.vertex = c.vertex)",
+        ]
+    n = max_iters
+    parts += [
+        f"{p}cs{n} AS (SELECT community,"
+        f" CAST(SUM(deg) AS BIGINT) AS d_c FROM {p}c{n}"
+        " GROUP BY community)",
+        f"{p}q{n} AS (SELECT"
+        f" (SELECT CAST(COALESCE(SUM(e.w), 0) AS BIGINT) FROM {e} e"
+        f" JOIN {p}c{n} a ON a.vertex = e.src"
+        f" JOIN {p}c{n} b ON b.vertex = e.dst"
+        " WHERE e.src <> e.dst AND a.community = b.community)"
+        f" * {tm}"
+        f" - (SELECT CAST(SUM(d_c * d_c) AS BIGINT) FROM {p}cs{n})"
+        " AS qnum)",
+        f"{p}scores AS ("
+        + " UNION ALL ".join(
+            f"SELECT {i} AS it, qnum FROM {p}q{i}" for i in range(n + 1)
+        )
+        + ")",
+        f"{p}best AS (SELECT it FROM {p}scores"
+        " ORDER BY qnum DESC, it ASC LIMIT 1)",
+        f"{p}states AS ("
+        + " UNION ALL ".join(
+            f"SELECT {i} AS it, vertex, community FROM {p}c{i}"
+            for i in range(n + 1)
+        )
+        + ")",
+        f"{p}win AS MATERIALIZED (SELECT vertex, community"
+        f" FROM {p}states JOIN {p}best USING (it))",
+    ]
+    return parts
+
+
+def louvain_communities_sql(clean_sql: str, max_iters: int = 16) -> str:
+    """Unrolled-CTE DuckDB mirror of louvain_communities — see
+    _louvain_chain for the round structure and the unroll-exactness
+    argument. Unweighted form (w = 1), matching the registered
+    entry's clean-graph input."""
+    parts = [
+        f"WITH clean AS MATERIALIZED ({clean_sql})",
+        "e0 AS MATERIALIZED (SELECT src, dst, CAST(1 AS BIGINT) AS w"
+        " FROM clean)",
+    ] + _louvain_chain("e0", "", max_iters)
+    return ", ".join(parts) + " SELECT vertex, community FROM win"
+
+
+def louvain_quality_sql(clean_sql: str, max_iters: int = 16) -> str:
+    """DuckDB mirror of louvain_quality: the unrolled chain's winning
+    state scored by the exact-integer modularity formula
+    (stats.modularity_sql's shape with cmap = the chain winner)."""
+    chain = louvain_communities_sql(clean_sql, max_iters)
+    return (
+        f"WITH cmap AS ({chain}),"
+        f" clean2 AS ({clean_sql}),"
+        " deg2 AS (SELECT src AS vertex,"
+        " CAST(COUNT(*) AS BIGINT) AS degree FROM clean2 GROUP BY src),"
+        " tm2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS two_m"
+        " FROM clean2),"
+        " w2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS within_rows"
+        " FROM clean2 e"
+        " JOIN cmap cs ON cs.vertex = e.src"
+        " JOIN cmap cd ON cd.vertex = e.dst"
+        " WHERE cs.community = cd.community),"
+        " ds2 AS (SELECT cm.community,"
+        " CAST(SUM(d.degree) AS BIGINT) AS d_c"
+        " FROM deg2 d JOIN cmap cm ON cm.vertex = d.vertex"
+        " GROUP BY cm.community),"
+        " dst2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,"
+        " CAST(SUM(d_c * d_c) AS BIGINT) AS sum_d2 FROM ds2)"
+        " SELECT n_communities, two_m, within_rows,"
+        " ROUND((two_m * within_rows - sum_d2)"
+        " / (CAST(two_m AS DOUBLE) * two_m), 6) AS modularity"
+        " FROM tm2, w2, dst2"
+    )
+
+
+def louvain_multilevel_sql(
+    clean_sql: str, levels: int = 2, max_iters: int = 16
+) -> str:
+    """Unrolled-CTE DuckDB mirror of louvain_multilevel: one
+    _louvain_chain per level, a contraction CTE between levels (edges
+    mapped to level-i winners, parallel edges weight-summed — the
+    within-community rows become the super-vertex self-loops the next
+    level's strengths need), and the composition of assignments back
+    down to original vertices."""
+    parts = [
+        f"WITH clean AS MATERIALIZED ({clean_sql})",
+        "e0 AS MATERIALIZED (SELECT src, dst, CAST(1 AS BIGINT) AS w"
+        " FROM clean)",
+    ]
+    for lv in range(levels):
+        if lv > 0:
+            parts.append(
+                f"e{lv} AS MATERIALIZED (SELECT sa.community AS src,"
+                " sb.community AS dst, CAST(SUM(e.w) AS BIGINT) AS w"
+                f" FROM e{lv-1} e"
+                f" JOIN l{lv-1}win sa ON sa.vertex = e.src"
+                f" JOIN l{lv-1}win sb ON sb.vertex = e.dst"
+                " GROUP BY 1, 2)"
+            )
+        parts += _louvain_chain(f"e{lv}", f"l{lv}", max_iters)
+    # compose assignments down to original vertices
+    compose = "SELECT m0.vertex, CAST(m{last}.community AS BIGINT) AS community FROM l0win m0"
+    joins = []
+    for lv in range(1, levels):
+        prev = "m0" if lv == 1 else f"m{lv-1}"
+        joins.append(
+            f" JOIN l{lv}win m{lv} ON m{lv}.vertex = {prev}.community"
+        )
+    final = (
+        compose.format(last=levels - 1) + "".join(joins)
+        if levels > 1
+        else "SELECT vertex, community FROM l0win m0"
+    )
+    return ", ".join(parts) + " " + final
+
+
+def louvain_multilevel_quality_sql(
+    clean_sql: str, levels: int = 2, max_iters: int = 16
+) -> str:
+    """DuckDB mirror of louvain_multilevel_quality: the multilevel
+    winner scored on the ORIGINAL graph by the modularity formula."""
+    chain = louvain_multilevel_sql(clean_sql, levels, max_iters)
+    return (
+        f"WITH cmap AS ({chain}),"
+        f" clean2 AS ({clean_sql}),"
+        " deg2 AS (SELECT src AS vertex,"
+        " CAST(COUNT(*) AS BIGINT) AS degree FROM clean2 GROUP BY src),"
+        " tm2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS two_m"
+        " FROM clean2),"
+        " w2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS within_rows"
+        " FROM clean2 e"
+        " JOIN cmap cs ON cs.vertex = e.src"
+        " JOIN cmap cd ON cd.vertex = e.dst"
+        " WHERE cs.community = cd.community),"
+        " ds2 AS (SELECT cm.community,"
+        " CAST(SUM(d.degree) AS BIGINT) AS d_c"
+        " FROM deg2 d JOIN cmap cm ON cm.vertex = d.vertex"
+        " GROUP BY cm.community),"
+        " dst2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,"
+        " CAST(SUM(d_c * d_c) AS BIGINT) AS sum_d2 FROM ds2)"
+        " SELECT n_communities, two_m, within_rows,"
+        " ROUND((two_m * within_rows - sum_d2)"
+        " / (CAST(two_m AS DOUBLE) * two_m), 6) AS modularity"
+        " FROM tm2, w2, dst2"
+    )

@@ -1280,9 +1280,10 @@ def q_core_numbers(spark, sf_dir):
 
 def q_louvain_communities(spark, sf_dir):
     """Louvain local-moving fixpoint on the mod997 graph — exact
-    integer move gains, parity-alternated synchronous moves; the
-    iterative argmax-with-feedback is rows-only under the driver
-    gate (tests pin planted-partition recovery + determinism)."""
+    integer move gains, parity-alternated synchronous moves;
+    hash-verified since round 10 via the unrolled-CTE oracle
+    (louvain_communities_sql; tests also pin planted-partition
+    recovery + determinism)."""
     from graph500_spark.operators.louvain import louvain_communities
 
     return louvain_communities(
@@ -1320,10 +1321,10 @@ def q_community_graph(spark, sf_dir):
 
 def q_louvain_multilevel(spark, sf_dir):
     """Two-level Louvain (local-moving, contract with self-loops,
-    re-run weighted, compose down) on the mod997 graph — iterative,
-    rows-only under the driver gate; tests pin level composition and
-    the quality entry scores it through the oracle-checked
-    modularity operator."""
+    re-run weighted, compose down) on the mod997 graph —
+    hash-verified since round 10 via one unrolled chain per level
+    plus a contraction CTE (louvain_multilevel_sql); tests pin level
+    composition."""
     from graph500_spark.operators.louvain import louvain_multilevel
 
     return louvain_multilevel(
@@ -4695,4 +4696,30 @@ def q_bpe_fertility_by_lang(spark, sf_dir):
 QUERIES.update({"bpe_fertility_by_lang": q_bpe_fertility_by_lang})
 ORACLE_SQL["bpe_fertility_by_lang"] = bpe_fertility_by_lang_sql(
     num_merges=30
+)
+
+
+# --- round 10: louvain_communities / louvain_quality move from
+# rows-only to hash-verified (the unrolled-CTE discipline once more:
+# the local-moving loop is deterministic with integer scores, parity
+# alternation and strict-greater best-visited tracking, and the early
+# break is unroll-safe — a two-parity fixpoint reproduces itself, so
+# extra oracle rounds score duplicate states that can never win the
+# earliest-tie argmax; see operators/louvain.py) ---------------------
+from graph500_spark.operators.louvain import (  # noqa: E402
+    louvain_communities_sql,
+    louvain_quality_sql,
+)
+
+ORACLE_SQL["louvain_communities"] = louvain_communities_sql(_CLEAN_MOD997)
+ORACLE_SQL["louvain_quality"] = louvain_quality_sql(_CLEAN_MOD997)
+
+from graph500_spark.operators.louvain import (  # noqa: E402
+    louvain_multilevel_quality_sql,
+    louvain_multilevel_sql,
+)
+
+ORACLE_SQL["louvain_multilevel"] = louvain_multilevel_sql(_CLEAN_MOD997)
+ORACLE_SQL["louvain_multilevel_quality"] = louvain_multilevel_quality_sql(
+    _CLEAN_MOD997
 )
