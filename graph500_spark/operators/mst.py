@@ -237,3 +237,71 @@ def validate_msf(
         ],
         "err_not_subset long, err_not_spanning long, err_not_tree long",
     )
+
+
+def minimum_spanning_forest_sql(
+    weighted_sql: str, rounds: int = 10
+) -> str:
+    """Unrolled-Boruvka DuckDB mirror (round 10). The MSF under a
+    strict total edge order is UNIQUE, so the oracle only has to be a
+    correct Boruvka, but this one also mirrors the Spark rounds
+    exactly: per round, each component's minimum (weight, lo, hi)
+    outgoing edge (ROW_NUMBER argmin per component, DISTINCT over the
+    two-sided candidates), then the component merge as a RECURSIVE
+    min-label closure over the selected component pairs (the
+    connected_components_sql formulation — one recursive CTE per
+    round, all under a single WITH RECURSIVE).
+
+    A fixed unroll is exact: components at least halve per round, so
+    ceil(log2(|V|)) rounds always suffice (997 vertices → 10) and
+    converged rounds select nothing and no-op. ``weighted_sql`` must
+    produce (src, dst, weight)."""
+    parts = [
+        f"WITH RECURSIVE we AS MATERIALIZED ({weighted_sql})",
+        "e AS MATERIALIZED (SELECT LEAST(src, dst) AS lo,"
+        " GREATEST(src, dst) AS hi, CAST(weight AS BIGINT) AS weight"
+        " FROM we WHERE src <> dst)",
+        "c0 AS MATERIALIZED (SELECT vertex,"
+        " CAST(vertex AS BIGINT) AS comp FROM ("
+        " SELECT lo AS vertex FROM e UNION"
+        " SELECT hi AS vertex FROM e))",
+    ]
+    for r in range(rounds):
+        parts += [
+            f"le{r} AS MATERIALIZED (SELECT e.lo, e.hi, e.weight,"
+            " a.comp AS c_lo, b.comp AS c_hi"
+            f" FROM e JOIN c{r} a ON a.vertex = e.lo"
+            f" JOIN c{r} b ON b.vertex = e.hi"
+            " WHERE a.comp <> b.comp)",
+            f"sel{r} AS MATERIALIZED (SELECT DISTINCT weight, lo, hi,"
+            " c_lo, c_hi FROM ("
+            " SELECT comp, weight, lo, hi, c_lo, c_hi,"
+            " ROW_NUMBER() OVER (PARTITION BY comp"
+            " ORDER BY weight, lo, hi) AS rn FROM ("
+            f" SELECT c_lo AS comp, * FROM le{r}"
+            " UNION ALL"
+            f" SELECT c_hi AS comp, * FROM le{r}))"
+            " WHERE rn = 1)",
+            f"pr{r} AS MATERIALIZED (SELECT c_lo AS src, c_hi AS dst"
+            f" FROM sel{r}"
+            " UNION"
+            f" SELECT c_hi AS src, c_lo AS dst FROM sel{r})",
+            f"reach{r}(vertex, label) AS ("
+            f" SELECT src, src FROM pr{r}"
+            " UNION"
+            f" SELECT p.dst, rr.label FROM pr{r} p"
+            f" JOIN reach{r} rr ON p.src = rr.vertex)",
+            f"mg{r} AS MATERIALIZED (SELECT vertex AS old_comp,"
+            f" CAST(MIN(label) AS BIGINT) AS new_comp FROM reach{r}"
+            " GROUP BY vertex)",
+            f"c{r+1} AS MATERIALIZED (SELECT c.vertex,"
+            " CAST(COALESCE(m.new_comp, c.comp) AS BIGINT) AS comp"
+            f" FROM c{r} c LEFT JOIN mg{r} m ON m.old_comp = c.comp)",
+        ]
+    forest = " UNION ALL ".join(
+        f"SELECT lo, hi, weight FROM sel{r}" for r in range(rounds)
+    )
+    return (
+        ", ".join(parts)
+        + f" SELECT lo AS src, hi AS dst, weight FROM ({forest})"
+    )

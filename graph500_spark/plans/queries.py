@@ -1477,9 +1477,11 @@ def q_user_event_unpivot(spark, sf_dir):
 def q_min_spanning_forest(spark, sf_dir):
     """Boruvka minimum spanning forest over the SSSP weight fixture —
     deterministic under the strict (weight, lo, hi) edge order.
-    Iterative (not SQL-expressible): rows-only under the driver gate,
-    like count_vertices_approx; algorithm correctness is pinned by
-    tests/test_mst.py's driver-side Kruskal cross-check."""
+    Hash-verified since round 10: the MSF under a strict order is
+    unique and Boruvka's round count is log-bounded, so a fixed
+    10-round unrolled oracle with one recursive min-label closure per
+    merge is exact (minimum_spanning_forest_sql); tests/test_mst.py's
+    driver-side Kruskal cross-check stays as the third opinion."""
     from graph500_spark.operators.mst import minimum_spanning_forest
 
     clean = clean_mod997_graph(spark, sf_dir)
@@ -4722,4 +4724,22 @@ from graph500_spark.operators.louvain import (  # noqa: E402
 ORACLE_SQL["louvain_multilevel"] = louvain_multilevel_sql(_CLEAN_MOD997)
 ORACLE_SQL["louvain_multilevel_quality"] = louvain_multilevel_quality_sql(
     _CLEAN_MOD997
+)
+
+
+# --- round 10: min_spanning_forest moves from rows-only to
+# hash-verified — the MSF under the strict (weight, lo, hi) order is
+# UNIQUE, and Boruvka's round count is bounded by ceil(log2(|V|)), so
+# a fixed 10-round unroll (997 vertices) with one recursive min-label
+# closure per merge is exact; see operators/mst.py ------------------
+from graph500_spark.operators.mst import (  # noqa: E402
+    minimum_spanning_forest_sql,
+)
+
+_MSF_WEIGHTED_SQL = (
+    f"SELECT src, dst, CAST({SSSP_WEIGHT_EXPR} AS BIGINT) AS weight"
+    f" FROM ({_CLEAN_MOD997})"
+)
+ORACLE_SQL["min_spanning_forest"] = minimum_spanning_forest_sql(
+    _MSF_WEIGHTED_SQL, rounds=10
 )
