@@ -120,3 +120,58 @@ def test_rrf_fusion_rank_contract(spark):
         assert all(a >= b for a, b in zip(scores, scores[1:]))
         assert all(0 < s <= max_contrib for s in scores)
     assert by_q, "query set must be non-empty"
+
+
+def test_msf_oracle_toy_graph():
+    """The unrolled-Boruvka SQL on a graph with a cycle + a separate
+    component — the MST must drop exactly the heaviest cycle edge."""
+    import duckdb
+
+    from graph500_spark.operators.mst import minimum_spanning_forest_sql
+
+    w = (
+        "SELECT 1 AS src, 2 AS dst, 1 AS weight UNION ALL"
+        " SELECT 2, 3, 2 UNION ALL SELECT 1, 3, 3 UNION ALL"
+        " SELECT 4, 5, 7"
+    )
+    got = sorted(
+        duckdb.connect()
+        .execute(minimum_spanning_forest_sql(w, rounds=4))
+        .fetchall()
+    )
+    assert got == [(1, 2, 1), (2, 3, 2), (4, 5, 7)]
+
+
+def test_louvain_oracle_matches_spark_on_barbell(spark):
+    """Two 4-cliques joined by one bridge — Spark louvain_communities
+    and the unrolled-CTE oracle must agree bit-for-bit on a graph
+    shape neither SF fixture exhibits."""
+    import duckdb
+
+    from graph500_spark.operators.louvain import (
+        louvain_communities,
+        louvain_communities_sql,
+    )
+
+    und = []
+    for base in (0, 10):
+        for i in range(4):
+            for j in range(i + 1, 4):
+                und.append((base + i, base + j))
+    und.append((3, 10))  # bridge
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    sdf = louvain_communities(spark, edges, shuffle_partitions=4)
+    got = sorted((r["vertex"], r["community"]) for r in sdf.collect())
+    vals = " UNION ALL ".join(
+        f"SELECT {a} AS src, {b} AS dst" for a, b in und
+    ) + " UNION ALL " + " UNION ALL ".join(
+        f"SELECT {b} AS src, {a} AS dst" for a, b in und
+    )
+    odf = duckdb.connect().execute(
+        louvain_communities_sql(vals)
+    ).fetchall()
+    assert got == sorted(odf)
+    # the two cliques must resolve to two communities
+    assert len({c for _, c in got}) == 2
