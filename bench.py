@@ -170,6 +170,10 @@ def main() -> int:
         "bfs_kron_s16": lambda: _bfs16(spark, kron16),
         "bfs_s16_4roots_sequential": lambda: _bfs16_roots_seq(spark, kron16),
         "bfs_s16_4roots_batched": lambda: _bfs16_roots_batched(spark, kron16),
+        # the same sequential-vs-batched floor measurement for the
+        # weighted traversal (round 10: sssp_multi)
+        "sssp_4roots_sequential": lambda: _sssp_roots_seq(spark, sf_dir),
+        "sssp_4roots_batched": lambda: _sssp_roots_batched(spark, sf_dir),
         "bfs_s16_plain_storage": lambda: _bfs_storage(
             spark, read_edges_parquet(spark, plain_path), prepartition=True
         ),
@@ -1020,3 +1024,24 @@ def _bfs_storage(spark, edges, prepartition: bool) -> int:
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
+
+def _sssp_roots_seq(spark, sf_dir) -> int:
+    """4 independent single-root SSSP over the mod997 weight fixture."""
+    from graph500_spark.plans import queries as Q
+    from graph500_spark.operators.sssp import sssp
+    from pyspark.sql import functions as F
+
+    clean = Q.clean_mod997_graph(spark, sf_dir)
+    weighted = clean.withColumn("weight", F.expr(Q.SSSP_WEIGHT_EXPR))
+    n = 0
+    for r in Q.SSSP_MULTI_ROOTS:
+        n += sssp(spark, weighted, r, shuffle_partitions=8).count()
+    return n
+
+
+def _sssp_roots_batched(spark, sf_dir) -> int:
+    """Same 4 roots through one shared multi-source frontier."""
+    from graph500_spark.plans import queries as Q
+
+    return Q.q_sssp_multi(spark, sf_dir).count()

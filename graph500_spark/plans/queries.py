@@ -4743,3 +4743,28 @@ _MSF_WEIGHTED_SQL = (
 ORACLE_SQL["min_spanning_forest"] = minimum_spanning_forest_sql(
     _MSF_WEIGHTED_SQL, rounds=10
 )
+
+
+SSSP_MULTI_ROOTS = [1, 2, 5, 9]  # mod997 vertices, the bfs_multi style
+
+
+def q_sssp_multi(spark, sf_dir):
+    """Four shortest-path trees through one shared delta-frontier
+    loop (the reference's 64-root batching story applied to weighted
+    relaxation); per-root results identical to sequential sssp."""
+    from graph500_spark.operators.sssp import sssp_multi
+
+    clean = clean_mod997_graph(spark, sf_dir)
+    weighted = clean.withColumn("weight", F.expr(SSSP_WEIGHT_EXPR))
+    return sssp_multi(
+        spark, weighted, SSSP_MULTI_ROOTS, shuffle_partitions=8
+    )
+
+
+QUERIES.update({"sssp_multi": q_sssp_multi})
+ORACLE_SQL["sssp_multi"] = " UNION ALL ".join(
+    f"SELECT CAST({r} AS BIGINT) AS source, * FROM ("
+    + sssp_sql(_CLEAN_MOD997, r)
+    + ")"
+    for r in SSSP_MULTI_ROOTS
+)

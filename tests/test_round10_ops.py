@@ -175,3 +175,30 @@ def test_louvain_oracle_matches_spark_on_barbell(spark):
     assert got == sorted(odf)
     # the two cliques must resolve to two communities
     assert len({c for _, c in got}) == 2
+
+
+def test_sssp_multi_equals_sequential(spark):
+    """Each tree from the shared multi-source loop must be
+    bit-identical to the sequential single-source run."""
+    from graph500_spark.operators.sssp import sssp, sssp_multi
+    from graph500_spark.plans.queries import (
+        SSSP_WEIGHT_EXPR,
+        clean_mod997_graph,
+    )
+    from pyspark.sql import functions as F
+
+    clean = clean_mod997_graph(spark, "/root/testdata/sf0.001")
+    weighted = clean.withColumn("weight", F.expr(SSSP_WEIGHT_EXPR))
+    roots = [1, 5]
+    multi = sssp_multi(spark, weighted, roots, shuffle_partitions=4)
+    got = {
+        (r["source"], r["vertex"]): (r["dist"], r["pred"])
+        for r in multi.collect()
+    }
+    for root in roots:
+        seq = sssp(spark, weighted, root, shuffle_partitions=4)
+        want = {
+            (root, r["vertex"]): (r["dist"], r["pred"])
+            for r in seq.collect()
+        }
+        assert {k: v for k, v in got.items() if k[0] == root} == want
