@@ -1593,6 +1593,13 @@ def ks_source_drift(docs: DataFrame) -> DataFrame:
     sv = vals.groupBy("source", "x").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     ).transform(truncate_plan)
+    return ks_from_counts(sv)
+
+
+def ks_from_counts(sv: DataFrame) -> DataFrame:
+    """The KS core over the COMPRESSED (source, x, c) count table —
+    shared by the batch operator above and the streaming drift
+    monitor (streaming/drift.py), whose carried state IS this table."""
     corpus = sv.groupBy("x").agg(F.sum("c").cast("long").alias("c_all"))
     n_all_df = sv.agg(F.sum("c").cast("long").alias("n_all"))
     n_s = sv.groupBy("source").agg(F.sum("c").cast("long").alias("n_s"))

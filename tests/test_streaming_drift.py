@@ -1,0 +1,80 @@
+"""The streaming KS drift monitor must converge to the batch answer:
+after consuming the document log in micro-batches, the drift readout
+equals ks_source_drift over the full corpus in one pass — and a
+restart seeds its count state from the sink."""
+
+from __future__ import annotations
+
+
+def _rows(df):
+    return sorted(
+        (r["source"], r["n_source"], r["ks_ppm"], r["at_value"])
+        for r in df.collect()
+    )
+
+
+def test_streaming_drift_equals_batch(spark, tmp_path):
+    from graph500_spark.operators.traindata import ks_source_drift
+    from graph500_spark.streaming.drift import (
+        read_drift,
+        start_drift_monitor,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src_dir = str(tmp_path / "docs_in")
+    docs.repartition(8).write.parquet(src_dir)
+
+    counts_out = str(tmp_path / "counts_out")
+    drift_out = str(tmp_path / "drift_out")
+    q = start_drift_monitor(
+        spark,
+        src_dir,
+        counts_out,
+        drift_out,
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=2,  # 4 real micro-batches
+    )
+    q.awaitTermination()
+
+    got = _rows(read_drift(spark, drift_out))
+    want = _rows(ks_source_drift(docs))
+    assert got == want
+    assert len(got) > 1  # several sources actually present
+
+
+def test_streaming_drift_restart_seeds_from_sink(spark, tmp_path):
+    from graph500_spark.operators.traindata import ks_source_drift
+    from graph500_spark.streaming.drift import (
+        read_drift,
+        start_drift_monitor,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).persist()
+    half1 = docs.filter("doc_id % 2 = 0")
+    half2 = docs.filter("doc_id % 2 = 1")
+
+    in1 = str(tmp_path / "in1")
+    in2 = str(tmp_path / "in2")
+    half1.repartition(2).write.parquet(in1)
+    half2.repartition(2).write.parquet(in2)
+
+    counts_out = str(tmp_path / "counts_out")
+    drift_out = str(tmp_path / "drift_out")
+    # first stream consumes half 1
+    q1 = start_drift_monitor(
+        spark, in1, counts_out, drift_out, str(tmp_path / "ck1")
+    )
+    q1.awaitTermination()
+    # fresh stream (new checkpoint) over half 2 must SEED from the
+    # persisted counts, so the final readout covers both halves
+    q2 = start_drift_monitor(
+        spark, in2, counts_out, drift_out, str(tmp_path / "ck2")
+    )
+    q2.awaitTermination()
+
+    got = _rows(read_drift(spark, drift_out))
+    want = _rows(ks_source_drift(docs))
+    docs.unpersist()
+    assert got == want
