@@ -1022,10 +1022,6 @@ def _bfs_storage(spark, edges, prepartition: bool) -> int:
         cached.unpersist()
 
 
-if __name__ == "__main__":
-    raise SystemExit(main())
-
-
 def _sssp_roots_seq(spark, sf_dir) -> int:
     """4 independent single-root SSSP over the mod997 weight fixture."""
     from graph500_spark.plans import queries as Q
@@ -1045,3 +1041,7 @@ def _sssp_roots_batched(spark, sf_dir) -> int:
     from graph500_spark.plans import queries as Q
 
     return Q.q_sssp_multi(spark, sf_dir).count()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
