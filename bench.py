@@ -738,64 +738,64 @@ def _heavy_tier(spark, sf_dir: str) -> dict[str, float]:
 
     # --- 20x-duplicated corpus (every doc has 19 exact twins) ---
     # Skippable (for targeted s20/s22 A/B triage) via
-    # SPARK_GRAFT_BENCH_HEAVY20X=0.
-    if os.environ.get("SPARK_GRAFT_BENCH_HEAVY20X", "1") == "0":
-        return out
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    n_docs = docs.count()
-    replicas = spark.range(20).select(F.col("id").alias("rep"))
-    docs20 = (
-        docs.crossJoin(F.broadcast(replicas))
-        .select(
-            (F.col("doc_id") + F.col("rep") * (n_docs * 2)).alias("doc_id"),
-            "text",
-            "lang",
-            "source",
-            "n_chars",
+    # SPARK_GRAFT_BENCH_HEAVY20X=0 (drops ONLY the 20x-corpus rows;
+    # the 20x-lineitem rows below always run).
+    if os.environ.get("SPARK_GRAFT_BENCH_HEAVY20X", "1") != "0":
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        n_docs = docs.count()
+        replicas = spark.range(20).select(F.col("id").alias("rep"))
+        docs20 = (
+            docs.crossJoin(F.broadcast(replicas))
+            .select(
+                (F.col("doc_id") + F.col("rep") * (n_docs * 2)).alias("doc_id"),
+                "text",
+                "lang",
+                "source",
+                "n_chars",
+            )
+            # the sf documents are one parquet file -> one partition; the
+            # replica crossJoin is narrow, so without this the 20x corpus
+            # (and every narrow kernel over it) would run single-threaded
+            .repartition(32)
+            .persist()
         )
-        # the sf documents are one parquet file -> one partition; the
-        # replica crossJoin is narrow, so without this the 20x corpus
-        # (and every narrow kernel over it) would run single-threaded
-        .repartition(32)
-        .persist()
-    )
-    docs20.count()  # materialize input (input prep, not query time)
+        docs20.count()  # materialize input (input prep, not query time)
 
-    dedup.release_caches()
-    shot("exact_dedup_20x", lambda: dedup.exact_duplicates(docs20).count())
-    dedup.release_caches()
-    shot(
-        "minhash_near_dup_20x",
-        lambda: dedup.minhash_near_duplicates(docs20).count(),
-    )
-    dedup.release_caches()
-    shot("corpus_clean_20x", lambda: corpus_mod.corpus_clean(docs20).count())
-    dedup.release_caches()
-    # NOTE: setsim_join_prefix is deliberately NOT run on the 20x
-    # corpus: an exact set-similarity join over a corpus where every
-    # doc has 19 exact twins is the documented anti-pattern (the
-    # pipeline contract is exact-dedup FIRST — corpus_clean — then
-    # near-dup on survivors; 20x exact dups turn every mid-frequency
-    # prefix token into a quadratic candidate bucket). Its headline
-    # timing runs on the real sf corpus above.
-
-    # end-to-end staged pipeline (stats -> annotations -> clean ->
-    # spans -> split -> pack), INCLUDING every stage's parquet write —
-    # the composed corpus job a training run actually executes
-    import shutil
-    import tempfile
-
-    from graph500_spark.plans.corpus_runner import run_corpus_pipeline
-
-    pipe_dir = tempfile.mkdtemp(prefix="bench_pipe_")
-    try:
+        dedup.release_caches()
+        shot("exact_dedup_20x", lambda: dedup.exact_duplicates(docs20).count())
+        dedup.release_caches()
         shot(
-            "corpus_pipeline_20x",
-            lambda: run_corpus_pipeline(spark, docs20, pipe_dir),
+            "minhash_near_dup_20x",
+            lambda: dedup.minhash_near_duplicates(docs20).count(),
         )
-    finally:
-        shutil.rmtree(pipe_dir, ignore_errors=True)
-    docs20.unpersist()
+        dedup.release_caches()
+        shot("corpus_clean_20x", lambda: corpus_mod.corpus_clean(docs20).count())
+        dedup.release_caches()
+        # NOTE: setsim_join_prefix is deliberately NOT run on the 20x
+        # corpus: an exact set-similarity join over a corpus where every
+        # doc has 19 exact twins is the documented anti-pattern (the
+        # pipeline contract is exact-dedup FIRST — corpus_clean — then
+        # near-dup on survivors; 20x exact dups turn every mid-frequency
+        # prefix token into a quadratic candidate bucket). Its headline
+        # timing runs on the real sf corpus above.
+
+        # end-to-end staged pipeline (stats -> annotations -> clean ->
+        # spans -> split -> pack), INCLUDING every stage's parquet write —
+        # the composed corpus job a training run actually executes
+        import shutil
+        import tempfile
+
+        from graph500_spark.plans.corpus_runner import run_corpus_pipeline
+
+        pipe_dir = tempfile.mkdtemp(prefix="bench_pipe_")
+        try:
+            shot(
+                "corpus_pipeline_20x",
+                lambda: run_corpus_pipeline(spark, docs20, pipe_dir),
+            )
+        finally:
+            shutil.rmtree(pipe_dir, ignore_errors=True)
+        docs20.unpersist()
 
     # --- 20x-replicated lineitem (1.2M rows at sf0.1): the relational
     # scan-agg and agg-then-join shapes at data-bound volume ---

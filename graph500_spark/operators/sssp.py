@@ -121,6 +121,7 @@ def sssp(
             )
             n_new = improved.count()
             if n_new == 0:
+                improved.unpersist()
                 break
             # the superseded round's blocks can be freed — without
             # this, long loops accumulate O(rounds) cached state
@@ -132,6 +133,11 @@ def sssp(
             if old_frontier is not old_dist:
                 old_frontier.unpersist()
     finally:
+        # the last frontier's blocks are dead on every exit path
+        # (n_new==0 break, max_rounds break, or an error) — without
+        # this each invocation leaks one persisted frontier
+        if frontier is not dist:
+            frontier.unpersist()
         if saved_sp is not None:
             spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
     return dist
@@ -345,6 +351,7 @@ def sssp_multi(
             )
             n_new = improved.count()
             if n_new == 0:
+                improved.unpersist()
                 break
             old_dist, old_frontier = dist, frontier
             dist = merged
@@ -354,6 +361,9 @@ def sssp_multi(
             if old_frontier is not old_dist:
                 old_frontier.unpersist()
     finally:
+        # same per-invocation frontier-leak fix as sssp() above
+        if frontier is not dist:
+            frontier.unpersist()
         if saved_sp is not None:
             spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
     return dist

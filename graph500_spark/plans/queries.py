@@ -4768,3 +4768,72 @@ ORACLE_SQL["sssp_multi"] = " UNION ALL ".join(
     + ")"
     for r in SSSP_MULTI_ROOTS
 )
+
+
+# --- round-11 window rotation ---------------------------------------
+# Driver checks the FIRST 50 queries() entries each round. Front-load:
+# (a) the 8 round-10 additions that have never had a driver
+#     CORRECTNESS row (judge re-verified them at both SFs in round 10;
+#     a green driver row closes coverage at 277/277), then
+# (b) the 42 stalest re-confirmations — all 27 entries whose latest
+#     driver check is round 4, plus the 15 alphabetically-first
+#     round-5 entries — so the window keeps cycling the registry.
+_ROUND11_FRONT = [
+    # never driver-checked (round-10 additions)
+    "sssp_multi",
+    "bpe_vocab",
+    "bpe_fertility_by_lang",
+    "rrf_fusion",
+    "powerlaw_alpha_mle",
+    "js_source_divergence",
+    "hub_ablation_components",
+    "quality_dup_calibration",
+    # re-confirmation: last checked round 4 (all 27)
+    "dedup_rate_by_source",
+    "embedding_moments",
+    "event_anomalies_robust",
+    "event_type_dow_cube",
+    "event_value_histogram",
+    "events_completeness",
+    "fk_integrity",
+    "funnel_windowed",
+    "hapax_stats",
+    "idle_rich_customers",
+    "large_orders",
+    "lineitem_correlations",
+    "pk_uniqueness",
+    "quality_weighted_sample",
+    "revenue_rollup",
+    "sessionize_native",
+    "shipping_volume",
+    "small_quantity_revenue",
+    "split_by_cluster",
+    "supplier_part_counts",
+    "table_stats",
+    "top_unshipped_orders",
+    "type_token_ratio",
+    "user_event_pivot",
+    "user_event_unpivot",
+    "validate_msf",
+    "zorder_keys",
+    # re-confirmation: oldest round-5 entries (first 15 by name)
+    "best_match_per_doc",
+    "bigram_logppl",
+    "char_entropy",
+    "cosine_topk_filtered",
+    "decontaminate_fuzzy",
+    "degree_gini",
+    "doc_chunks",
+    "embedding_dim_stats",
+    "error_context",
+    "event_type_transitions",
+    "event_window_counts",
+    "feature_hashing",
+    "frame_sample",
+    "heavy_hitter_tokens",
+    "knn_predict",
+]
+assert len(_ROUND11_FRONT) == 50 and len(set(_ROUND11_FRONT)) == 50
+QUERIES = {k: QUERIES[k] for k in _ROUND11_FRONT} | {
+    k: v for k, v in QUERIES.items() if k not in set(_ROUND11_FRONT)
+}

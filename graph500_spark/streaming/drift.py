@@ -15,14 +15,23 @@ is one count-keyed union-aggregate over a tiny table plus the
 KS windows over the compressed domain.
 
 Crash/recovery: state seeds from the persisted counts parquet at
-stream (re)start; per-batch writes OVERWRITE both the counts and the
-drift readout (last-writer-wins snapshots, idempotent under batch
-replay because counts merge by batch_id-independent aggregation of
-the seeded state + this batch only).
+stream (re)start. foreachBatch is AT-LEAST-ONCE, so the snapshot
+carries replay metadata: each counts overwrite embeds the stream's
+checkpoint path and the batch_id it already includes. If a crash
+lands between the counts write and the streaming checkpoint commit,
+the restarted stream replays that batch — the seeded (ckpt, batch_id)
+marker detects the replay (same checkpoint, batch_id <= persisted)
+and skips the merge instead of double-counting, re-emitting only the
+drift readout (which may be stale if the crash preceded its write).
+A FRESH stream over the same sink (new checkpoint dir, batch ids
+restarting at 0) has a different checkpoint path, so its batches
+always merge — that is the deliberate resume-across-streams path the
+restart test pins.
 """
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -31,6 +40,12 @@ from graph500_spark.functions.plantrunc import truncate_plan
 from graph500_spark.operators.traindata import ks_from_counts
 
 COUNT_SCHEMA = "source string, x long, c long"
+_META_COLS = ("ckpt", "batch_id")
+
+
+def _is_missing_path(exc: AnalysisException) -> bool:
+    msg = str(exc)
+    return "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
 
 
 def start_drift_monitor(
@@ -46,24 +61,49 @@ def start_drift_monitor(
     at_value] for the corpus ingested so far."""
     from graph500_spark.streaming.corpus_ingest import document_stream
 
-    state: dict[str, DataFrame | None] = {"counts": None, "seeded": False}
+    state: dict[str, object] = {
+        "counts": None,  # DataFrame | None
+        "applied": None,  # (ckpt, batch_id) already in the snapshot
+        "seeded": False,
+    }
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark_s = batch_df.sparkSession
         if not state["seeded"]:
             try:
-                seed = spark_s.read.parquet(counts_out).persist()
+                snap = spark_s.read.parquet(counts_out)
+                seed = snap.select("source", "x", "c").persist()
                 seed.count()
                 state["counts"] = seed
-            except Exception:
+                if all(c in snap.columns for c in _META_COLS):
+                    meta = snap.select(*_META_COLS).first()
+                    if meta is not None:
+                        state["applied"] = (meta["ckpt"], meta["batch_id"])
+            except AnalysisException as exc:
+                # only a missing sink means "fresh start"; a corrupt or
+                # unreadable sink must raise, not silently reset to zero
+                if not _is_missing_path(exc):
+                    raise
                 state["counts"] = None
             state["seeded"] = True
+        prev = state["counts"]
+        applied = state["applied"]
+        if (
+            applied is not None
+            and prev is not None
+            and applied[0] == checkpoint
+            and batch_id <= applied[1]
+        ):
+            # at-least-once replay: this batch is already merged into
+            # the persisted snapshot. Skip the merge; refresh only the
+            # readout (idempotent), which the crash may have skipped.
+            ks_from_counts(prev).write.mode("overwrite").parquet(drift_out)
+            return
         new = batch_df.select(
             "source", F.col("n_chars").cast("long").alias("x")
         ).groupBy("source", "x").agg(
             F.count(F.lit(1)).cast("long").alias("c")
         )
-        prev = state["counts"]
         merged = (
             (new if prev is None else prev.unionByName(new))
             .groupBy("source", "x")
@@ -73,8 +113,12 @@ def start_drift_monitor(
         if prev is not None:
             prev.unpersist()
         state["counts"] = merged
-        # snapshot state + readout (overwrite = last-known-good)
-        merged.write.mode("overwrite").parquet(counts_out)
+        state["applied"] = (checkpoint, batch_id)
+        # snapshot state + replay marker together (one write, so the
+        # marker can never disagree with the counts it describes)
+        merged.withColumn("ckpt", F.lit(checkpoint)).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        ).write.mode("overwrite").parquet(counts_out)
         ks_from_counts(merged).write.mode("overwrite").parquet(drift_out)
 
     return (

@@ -78,3 +78,82 @@ def test_streaming_drift_restart_seeds_from_sink(spark, tmp_path):
     want = _rows(ks_source_drift(docs))
     docs.unpersist()
     assert got == want
+
+
+def test_streaming_drift_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: crash after the counts write but
+    before the streaming checkpoint commit replays the batch on
+    restart. The (ckpt, batch_id) marker embedded in the snapshot must
+    make the replayed merge a no-op — counts stay exact, not doubled."""
+    import glob
+    import os
+
+    from graph500_spark.operators.traindata import ks_source_drift
+    from graph500_spark.streaming.drift import (
+        read_drift,
+        start_drift_monitor,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src_dir = str(tmp_path / "docs_in")
+    docs.repartition(4).write.parquet(src_dir)
+
+    counts_out = str(tmp_path / "counts_out")
+    drift_out = str(tmp_path / "drift_out")
+    ckpt = str(tmp_path / "ckpt")
+    q1 = start_drift_monitor(spark, src_dir, counts_out, drift_out, ckpt)
+    q1.awaitTermination()
+
+    # simulate the crash window: the counts snapshot is on disk but the
+    # streaming commit marker for the last batch is not
+    commits = sorted(glob.glob(os.path.join(ckpt, "commits", "*")))
+    numeric = [p for p in commits if os.path.basename(p).isdigit()]
+    assert numeric, commits
+    os.remove(numeric[-1])
+    crc = os.path.join(
+        os.path.dirname(numeric[-1]),
+        "." + os.path.basename(numeric[-1]) + ".crc",
+    )
+    if os.path.exists(crc):  # local ChecksumFs keeps a shadow file
+        os.remove(crc)
+
+    # restart with the SAME checkpoint: Spark replays that batch_id
+    q2 = start_drift_monitor(spark, src_dir, counts_out, drift_out, ckpt)
+    q2.awaitTermination()
+
+    got = _rows(read_drift(spark, drift_out))
+    want = _rows(ks_source_drift(docs))
+    assert got == want
+    total = (
+        spark.read.parquet(counts_out)
+        .groupBy()
+        .sum("c")
+        .collect()[0][0]
+    )
+    assert total == docs.count()  # not doubled by the replay
+
+
+def test_streaming_drift_corrupt_sink_raises(spark, tmp_path):
+    """A corrupt counts sink must propagate, not silently reset the
+    monitor to zero state (only a MISSING path means fresh start)."""
+    import pytest
+
+    from graph500_spark.streaming.drift import start_drift_monitor
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src_dir = str(tmp_path / "docs_in")
+    docs.limit(50).write.parquet(src_dir)
+
+    counts_out = tmp_path / "counts_out"
+    counts_out.mkdir()
+    (counts_out / "part-garbage.parquet").write_text("not parquet")
+
+    q = start_drift_monitor(
+        spark,
+        src_dir,
+        str(counts_out),
+        str(tmp_path / "drift_out"),
+        str(tmp_path / "ckpt"),
+    )
+    with pytest.raises(Exception, match="(?i)parquet|magic|footer|schema"):
+        q.awaitTermination()
