@@ -386,6 +386,38 @@ def main() -> int:
     # a min-of-2; they get min-of-3 plus an explicit JVM GC hint
     # before each rep so the committed baseline (the 2x gate's
     # denominator) reproduces within ~15% across same-session runs.
+    # Slowest-headline rows (round 11, verdict item 2): the rows that
+    # dominate the suite total carry the same contention-robust
+    # _task_total_sec/_task_cpu_sec companions the heavy tier got in
+    # round 10, recorded for the BEST rep (the one the wall number
+    # reports), so a driver-vs-local wall swing on any of them can be
+    # adjudicated from the artifact alone. Static set = union of the
+    # top-10 lists across the r9/r10 driver and local runs, plus the
+    # deliberately-paired batched arms.
+    _TASK_PAIR_ROWS = {
+        "louvain_multilevel",
+        "betweenness_sampled",
+        "sssp_4roots_sequential",
+        "sssp_4roots_batched",
+        "min_spanning_forest",
+        "bfs_s16_4roots_sequential",
+        "bfs_s16_4roots_batched",
+        "split_by_cluster",
+        "louvain_communities",
+        "adamic_adar_nonedges",
+        "dup_clusters",
+        "bpe_fertility_by_lang",
+        "closeness_sampled",
+        "ann_recall",
+        "core_numbers",
+        "bfs_full",
+        "pagerank",
+        "k_truss",
+        "connected_components",
+        "strongly_connected_components",
+        "hub_ablation_components",
+    }
+
     _MIN_OF_3 = {
         "louvain_multilevel",
         "louvain_communities",
@@ -396,6 +428,7 @@ def main() -> int:
     }
 
     timings: dict[str, float] = {}
+    task_pairs: dict[str, list[float]] = {}
     total = 0.0
     if heavy_only:
         # short fixed warmup standing in for the full suite: the BFS /
@@ -418,12 +451,19 @@ def main() -> int:
             else:
                 reps = 3 if name in _MIN_OF_3 else 2
                 best = float("inf")
+                want_pair = name in _TASK_PAIR_ROWS
                 for _ in range(reps):
                     if name in _MIN_OF_3:
                         spark.sparkContext._jvm.System.gc()
+                    mark = _stage_mark(spark) if want_pair else -1
                     t0 = time.monotonic()
                     fn()
-                    best = min(best, time.monotonic() - t0)
+                    dt = time.monotonic() - t0
+                    if dt < best:
+                        best = dt
+                        if want_pair:
+                            run_s, cpu_s = _task_totals_sec(spark, mark)
+                            task_pairs[name] = [run_s, cpu_s]
             timings[name] = round(best, 3)
             total += best
 
@@ -459,6 +499,7 @@ def main() -> int:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "headline_task_pairs": task_pairs,
         "sf": sf_val,
         "heavy": heavy,
         "heavy_total_sec": round(_heavy_seconds(heavy), 3),
@@ -492,6 +533,11 @@ def main() -> int:
         "value": round(total, 3),
         "unit": "sec",
         "queries": top10,
+        # contention-robust [task_total_sec, task_cpu_sec] for the
+        # top-10 rows that have them: wall up with cpu flat = box
+        # noise, both up = regression (same convention as the heavy
+        # tier's _task_*_sec columns)
+        "task_pairs": {k: task_pairs[k] for k in top10 if k in task_pairs},
         "sf": sf_val,
         "n_queries": len(timings),
         "heavy_total_sec": round(_heavy_seconds(heavy), 3),
@@ -499,7 +545,9 @@ def main() -> int:
         "note": "top-10 slowest of full suite; full per-query JSON on prior line",
     }
     line = json.dumps(compact)
-    assert len(line) < 1500, len(line)
+    # the driver parses the LAST line and captures a 2,000-char output
+    # tail — the compact line must fit inside that tail whole
+    assert len(line) < 1900, len(line)
     print(line)
     return 0
 
@@ -858,6 +906,14 @@ def _streaming_tier(spark, kron16) -> dict[str, float]:
         src = os.path.join(base, "edges_in")
         kron16.select("src", "dst").repartition(8).write.parquet(src)
         n_edges = kron16.count()
+        # contention-robust companions (round 11, verdict item 2): the
+        # r9->r10 driver artifacts showed -31%/-41% streaming rows/sec
+        # on a byte-identical ingest path with local same-code runs
+        # fine — the same environment-class drift the heavy tier's
+        # task columns adjudicate. Record the executor task totals per
+        # stream so the artifact can defend itself: rate down with
+        # task_cpu flat = box noise, both moved = real regression.
+        mark = _stage_mark(spark)
         t0 = time.monotonic()
         q = start_ingest(
             spark,
@@ -871,6 +927,9 @@ def _streaming_tier(spark, kron16) -> dict[str, float]:
         out["edge_ingest_rows_per_sec"] = round(
             n_edges / (time.monotonic() - t0), 1
         )
+        run_s, cpu_s = _task_totals_sec(spark, mark)
+        out["edge_ingest_task_total_sec"] = run_s
+        out["edge_ingest_task_cpu_sec"] = cpu_s
 
         # corpus-cleaner stream over an 8x-duplicated document set
         # (shifted ids): at 1x the per-batch fixed work (two joins +
@@ -892,6 +951,7 @@ def _streaming_tier(spark, kron16) -> dict[str, float]:
         dsrc = os.path.join(base, "docs_in")
         docs8.repartition(8).write.parquet(dsrc)
         n_docs = n1 * 8
+        mark = _stage_mark(spark)
         t0 = time.monotonic()
         q = start_corpus_ingest(
             spark,
@@ -904,6 +964,9 @@ def _streaming_tier(spark, kron16) -> dict[str, float]:
         out["corpus_ingest_rows_per_sec"] = round(
             n_docs / (time.monotonic() - t0), 1
         )
+        run_s, cpu_s = _task_totals_sec(spark, mark)
+        out["corpus_ingest_task_total_sec"] = run_s
+        out["corpus_ingest_task_cpu_sec"] = cpu_s
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out

@@ -314,3 +314,49 @@ def harmonic_closeness_sampled(
             F.expr(f"cast(round({HARMONIC_SCALE}.0 / depth) as bigint)")
         ).alias("harmonic_q"),
     )
+
+
+def diameter_double_sweep(
+    spark: SparkSession,
+    edges_clean: DataFrame,
+    root: int,
+    **bfs_kwargs,
+) -> DataFrame:
+    """Double-sweep diameter lower bound (Magnien-Latapy-Habib 2009):
+    BFS from ``root``, BFS again from the farthest vertex found — the
+    second eccentricity is a lower bound on the graph diameter that is
+    exact on trees and empirically tight on real-world graphs, at the
+    cost of TWO traversals instead of |V|.
+
+    Returns one row [start_root, far_vertex, ecc1, far_vertex2,
+    diameter_lb]. Farthest vertices are picked deterministically
+    (depth desc, vertex asc); the mid-sweep pick is a 1-row driver
+    finish (same bounded budget as root sampling in plans/runner.py).
+
+    Ref context: the reference reports BFS depth statistics per run
+    (mpi/main.cc:147-178) but has no diameter estimator; this is the
+    standard scalable bound built on the same traversal core."""
+    d1 = bfs(spark, edges_clean, root, **bfs_kwargs)
+    far1 = (
+        d1.orderBy(F.col("depth").desc(), F.col("vertex").asc())
+        .limit(1)
+        .collect()[0]
+    )
+    d2 = bfs(spark, edges_clean, int(far1["vertex"]), **bfs_kwargs)
+    return (
+        d2.agg(
+            F.max(
+                F.struct(
+                    F.col("depth").alias("d"),
+                    (-F.col("vertex")).alias("nv"),
+                )
+            ).alias("b")
+        )
+        .select(
+            F.lit(int(root)).cast("long").alias("start_root"),
+            F.lit(int(far1["vertex"])).cast("long").alias("far_vertex"),
+            F.lit(int(far1["depth"])).cast("integer").alias("ecc1"),
+            (-F.col("b.nv")).cast("long").alias("far_vertex2"),
+            F.col("b.d").cast("integer").alias("diameter_lb"),
+        )
+    )

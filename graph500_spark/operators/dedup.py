@@ -1217,3 +1217,150 @@ def setsim_join_prefix_sql(tau_ppm: int = SETSIM_TAU_PPM) -> str:
         f" WHERE 1000000 * p.n_common"
         f" >= {tau_ppm} * (sa.sz + sb.sz - p.n_common)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) — the storage-level dedup primitive:
+# cut each document into variable-size chunks at CONTENT-determined
+# positions (a token whose hash lands in the boundary class starts a
+# new chunk), so an insertion early in a document shifts only its own
+# chunk, not every later boundary — unlike fixed-size blocks. The
+# rsync/LBFS/backup-dedup trick applied to corpus text: duplicated
+# PASSAGES across documents become identical chunks with identical
+# hashes, caught by one hash-keyed count.
+# ---------------------------------------------------------------------------
+
+CDC_BOUNDARY_MOD = 64  # expected chunk length in tokens
+
+
+def cdc_chunks(docs: DataFrame) -> DataFrame:
+    """[doc_id, chunk_idx, n_tokens, chunk_hash] — token-level CDC:
+    a boundary opens before every token whose 60-bit string hash ≡ 0
+    (mod CDC_BOUNDARY_MOD); chunk_hash is the hash of the space-joined
+    chunk text.
+
+    Plan: one posexplode over the corpus, per-doc cumulative-boundary
+    window (documents are bounded, the window partitions by doc_id —
+    the doc_chunks/pack_chunks convention), one (doc, chunk) agg whose
+    order-free array_sort reconstruction keeps the chunk text exact.
+    Everything is codegen column algebra; the hash is the md5 tier
+    shared with the DuckDB oracle."""
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.expr(SPARK_TOKENS)).alias("pos", "token"),
+    )
+    h = spark_strhash("token")
+    bounded = tok.select(
+        "doc_id",
+        "pos",
+        "token",
+        F.when(
+            (F.col("pos") > 0)
+            & (F.expr(h) % CDC_BOUNDARY_MOD == 0),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("boundary"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cut = bounded.withColumn(
+        "chunk_idx", F.sum("boundary").over(w).cast("long")
+    )
+    chunks = (
+        cut.groupBy("doc_id", "chunk_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "token"))
+                    ),
+                    lambda s: s["token"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "n_tokens",
+        F.expr(spark_strhash("chunk_text")).cast("long").alias("chunk_hash"),
+    )
+
+
+def cdc_dup_stats(docs: DataFrame) -> DataFrame:
+    """[n_chunks, n_distinct_chunks, n_dup_chunks, dup_ratio_ppm] —
+    corpus-level chunk-duplication readout over the CDC chunk table:
+    n_dup_chunks counts chunk instances whose hash occurs more than
+    once (the bytes a chunk store would NOT store twice). One
+    chunk-hash-keyed count on top of cdc_chunks."""
+    per_hash = cdc_chunks(docs).groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return per_hash.agg(
+        F.sum("n").cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chunks"),
+        F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_dup_chunks"),
+        F.round(
+            F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(F.lit(0)))
+            * 1_000_000.0
+            / F.sum("n")
+        )
+        .cast("long")
+        .alias("dup_ratio_ppm"),
+    )
+
+
+def _cdc_chunks_sql_body() -> str:
+    hb = duck_strhash("token")
+    hc = duck_strhash("chunk_text")
+    return (
+        "tok AS (SELECT doc_id, i - 1 AS pos, toks[i] AS token FROM"
+        f" (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),"
+        " UNNEST(generate_series(1, len(toks))) AS u(i)),"
+        " b AS (SELECT doc_id, pos, token,"
+        f" CASE WHEN pos > 0 AND ({hb}) % {CDC_BOUNDARY_MOD} = 0"
+        " THEN 1 ELSE 0 END AS boundary FROM tok),"
+        " cut AS (SELECT doc_id, pos, token, CAST(SUM(boundary) OVER"
+        " (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS chunk_idx"
+        " FROM b),"
+        " chunks AS (SELECT doc_id, chunk_idx,"
+        " CAST(COUNT(*) AS BIGINT) AS n_tokens,"
+        " STRING_AGG(token, ' ' ORDER BY pos) AS chunk_text"
+        " FROM cut GROUP BY doc_id, chunk_idx),"
+        " hashed AS (SELECT doc_id, chunk_idx, n_tokens,"
+        f" CAST({hc} AS BIGINT) AS chunk_hash FROM chunks)"
+    )
+
+
+def cdc_chunks_sql() -> str:
+    return (
+        "WITH "
+        + _cdc_chunks_sql_body()
+        + " SELECT doc_id, chunk_idx, n_tokens, chunk_hash FROM hashed"
+    )
+
+
+def cdc_dup_stats_sql() -> str:
+    return (
+        "WITH "
+        + _cdc_chunks_sql_body()
+        + ", per_hash AS (SELECT chunk_hash, CAST(COUNT(*) AS BIGINT)"
+        " AS n FROM hashed GROUP BY chunk_hash)"
+        " SELECT CAST(SUM(n) AS BIGINT) AS n_chunks,"
+        " CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,"
+        " CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)"
+        "  AS n_dup_chunks,"
+        " CAST(round(SUM(CASE WHEN n > 1 THEN n ELSE 0 END)"
+        "  * 1000000.0 / SUM(n)) AS BIGINT) AS dup_ratio_ppm"
+        " FROM per_hash"
+    )

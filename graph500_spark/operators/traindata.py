@@ -590,6 +590,200 @@ def bm25_topk_sql(k: int = 10) -> str:
 
 
 # ---------------------------------------------------------------------------
+# bm25_prf_topk — RM3-style pseudo-relevance feedback: retrieve, mine
+# expansion terms from the top feedback documents, re-retrieve with
+# the weighted expanded query. The second-stage trick behind query
+# expansion in decontamination probes and hard-negative mining.
+# ---------------------------------------------------------------------------
+
+PRF_FB_DOCS = 5
+PRF_FB_TERMS = 3
+PRF_FB_WEIGHT = 0.5
+
+
+def bm25_prf_topk(
+    docs: DataFrame,
+    k: int = 10,
+    queries: tuple = BM25_QUERIES,
+    fb_docs: int = PRF_FB_DOCS,
+    fb_terms: int = PRF_FB_TERMS,
+    fb_weight: float = PRF_FB_WEIGHT,
+) -> DataFrame:
+    """[query_id, doc_id, bm25_prf, rank] — BM25 with pseudo-relevance
+    feedback (Rocchio/RM3 discipline): take the top ``fb_docs`` BM25
+    hits per query, mine the ``fb_terms`` highest-tf non-query terms
+    from them (tie-break term asc), and re-score with the expanded
+    query — original terms at weight 1, expansion terms at
+    ``fb_weight``. Deterministic end to end; scores rounded to 5
+    decimals like every ln-based entry.
+
+    Plan shape: stage 1 is bm25_topk's plan; the feedback table
+    (|Q| x fb_docs rows) broadcasts onto the corpus term table to mine
+    candidates (one (query, term) agg over the feedback docs' terms —
+    feedback-sized, not corpus-sized); the expanded query table
+    (<= |Q| x (|terms| + fb_terms) rows) broadcasts exactly like the
+    original query table, so stage 2 repeats stage 1's single-shuffle
+    shape. The corpus is scanned twice (the algorithm's definition),
+    never fanned out per query."""
+    n_docs = docs.count()
+    terms = _terms(docs)
+    qterms = F.broadcast(
+        terms.sparkSession.createDataFrame(
+            [(qid, t) for qid, ts in queries for t in ts],
+            "query_id: string, term: string",
+        )
+    )
+    fb = F.broadcast(
+        bm25_topk(docs, k=fb_docs, queries=queries).select(
+            "query_id", "doc_id"
+        )
+    )
+    cand = (
+        terms.join(fb, "doc_id")
+        .groupBy("query_id", "term")
+        .agg(F.sum("tf").cast("long").alias("fb_tf"))
+        .join(qterms, ["query_id", "term"], "left_anti")
+    )
+    wexp = Window.partitionBy("query_id").orderBy(
+        F.desc("fb_tf"), F.asc("term")
+    )
+    exp = (
+        cand.withColumn("r", F.row_number().over(wexp))
+        .filter(F.col("r") <= fb_terms)
+        .select("query_id", "term", F.lit(float(fb_weight)).alias("wt"))
+    )
+    allq = F.broadcast(
+        qterms.select("query_id", "term", F.lit(1.0).alias("wt"))
+        .unionByName(exp)
+    )
+    dl = terms.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("dl")
+    )
+    avgdl = dl.agg((F.sum("dl") / F.count(F.lit(1))).alias("avgdl"))
+    idf = (
+        terms.join(allq.select("term").distinct(), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select(
+            "term",
+            F.log(
+                (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+                + 1.0
+            ).alias("idf"),
+        )
+    )
+    scored = (
+        terms.join(allq, "term")
+        .join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(avgdl))
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.col("wt")
+                * F.col("idf")
+                * (F.col("tf") * (BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (
+                        1.0
+                        - BM25_B
+                        + BM25_B * F.col("dl") / F.col("avgdl")
+                    )
+                )
+            ).alias("part_score"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("part_score").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round("score", 5).alias("bm25_prf"),
+            "rank",
+        )
+    )
+
+
+def bm25_prf_topk_sql(
+    k: int = 10,
+    fb_docs: int = PRF_FB_DOCS,
+    fb_terms: int = PRF_FB_TERMS,
+    fb_weight: float = PRF_FB_WEIGHT,
+) -> str:
+    qvals = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, ts in BM25_QUERIES
+        for t in ts
+    )
+    return (
+        f"WITH terms AS ({_DUCK_TERMS}),"
+        f" q(query_id, term) AS (VALUES {qvals}),"
+        " n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),"
+        " dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl"
+        "  FROM terms GROUP BY doc_id),"
+        " ad AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),"
+        " idf1 AS (SELECT term,"
+        "  ln(((SELECT n_docs FROM n) - COUNT(*) + 0.5)"
+        "   / (COUNT(*) + 0.5) + 1.0) AS idf"
+        "  FROM terms WHERE term IN (SELECT term FROM q)"
+        "  GROUP BY term),"
+        " scored1 AS (SELECT q.query_id, t.doc_id,"
+        f"  SUM(i.idf * (t.tf * ({BM25_K1} + 1.0))"
+        f"   / (t.tf + {BM25_K1} * (1.0 - {BM25_B}"
+        f"    + {BM25_B} * dl.dl / (SELECT avgdl FROM ad)))) AS score"
+        "  FROM terms t JOIN q ON t.term = q.term"
+        "  JOIN idf1 i ON t.term = i.term"
+        "  JOIN dl ON t.doc_id = dl.doc_id"
+        "  GROUP BY q.query_id, t.doc_id),"
+        " fb AS (SELECT query_id, doc_id FROM (SELECT query_id, doc_id,"
+        "  ROW_NUMBER() OVER (PARTITION BY query_id"
+        "   ORDER BY score DESC, doc_id ASC) AS rank FROM scored1)"
+        f"  WHERE rank <= {fb_docs}),"
+        " cand AS (SELECT fb.query_id, t.term,"
+        "  CAST(SUM(t.tf) AS BIGINT) AS fb_tf"
+        "  FROM terms t JOIN fb ON t.doc_id = fb.doc_id"
+        "  LEFT JOIN q ON q.query_id = fb.query_id AND q.term = t.term"
+        "  WHERE q.term IS NULL GROUP BY fb.query_id, t.term),"
+        " exp AS (SELECT query_id, term,"
+        f" CAST({fb_weight} AS DOUBLE) AS wt FROM"
+        "  (SELECT query_id, term, ROW_NUMBER() OVER (PARTITION BY"
+        "   query_id ORDER BY fb_tf DESC, term ASC) AS r FROM cand)"
+        f"  WHERE r <= {fb_terms}),"
+        " allq AS (SELECT query_id, term, CAST(1.0 AS DOUBLE) AS wt"
+        "  FROM q UNION ALL SELECT query_id, term, wt FROM exp),"
+        " idf2 AS (SELECT term,"
+        "  ln(((SELECT n_docs FROM n) - COUNT(*) + 0.5)"
+        "   / (COUNT(*) + 0.5) + 1.0) AS idf"
+        "  FROM terms WHERE term IN (SELECT term FROM allq)"
+        "  GROUP BY term),"
+        " scored2 AS (SELECT a.query_id, t.doc_id,"
+        f"  SUM(a.wt * i.idf * (t.tf * ({BM25_K1} + 1.0))"
+        f"   / (t.tf + {BM25_K1} * (1.0 - {BM25_B}"
+        f"    + {BM25_B} * dl.dl / (SELECT avgdl FROM ad)))) AS score"
+        "  FROM terms t JOIN allq a ON t.term = a.term"
+        "  JOIN idf2 i ON t.term = i.term"
+        "  JOIN dl ON t.doc_id = dl.doc_id"
+        "  GROUP BY a.query_id, t.doc_id),"
+        " ranked AS (SELECT query_id, doc_id, score, ROW_NUMBER() OVER"
+        "  (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank"
+        "  FROM scored2)"
+        " SELECT query_id, doc_id,"
+        " CAST(ROUND(score, 5) AS DOUBLE) AS bm25_prf,"
+        f" CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= {k}"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Concat-and-chunk sequence packing
 # ---------------------------------------------------------------------------
 

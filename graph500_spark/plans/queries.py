@@ -4837,3 +4837,160 @@ assert len(_ROUND11_FRONT) == 50 and len(set(_ROUND11_FRONT)) == 50
 QUERIES = {k: QUERIES[k] for k in _ROUND11_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_ROUND11_FRONT)
 }
+
+
+# --- round 11: batched TEPS numerator (spec64 harness support) -------
+
+
+def q_edge_visit_counts_multi(spark, sf_dir):
+    """Per-root TEPS numerators for the batched-BFS run set in ONE
+    dataflow (operators/validate.py::edge_visit_counts_multi) — the
+    op the spec64 harness uses so 64 edge counts stop being 64
+    driver-scheduled jobs."""
+    raw = hetero_edges(spark, sf_dir)
+    pred = q_bfs_multi(spark, sf_dir)
+    return V.edge_visit_counts_multi(raw, pred)
+
+
+QUERIES.update({"edge_visit_counts_multi": q_edge_visit_counts_multi})
+ORACLE_SQL["edge_visit_counts_multi"] = (
+    f"WITH raw AS ({HETERO_EDGES_SQL}),"
+    f" pred AS ({bfs_multi_sql(HETERO_EDGES_SQL, MULTI_BFS_ROOTS)})"
+    " SELECT ps.root AS root,"
+    " CAST(COUNT(*) AS BIGINT) AS edge_visit_count"
+    " FROM raw JOIN pred ps ON raw.src = ps.vertex"
+    " JOIN pred pd ON raw.dst = pd.vertex AND pd.root = ps.root"
+    " GROUP BY ps.root"
+)
+
+
+# --- round 11: WordPiece greedy segmentation (the fixed-vocabulary
+# apply-side tokenizer, complementing BPE's merge training) ----------
+from graph500_spark.operators.wordpiece import (  # noqa: E402
+    wordpiece_fertility,
+    wordpiece_fertility_sql,
+    wordpiece_segment,
+    wordpiece_segment_sql,
+)
+
+
+def q_wordpiece_segment(spark, sf_dir):
+    """Greedy longest-match subword segmentation of every distinct
+    corpus word under a deterministic frequency vocabulary — pure
+    codegen column algebra over the vocabulary-scale word table (the
+    vocab is folded in as a literal array; no joins, no UDFs)."""
+    return wordpiece_segment(spark, _docs(spark, sf_dir))
+
+
+QUERIES.update({"wordpiece_segment": q_wordpiece_segment})
+ORACLE_SQL["wordpiece_segment"] = wordpiece_segment_sql()
+
+
+def q_wordpiece_fertility(spark, sf_dir):
+    """Frequency-weighted mean subwords per word under the WordPiece
+    segmentation — the tokenizer-pressure scalar (pairs with
+    bpe_fertility_by_lang's per-language readout)."""
+    return wordpiece_fertility(
+        wordpiece_segment(spark, _docs(spark, sf_dir))
+    )
+
+
+QUERIES.update({"wordpiece_fertility": q_wordpiece_fertility})
+ORACLE_SQL["wordpiece_fertility"] = wordpiece_fertility_sql()
+
+
+# --- round 11: double-sweep diameter lower bound ---------------------
+
+
+def diameter_double_sweep_sql(
+    clean_sql: str, root: int, depth_bound: int = 64
+) -> str:
+    """Two chained recursive BFS walks; the second seeds from the
+    first's deterministic farthest vertex."""
+    return (
+        f"WITH RECURSIVE clean AS ({clean_sql}),"
+        " walk1(vertex, depth) AS ("
+        f"  SELECT CAST({root} AS BIGINT), CAST(0 AS INTEGER)"
+        "  UNION"
+        "  SELECT e.dst, CAST(w.depth + 1 AS INTEGER) FROM clean e"
+        f"  JOIN walk1 w ON e.src = w.vertex WHERE w.depth < {depth_bound}),"
+        " d1 AS (SELECT vertex, MIN(depth) AS depth FROM walk1"
+        "  GROUP BY vertex),"
+        " far1 AS (SELECT vertex, depth FROM d1"
+        "  ORDER BY depth DESC, vertex ASC LIMIT 1),"
+        " walk2(vertex, depth) AS ("
+        "  SELECT vertex, CAST(0 AS INTEGER) FROM far1"
+        "  UNION"
+        "  SELECT e.dst, CAST(w.depth + 1 AS INTEGER) FROM clean e"
+        f"  JOIN walk2 w ON e.src = w.vertex WHERE w.depth < {depth_bound}),"
+        " d2 AS (SELECT vertex, MIN(depth) AS depth FROM walk2"
+        "  GROUP BY vertex),"
+        " far2 AS (SELECT vertex, depth FROM d2"
+        "  ORDER BY depth DESC, vertex ASC LIMIT 1)"
+        f" SELECT CAST({root} AS BIGINT) AS start_root,"
+        " CAST(f1.vertex AS BIGINT) AS far_vertex,"
+        " CAST(f1.depth AS INTEGER) AS ecc1,"
+        " CAST(f2.vertex AS BIGINT) AS far_vertex2,"
+        " CAST(f2.depth AS INTEGER) AS diameter_lb"
+        " FROM far1 f1, far2 f2"
+    )
+
+
+def q_diameter_double_sweep(spark, sf_dir):
+    """Double-sweep diameter lower bound over the mod997 graph — two
+    chained BFS (second root = farthest vertex of the first sweep),
+    deterministic tie-breaks, 1-row result."""
+    return bfs_mod.diameter_double_sweep(
+        spark,
+        clean_mod997_graph(spark, sf_dir),
+        root=1,
+        prepartition=False,
+        shuffle_partitions=8,
+    )
+
+
+QUERIES.update({"diameter_double_sweep": q_diameter_double_sweep})
+ORACLE_SQL["diameter_double_sweep"] = diameter_double_sweep_sql(
+    _CLEAN_MOD997, root=1
+)
+
+
+# --- round 11: BM25 + pseudo-relevance feedback ----------------------
+
+
+def q_bm25_prf(spark, sf_dir):
+    """RM3-style query expansion: mine the top feedback docs' highest
+    non-query terms, re-score with the weighted expanded query —
+    deterministic two-stage lexical retrieval (pairs with rrf_fusion's
+    hybrid arm and bm25_topk's single stage)."""
+    return traindata_mod.bm25_prf_topk(_docs(spark, sf_dir))
+
+
+QUERIES.update({"bm25_prf": q_bm25_prf})
+ORACLE_SQL["bm25_prf"] = traindata_mod.bm25_prf_topk_sql()
+
+
+# --- round 11: content-defined chunking (storage-level dedup) --------
+
+
+def q_cdc_chunks(spark, sf_dir):
+    """Token-level content-defined chunking: variable-size chunks cut
+    at content-determined boundaries (hash-class tokens) so edits
+    shift only their own chunk — the rsync/LBFS dedup primitive over
+    corpus text. [doc_id, chunk_idx, n_tokens, chunk_hash]."""
+    return dedup_mod.cdc_chunks(_docs(spark, sf_dir))
+
+
+QUERIES.update({"cdc_chunks": q_cdc_chunks})
+ORACLE_SQL["cdc_chunks"] = dedup_mod.cdc_chunks_sql()
+
+
+def q_cdc_dup_stats(spark, sf_dir):
+    """Corpus chunk-duplication readout over the CDC chunk table —
+    the bytes a chunk store would not store twice; one hash-keyed
+    count above cdc_chunks."""
+    return dedup_mod.cdc_dup_stats(_docs(spark, sf_dir))
+
+
+QUERIES.update({"cdc_dup_stats": q_cdc_dup_stats})
+ORACLE_SQL["cdc_dup_stats"] = dedup_mod.cdc_dup_stats_sql()

@@ -303,3 +303,16 @@ def test_zipf_window_runs_over_reduced_head(spark):
     assert any(
         "TakeOrderedAndProject" in l for l in tree[windows[-1] + 1:]
     ), "window input is not the reduced head"
+
+
+def test_calibration_window_runs_over_compressed_domain(spark):
+    """quality_dup_calibration's cumulative decile window must consume
+    the (score_q, cnt) hash-aggregated table — windowing the flagged
+    per-doc rows would turn a |distinct scores| sort into a |docs|
+    sort and break the operator's 100 TB story (fourth member of the
+    ECDF/KS/Zipf compressed-domain window family)."""
+    tree = _tree(plan_of(Q.QUERIES["quality_dup_calibration"](spark, SF)))
+    windows = [i for i, l in enumerate(tree) if "Window (" in l]
+    assert windows, "plan lost its window"
+    for wi in windows:
+        assert _compressed_below_window(tree, wi), tree[wi]
