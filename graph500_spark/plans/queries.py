@@ -4855,7 +4855,11 @@ def q_edge_visit_counts_multi(spark, sf_dir):
 QUERIES.update({"edge_visit_counts_multi": q_edge_visit_counts_multi})
 ORACLE_SQL["edge_visit_counts_multi"] = (
     f"WITH raw AS ({HETERO_EDGES_SQL}),"
-    f" pred AS ({bfs_multi_sql(HETERO_EDGES_SQL, MULTI_BFS_ROOTS)})"
+       # MATERIALIZED: pred is referenced twice; inlining the recursive
+    # walk into both join sides blew the oracle past 900s at sf0.01,
+    # materialized it runs in ~2s
+    f" pred AS MATERIALIZED"
+    f" ({bfs_multi_sql(HETERO_EDGES_SQL, MULTI_BFS_ROOTS)})"
     " SELECT ps.root AS root,"
     " CAST(COUNT(*) AS BIGINT) AS edge_visit_count"
     " FROM raw JOIN pred ps ON raw.src = ps.vertex"
