@@ -376,6 +376,17 @@ def main() -> int:
         # fertility re-trains; the loop is ~60 vocab-scale stages
         "bpe_fertility_by_lang":
             lambda: Q.q_bpe_fertility_by_lang(spark, sf_dir).count(),
+        # round-11 entries (wordpiece_segment is covered via the
+        # fertility row, which runs the full vocab+segment loop;
+        # cdc_chunks via its dup-stats rollup; edge_visit_counts_multi
+        # is exercised by the spec64 harness row every run)
+        "wordpiece_fertility":
+            lambda: Q.q_wordpiece_fertility(spark, sf_dir).count(),
+        "bm25_prf": lambda: Q.q_bm25_prf(spark, sf_dir).count(),
+        "cdc_dup_stats":
+            lambda: Q.q_cdc_dup_stats(spark, sf_dir).count(),
+        "diameter_double_sweep":
+            lambda: Q.q_diameter_double_sweep(spark, sf_dir).count(),
     }
 
     # Measured-variance rows (round-8 postmortem: louvain_multilevel
@@ -416,6 +427,7 @@ def main() -> int:
         "connected_components",
         "strongly_connected_components",
         "hub_ablation_components",
+        "markov_stationary",
     }
 
     _MIN_OF_3 = {
@@ -425,6 +437,10 @@ def main() -> int:
         "min_spanning_forest",
         "strongly_connected_components",
         "closeness_sampled",
+        # round 11: swung 5.8 -> 18.1s between same-code runs (power
+        # iteration = many short stages, the exact profile this set
+        # exists for)
+        "markov_stationary",
     }
 
     timings: dict[str, float] = {}
