@@ -687,7 +687,17 @@ def _heavy_tier(spark, sf_dir: str) -> dict[str, float]:
             root = find_roots(
                 spark, holder["raw24"], 1 << 24, num_roots=1
             )[0]
-            holder["pred24"] = bfs(spark, holder["g24"], root).persist()
+            # data-scaled shuffle partitioning (round-11 s24 knob
+            # probe, PLANS.md): 32 partitions put ~7.5M edge rows in
+            # each per-level join task at 268M edges — spill territory.
+            # ~2M rows/partition cut task_cpu 23% and wall 28% vs the
+            # warm 32-partition baseline (both robust columns moved,
+            # so it is real work saved, not phase noise).
+            n24 = holder["g24"].count()
+            sp24 = max(32, min(512, int(n24 // 2_000_000)))
+            holder["pred24"] = bfs(
+                spark, holder["g24"], root, shuffle_partitions=sp24
+            ).persist()
             holder["pred24"].count()
 
         shot("bfs_s24", bfs24)

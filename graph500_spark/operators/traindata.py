@@ -625,18 +625,78 @@ def bm25_prf_topk(
     original query table, so stage 2 repeats stage 1's single-shuffle
     shape. The corpus is scanned twice (the algorithm's definition),
     never fanned out per query."""
+    from graph500_spark.functions.plantrunc import truncate_plan
+
     n_docs = docs.count()
-    terms = _terms(docs)
+    # the term table feeds BOTH retrieval stages plus the feedback
+    # mining and df passes — materialize it once (Catalyst does not
+    # CSE across plan branches), so the corpus is tokenized once, not
+    # per consumer
+    terms = _terms(docs).transform(truncate_plan)
     qterms = F.broadcast(
         terms.sparkSession.createDataFrame(
             [(qid, t) for qid, ts in queries for t in ts],
             "query_id: string, term: string",
         )
     )
-    fb = F.broadcast(
-        bm25_topk(docs, k=fb_docs, queries=queries).select(
-            "query_id", "doc_id"
+    dl = terms.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("dl")
+    ).transform(truncate_plan)
+    avgdl = dl.agg((F.sum("dl") / F.count(F.lit(1))).alias("avgdl"))
+
+    def scored_for(qweights):
+        """One weighted-BM25 scoring pass over the shared term table
+        (qweights: broadcast [query_id, term, wt])."""
+        idf = (
+            terms.join(qweights.select("term").distinct(), "term")
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .select(
+                "term",
+                F.log(
+                    (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                ).alias("idf"),
+            )
         )
+        return (
+            terms.join(qweights, "term")
+            .join(F.broadcast(idf), "term")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(avgdl))
+            .select(
+                "query_id",
+                "doc_id",
+                (
+                    F.col("wt")
+                    * F.col("idf")
+                    * (F.col("tf") * (BM25_K1 + 1.0))
+                    / (
+                        F.col("tf")
+                        + BM25_K1
+                        * (
+                            1.0
+                            - BM25_B
+                            + BM25_B * F.col("dl") / F.col("avgdl")
+                        )
+                    )
+                ).alias("part_score"),
+            )
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum("part_score").alias("score"))
+        )
+
+    wrank = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    fb = F.broadcast(
+        scored_for(
+            qterms.select("query_id", "term", F.lit(1.0).alias("wt"))
+        )
+        .withColumn("rank", F.row_number().over(wrank))
+        .filter(F.col("rank") <= fb_docs)
+        .select("query_id", "doc_id")
     )
     cand = (
         terms.join(fb, "doc_id")
@@ -656,54 +716,8 @@ def bm25_prf_topk(
         qterms.select("query_id", "term", F.lit(1.0).alias("wt"))
         .unionByName(exp)
     )
-    dl = terms.groupBy("doc_id").agg(
-        F.sum("tf").cast("long").alias("dl")
-    )
-    avgdl = dl.agg((F.sum("dl") / F.count(F.lit(1))).alias("avgdl"))
-    idf = (
-        terms.join(allq.select("term").distinct(), "term")
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .select(
-            "term",
-            F.log(
-                (F.lit(float(n_docs)) - F.col("df") + 0.5)
-                / (F.col("df") + 0.5)
-                + 1.0
-            ).alias("idf"),
-        )
-    )
-    scored = (
-        terms.join(allq, "term")
-        .join(F.broadcast(idf), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(avgdl))
-        .select(
-            "query_id",
-            "doc_id",
-            (
-                F.col("wt")
-                * F.col("idf")
-                * (F.col("tf") * (BM25_K1 + 1.0))
-                / (
-                    F.col("tf")
-                    + BM25_K1
-                    * (
-                        1.0
-                        - BM25_B
-                        + BM25_B * F.col("dl") / F.col("avgdl")
-                    )
-                )
-            ).alias("part_score"),
-        )
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum("part_score").alias("score"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("doc_id")
-    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored_for(allq).withColumn("rank", F.row_number().over(wrank))
         .filter(F.col("rank") <= k)
         .select(
             "query_id",
