@@ -4906,11 +4906,21 @@ ORACLE_SQL["wordpiece_fertility"] = wordpiece_fertility_sql()
 # --- round 11: double-sweep diameter lower bound ---------------------
 
 
+# Shared depth bound for the diameter parity contract: the Spark
+# operator's BFS is capped at max_depth=_DIAMETER_DEPTH_BOUND and the
+# DuckDB oracle's recursive walks at the SAME bound (w.depth <
+# bound, so both record depths up to exactly the bound) — the two
+# sides can only diverge if one bound changes without the other.
+_DIAMETER_DEPTH_BOUND = 64
+
+
 def diameter_double_sweep_sql(
-    clean_sql: str, root: int, depth_bound: int = 64
+    clean_sql: str, root: int, depth_bound: int = _DIAMETER_DEPTH_BOUND
 ) -> str:
     """Two chained recursive BFS walks; the second seeds from the
-    first's deterministic farthest vertex."""
+    first's deterministic farthest vertex. ``depth_bound`` must match
+    the ``max_depth`` passed to the Spark operator (see
+    ``_DIAMETER_DEPTH_BOUND``)."""
     return (
         f"WITH RECURSIVE clean AS ({clean_sql}),"
         " walk1(vertex, depth) AS ("
@@ -4950,12 +4960,13 @@ def q_diameter_double_sweep(spark, sf_dir):
         root=1,
         prepartition=False,
         shuffle_partitions=8,
+        max_depth=_DIAMETER_DEPTH_BOUND,
     )
 
 
 QUERIES.update({"diameter_double_sweep": q_diameter_double_sweep})
 ORACLE_SQL["diameter_double_sweep"] = diameter_double_sweep_sql(
-    _CLEAN_MOD997, root=1
+    _CLEAN_MOD997, root=1, depth_bound=_DIAMETER_DEPTH_BOUND
 )
 
 

@@ -10,39 +10,102 @@ to everything ingested so far. State size is the key-domain size
 at 100 TB the per-batch merge is one count-keyed union-aggregate over
 a tiny table.
 
-Replay safety: foreachBatch is AT-LEAST-ONCE. Each counts overwrite
-embeds the stream's checkpoint path and the batch_id it already
-includes (one write — the marker can never disagree with the counts
-it describes). If a crash lands between the counts write and the
-streaming checkpoint commit, the restarted stream replays that batch;
-the seeded (ckpt, batch_id) marker detects the replay (same
-checkpoint, batch_id <= persisted) and skips the merge instead of
-double-counting, re-emitting only the readout. A FRESH stream over
-the same sink (new checkpoint dir, batch ids restarting at 0) has a
-different checkpoint path, so its batches always merge — the
-deliberate resume-across-streams path.
+Crash safety (write): each snapshot goes to a FRESH versioned
+subdirectory ``<counts_out>/snap-NNNNNNNN`` with ``mode("error")``;
+Spark's output committer renames task files into place and creates
+``_SUCCESS`` only after the job commits, so ``_SUCCESS`` is the
+commit marker. The previous committed snapshot is deleted only AFTER
+the new one is durable — a crash mid-write leaves a ``_SUCCESS``-less
+torn directory that seeding ignores, never a half-snapshot that
+looks committed and never a destroyed predecessor (the failure modes
+of a plain delete-then-overwrite). This holds on object stores too:
+no rename-of-a-directory is ever relied on for atomicity, only
+"marker file appears after data".
 
-Seeding: only a MISSING sink means fresh start; a corrupt or
-transiently unreadable sink raises instead of silently resetting the
-monitor to zero state.
+Replay safety (merge): foreachBatch is AT-LEAST-ONCE. Each snapshot
+embeds the stream's checkpoint path and the batch_id it already
+includes, in the same committed write as the counts. If a crash lands
+between the snapshot commit and the streaming checkpoint commit, the
+restarted stream replays that batch; the seeded (ckpt, batch_id)
+marker detects the replay (same checkpoint, batch_id <= persisted)
+and skips the merge instead of double-counting, re-emitting only the
+readout. A FRESH stream over the same sink (new checkpoint dir,
+batch ids restarting at 0) has a different checkpoint path, so its
+batches always merge — the deliberate resume-across-streams path.
+
+Seeding: a MISSING sink, an empty sink directory, or a sink holding
+only torn (uncommitted) snapshots means fresh start; a sink directory
+holding anything that is not a ``snap-*`` entry raises instead of
+silently resetting the monitor to zero state. The readout sink stays
+a plain overwrite: it is a derived view, rebuilt from the committed
+counts on the next batch (or on replay).
 """
 
 from __future__ import annotations
 
+import re
 from typing import Callable
 
-from pyspark.errors import AnalysisException
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graph500_spark.functions.plantrunc import truncate_plan
 
 _META_COLS = ("ckpt", "batch_id")
+_SNAP_RE = re.compile(r"^snap-(\d{8})$")
 
 
-def _is_missing_path(exc: AnalysisException) -> bool:
-    msg = str(exc)
-    return "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the session's Hadoop conf —
+    portable across local FS / HDFS / object stores."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _list_snapshots(spark: SparkSession, counts_out: str):
+    """Classify the sink directory: (committed [(ver, path)], torn
+    [(ver, path)], foreign [names]). Missing dir -> all empty."""
+    fs, hpath = _hadoop_fs(spark, counts_out)
+    committed: list[tuple[int, str]] = []
+    torn: list[tuple[int, str]] = []
+    foreign: list[str] = []
+    if not fs.exists(hpath):
+        return committed, torn, foreign
+    jvm = spark._jvm
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        m = _SNAP_RE.match(name)
+        if m is None or not st.isDirectory():
+            foreign.append(name)
+            continue
+        ver = int(m.group(1))
+        spath = str(st.getPath())
+        marker = jvm.org.apache.hadoop.fs.Path(spath, "_SUCCESS")
+        (committed if fs.exists(marker) else torn).append((ver, spath))
+    committed.sort()
+    torn.sort()
+    return committed, torn, foreign
+
+
+def read_counts(spark: SparkSession, counts_out: str) -> DataFrame:
+    """The latest COMMITTED counts snapshot (including the ckpt /
+    batch_id marker columns). Raises if the sink is missing, holds no
+    committed snapshot, or is not a snapshot sink."""
+    committed, torn, foreign = _list_snapshots(spark, counts_out)
+    if foreign:
+        raise ValueError(
+            f"counts sink {counts_out} has non-snapshot entries "
+            f"{sorted(foreign)}; expected only snap-NNNNNNNN parquet "
+            "snapshot directories — refusing to guess"
+        )
+    if not committed:
+        raise FileNotFoundError(
+            f"counts sink {counts_out} has no committed snapshot "
+            f"(torn: {[p for _, p in torn]})"
+        )
+    return spark.read.parquet(committed[-1][1])
 
 
 def keyed_count_merge_batch(
@@ -63,25 +126,37 @@ def keyed_count_merge_batch(
     state: dict[str, object] = {
         "counts": None,  # DataFrame | None
         "applied": None,  # (ckpt, batch_id) already in the snapshot
+        "next_ver": 0,
         "seeded": False,
     }
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark_s = batch_df.sparkSession
         if not state["seeded"]:
-            try:
-                snap = spark_s.read.parquet(counts_out)
+            committed, torn, foreign = _list_snapshots(
+                spark_s, counts_out
+            )
+            if foreign:
+                raise ValueError(
+                    f"counts sink {counts_out} has non-snapshot "
+                    f"entries {sorted(foreign)}; expected only "
+                    "snap-NNNNNNNN parquet snapshot directories — "
+                    "refusing to reset monitor state"
+                )
+            all_vers = [v for v, _ in committed] + [v for v, _ in torn]
+            state["next_ver"] = (max(all_vers) + 1) if all_vers else 0
+            if committed:
+                snap = spark_s.read.parquet(committed[-1][1])
                 seed = snap.select(*keys, "c").persist()
                 seed.count()
                 state["counts"] = seed
                 if all(c in snap.columns for c in _META_COLS):
                     meta = snap.select(*_META_COLS).first()
                     if meta is not None:
-                        state["applied"] = (meta["ckpt"], meta["batch_id"])
-            except AnalysisException as exc:
-                if not _is_missing_path(exc):
-                    raise
-                state["counts"] = None
+                        state["applied"] = (
+                            meta["ckpt"],
+                            meta["batch_id"],
+                        )
             state["seeded"] = True
         prev = state["counts"]
         applied = state["applied"]
@@ -103,13 +178,27 @@ def keyed_count_merge_batch(
             .agg(F.sum("c").cast("long").alias("c"))
             .transform(truncate_plan)
         )
+        ver = int(state["next_ver"])  # type: ignore[arg-type]
+        snap_path = f"{counts_out}/snap-{ver:08d}"
+        merged.withColumn("ckpt", F.lit(checkpoint)).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        ).write.mode("error").parquet(snap_path)
+        # the new snapshot is durable (its _SUCCESS exists) — only now
+        # retire everything older, best-effort
+        try:
+            fs, _ = _hadoop_fs(spark_s, counts_out)
+            jvm = spark_s._jvm
+            com2, torn2, _ = _list_snapshots(spark_s, counts_out)
+            for v, p in com2 + torn2:
+                if v < ver:
+                    fs.delete(jvm.org.apache.hadoop.fs.Path(p), True)
+        except Exception:
+            pass  # stale snapshots are inert; next batch retries
         if prev is not None:
             prev.unpersist()
         state["counts"] = merged
         state["applied"] = (checkpoint, batch_id)
-        merged.withColumn("ckpt", F.lit(checkpoint)).withColumn(
-            "batch_id", F.lit(batch_id).cast("long")
-        ).write.mode("overwrite").parquet(counts_out)
+        state["next_ver"] = ver + 1
         readout(merged).write.mode("overwrite").parquet(readout_out)
 
     return merge_batch

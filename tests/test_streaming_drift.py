@@ -124,13 +124,64 @@ def test_streaming_drift_replay_is_idempotent(spark, tmp_path):
     got = _rows(read_drift(spark, drift_out))
     want = _rows(ks_source_drift(docs))
     assert got == want
+    from graph500_spark.streaming.statesink import read_counts
+
     total = (
-        spark.read.parquet(counts_out)
-        .groupBy()
-        .sum("c")
-        .collect()[0][0]
+        read_counts(spark, counts_out).groupBy().sum("c").collect()[0][0]
     )
     assert total == docs.count()  # not doubled by the replay
+
+
+def test_streaming_drift_torn_snapshot_ignored(spark, tmp_path):
+    """A crash mid-snapshot-write leaves a versioned dir WITHOUT
+    Spark's _SUCCESS commit marker. Seeding must ignore it and resume
+    from the last committed snapshot — never treat the torn write as
+    state, never reset to zero."""
+    import os
+
+    from graph500_spark.operators.traindata import ks_source_drift
+    from graph500_spark.streaming.drift import (
+        read_drift,
+        start_drift_monitor,
+    )
+    from graph500_spark.streaming.statesink import read_counts
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).persist()
+    half1 = docs.filter("doc_id % 2 = 0")
+    half2 = docs.filter("doc_id % 2 = 1")
+    in1, in2 = str(tmp_path / "in1"), str(tmp_path / "in2")
+    half1.repartition(2).write.parquet(in1)
+    half2.repartition(2).write.parquet(in2)
+
+    counts_out = str(tmp_path / "counts_out")
+    drift_out = str(tmp_path / "drift_out")
+    q1 = start_drift_monitor(
+        spark, in1, counts_out, drift_out, str(tmp_path / "ck1")
+    )
+    q1.awaitTermination()
+
+    # fabricate the torn write: a later-versioned snap dir holding a
+    # (valid) parquet file but NO _SUCCESS marker — what a crash
+    # between task commits and job commit leaves behind
+    committed = read_counts(spark, counts_out)
+    torn_dir = os.path.join(counts_out, "snap-00099999")
+    committed.limit(1).write.parquet(torn_dir)
+    os.remove(os.path.join(torn_dir, "_SUCCESS"))
+    crc = os.path.join(torn_dir, "._SUCCESS.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    q2 = start_drift_monitor(
+        spark, in2, counts_out, drift_out, str(tmp_path / "ck2")
+    )
+    q2.awaitTermination()
+
+    got = _rows(read_drift(spark, drift_out))
+    want = _rows(ks_source_drift(docs))
+    docs.unpersist()
+    assert got == want  # torn snapshot neither used nor fatal
 
 
 def test_streaming_drift_corrupt_sink_raises(spark, tmp_path):
