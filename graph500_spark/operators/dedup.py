@@ -1320,6 +1320,77 @@ def cdc_dup_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def cdc_doc_pairs(docs: DataFrame, max_group: int = 32) -> DataFrame:
+    """[doc_a, doc_b, n_shared_chunks, shared_tokens, dup_frac_a_ppm,
+    dup_frac_b_ppm] — WHICH documents share content, at CDC-chunk
+    grain: for every doc pair sharing at least one cross-doc
+    duplicated chunk hash, the number of shared distinct chunks, their
+    total token mass (each shared hash counted once), and that mass as
+    a ppm fraction of each document's token count — the serving half
+    of ``cdc_dup_stats`` (the chunk-level sibling of
+    ``duplicate_spans``: spans says WHERE inside a doc, this says WHO
+    with).
+
+    Scale shape: the pair join runs on the (chunk_hash, doc_id)
+    DISTINCT table, keyed by chunk_hash, and only hashes whose
+    distinct-doc group size is in [2, max_group] participate — the
+    same hub-cap discipline as the dup-cluster family. A boilerplate
+    chunk shared by G docs would fan out G^2 pairs; the cap bounds
+    every hash's contribution at max_group^2 and drops exactly the
+    hashes (license headers, navigation chrome) whose pair sets are
+    noise, not provenance. Deterministic: the cap is a group-size
+    predicate, not a sample."""
+    chunks = _track(cdc_chunks(docs).cache())  # read 3x below
+    dc = chunks.groupBy("chunk_hash", "doc_id").agg(
+        F.max("n_tokens").cast("long").alias("tok")
+    )
+    keep = (
+        dc.groupBy("chunk_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(
+            (F.col("n_docs") >= 2) & (F.col("n_docs") <= max_group)
+        )
+        .select("chunk_hash")
+    )
+    dcf = _track(dc.join(keep, "chunk_hash").cache())  # both join sides
+    a = dcf.select(
+        "chunk_hash",
+        F.col("doc_id").alias("doc_a"),
+        F.col("tok").alias("tok_a"),
+    )
+    b = dcf.select("chunk_hash", F.col("doc_id").alias("doc_b"))
+    pairs = (
+        a.join(b, "chunk_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared_chunks"),
+            F.sum("tok_a").cast("long").alias("shared_tokens"),
+        )
+    )
+    tot = chunks.groupBy("doc_id").agg(
+        F.sum("n_tokens").cast("long").alias("tot")
+    )
+    ta = tot.select(F.col("doc_id").alias("doc_a"), F.col("tot").alias("tot_a"))
+    tb = tot.select(F.col("doc_id").alias("doc_b"), F.col("tot").alias("tot_b"))
+    return (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_chunks",
+            "shared_tokens",
+            F.round(F.col("shared_tokens") * 1_000_000.0 / F.col("tot_a"))
+            .cast("long")
+            .alias("dup_frac_a_ppm"),
+            F.round(F.col("shared_tokens") * 1_000_000.0 / F.col("tot_b"))
+            .cast("long")
+            .alias("dup_frac_b_ppm"),
+        )
+    )
+
+
 def _cdc_chunks_sql_body() -> str:
     hb = duck_strhash("token")
     hc = duck_strhash("chunk_text")
@@ -1347,6 +1418,33 @@ def cdc_chunks_sql() -> str:
         "WITH "
         + _cdc_chunks_sql_body()
         + " SELECT doc_id, chunk_idx, n_tokens, chunk_hash FROM hashed"
+    )
+
+
+def cdc_doc_pairs_sql(max_group: int = 32) -> str:
+    return (
+        "WITH "
+        + _cdc_chunks_sql_body()
+        + ", dc AS (SELECT chunk_hash, doc_id,"
+        " CAST(MAX(n_tokens) AS BIGINT) AS tok FROM hashed"
+        " GROUP BY chunk_hash, doc_id),"
+        " keep AS (SELECT chunk_hash FROM dc GROUP BY chunk_hash"
+        f" HAVING COUNT(*) BETWEEN 2 AND {max_group}),"
+        " dcf AS (SELECT dc.* FROM dc JOIN keep USING (chunk_hash)),"
+        " pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+        " CAST(COUNT(*) AS BIGINT) AS n_shared_chunks,"
+        " CAST(SUM(a.tok) AS BIGINT) AS shared_tokens"
+        " FROM dcf a JOIN dcf b ON a.chunk_hash = b.chunk_hash"
+        " AND a.doc_id < b.doc_id GROUP BY doc_a, doc_b),"
+        " tot AS (SELECT doc_id, CAST(SUM(n_tokens) AS BIGINT) AS tot"
+        " FROM hashed GROUP BY doc_id)"
+        " SELECT p.doc_a, p.doc_b, p.n_shared_chunks, p.shared_tokens,"
+        " CAST(round(p.shared_tokens * 1000000.0 / ta.tot) AS BIGINT)"
+        "  AS dup_frac_a_ppm,"
+        " CAST(round(p.shared_tokens * 1000000.0 / tb.tot) AS BIGINT)"
+        "  AS dup_frac_b_ppm"
+        " FROM pairs p JOIN tot ta ON p.doc_a = ta.doc_id"
+        " JOIN tot tb ON p.doc_b = tb.doc_id"
     )
 
 

