@@ -692,13 +692,18 @@ def _heavy_tier(spark, sf_dir: str) -> dict[str, float]:
             # each per-level join task at 268M edges — spill territory.
             # ~2M rows/partition cut task_cpu 23% and wall 28% vs the
             # warm 32-partition baseline (both robust columns moved,
-            # so it is real work saved, not phase noise). The row
-            # count comes from the construct step's persist+count —
-            # never a count job inside this timed shot (that would
-            # change the bfs_s24 definition vs earlier baselines).
-            sp24 = max(32, min(512, int(holder["n24"] // 2_000_000)))
+            # so it is real work saved, not phase noise). The rule is
+            # now the engine default ("auto", functions/sizing.py);
+            # the row count comes from the construct step's
+            # persist+count — never a count job inside this timed
+            # shot (that would change the bfs_s24 definition vs
+            # earlier baselines).
             holder["pred24"] = bfs(
-                spark, holder["g24"], root, shuffle_partitions=sp24
+                spark,
+                holder["g24"],
+                root,
+                shuffle_partitions="auto",
+                edge_count=int(holder["n24"]),
             ).persist()
             holder["pred24"].count()
 

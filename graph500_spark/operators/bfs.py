@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from graph500_spark.functions.plantrunc import truncate_plan
+from graph500_spark.functions.sizing import resolve_shuffle_partitions
 
 PRED_SCHEMA = T.StructType(
     [
@@ -50,8 +51,9 @@ def bfs(
     root: int,
     max_depth: int | None = None,
     prepartition: bool = True,
-    shuffle_partitions: int | None = None,
+    shuffle_partitions: int | str | None = "auto",
     broadcast_rows: int = 2_000_000,
+    edge_count: int | None = None,
 ) -> DataFrame:
     """BFS from ``root`` over a symmetrized, deduped edge list.
 
@@ -60,12 +62,18 @@ def bfs(
     /root/reference/mpi/validate.hpp:530). Unreached vertices are simply
     absent (≈ the reference's -1 entries).
 
-    ``shuffle_partitions`` optionally overrides
-    spark.sql.shuffle.partitions for the duration of the loop (restored
-    after): per-level shuffles are tiny relative to the input, and at
-    small/medium scale the fixed cost of many near-empty reduce tasks
-    dominates. At cluster scale leave it None — the session value and
-    AQE coalescing govern.
+    ``shuffle_partitions`` overrides spark.sql.shuffle.partitions for
+    the duration of the loop (restored after): per-level shuffles are
+    tiny relative to the input, and at small/medium scale the fixed
+    cost of many near-empty reduce tasks dominates. The default
+    ``"auto"`` applies the round-11 s24 rule — ~2M edge rows per
+    shuffle partition, engaged only when the derived width EXCEEDS
+    the session value (functions/sizing.py) — using ``edge_count``
+    when the caller knows |E| (then the override also sizes the
+    prepartition layout, since nothing has materialized yet), else a
+    count of the persisted prepartitioned table (then only the
+    per-level shuffles widen; the layout was already built). ``None``
+    opts out entirely: the session value and AQE coalescing govern.
 
     Job structure: the new frontier is eagerly checkpointed each level
     (one materialization job + one cheap count over the cached leaf);
@@ -88,10 +96,16 @@ def bfs(
     if prepartition:
         edges = edges.repartition("src").persist()
 
+    sp_override = resolve_shuffle_partitions(
+        spark,
+        shuffle_partitions,
+        edge_count,
+        edges.count if prepartition else None,
+    )
     saved_sp = None
-    if shuffle_partitions is not None:
+    if sp_override is not None:
         saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        spark.conf.set("spark.sql.shuffle.partitions", str(sp_override))
 
     frontier = spark.createDataFrame(
         [(int(root), int(root), 0)], schema=PRED_SCHEMA
@@ -176,8 +190,9 @@ def bfs_multi(
     roots: list[int],
     max_depth: int | None = None,
     prepartition: bool = True,
-    shuffle_partitions: int | None = None,
+    shuffle_partitions: int | str | None = "auto",
     broadcast_rows: int = 2_000_000,
+    edge_count: int | None = None,
 ) -> DataFrame:
     """Batched multi-source BFS: all ``roots`` advance in ONE shared
     frontier keyed by (root, vertex) — returns [root, vertex, pred,
@@ -201,10 +216,16 @@ def bfs_multi(
     if prepartition:
         edges = edges.repartition("src").persist()
 
+    sp_override = resolve_shuffle_partitions(
+        spark,
+        shuffle_partitions,
+        edge_count,
+        edges.count if prepartition else None,
+    )
     saved_sp = None
-    if shuffle_partitions is not None:
+    if sp_override is not None:
         saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        spark.conf.set("spark.sql.shuffle.partitions", str(sp_override))
 
     frontier = spark.createDataFrame(
         [(int(r), int(r), int(r), 0) for r in roots],

@@ -38,6 +38,7 @@ from collections.abc import Callable, Sequence
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from graph500_spark.functions.plantrunc import truncate_plan
+from graph500_spark.functions.sizing import resolve_shuffle_partitions
 
 
 def pregel(
@@ -50,18 +51,25 @@ def pregel(
     n_supersteps: int = 10,
     until_unchanged: bool = False,
     broadcast_rows: int = 2_000_000,
-    shuffle_partitions: int | None = None,
+    shuffle_partitions: int | str | None = "auto",
+    edge_count: int | None = None,
 ) -> DataFrame:
     """Run the superstep loop and return the final vertex-state
-    DataFrame (a checkpoint leaf)."""
-    saved_sp = None
-    if shuffle_partitions is not None:
-        saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-
+    DataFrame (a checkpoint leaf). ``shuffle_partitions="auto"``
+    applies the ~2M-rows/partition rule (functions/sizing.py) from
+    ``edge_count`` when given, else from a count of the cached edge
+    table (whose materialization the first superstep pays anyway);
+    the override engages only above the session width."""
     # The edge table is stationary across supersteps — cache it so the
     # upstream construction doesn't re-execute per round.
     edges = edges.persist()
+    sp_override = resolve_shuffle_partitions(
+        spark, shuffle_partitions, edge_count, edges.count
+    )
+    saved_sp = None
+    if sp_override is not None:
+        saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(sp_override))
     state = vertices.transform(truncate_plan)
     n_state = state.count()
 

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from graph500_spark.functions.plantrunc import truncate_plan
+from graph500_spark.functions.sizing import resolve_shuffle_partitions
 
 DIST_SCHEMA = T.StructType(
     [
@@ -46,8 +47,9 @@ def sssp(
     edges_weighted: DataFrame,
     root: int,
     max_rounds: int | None = None,
-    shuffle_partitions: int | None = None,
+    shuffle_partitions: int | str | None = "auto",
     broadcast_rows: int = 2_000_000,
+    edge_count: int | None = None,
 ) -> DataFrame:
     """Shortest-path tree from ``root``: [vertex, dist, pred] for every
     reachable vertex (root has dist 0, pred == root). Input:
@@ -56,10 +58,17 @@ def sssp(
     """
     edges = edges_weighted.select("src", "dst", "weight")
 
+    # volume-derived default ("auto", functions/sizing.py): the edge
+    # table is NOT persisted here, so auto engages only when the
+    # caller supplies edge_count — never a scan over unpersisted
+    # lineage just to size shuffles.
+    sp_override = resolve_shuffle_partitions(
+        spark, shuffle_partitions, edge_count
+    )
     saved_sp = None
-    if shuffle_partitions is not None:
+    if sp_override is not None:
         saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        spark.conf.set("spark.sql.shuffle.partitions", str(sp_override))
 
     dist = spark.createDataFrame(
         [(int(root), 0, int(root))], schema=DIST_SCHEMA
@@ -263,8 +272,9 @@ def sssp_multi(
     edges_weighted: DataFrame,
     roots: list[int],
     max_rounds: int | None = None,
-    shuffle_partitions: int | None = None,
+    shuffle_partitions: int | str | None = "auto",
     broadcast_rows: int = 2_000_000,
+    edge_count: int | None = None,
 ) -> DataFrame:
     """[source, vertex, dist, pred] — k shortest-path trees through
     ONE shared delta-frontier loop: the operators/bfs.py::bfs_multi
@@ -283,11 +293,14 @@ def sssp_multi(
     truncates per-round lineage exactly as the single-source loop."""
     edges = edges_weighted.select("src", "dst", "weight")
 
+    sp_override = resolve_shuffle_partitions(
+        spark, shuffle_partitions, edge_count
+    )
     saved_sp = None
-    if shuffle_partitions is not None:
+    if sp_override is not None:
         saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set(
-            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+            "spark.sql.shuffle.partitions", str(sp_override)
         )
 
     schema = (

@@ -29,6 +29,7 @@ import sys
 
 def main() -> int:
     heap = sys.argv[1] if len(sys.argv) > 1 else "16g"
+    pressured = len(sys.argv) > 2 and sys.argv[2] == "pressured"
     os.environ["SPARK_GRAFT_DRIVER_MEM"] = heap
     sys.path.insert(
         0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -48,8 +49,43 @@ def main() -> int:
     ).persist()
     kron16.count()
 
+    if pressured:
+        # round 12: reproduce the bench-suite context the tier runs in
+        # (tier runs LAST after ~136 queries) with a representative
+        # slice of the preceding headline work, untimed — if the
+        # corpus-stream task_cpu inflates here on identical code, the
+        # driver r11 "both up" reading is session context, not an
+        # ingest-path regression
+        from graph500_spark.plans import queries as Q
+
+        sf_dir = os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+        )
+        for name in (
+            "q_corpus_clean",
+            "q_exact_duplicates",
+            "q_minhash_near_duplicates",
+            "q_pagerank",
+            "q_connected_components",
+            "q_triangle_counts",
+            "q_louvain_multilevel",
+            "q_bpe_fertility_by_lang",
+            "q_cosine_topk",
+            "q_bm25_prf",
+        ):
+            getattr(Q, name)(spark, sf_dir).count()
+
     rates = bench._streaming_tier(spark, kron16)
-    print(json.dumps({"heap": heap, "fresh_session": True, **rates}))
+    print(
+        json.dumps(
+            {
+                "heap": heap,
+                "fresh_session": True,
+                "pressured": pressured,
+                **rates,
+            }
+        )
+    )
     return 0
 
 
