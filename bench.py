@@ -441,6 +441,15 @@ def main() -> int:
         # iteration = many short stages, the exact profile this set
         # exists for)
         "markov_stationary",
+        # round 12: the r11 verdict's one surviving regression flag —
+        # slower than r10 in all three r11 runs on byte-identical
+        # traversal code. tools/ab_bfs16.py (PLANS.md round 12) showed
+        # controlled warm-context values of ~7.3s/~4.0s vs the
+        # committed 12.4-18.9/5.0-8.9 — the inflation is session
+        # phase landing on many-short-stage rows, the profile this
+        # set exists for
+        "bfs_s16_4roots_sequential",
+        "bfs_s16_4roots_batched",
     }
 
     timings: dict[str, float] = {}
