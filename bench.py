@@ -387,6 +387,16 @@ def main() -> int:
             lambda: Q.q_cdc_dup_stats(spark, sf_dir).count(),
         "diameter_double_sweep":
             lambda: Q.q_diameter_double_sweep(spark, sf_dir).count(),
+        # round-12 additions (wordpiece_token_counts is the corpus
+        # APPLY pass over the segmentation the fertility row trains;
+        # cdc_doc_pairs is the pair-join serving half of cdc_dup_stats;
+        # the calibration row prices the est-vs-exact verifier join)
+        "wordpiece_token_counts":
+            lambda: Q.q_wordpiece_token_counts(spark, sf_dir).count(),
+        "cdc_doc_pairs":
+            lambda: Q.q_cdc_doc_pairs(spark, sf_dir).count(),
+        "minhash_jaccard_calibration":
+            lambda: Q.q_minhash_jaccard_calibration(spark, sf_dir).count(),
     }
 
     # Measured-variance rows (round-8 postmortem: louvain_multilevel

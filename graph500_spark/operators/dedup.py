@@ -315,6 +315,93 @@ def lsh_candidate_pairs_sql() -> str:
     )
 
 
+def minhash_jaccard_calibration(docs: DataFrame) -> DataFrame:
+    """[doc_a, doc_b, est_matches, est_jaccard_ppm, exact_jaccard_ppm,
+    err_ppm] — per LSH candidate pair, the K=16 signature-match
+    Jaccard ESTIMATE next to the exact shingle-set Jaccard: the
+    calibration table a dedup pipeline reads to set its LSH
+    band/threshold operating point (Broder's estimator: P[min hashes
+    match] = J, so matches/K is an unbiased estimate whose error this
+    table measures against ground truth on the candidate set).
+
+    Scale shape: candidates come from the banded equi-join (never
+    all-pairs); signatures and shingle sets join back by doc key.
+    Exact Jaccard on the pair set is the same VERIFIER-tier cost the
+    near-dup operator already pays."""
+    sig = _track(minhash_signatures(docs).cache())
+    cands = lsh_candidate_pairs(docs)
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{j:02d}").alias(f"a{j:02d}") for j in range(K_MINHASH)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{j:02d}").alias(f"b{j:02d}") for j in range(K_MINHASH)],
+    )
+    sh = shingle_hashes(docs)
+    sa = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    matches = sum(
+        F.when(F.col(f"a{j:02d}") == F.col(f"b{j:02d}"), 1).otherwise(0)
+        for j in range(K_MINHASH)
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    est = (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            matches.cast("long").alias("est_matches"),
+            F.round(matches * 1_000_000.0 / K_MINHASH)
+            .cast("long")
+            .alias("est_jaccard_ppm"),
+            F.round(inter * 1_000_000.0 / F.greatest(union, F.lit(1)))
+            .cast("long")
+            .alias("exact_jaccard_ppm"),
+        )
+    )
+    return est.withColumn(
+        "err_ppm",
+        F.abs(F.col("est_jaccard_ppm") - F.col("exact_jaccard_ppm")),
+    )
+
+
+def minhash_jaccard_calibration_sql() -> str:
+    match_sum = " + ".join(
+        f"(CASE WHEN a.mh{j:02d} = b.mh{j:02d} THEN 1 ELSE 0 END)"
+        for j in range(K_MINHASH)
+    )
+    return (
+        f"WITH cands AS ({lsh_candidate_pairs_sql()}),"
+        f" sig AS ({MINHASH_SIGNATURES_SQL}),"
+        f" sh AS (SELECT doc_id, {_DUCK_SHINGLE_HASHES} AS shingles"
+        "         FROM documents)"
+        " SELECT doc_a, doc_b, est_matches, est_jaccard_ppm,"
+        " exact_jaccard_ppm,"
+        " abs(est_jaccard_ppm - exact_jaccard_ppm) AS err_ppm FROM ("
+        " SELECT c.doc_a, c.doc_b,"
+        f" CAST({match_sum} AS BIGINT) AS est_matches,"
+        f" CAST(round(({match_sum}) * 1000000.0 / {K_MINHASH})"
+        "  AS BIGINT) AS est_jaccard_ppm,"
+        " CAST(round(len(list_intersect(sa.shingles, sb.shingles))"
+        "  * 1000000.0 / greatest(len(sa.shingles) + len(sb.shingles)"
+        "  - len(list_intersect(sa.shingles, sb.shingles)), 1))"
+        "  AS BIGINT) AS exact_jaccard_ppm"
+        " FROM cands c JOIN sig a ON c.doc_a = a.doc_id"
+        " JOIN sig b ON c.doc_b = b.doc_id"
+        " JOIN sh sa ON c.doc_a = sa.doc_id"
+        " JOIN sh sb ON c.doc_b = sb.doc_id)"
+    )
+
+
 def minhash_near_duplicates(
     docs: DataFrame, threshold: float = 0.5
 ) -> DataFrame:

@@ -181,3 +181,54 @@ def completeness_sql(table: str, columns: list[str]) -> str:
         for c in columns
     ]
     return " UNION ALL ".join(selects)
+
+
+def key_skew_stats(df: DataFrame, key: str, table_name: str) -> DataFrame:
+    """One-row shuffle-key skew diagnostic: [table_name, key_col,
+    n_rows, n_keys, max_key_n, p99_key_n, mean_key_n_micro,
+    skew_ratio_micro] — the salting decision at 100 TB in one number
+    (skew_ratio = hottest key's rows / mean rows per key; a join or
+    groupBy on this key puts max_key_n rows in one reduce task no
+    matter how many partitions you provision, so ratio >> partition
+    count means salt or AQE-skew-split).
+
+    Plan: one map-side-combinable count per key (the corpus compresses
+    to |keys| rows), then a single 1-row agg over that table; the
+    exact-percentile sort runs on key-grain, never row-grain."""
+    per = df.groupBy(F.col(key).alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return per.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("n").cast("long").alias("max_key_n"),
+        F.round(F.expr("percentile(n, 0.99)"))
+        .cast("long")
+        .alias("p99_key_n"),
+        F.round(F.avg("n") * 1_000_000.0)
+        .cast("long")
+        .alias("mean_key_n_micro"),
+        F.round(F.max("n") * 1_000_000.0 / F.avg("n"))
+        .cast("long")
+        .alias("skew_ratio_micro"),
+    ).select(
+        F.lit(table_name).alias("table_name"),
+        F.lit(key).alias("key_col"),
+        "*",
+    )
+
+
+def key_skew_stats_sql(table: str, key: str) -> str:
+    return (
+        f"WITH per AS (SELECT {key} AS k, CAST(COUNT(*) AS BIGINT) AS n"
+        f" FROM {table} GROUP BY {key})"
+        f" SELECT '{table}' AS table_name, '{key}' AS key_col,"
+        " CAST(SUM(n) AS BIGINT) AS n_rows,"
+        " CAST(COUNT(*) AS BIGINT) AS n_keys,"
+        " CAST(MAX(n) AS BIGINT) AS max_key_n,"
+        " CAST(round(quantile_cont(n, 0.99)) AS BIGINT) AS p99_key_n,"
+        " CAST(round(AVG(n) * 1000000.0) AS BIGINT) AS mean_key_n_micro,"
+        " CAST(round(MAX(n) * 1000000.0 / AVG(n)) AS BIGINT)"
+        "  AS skew_ratio_micro"
+        " FROM per"
+    )

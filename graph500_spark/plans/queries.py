@@ -5044,6 +5044,40 @@ QUERIES.update({"cdc_doc_pairs": q_cdc_doc_pairs})
 ORACLE_SQL["cdc_doc_pairs"] = dedup_mod.cdc_doc_pairs_sql()
 
 
+# --- round 12: MinHash estimator calibration + shuffle-key skew ------
+
+
+def q_minhash_jaccard_calibration(spark, sf_dir):
+    """Per LSH candidate pair, the K=16 signature Jaccard estimate vs
+    exact shingle Jaccard (+abs error ppm) — the calibration table
+    that sets the dedup threshold operating point."""
+    return dedup_mod.minhash_jaccard_calibration(_docs(spark, sf_dir))
+
+
+QUERIES.update(
+    {"minhash_jaccard_calibration": q_minhash_jaccard_calibration}
+)
+ORACLE_SQL["minhash_jaccard_calibration"] = (
+    dedup_mod.minhash_jaccard_calibration_sql()
+)
+
+
+def q_key_skew_stats(spark, sf_dir):
+    """Shuffle-key skew diagnostic over events.user_id — the salting
+    decision in one row (hottest key vs mean rows per key)."""
+    from graph500_spark.operators.dq import key_skew_stats
+
+    return key_skew_stats(
+        td.load_table(spark, sf_dir, "events"), "user_id", "events"
+    )
+
+
+QUERIES.update({"key_skew_stats": q_key_skew_stats})
+from graph500_spark.operators.dq import key_skew_stats_sql  # noqa: E402
+
+ORACLE_SQL["key_skew_stats"] = key_skew_stats_sql("events", "user_id")
+
+
 # --- round-12 window rotation ----------------------------------------
 # Driver checks the FIRST 50 queries() entries each round. Front-load:
 # (a) the 7 round-11 additions that have never had a driver
@@ -5067,6 +5101,8 @@ _ROUND12_FRONT = [
     # round-12 additions
     "wordpiece_token_counts",
     "cdc_doc_pairs",
+    "minhash_jaccard_calibration",
+    "key_skew_stats",
     # re-confirmation: last checked round 5 (all 16)
     "label_prototypes",
     "lang_confusion",
@@ -5108,8 +5144,6 @@ _ROUND12_FRONT = [
     "louvain_communities",
     "louvain_multilevel",
     "louvain_multilevel_quality",
-    "louvain_quality",
-    "lsh_buckets",
 ]
 assert len(_ROUND12_FRONT) == 50 and len(set(_ROUND12_FRONT)) == 50
 QUERIES = {k: QUERIES[k] for k in _ROUND12_FRONT} | {

@@ -87,3 +87,38 @@ def test_wordpiece_token_counts_consistent_with_fertility(spark):
     assert got["w"] == want["n_words"]
     assert got["s"] == want["n_subwords"]
     assert per_doc.count() == docs.filter(F.length("text") > 0).count()
+
+
+def test_minhash_calibration_identical_docs(spark):
+    """Two byte-identical docs must calibrate at est=K matches,
+    est==exact==1.0 (ppm), err 0 — the fixed point of the estimator."""
+    from graph500_spark.operators.dedup import (
+        minhash_jaccard_calibration,
+        release_caches,
+    )
+
+    t = _passage(60)
+    docs = _mkdocs(spark, [(1, t), (2, t)])
+    rows = minhash_jaccard_calibration(docs).collect()
+    release_caches()
+    assert [(r["doc_a"], r["doc_b"]) for r in rows] == [(1, 2)]
+    r = rows[0]
+    assert r["est_matches"] == 16
+    assert r["est_jaccard_ppm"] == 1_000_000
+    assert r["exact_jaccard_ppm"] == 1_000_000
+    assert r["err_ppm"] == 0
+
+
+def test_key_skew_stats_planted_hot_key(spark):
+    """1000 rows on one key + 100 singleton keys: max=1000, mean =
+    1100/101 rows/key, ratio = 1000/mean — exact values pinned."""
+    from graph500_spark.operators.dq import key_skew_stats
+
+    rows = [(i, 7) for i in range(1000)]
+    rows += [(1000 + i, 100 + i) for i in range(100)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long")
+    r = key_skew_stats(df, "user_id", "events").collect()[0]
+    assert r["n_rows"] == 1100 and r["n_keys"] == 101
+    assert r["max_key_n"] == 1000
+    assert r["mean_key_n_micro"] == round(1100 / 101 * 1_000_000)
+    assert r["skew_ratio_micro"] == round(1000 * 101 / 1100 * 1_000_000)
