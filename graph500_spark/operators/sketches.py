@@ -302,3 +302,73 @@ def cms_heavy_tokens_sql(
         " ON m.r = cc.r AND m.bucket = cc.bucket"
         " GROUP BY cc.token, cc.exact_count"
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-token (vocabulary-cardinality) estimate vs exact — the
+# batch twin of streaming/distinct.py's incremental monitor
+# ---------------------------------------------------------------------------
+
+
+def kmv_distinct_tokens(docs: DataFrame, k: int = 64) -> DataFrame:
+    """One row: [k, n_sketch, kth_hash, est_distinct, exact_distinct,
+    abs_err_ppm] — KMV estimate of the corpus vocabulary size
+    (distinct TOKEN_REGEX tokens) with the exact count alongside.
+    Same sketch definition as the streaming monitor
+    (streaming/distinct.py), so streamed == batch is exact, not
+    approximate-equal: the k-smallest set is mergeable."""
+    hashes = docs.select(
+        F.explode(F.expr(SPARK_TOKENS)).alias("token")
+    ).select(F.expr(spark_strhash("token")).alias("h")).distinct()
+    sketch = (
+        hashes.orderBy("h")
+        .limit(k)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sketch"),
+            F.max("h").cast("long").alias("kth_hash"),
+        )
+    )
+    exact = docs.select(
+        F.explode(F.expr(SPARK_TOKENS)).alias("token")
+    ).agg(F.countDistinct("token").cast("long").alias("exact_distinct"))
+    est = _kmv_est_spark("n_sketch", "kth_hash", k, "exact_distinct")
+    return (
+        sketch.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(k).cast("long").alias("k"),
+            "n_sketch",
+            "kth_hash",
+            F.expr(est).alias("est_distinct"),
+            "exact_distinct",
+        )
+        .selectExpr(
+            "k",
+            "n_sketch",
+            "kth_hash",
+            "est_distinct",
+            "exact_distinct",
+            f"CAST(({E6} * abs(est_distinct - exact_distinct))"
+            " div exact_distinct AS BIGINT) AS abs_err_ppm",
+        )
+    )
+
+
+def kmv_distinct_tokens_sql(k: int = 64) -> str:
+    h = duck_strhash("token")
+    est = _kmv_est_duck("n_sketch", "kth_hash", k, "exact_distinct")
+    return (
+        "WITH toks AS (SELECT unnest"
+        f"({DUCK_TOKENS}) AS token FROM documents),"
+        " hashes AS (SELECT DISTINCT"
+        f" CAST({h} AS BIGINT) AS h FROM toks),"
+        f" sk AS (SELECT * FROM hashes ORDER BY h LIMIT {k}),"
+        " sketch AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sketch,"
+        "  CAST(MAX(h) AS BIGINT) AS kth_hash FROM sk),"
+        " exact AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT)"
+        "  AS exact_distinct FROM toks),"
+        " j AS (SELECT * FROM sketch CROSS JOIN exact)"
+        f" SELECT CAST({k} AS BIGINT) AS k, n_sketch, kth_hash,"
+        f" {est} AS est_distinct, exact_distinct,"
+        f" CAST(({E6} * abs({est} - exact_distinct))"
+        " // exact_distinct AS BIGINT) AS abs_err_ppm FROM j"
+    )

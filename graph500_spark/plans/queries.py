@@ -5078,6 +5078,26 @@ from graph500_spark.operators.dq import key_skew_stats_sql  # noqa: E402
 ORACLE_SQL["key_skew_stats"] = key_skew_stats_sql("events", "user_id")
 
 
+# --- round 12: KMV vocabulary-cardinality sketch ---------------------
+
+
+def q_kmv_distinct_tokens(spark, sf_dir):
+    """KMV estimate of corpus vocabulary size vs exact — the batch
+    twin of the streaming distinct monitor (streaming/distinct.py);
+    one distinct-shuffle + k-row TakeOrdered."""
+    from graph500_spark.operators.sketches import kmv_distinct_tokens
+
+    return kmv_distinct_tokens(_docs(spark, sf_dir))
+
+
+QUERIES.update({"kmv_distinct_tokens": q_kmv_distinct_tokens})
+from graph500_spark.operators.sketches import (  # noqa: E402
+    kmv_distinct_tokens_sql,
+)
+
+ORACLE_SQL["kmv_distinct_tokens"] = kmv_distinct_tokens_sql()
+
+
 # --- round-12 window rotation ----------------------------------------
 # Driver checks the FIRST 50 queries() entries each round. Front-load:
 # (a) the 7 round-11 additions that have never had a driver
@@ -5103,6 +5123,7 @@ _ROUND12_FRONT = [
     "cdc_doc_pairs",
     "minhash_jaccard_calibration",
     "key_skew_stats",
+    "kmv_distinct_tokens",
     # re-confirmation: last checked round 5 (all 16)
     "label_prototypes",
     "lang_confusion",
@@ -5143,7 +5164,6 @@ _ROUND12_FRONT = [
     "late_line_priority",
     "louvain_communities",
     "louvain_multilevel",
-    "louvain_multilevel_quality",
 ]
 assert len(_ROUND12_FRONT) == 50 and len(set(_ROUND12_FRONT)) == 50
 QUERIES = {k: QUERIES[k] for k in _ROUND12_FRONT} | {

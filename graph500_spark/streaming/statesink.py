@@ -115,6 +115,7 @@ def keyed_count_merge_batch(
     keys: list[str],
     extract: Callable[[DataFrame], DataFrame],
     readout: Callable[[DataFrame], DataFrame],
+    truncate_state: Callable[[DataFrame], DataFrame] | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Build the foreachBatch function for a keyed-count monitor.
 
@@ -122,6 +123,13 @@ def keyed_count_merge_batch(
     [*keys, c: long] count table; ``readout(counts_df)`` maps the
     merged state to the user-facing readout written to
     ``readout_out`` after each batch.
+
+    ``truncate_state`` (optional) bounds the carried state after each
+    merge — for sketch-shaped state whose merge is closed under
+    truncation (KMV's k-smallest-hash set: k-smallest of
+    (k-smallest(A) ∪ B) == k-smallest(A ∪ B), so dropping rows
+    beyond k loses nothing). It must be deterministic; the drop is
+    reflected in the persisted snapshot, so replay stays exact.
     """
     state: dict[str, object] = {
         "counts": None,  # DataFrame | None
@@ -176,8 +184,10 @@ def keyed_count_merge_batch(
             (new if prev is None else prev.unionByName(new))
             .groupBy(*keys)
             .agg(F.sum("c").cast("long").alias("c"))
-            .transform(truncate_plan)
         )
+        if truncate_state is not None:
+            merged = truncate_state(merged)
+        merged = merged.transform(truncate_plan)
         ver = int(state["next_ver"])  # type: ignore[arg-type]
         snap_path = f"{counts_out}/snap-{ver:08d}"
         merged.withColumn("ckpt", F.lit(checkpoint)).withColumn(
