@@ -346,3 +346,31 @@ def wordpiece_fertility_sql(
         + wordpiece_segment_sql(extra_tokens, max_piece_len, max_word_len)
         + ")"
     )
+
+
+def wordpiece_vocab_sql(
+    extra_tokens: int = 200, max_piece_len: int = 4
+) -> str:
+    """DuckDB mirror of wordpiece_vocab: [token, weight] — chars plus
+    the top substrings (1-char tokens never appear in the substring
+    tier, so UNION ALL is duplicate-free)."""
+    subs = " UNION ALL ".join(
+        "SELECT substring(word, i,"
+        f" {plen}) AS token, wcount FROM words,"
+        f" UNNEST(generate_series(1, length(word) - {plen} + 1)) AS u(i)"
+        f" WHERE length(word) >= {plen}"
+        for plen in range(2, max_piece_len + 1)
+    )
+    return (
+        f"WITH words AS ({_WORDS_SQL}),"
+        " chars AS (SELECT substring(word, i, 1) AS token,"
+        " CAST(SUM(wcount) AS BIGINT) AS weight FROM words,"
+        " UNNEST(generate_series(1, length(word))) AS u(i)"
+        " GROUP BY token),"
+        f" subs AS ({subs}),"
+        " top AS (SELECT token, CAST(SUM(wcount) AS BIGINT) AS weight"
+        " FROM subs GROUP BY token ORDER BY weight DESC, token ASC"
+        f" LIMIT {extra_tokens})"
+        " SELECT token, weight FROM chars"
+        " UNION ALL SELECT token, weight FROM top"
+    )

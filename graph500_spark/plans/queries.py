@@ -5098,6 +5098,25 @@ from graph500_spark.operators.sketches import (  # noqa: E402
 ORACLE_SQL["kmv_distinct_tokens"] = kmv_distinct_tokens_sql()
 
 
+def q_wordpiece_vocab(spark, sf_dir):
+    """The learned WordPiece vocabulary [token, weight] — chars plus
+    the top-weight substrings; trains on the distinct-word table."""
+    from graph500_spark.operators.bpe import word_frequencies
+    from graph500_spark.operators.wordpiece import wordpiece_vocab
+
+    return wordpiece_vocab(
+        word_frequencies(_docs(spark, sf_dir))
+    )
+
+
+QUERIES.update({"wordpiece_vocab": q_wordpiece_vocab})
+from graph500_spark.operators.wordpiece import (  # noqa: E402
+    wordpiece_vocab_sql,
+)
+
+ORACLE_SQL["wordpiece_vocab"] = wordpiece_vocab_sql()
+
+
 # --- round-12 window rotation ----------------------------------------
 # Driver checks the FIRST 50 queries() entries each round. Front-load:
 # (a) the 7 round-11 additions that have never had a driver
@@ -5124,6 +5143,7 @@ _ROUND12_FRONT = [
     "minhash_jaccard_calibration",
     "key_skew_stats",
     "kmv_distinct_tokens",
+    "wordpiece_vocab",
     # re-confirmation: last checked round 5 (all 16)
     "label_prototypes",
     "lang_confusion",
@@ -5163,7 +5183,6 @@ _ROUND12_FRONT = [
     "kronecker_s8_datasource",
     "late_line_priority",
     "louvain_communities",
-    "louvain_multilevel",
 ]
 assert len(_ROUND12_FRONT) == 50 and len(set(_ROUND12_FRONT)) == 50
 QUERIES = {k: QUERIES[k] for k in _ROUND12_FRONT} | {
