@@ -316,3 +316,41 @@ def test_calibration_window_runs_over_compressed_domain(spark):
     assert windows, "plan lost its window"
     for wi in windows:
         assert _compressed_below_window(tree, wi), tree[wi]
+
+
+def test_cdc_doc_pairs_is_equi_join_on_chunk_hash(spark):
+    """The pair join must be a (broadcast/shuffled) EQUI-join keyed by
+    chunk_hash over the distinct (hash, doc) table — never a
+    nested-loop doc×doc product; and the corpus window stays
+    partitioned by doc_id (bounded partitions)."""
+    plan = plan_of(Q.QUERIES["cdc_doc_pairs"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
+
+
+def test_minhash_calibration_no_all_pairs(spark):
+    """Candidates come from the banded equi-join; the calibration
+    joins back by doc key — no cartesian anywhere."""
+    plan = plan_of(Q.QUERIES["minhash_jaccard_calibration"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_key_skew_stats_two_phase_agg(spark):
+    """One count per key with a map-side partial, then a 1-row agg
+    over key grain: the plan must show partial aggregation (the
+    corpus never reaches the final agg un-reduced) and scan only the
+    key column."""
+    plan = plan_of(Q.QUERIES["key_skew_stats"](spark, SF))
+    assert "partial" in plan.lower()
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan and "user_id" in scan[0]
+    assert "props" not in scan[0] and "event_type" not in scan[0]
+
+
+def test_kmv_distinct_tokens_takeordered_head(spark):
+    """The sketch head must be a distributed TakeOrdered(AndProject)
+    of k rows, not a global sort."""
+    plan = plan_of(Q.QUERIES["kmv_distinct_tokens"](spark, SF))
+    assert "TakeOrdered" in plan
