@@ -92,7 +92,10 @@ def run_benchmark(
     edges_raw.count()  # materialize once (generation phase)
 
     edges_clean = graph_build.build_clean_edges(edges_raw).persist()
-    edges_clean.count()  # construction phase
+    # construction phase; the count also feeds the BFS loops' "auto"
+    # shuffle sizing (functions/sizing.py — a no-op until clean |E|
+    # exceeds session_width × 2M rows, i.e. the s24-class rungs)
+    n_clean = edges_clean.count()
 
     done: set[int] = set()
     if results_path is not None:
@@ -122,7 +125,13 @@ def run_benchmark(
         if len(batch) == 1:
             run_id, root = batch[0]
             pred_all = (
-                bfs_mod.bfs(spark, edges_clean, root, prepartition=False)
+                bfs_mod.bfs(
+                    spark,
+                    edges_clean,
+                    root,
+                    prepartition=False,
+                    edge_count=n_clean,
+                )
                 .withColumn("root", F.lit(int(root)))
                 .persist()
             )
@@ -132,6 +141,7 @@ def run_benchmark(
                 edges_clean,
                 [root for _, root in batch],
                 prepartition=False,
+                edge_count=n_clean,
             ).persist()
         pred_all.count()
         bfs_time = (time.monotonic() - t0) / len(batch)
