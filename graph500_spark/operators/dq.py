@@ -198,6 +198,16 @@ def key_skew_stats(df: DataFrame, key: str, table_name: str) -> DataFrame:
     per = df.groupBy(F.col(key).alias("k")).agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
+    return key_skew_from_counts(per, table_name, key)
+
+
+def key_skew_from_counts(
+    per: DataFrame, table_name: str, key: str
+) -> DataFrame:
+    """The skew readout over an already-reduced [k, n] per-key count
+    table — shared by the batch diagnostic above and the streaming
+    monitor (streaming/skew.py), so streamed == batch by
+    construction."""
     return per.agg(
         F.sum("n").cast("long").alias("n_rows"),
         F.count(F.lit(1)).cast("long").alias("n_keys"),
