@@ -93,21 +93,38 @@ def make_mrg_seed(userseed1: int, userseed2: int) -> np.ndarray:
     return np.array(z, dtype=np.uint64).reshape(5, 1)
 
 
-def apply_matrix(mat: Matrix, states: np.ndarray) -> np.ndarray:
+def _fold31(x: np.ndarray) -> np.ndarray:
+    """One Mersenne fold: x (mod 2^31-1)-congruent value with 31 fewer
+    high bits (x = hi·2^31 + lo ≡ hi + lo). Cheap vectorized ops in
+    place of uint64 division — hardware 64-bit modulo costs ~20-40
+    cycles per lane and does not vectorize."""
+    return (x & np.uint64(MOD)) + (x >> np.uint64(31))
+
+
+def apply_matrix(
+    mat: Matrix, states: np.ndarray, out: np.ndarray | None = None
+) -> np.ndarray:
     """(5,5) matrix × (5,n) state batch, all mod 2^31-1.
 
-    Reduces mod m after each multiply-add: acc < m, mat*state < 2^62,
-    so acc + product < 2^63 never wraps uint64.
+    Reduction strategy: each product (< 2^62) is folded once to < 2^32,
+    the 5-term sum stays < 2^35, and the row total is folded twice plus
+    one conditional subtract — full canonical reduction with no uint64
+    division (Mersenne-prime fold, exact congruence mod 2^31-1).
+    ``out`` (5,n) receives the result without an extra allocation; it
+    must not alias ``states``.
     """
     m = np.asarray(mat, dtype=np.uint64)
-    out = np.zeros_like(states)
+    if out is None:
+        out = np.empty_like(states)
     mod = np.uint64(MOD)
     for i in range(5):
         acc = np.zeros(states.shape[1], dtype=np.uint64)
         for k in range(5):
             if mat[i][k]:
-                acc = (acc + m[i, k] * states[k]) % mod
-        out[i] = acc
+                acc += _fold31(m[i, k] * states[k])
+        # acc < 5·2^32 < 2^35 → fold to < 2^31 + 2^4, one subtract
+        acc = _fold31(_fold31(acc))
+        out[i] = np.where(acc >= mod, acc - mod, acc)
     return out
 
 
@@ -133,9 +150,38 @@ def skip_indexed(
     """
     idx = np.asarray(indices, dtype=np.uint64)
     n = idx.shape[0]
-    states = np.repeat(seed, n, axis=1)
     if n == 0:
-        return states
+        return np.repeat(seed, n, axis=1)
+    # Consecutive-run fast path (the generator's actual shape: Arrow
+    # batches over spark.range are contiguous index slices). With
+    # M = A^stride, lane j holds M^(base+j) @ seed; given the first
+    # `filled` lanes, the next `filled` are M^filled applied to them —
+    # block doubling computes all n lanes in ~ONE full-width matvec of
+    # total work instead of ~bit_length(idx) masked matvecs with
+    # gather/scatter copies (measured 67% of R-MAT kernel CPU).
+    # Exact: every step is the same 5x5 modular matmul, just batched.
+    if n > 1 and int(idx[-1]) - int(idx[0]) == n - 1:
+        d = np.diff(idx.astype(np.int64))
+        if bool(np.all(d == 1)):
+            base = int(idx[0])
+            states = np.empty((5, n), dtype=np.uint64)
+            states[:, 0:1] = (
+                apply_matrix(skip_matrix(stride_exponent * base), seed)
+                if base
+                else seed
+            )
+            filled = 1
+            while filled < n:
+                take = min(filled, n - filled)
+                step = skip_matrix(stride_exponent * filled)
+                apply_matrix(
+                    step,
+                    states[:, :take],
+                    out=states[:, filled : filled + take],
+                )
+                filled += take
+            return states
+    states = np.repeat(seed, n, axis=1)
     max_bits = int(idx.max()).bit_length()
     for bit in range(max_bits):
         mask = ((idx >> np.uint64(bit)) & np.uint64(1)).astype(bool)
@@ -152,9 +198,12 @@ def get_uint(states: np.ndarray) -> np.ndarray:
     /root/reference/generator/splittable_mrg.c:171-181,254-258.
     Mutates `states` in place.
     """
-    new_elt = (
-        np.uint64(MRG_X) * states[0] + np.uint64(MRG_Y) * states[4]
-    ) % np.uint64(MOD)
+    # x·z1 + y·z5 < 2^58 + 2^48: two Mersenne folds + one conditional
+    # subtract give the canonical residue without uint64 division.
+    acc = _fold31(
+        _fold31(np.uint64(MRG_X) * states[0] + np.uint64(MRG_Y) * states[4])
+    )
+    new_elt = np.where(acc >= np.uint64(MOD), acc - np.uint64(MOD), acc)
     states[4] = states[3]
     states[3] = states[2]
     states[2] = states[1]

@@ -156,12 +156,27 @@ def apply_vertex_map(
 
 
 def build_clean_edges(edges_raw: DataFrame) -> DataFrame:
-    """Construction pipeline core: loop-filter → symmetrize → dedup.
+    """Construction pipeline core: loop-filter → dedup → symmetrize.
 
     Output invariants (FIXTURES.md §1.3): no self loops, (src,dst)
-    unique, (a,b) present ⇔ (b,a) present. Catalyst fuses the filter
-    and union into the single dedup shuffle.
+    unique, (a,b) present ⇔ (b,a) present.
+
+    Shuffle shape (guide §2.3, round 12): deduping the CANONICAL
+    orientation (least, greatest) and symmetrizing afterwards moves
+    |raw| rows through the one construction exchange instead of the
+    2·|raw| the old symmetrize-then-dedup order shuffled — same output
+    set (the symmetric closure of the deduped canonical pairs IS the
+    deduped symmetric closure), half the shuffle bytes and half the
+    dedup hash-table load. The closing union is narrow. Falls back to
+    the original order when payload columns are present (canonical
+    flipping would have to pick which payload row survives).
     """
+    if set(edges_raw.columns) == {"src", "dst"}:
+        canonical = remove_self_loops(edges_raw).select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        return symmetrize(dedup_edges(canonical))
     return dedup_edges(symmetrize(remove_self_loops(edges_raw)))
 
 

@@ -93,21 +93,23 @@ def rmat_edges_numpy(
     half = int(nverts)
     while half > 1:
         half //= 2
-        val = _draw_initiator(states).astype(np.int64)
-        # square decode: [0,bc)→1, [bc,2bc)→2, [2bc,2bc+a)→0, else→3
-        square = np.where(
-            val < bc,
-            1,
-            np.where(val < 2 * bc, 2, np.where(val < 2 * bc + a, 0, 3)),
-        )
-        src_off = square // 2
-        tgt_off = square % 2
-        # Clip-and-flip: while the two prefixes are equal, keep src<=tgt
-        flip = (base_src == base_tgt) & (src_off > tgt_off)
-        src_off2 = np.where(flip, tgt_off, src_off)
-        tgt_off2 = np.where(flip, src_off, tgt_off)
-        base_src = base_src + half * src_off2
-        base_tgt = base_tgt + half * tgt_off2
+        val = _draw_initiator(states)
+        # square decode: [0,bc)→1, [bc,2bc)→2, [2bc,2bc+a)→0, else→3,
+        # expressed as boolean algebra on the three thresholds instead
+        # of nested np.where chains (same values, fewer full-array
+        # passes): src_off = square//2 is 1 exactly on squares 2,3;
+        # tgt_off = square%2 is 1 exactly on squares 1,3.
+        c1 = val < np.uint64(bc)
+        c2 = val < np.uint64(2 * bc)
+        not_c3 = val >= np.uint64(2 * bc + a)
+        src_off = (~c1 & c2) | not_c3
+        tgt_off = c1 | not_c3
+        # Clip-and-flip: while the two prefixes are equal, keep
+        # src<=tgt. src_off>tgt_off happens only on square 2
+        # (src_off=1, tgt_off=0), where the flip swaps the two bits.
+        flip = (base_src == base_tgt) & src_off & ~tgt_off
+        base_src += half * (src_off & ~flip).astype(np.int64)
+        base_tgt += half * (tgt_off | flip).astype(np.int64)
 
     val0, val1 = scramble_constants(userseed1, userseed2)
     return (
