@@ -250,7 +250,7 @@ def strongly_connected_components(
     remaining = verts
     parts: list[DataFrame] = []
     for _ in range(max_outer):
-        if remaining.rdd.isEmpty():
+        if remaining.isEmpty():
             break
         live = (
             edges.join(
@@ -329,7 +329,7 @@ def strongly_connected_components(
         remaining = remaining.join(
             members.select("vertex"), "vertex", "left_anti"
         ).transform(truncate_plan)
-    if not remaining.rdd.isEmpty():
+    if not remaining.isEmpty():
         raise RuntimeError(
             f"scc did not converge in {max_outer} outer rounds"
         )

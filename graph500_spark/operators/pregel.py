@@ -85,10 +85,22 @@ def pregel(
             )
             new_state = apply_fn(state, inbox).transform(truncate_plan)
             if until_unchanged:
-                # Fixpoint test on exact state equality (both sides are
-                # checkpoint leaves, so this is one cheap job).
-                changed = new_state.exceptAll(state).limit(1).count()
-                n_state = new_state.count()
+                # Fixpoint test on exact state equality. Both sides are
+                # checkpoint leaves, and the state count rides along as
+                # a 1-row cross join so the readout is ONE job per
+                # superstep instead of two (driver barriers are the
+                # per-superstep floor at every scale).
+                row = (
+                    new_state.agg(F.count(F.lit(1)).alias("n"))
+                    .crossJoin(
+                        new_state.exceptAll(state)
+                        .limit(1)
+                        .agg(F.count(F.lit(1)).alias("chg"))
+                    )
+                    .first()
+                )
+                changed = row["chg"]
+                n_state = row["n"]
                 old = state
                 state = new_state
                 old.unpersist()

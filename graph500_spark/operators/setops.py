@@ -72,7 +72,7 @@ def maximal_independent_set(
     edges = edges_clean.select("src", "dst").persist()
     mis_parts: list[DataFrame] = []
     for _ in range(max_rounds):
-        if remaining.rdd.isEmpty():
+        if remaining.isEmpty():
             break
         live_edges = (
             edges.join(
@@ -110,7 +110,7 @@ def maximal_independent_set(
             ).select(F.col("dst").alias("vertex"))
         )
         nxt = remaining.join(dropped, "vertex", "left_anti").transform(truncate_plan)
-        if nxt.rdd.isEmpty():
+        if nxt.isEmpty():
             remaining = nxt
             break
         remaining = nxt

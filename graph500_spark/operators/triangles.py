@@ -425,7 +425,7 @@ def k_truss(
     )
     for _ in range(max_rounds):
         removed = cur.filter(F.col("support") < k - 2)
-        if removed.rdd.isEmpty():
+        if removed.isEmpty():
             return cur.select("u", "v", "support")
         survivors = cur.filter(F.col("support") >= k - 2)
         adj = cur.select(
@@ -825,7 +825,7 @@ def truss_numbers(
     )
     k = 3
     rounds = 0
-    while not cur.rdd.isEmpty():
+    while not cur.isEmpty():
         phase_parts = []
         while True:
             rounds += 1
@@ -835,7 +835,7 @@ def truss_numbers(
                     " rounds"
                 )
             removed = cur.filter(F.col("support") < k - 2)
-            if removed.rdd.isEmpty():
+            if removed.isEmpty():
                 break
             phase_parts.append(
                 removed.select(

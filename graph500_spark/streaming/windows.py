@@ -1339,52 +1339,56 @@ def markov_stationary(
     Types with no outgoing transitions shed their mass (absorbing
     dust, deterministic); total mass stays ≈ 10^6 minus truncation.
 
-    Scale shape: the chain has |event_type| states — the transition
-    table is tiny and BROADCAST by the pregel loop; per superstep the
-    only work is one broadcast join + one |types|-key agg. The one
-    full-data pass is building the bigram counts (a single user-keyed
-    window exchange)."""
-    from graph500_spark.operators.pregel import pregel
-
+    Scale shape: the chain has |event_type| states — a bounded
+    categorical domain, so the row-normalized transition table is a
+    k x k DRIVER-SIZE aggregate (the BPE-vocab / PCA-moments bounded
+    driver-finish class). The one full-data pass is building the
+    bigram counts (a single user-keyed window exchange); the 20-step
+    power iteration then runs on the collected k^2 table with the
+    exact same truncating integer arithmetic — identical bits to the
+    former per-superstep Spark loop at zero per-superstep scheduling
+    cost (guide §1.2: the distributed algorithm's unavoidable work is
+    one pass; everything after is O(k^2))."""
     counts = event_type_transitions(events)
     totals = counts.groupBy("from_type").agg(
         F.sum("n_transitions").cast("long").alias("r")
     )
-    edges = counts.join(totals, "from_type").select(
-        F.col("from_type").alias("src"),
-        F.col("to_type").alias("dst"),
-        F.col("n_transitions").cast("long").alias("n"),
-        "r",
+    edges = (
+        counts.join(totals, "from_type")
+        .select(
+            F.col("from_type").alias("src"),
+            F.col("to_type").alias("dst"),
+            F.col("n_transitions").cast("long").alias("n"),
+            "r",
+        )
+        .collect()
     )
-    types = events.select(F.col("event_type").alias("vertex")).distinct()
-    k = types.count()  # |event_type| — a bounded driver scalar
+    types = sorted(
+        r["vertex"]
+        for r in events.select(F.col("event_type").alias("vertex"))
+        .distinct()
+        .collect()
+    )
+    k = len(types)
     if k == 0:
         # empty events table: return the empty mix like sibling
         # operators instead of dividing by zero below
         return spark.createDataFrame(
             [], "event_type string, p_micro bigint"
         )
-    init = types.select(
-        "vertex", F.lit(MARKOV_SCALE // k).cast("long").alias("p_q")
-    )
-    out = pregel(
-        spark,
-        edges,
-        init,
-        send=lambda j: j.select(
-            F.col("dst").alias("vertex"),
-            F.expr("(p_q * n) div r").alias("msg"),
-        ),
-        merge=[F.sum("msg").cast("long").alias("msg")],
-        apply_fn=lambda st, inbox: st.join(inbox, "vertex", "left").select(
-            "vertex",
-            F.coalesce("msg", F.lit(0)).cast("long").alias("p_q"),
-        ),
-        n_supersteps=n_iterations,
-    )
-    return out.select(
-        F.col("vertex").alias("event_type"),
-        F.col("p_q").cast("long").alias("p_micro"),
+    p = {t: MARKOV_SCALE // k for t in types}
+    for _ in range(n_iterations):
+        msg: dict[str, int] = {}
+        for e in edges:
+            # (p_q * n) div r — truncating integer division, all
+            # operands non-negative: identical to the SQL `div`
+            msg[e["dst"]] = msg.get(e["dst"], 0) + (
+                p[e["src"]] * e["n"]
+            ) // e["r"]
+        p = {t: msg.get(t, 0) for t in types}
+    return spark.createDataFrame(
+        [(t, int(p[t])) for t in types],
+        "event_type string, p_micro bigint",
     )
 
 
