@@ -69,39 +69,46 @@ def connected_components(
             proposals = edges.join(f_side, "src").select(
                 F.col("dst").alias("vertex"), F.col("f_label").alias("label")
             )
-            # The eager checkpoint makes the state a LEAF plan — the
-            # next round references it twice (union + change join), so
-            # anything short of truncation grows the plan tree
-            # exponentially with round count.
+            # Merge = the label table LEFT JOIN the per-vertex min of
+            # the proposals (not a union + full re-aggregation): the
+            # only shuffle is the (delta-sized) proposal aggregation —
+            # the stationary |V|-row label table is joined map-side
+            # when AQE sees the aggregated side is small, and falls
+            # back to a shuffle join at cluster scale. The change flag
+            # rides in the checkpoint, so the frontier is a narrow
+            # filter over the cached leaf and the round's scalar
+            # readout is one agg job. (The eager checkpoint still
+            # truncates lineage — the next round references the state
+            # twice.)
+            p_agg = proposals.groupBy("vertex").agg(
+                F.min("label").alias("p_label")
+            )
             merged = (
-                labels.unionByName(proposals)
-                .groupBy("vertex")
-                .agg(F.min("label").alias("label"))
+                labels.join(p_agg, "vertex", "left")
+                .select(
+                    "vertex",
+                    F.least(
+                        "label", F.coalesce("p_label", "label")
+                    ).alias("label"),
+                    F.coalesce(
+                        F.col("p_label") < F.col("label"), F.lit(False)
+                    ).alias("chg"),
+                )
                 .transform(truncate_plan)
             )
-            changed = (
-                merged.join(
-                    labels.select(
-                        "vertex", F.col("label").alias("o_label")
-                    ),
-                    "vertex",
-                )
-                .filter(F.col("label") < F.col("o_label"))
-                .select("vertex", "label")
-                .persist()
+            n_new = (
+                merged.agg(
+                    F.sum(F.col("chg").cast("long")).alias("n")
+                ).first()["n"]
+                or 0
             )
-            n_new = changed.count()
             if n_new == 0:
                 break
-            # free the superseded round's blocks (merged and changed
-            # are materialized by the count above)
-            old_labels, old_frontier = labels, frontier
-            labels = merged
-            frontier = changed
+            old_labels = labels
+            labels = merged.select("vertex", "label")
+            frontier = merged.filter("chg").select("vertex", "label")
             n_frontier = n_new
             old_labels.unpersist()
-            if old_frontier is not old_labels:
-                old_frontier.unpersist()
     finally:
         if saved_sp is not None:
             spark.conf.set("spark.sql.shuffle.partitions", saved_sp)

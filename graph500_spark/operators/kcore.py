@@ -53,8 +53,13 @@ def k_core(
             F.count(F.lit(1)).alias("degree")
         )
         survivors = deg.filter(F.col("degree") >= k).select("vertex")
-        n_vertices = deg.count()
-        n_survivors = survivors.count()
+        # one scalar job for both loop controls instead of two counts
+        row = deg.agg(
+            F.count(F.lit(1)).alias("nv"),
+            F.sum((F.col("degree") >= k).cast("long")).alias("ns"),
+        ).first()
+        n_vertices = row["nv"]
+        n_survivors = row["ns"] or 0
         if n_survivors == n_vertices:
             break  # fixpoint: nobody peeled this round
         if n_survivors <= broadcast_rows:
@@ -81,6 +86,7 @@ def k_core(
 def core_numbers(
     edges_clean: DataFrame,
     max_iters: int = 64,
+    broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """[vertex, coreness] — the full core decomposition (the max k
     such that v survives k-core peeling), via the distributed h-index
@@ -114,13 +120,21 @@ def core_numbers(
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .transform(truncate_plan)
     )
+    # |V| is loop-invariant (the h-index update preserves the vertex
+    # set); checkpointed leaves carry no stats, so without an explicit
+    # hint Catalyst would shuffle the STATIONARY edge table against the
+    # tiny state every round — the driver knows the count and injects
+    # broadcast() while it fits, exactly the bfs.py discipline.
+    n_vertices = c.count()
     for _ in range(max_iters):
-        nbr = edges.join(
-            c.select(
-                F.col("vertex").alias("dst"), F.col("c").alias("c_nbr")
-            ),
-            "dst",
-        ).select(F.col("src").alias("vertex"), "c_nbr")
+        c_side = c.select(
+            F.col("vertex").alias("dst"), F.col("c").alias("c_nbr")
+        )
+        if n_vertices <= broadcast_rows:
+            c_side = F.broadcast(c_side)
+        nbr = edges.join(c_side, "dst").select(
+            F.col("src").alias("vertex"), "c_nbr"
+        )
         w = Window.partitionBy("vertex").orderBy(F.desc("c_nbr"))
         h = (
             nbr.select(
@@ -132,20 +146,22 @@ def core_numbers(
             .groupBy("vertex")
             .agg(F.max("m").cast("long").alias("h"))
         )
+        # the change flag rides in the checkpoint so the fixpoint test
+        # is one narrow agg over the cached leaf, not a second join
         new_c = (
             c.join(h, "vertex")
-            .select("vertex", F.least("c", "h").alias("c"))
+            .select(
+                "vertex",
+                F.least("c", "h").alias("c"),
+                (F.least("c", "h") != F.col("c")).alias("chg"),
+            )
             .transform(truncate_plan)
         )
-        changed = (
-            new_c.join(
-                c.select("vertex", F.col("c").alias("c_old")), "vertex"
-            )
-            .filter(F.col("c") != F.col("c_old"))
-            .count()
-        )
+        changed = new_c.agg(
+            F.sum(F.col("chg").cast("long")).alias("n")
+        ).first()["n"]
         old = c
-        c = new_c
+        c = new_c.select("vertex", "c")
         old.unpersist()
         if changed == 0:
             break
