@@ -82,6 +82,7 @@ def louvain_communities(
     edges_clean: DataFrame,
     max_iters: int = 16,
     shuffle_partitions: int | None = None,
+    broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """[vertex, community] — one-level Louvain local-moving loop
     over a symmetric edge list; returns the highest-modularity
@@ -122,6 +123,18 @@ def louvain_communities(
         comm = deg.select(
             "vertex", F.col("vertex").alias("community"), "deg"
         ).transform(truncate_plan)
+        # |V| is loop-invariant; checkpointed leaves carry no stats, so
+        # without explicit hints every per-iteration join against the
+        # (tiny) assignment/community aggregates would shuffle — the
+        # driver knows the bound and injects broadcast() while it fits
+        # (bfs.py discipline; at cluster scale the guard falls back to
+        # shuffle joins). Every broadcast side below is <= |V| rows.
+        n_vertices = comm.count()
+        small = n_vertices <= broadcast_rows
+
+        def bc(df):
+            return F.broadcast(df) if small else df
+
         best_comm, best_qnum = comm, None
         quiet_rounds = 0
         for it in range(max_iters):
@@ -135,9 +148,11 @@ def louvain_communities(
             kvc = (
                 edges.filter(F.col("src") != F.col("dst"))
                 .join(
-                    comm.select(
-                        F.col("vertex").alias("dst"),
-                        F.col("community").alias("cd"),
+                    bc(
+                        comm.select(
+                            F.col("vertex").alias("dst"),
+                            F.col("community").alias("cd"),
+                        )
                     ),
                     "dst",
                 )
@@ -145,20 +160,24 @@ def louvain_communities(
                 .agg(F.sum("w").cast("long").alias("k"))
             )
             cur = comm.join(
-                csum.select(
-                    F.col("community").alias("ca"),
-                    F.col("d_c").alias("d_ca"),
+                bc(
+                    csum.select(
+                        F.col("community").alias("ca"),
+                        F.col("d_c").alias("d_ca"),
+                    )
                 ),
                 F.col("community") == F.col("ca"),
             ).select(
                 "vertex", F.col("community").alias("ca"), "deg", "d_ca"
             )
             ann = (
-                kvc.join(cur, "vertex")
+                kvc.join(bc(cur), "vertex")
                 .join(
-                    csum.select(
-                        F.col("community").alias("cd"),
-                        F.col("d_c").alias("d_cd"),
+                    bc(
+                        csum.select(
+                            F.col("community").alias("cd"),
+                            F.col("d_c").alias("d_cd"),
+                        )
                     ),
                     "cd",
                 )
@@ -188,7 +207,7 @@ def louvain_communities(
             )
             moved = (
                 comm.join(
-                    per_v.select(
+                    bc(per_v).select(
                         "vertex",
                         F.when(
                             F.col("b").isNotNull()
@@ -256,13 +275,13 @@ def louvain_communities(
         )
         f_row = (
             edges.join(
-                comm.select(F.col("vertex").alias("src"),
-                            F.col("community").alias("c_s")),
+                bc(comm.select(F.col("vertex").alias("src"),
+                               F.col("community").alias("c_s"))),
                 "src",
             )
             .join(
-                comm.select(F.col("vertex").alias("dst"),
-                            F.col("community").alias("c_d")),
+                bc(comm.select(F.col("vertex").alias("dst"),
+                               F.col("community").alias("c_d"))),
                 "dst",
             )
             .agg(

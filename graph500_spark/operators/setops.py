@@ -46,7 +46,9 @@ def _mis_priority_expr(v: str) -> str:
 
 
 def maximal_independent_set(
-    edges_clean: DataFrame, max_rounds: int = 40
+    edges_clean: DataFrame,
+    max_rounds: int = 40,
+    broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """[vertex] — a maximal independent set of the symmetric clean
     graph: no two selected vertices are adjacent, and every
@@ -71,21 +73,33 @@ def maximal_independent_set(
     )
     edges = edges_clean.select("src", "dst").persist()
     mis_parts: list[DataFrame] = []
+    # Checkpointed state carries no stats, so every join against the
+    # stationary edge table would otherwise shuffle it 4x per round;
+    # the driver knows the remaining count from the previous round's
+    # readout and injects broadcast() while it fits (bfs.py
+    # discipline) — the per-round shuffles then reduce to the one
+    # grouped min over the live edges.
+    n_remaining = remaining.count()
     for _ in range(max_rounds):
-        if remaining.isEmpty():
+        if n_remaining == 0:
             break
+        rem = (
+            F.broadcast(remaining)
+            if n_remaining <= broadcast_rows
+            else remaining
+        )
         live_edges = (
             edges.join(
-                remaining.select(F.col("vertex").alias("src")), "src",
+                rem.select(F.col("vertex").alias("src")), "src",
                 "left_semi",
             ).join(
-                remaining.select(F.col("vertex").alias("dst")), "dst",
+                rem.select(F.col("vertex").alias("dst")), "dst",
                 "left_semi",
             )
         )
         nb_min = (
             live_edges.join(
-                remaining.select(
+                rem.select(
                     F.col("vertex").alias("dst"), F.col("p").alias("pd")
                 ),
                 "dst",
@@ -103,17 +117,24 @@ def maximal_independent_set(
             .transform(truncate_plan)
         )
         mis_parts.append(winners)
+        win = (
+            F.broadcast(winners)
+            if n_remaining <= broadcast_rows
+            else winners
+        )
         dropped = winners.unionAll(
             edges.join(
-                winners.withColumnRenamed("vertex", "src"), "src",
+                win.withColumnRenamed("vertex", "src"), "src",
                 "left_semi",
             ).select(F.col("dst").alias("vertex"))
         )
-        nxt = remaining.join(dropped, "vertex", "left_anti").transform(truncate_plan)
-        if nxt.isEmpty():
-            remaining = nxt
-            break
+        nxt = remaining.join(
+            dropped, "vertex", "left_anti"
+        ).transform(truncate_plan)
+        n_remaining = nxt.count()
         remaining = nxt
+        if n_remaining == 0:
+            break
     else:
         raise RuntimeError(
             f"maximal_independent_set did not converge in {max_rounds} rounds"
