@@ -44,10 +44,19 @@ def betweenness_sampled(
     roots: list[int],
     max_depth: int = 32,
     shuffle_partitions: int | None = None,
+    broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """[vertex, bc_q] — betweenness contribution sums (micro-units)
     over the sampled roots, excluding each root's own row (Brandes
     accumulates δ only at non-roots). Unreached vertices are absent.
+
+    Join strategy: level/σ/δ frames are checkpoint leaves with no
+    Catalyst stats, so without hints every per-level join would
+    shuffle the STATIONARY edge cache — twice per level across the
+    two passes. The driver knows every level's row count (the forward
+    loop counts each level) and injects broadcast() while a side fits
+    under ``broadcast_rows``; past that the joins degrade to shuffle
+    joins (the bfs.py discipline).
     """
     saved_sp = None
     if shuffle_partitions is not None:
@@ -70,14 +79,24 @@ def betweenness_sampled(
         # a separate .rdd.isEmpty() job.
         seen = frontier.select("root", "vertex")
         depth = 0
+        level_counts = [len(roots)]
+        n_seen = len(roots)
+
+        def bc(df, n):
+            return F.broadcast(df) if n <= broadcast_rows else df
+
         while depth < max_depth:
             prev = levels[-1]
             nxt = (
                 edges.join(
-                    prev.withColumnRenamed("vertex", "src"), "src"
+                    bc(
+                        prev.withColumnRenamed("vertex", "src"),
+                        level_counts[-1],
+                    ),
+                    "src",
                 )
                 .select("root", F.col("dst").alias("vertex"), "sigma")
-                .join(seen, ["root", "vertex"], "left_anti")
+                .join(bc(seen, n_seen), ["root", "vertex"], "left_anti")
                 .groupBy("root", "vertex")
                 .agg(F.sum("sigma").alias("sigma"))
                 .select(
@@ -88,9 +107,12 @@ def betweenness_sampled(
                 )
                 .transform(truncate_plan)
             )
-            if nxt.count() == 0:
+            n_nxt = nxt.count()
+            if n_nxt == 0:
                 break
             levels.append(nxt)
+            level_counts.append(n_nxt)
+            n_seen += n_nxt
             seen = seen.unionAll(nxt.select("root", "vertex"))
             depth += 1
         else:
@@ -106,15 +128,19 @@ def betweenness_sampled(
         acc_parts = [delta.filter(F.col("vertex") != F.col("root"))]
         for lvl in range(len(levels) - 2, -1, -1):
             cur = levels[lvl]
+            n_child = level_counts[lvl + 1]
             child = levels[lvl + 1].select(
                 "root",
                 F.col("vertex").alias("dst"),
                 F.col("sigma").alias("sigma_w"),
             ).join(
-                delta.select(
-                    "root",
-                    F.col("vertex").alias("dst"),
-                    F.col("delta_q").alias("dq_w"),
+                bc(
+                    delta.select(
+                        "root",
+                        F.col("vertex").alias("dst"),
+                        F.col("delta_q").alias("dq_w"),
+                    ),
+                    n_child,
                 ),
                 ["root", "dst"],
             )
@@ -123,14 +149,17 @@ def betweenness_sampled(
             # integer rounding, exact and order-free under the sum
             contrib = (
                 edges.join(
-                    cur.select(
-                        "root",
-                        F.col("vertex").alias("src"),
-                        F.col("sigma").alias("sigma_v"),
+                    bc(
+                        cur.select(
+                            "root",
+                            F.col("vertex").alias("src"),
+                            F.col("sigma").alias("sigma_v"),
+                        ),
+                        level_counts[lvl],
                     ),
                     "src",
                 )
-                .join(child, ["root", "dst"])
+                .join(bc(child, n_child), ["root", "dst"])
                 .select(
                     "root",
                     F.col("src").alias("vertex"),
