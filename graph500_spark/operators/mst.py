@@ -44,6 +44,7 @@ def minimum_spanning_forest(
     edges_weighted: DataFrame,
     max_rounds: int = 64,
     shuffle_partitions: int | None = None,
+    broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """[src, dst, weight] — the minimum spanning forest of an
     undirected weighted graph given as single-orientation edges
@@ -76,6 +77,17 @@ def minimum_spanning_forest(
     )
 
     forest_parts: list[DataFrame] = []
+    # |V| is loop-invariant; comp is a stat-less checkpoint leaf, so
+    # the driver injects broadcast() on the label sides while the
+    # vertex table fits — otherwise both labeling joins shuffle the
+    # (weighted) edge table every Boruvka round (bfs.py discipline;
+    # falls back to shuffle joins past broadcast_rows).
+    n_vertices = comp.count()
+    small = n_vertices <= broadcast_rows
+
+    def bc(df):
+        return F.broadcast(df) if small else df
+
     for _round in range(max_rounds):
         lab = comp.withColumnRenamed("vertex", "lo").withColumnRenamed(
             "comp", "c_lo"
@@ -84,8 +96,8 @@ def minimum_spanning_forest(
             "comp", "c_hi"
         )
         e = (
-            edges.join(lab, "lo")
-            .join(labh, "hi")
+            edges.join(bc(lab), "lo")
+            .join(bc(labh), "hi")
             .filter(F.col("c_lo") != F.col("c_hi"))
         )
         # candidates from both endpoints; min under the strict total
@@ -113,21 +125,59 @@ def minimum_spanning_forest(
             break
         forest_parts.append(selected.select("lo", "hi", "weight"))
 
-        # merge the selected component pairs: CC over the component
-        # graph (≤ #components rows), then relabel
-        pair = selected.select(
-            F.col("c_lo").alias("src"), F.col("c_hi").alias("dst")
-        )
-        pair_sym = pair.unionByName(
-            pair.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).distinct()
-        merge_map = connected_components(spark, pair_sym).select(
-            F.col("vertex").alias("old_comp"),
-            F.col("component").alias("new_comp"),
-        )
+        # merge the selected component pairs. The pair graph shrinks
+        # geometrically (one selected edge per component), so once it
+        # is driver-small the merge is a bounded union-find over the
+        # collected pairs — identical labels to the distributed CC
+        # (root = min id of the merged cluster) at zero per-superstep
+        # scheduling cost; past the threshold the nested CC runs as
+        # before (the 100 TB path for the first rounds).
+        if n_sel <= 200_000:
+            pairs = selected.select("c_lo", "c_hi").collect()
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:
+                    parent[x], x = r, parent[x]
+                return r
+
+            for p in pairs:
+                ra, rb = find(int(p["c_lo"])), find(int(p["c_hi"]))
+                if ra != rb:
+                    # larger root points at smaller: the cluster min
+                    # is always a root, so find() = min of cluster —
+                    # exactly the CC labeling
+                    parent[max(ra, rb)] = min(ra, rb)
+            mapping = sorted(
+                (c, find(c))
+                for c in {
+                    int(v)
+                    for p in pairs
+                    for v in (p["c_lo"], p["c_hi"])
+                }
+            )
+            merge_map = spark.createDataFrame(
+                mapping, "old_comp long, new_comp long"
+            )
+        else:
+            pair = selected.select(
+                F.col("c_lo").alias("src"), F.col("c_hi").alias("dst")
+            )
+            pair_sym = pair.unionByName(
+                pair.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+            ).distinct()
+            merge_map = connected_components(spark, pair_sym).select(
+                F.col("vertex").alias("old_comp"),
+                F.col("component").alias("new_comp"),
+            )
         comp = (
             comp.join(
-                merge_map, comp.comp == merge_map.old_comp, "left"
+                bc(merge_map), comp.comp == merge_map.old_comp, "left"
             )
             .select(
                 "vertex",
