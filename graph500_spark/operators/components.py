@@ -227,6 +227,7 @@ def strongly_connected_components(
     edges_directed: DataFrame,
     max_outer: int = 30,
     shuffle_partitions: int | None = None,
+    broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """[vertex, scc_id] over a DIRECTED edge list; scc_id = min vertex
     id in the vertex's strongly connected component.
@@ -255,16 +256,30 @@ def strongly_connected_components(
         .transform(truncate_plan)
     )
     remaining = verts
+    # remaining/colors are stat-less checkpoint leaves; the driver
+    # tracks the remaining count and injects broadcast() on every
+    # <=|remaining|-row side while it fits (bfs.py discipline) — the
+    # stationary edge cache is otherwise shuffled several times per
+    # outer round.
+    n_remaining = remaining.count()
     parts: list[DataFrame] = []
     for _ in range(max_outer):
-        if remaining.isEmpty():
+        if n_remaining == 0:
             break
+
+        def bc(df):
+            return (
+                F.broadcast(df)
+                if n_remaining <= broadcast_rows
+                else df
+            )
+
         live = (
             edges.join(
-                remaining.select(F.col("vertex").alias("src")),
+                bc(remaining.select(F.col("vertex").alias("src"))),
                 "src", "left_semi",
             ).join(
-                remaining.select(F.col("vertex").alias("dst")),
+                bc(remaining.select(F.col("vertex").alias("dst"))),
                 "dst", "left_semi",
             )
         )
@@ -290,14 +305,20 @@ def strongly_connected_components(
         # color-homogeneous REVERSED edges; propagate pivot reach
         ce = (
             live.join(
-                colors.select(
-                    F.col("vertex").alias("src"), F.col("color").alias("cs")
+                bc(
+                    colors.select(
+                        F.col("vertex").alias("src"),
+                        F.col("color").alias("cs"),
+                    )
                 ),
                 "src",
             )
             .join(
-                colors.select(
-                    F.col("vertex").alias("dst"), F.col("color").alias("cd")
+                bc(
+                    colors.select(
+                        F.col("vertex").alias("dst"),
+                        F.col("color").alias("cd"),
+                    )
                 ),
                 "dst",
             )
@@ -328,15 +349,16 @@ def strongly_connected_components(
         )
         members = (
             marked.filter("mark")
-            .join(colors, "vertex")
+            .join(bc(colors), "vertex")
             .select("vertex", F.col("color").alias("scc_id"))
             .transform(truncate_plan)
         )
         parts.append(members)
         remaining = remaining.join(
-            members.select("vertex"), "vertex", "left_anti"
+            bc(members.select("vertex")), "vertex", "left_anti"
         ).transform(truncate_plan)
-    if not remaining.isEmpty():
+        n_remaining = remaining.count()
+    if n_remaining != 0:
         raise RuntimeError(
             f"scc did not converge in {max_outer} outer rounds"
         )
