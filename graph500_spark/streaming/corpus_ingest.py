@@ -57,26 +57,36 @@ def document_stream(
 
 
 def _clean_batch(
-    batch: DataFrame, accepted: DataFrame | None, min_quality: float
+    batch: DataFrame,
+    accepted: DataFrame | None,
+    min_quality: float,
+    n_accepted: int | None = None,
+    broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
-    from pyspark.sql import Window
-
     hashed = batch.withColumn(
         "text_hash", F.expr(tx.spark_strhash("text")).cast("long")
     )
     # within-batch exact dedup: canonical = min doc_id per text_hash.
-    # One window shuffle, not the groupBy+self-join shape (two).
-    w = Window.partitionBy("text_hash")
-    survivors = (
-        hashed.withColumn("_min_id", F.min("doc_id").over(w))
-        .filter(F.col("doc_id") == F.col("_min_id"))
-        .drop("_min_id")
+    # The decision runs on (text_hash, doc_id) PROXY rows only — the
+    # old window shape shuffled every batch row INCLUDING the text
+    # payload; here only 16-byte pairs cross the exchange and the
+    # winner set re-attaches via a join AQE broadcasts when small
+    # (guide §8: decide with small rows, move heavy bytes never).
+    min_ids = (
+        hashed.select("text_hash", "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
     )
-    # cross-batch exact dedup against the accepted-hash state
+    survivors = hashed.join(min_ids, ["text_hash", "doc_id"], "left_semi")
+    # cross-batch exact dedup against the accepted-hash state; the
+    # carried leaf has no stats, so the driver-tracked count injects
+    # the broadcast hint while the hash set fits (at corpus scale the
+    # anti-join degrades to the bucketed shuffle join as documented)
     if accepted is not None:
-        survivors = survivors.join(
-            accepted.select("text_hash"), "text_hash", "left_anti"
-        )
+        acc = accepted.select("text_hash")
+        if n_accepted is not None and n_accepted <= broadcast_rows:
+            acc = F.broadcast(acc)
+        survivors = survivors.join(acc, "text_hash", "left_anti")
     # annotate + gate in ONE projection (language_id and text_quality
     # are pure Column algebra — joining them back by doc_id, as the
     # batch operators compose, would cost two more shuffles per
@@ -115,7 +125,7 @@ def start_corpus_ingest(
     # each batch; the materialized persist bounds lineage depth. On
     # restart the seed rebuild from the sink is the recovery path, so
     # crash-consistency is unchanged.
-    state: dict[str, DataFrame | None] = {"accepted": None, "seeded": False}
+    state: dict = {"accepted": None, "seeded": False, "n": 0}
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark_s = batch_df.sparkSession
@@ -126,12 +136,14 @@ def start_corpus_ingest(
                     .select("text_hash")
                     .persist()
                 )
-                seed.count()  # materialize once per stream (re)start
+                state["n"] = seed.count()  # materialize once per (re)start
                 state["accepted"] = seed
             except Exception:
                 state["accepted"] = None
             state["seeded"] = True
-        out = _clean_batch(batch_df, state["accepted"], min_quality)
+        out = _clean_batch(
+            batch_df, state["accepted"], min_quality, n_accepted=state["n"]
+        )
         new_hashes = out.persist()
         # the sink write is the materializing action; the state union
         # below reads the cache, so the batch computes exactly once
@@ -148,6 +160,7 @@ def start_corpus_ingest(
         ).transform(truncate_plan)
         if prev is not None:
             prev.unpersist()
+        state["n"] += new_hashes.count()  # cached leaf; feeds the hint
         new_hashes.unpersist()
         state["accepted"] = grown
 

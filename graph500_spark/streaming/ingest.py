@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
+from graph500_spark.functions.plantrunc import truncate_plan
 from graph500_spark.operators import graph_build as gb
 
 EDGE_SCHEMA = T.StructType(
@@ -65,6 +66,13 @@ def start_ingest(
     """Run the incremental constructor. Returns the StreamingQuery;
     callers drive it with availableNow/processAll + awaitTermination."""
 
+    # Cross-batch degree state is CARRIED as a checkpointed leaf
+    # (seeded from the sink once per stream (re)start) instead of
+    # re-read from parquet every micro-batch — the old shape paid
+    # file listing + a full sink scan per batch; recovery semantics
+    # are unchanged (restart re-seeds from the sink).
+    state: dict = {"prev": None, "seeded": False}
+
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         clean = gb.symmetrize(gb.remove_self_loops(batch_df))
         # append-only edge log (cross-batch dedup happens at read time)
@@ -75,23 +83,28 @@ def start_ingest(
         partial = clean.groupBy(F.col("src").alias("vertex")).agg(
             F.count(F.lit(1)).alias("degree")
         )
-        try:
-            prev = batch_df.sparkSession.read.parquet(degrees_out)
-        except Exception:
-            prev = None
+        if not state["seeded"]:
+            try:
+                state["prev"] = batch_df.sparkSession.read.parquet(
+                    degrees_out
+                )
+            except Exception:
+                state["prev"] = None
+            state["seeded"] = True
+        prev = state["prev"]
         merged = (
             partial
             if prev is None
             else prev.unionByName(partial)
             .groupBy("vertex")
             .agg(F.sum("degree").alias("degree"))
-        )
-        # write to a staging dir then swap would be the production move;
-        # local filesystems allow the direct overwrite-after-cache
-        merged = merged.cache()
-        merged.count()
+        ).transform(truncate_plan)
+        # write to a staging dir then swap would be the production
+        # move; local filesystems allow the direct
+        # overwrite-after-checkpoint (the leaf is materialized, so the
+        # write never reads the sink it replaces)
         merged.write.mode("overwrite").parquet(degrees_out)
-        merged.unpersist()
+        state["prev"] = merged
 
     return (
         edge_stream(spark, source_path, max_files_per_trigger)
