@@ -45,12 +45,14 @@ def corpus_clean(
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    lang = tx.language_id(docs).select("doc_id", "lang_pred")
-    qual = tx.text_quality(docs).select("doc_id", "n_tokens", "quality_score")
+    keep = exact_survivors.join(near_dropped, "doc_id", "left_anti")
+    # language/quality are pure column algebra (annotate_quality_lang)
+    # — ONE projection over the SURVIVING docs instead of two extra
+    # full-corpus scans equi-joined back by doc_id (same values, two
+    # shuffles and two scans fewer; the survivor semi-join runs first
+    # so the expressions are evaluated on survivors only)
     return (
-        exact_survivors.join(near_dropped, "doc_id", "left_anti")
-        .join(lang, "doc_id")
-        .join(qual, "doc_id")
+        tx.annotate_quality_lang(docs.join(keep, "doc_id", "left_semi"))
         .filter(
             (F.col("quality_score") >= min_quality)
             & (F.col("lang_pred") != "und")

@@ -423,18 +423,28 @@ def k_truss(
         )
         .transform(truncate_plan)
     )
+    broadcast_rows = 2_000_000
     for _ in range(max_rounds):
         removed = cur.filter(F.col("support") < k - 2)
-        if removed.isEmpty():
+        # one scalar job drives both the fixpoint test and the
+        # broadcast decision for the (shrinking) removed set
+        n_removed = removed.count()
+        if n_removed == 0:
             return cur.select("u", "v", "support")
         survivors = cur.filter(F.col("support") >= k - 2)
         adj = cur.select(
             F.col("u").alias("a"), F.col("v").alias("b")
         ).unionAll(cur.select(F.col("v").alias("a"), F.col("u").alias("b")))
         # triangles of the CURRENT graph containing >=1 removed edge:
-        # enumerate z from the removed edge's lower-degree endpoint
+        # enumerate z from the removed edge's lower-degree endpoint;
+        # the removed side is driver-known-small after round 1
+        # (peeled edges shrink monotonically) — broadcast it while it
+        # fits instead of shuffling the adjacency both ways
+        removed_side = removed.select("lo", "hi")
+        if n_removed <= broadcast_rows:
+            removed_side = F.broadcast(removed_side)
         rz = (
-            removed.select("lo", "hi")
+            removed_side
             .join(
                 adj.select(F.col("a").alias("lo"), F.col("b").alias("z")),
                 "lo",

@@ -90,16 +90,19 @@ def run_corpus_pipeline(
     run_stage("stats", lambda: corpus_mod.corpus_stats_rollup(docs))
 
     def annotations():
-        qual = text_mod.text_quality(docs).select(
-            "doc_id", "n_tokens", "quality_score"
+        # quality + language are one codegen projection
+        # (annotate_quality_lang) — the old shape computed them as two
+        # separate corpus scans equi-joined back by doc_id; pii and
+        # the (aggregate-based) perplexity signal still join
+        ql = text_mod.annotate_quality_lang(docs).select(
+            "doc_id", "n_tokens", "quality_score", "lang_pred"
         )
-        lang = text_mod.language_id(docs).select("doc_id", "lang_pred")
         pii = text_mod.pii_scrub(docs).drop("redacted")
         ppl = text_mod.unigram_logppl(docs).select(
             "doc_id", "logppl_micro"
         )
         return (
-            qual.join(lang, "doc_id")
+            ql.select("doc_id", "n_tokens", "quality_score", "lang_pred")
             .join(pii, "doc_id")
             .join(ppl, "doc_id", "left")
         )
