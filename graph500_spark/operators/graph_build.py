@@ -167,16 +167,34 @@ def build_clean_edges(edges_raw: DataFrame) -> DataFrame:
     2·|raw| the old symmetrize-then-dedup order shuffled — same output
     set (the symmetric closure of the deduped canonical pairs IS the
     deduped symmetric closure), half the shuffle bytes and half the
-    dedup hash-table load. The closing union is narrow. Falls back to
-    the original order when payload columns are present (canonical
-    flipping would have to pick which payload row survives).
+    dedup hash-table load. The closing symmetrize emits both
+    orientations with an in-partition explode rather than a union: a
+    union of the dedup output with its swapped projection CONCATENATES
+    partitions, so every persisted construction cache (and every scan
+    of it) would carry 2× the partitions/blocks of the pre-round
+    layout (measured 32 → 64 at s16, guide §2.2); the explode keeps
+    the exchange's partition count and co-locates (a,b) with (b,a).
+    Falls back to the original order when payload columns are present
+    (canonical flipping would have to pick which payload row survives).
     """
     if set(edges_raw.columns) == {"src", "dst"}:
         canonical = remove_self_loops(edges_raw).select(
             F.least("src", "dst").alias("src"),
             F.greatest("src", "dst").alias("dst"),
         )
-        return symmetrize(dedup_edges(canonical))
+        both = F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                ),
+            )
+        )
+        return (
+            dedup_edges(canonical)
+            .select(both.alias("e"))
+            .select("e.src", "e.dst")
+        )
     return dedup_edges(symmetrize(remove_self_loops(edges_raw)))
 
 
