@@ -63,6 +63,18 @@ def _clean_batch(
     n_accepted: int | None = None,
     broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
+    # Width guard (guide §2.6 idle capacity): with the payload exchange
+    # gone (proxy dedup below), every per-row cost — strhash, language
+    # and quality annotation over the text column — runs at the SCAN's
+    # parallelism, which for a file-source micro-batch is the batch's
+    # file/split count. A 2-file trigger therefore ran the whole batch
+    # on 2 of 32 cores (measured: the per-batch write job had 2 tasks;
+    # corpus rate halved while task seconds dropped 4×). Widen narrow
+    # batches to the session's parallelism; at scale a batch carries at
+    # least that many splits and no exchange is added.
+    target = batch.sparkSession.sparkContext.defaultParallelism
+    if batch.rdd.getNumPartitions() < target:
+        batch = batch.repartition(target)
     hashed = batch.withColumn(
         "text_hash", F.expr(tx.spark_strhash("text")).cast("long")
     )
