@@ -63,18 +63,17 @@ def _clean_batch(
     n_accepted: int | None = None,
     broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
-    # Width guard (guide §2.6 idle capacity): with the payload exchange
-    # gone (proxy dedup below), every per-row cost — strhash, language
-    # and quality annotation over the text column — runs at the SCAN's
-    # parallelism, which for a file-source micro-batch is the batch's
-    # file/split count. A 2-file trigger therefore ran the whole batch
-    # on 2 of 32 cores (measured: the per-batch write job had 2 tasks;
-    # corpus rate halved while task seconds dropped 4×). Widen narrow
-    # batches to the session's parallelism; at scale a batch carries at
-    # least that many splits and no exchange is added.
-    target = batch.sparkSession.sparkContext.defaultParallelism
-    if batch.rdd.getNumPartitions() < target:
-        batch = batch.repartition(target)
+    # NOTE (measured, then reverted): a width guard here — repartition a
+    # narrow batch up to defaultParallelism before the per-row
+    # annotation — won its same-session A/B cold (15.6s vs 24.8s) but
+    # LOST in the full bench by the repo's trio rule: corpus-stream
+    # task_total 13-15s -> 77-86s and task_cpu 12.6-14.5s -> 45.6-48.8s
+    # across two runs, with NO wall-rate gain (3.3-4.2k docs/s in every
+    # run, before and after). The repartition re-introduces a payload
+    # exchange of the text bytes — the exact shape the proxy dedup below
+    # removed (guide §8). At 100 TB a batch arrives with >= parallelism
+    # input splits, so scan parallelism is not the constraint there
+    # either; the narrow-batch wall cost is a local-trigger artifact.
     hashed = batch.withColumn(
         "text_hash", F.expr(tx.spark_strhash("text")).cast("long")
     )
