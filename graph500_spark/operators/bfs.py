@@ -183,6 +183,14 @@ MULTI_PRED_SCHEMA = T.StructType(
     ]
 )
 
+MULTI_DEPTH_SCHEMA = T.StructType(
+    [
+        T.StructField("root", T.LongType(), False),
+        T.StructField("vertex", T.LongType(), False),
+        T.StructField("depth", T.IntegerType(), True),
+    ]
+)
+
 
 def bfs_multi(
     spark: SparkSession,
@@ -193,10 +201,20 @@ def bfs_multi(
     shuffle_partitions: int | str | None = "auto",
     broadcast_rows: int = 2_000_000,
     edge_count: int | None = None,
+    with_pred: bool = True,
 ) -> DataFrame:
     """Batched multi-source BFS: all ``roots`` advance in ONE shared
     frontier keyed by (root, vertex) — returns [root, vertex, pred,
     depth], per-root results identical to ``bfs(root)``.
+
+    ``with_pred=False`` (guide §2.3, project before the exchange):
+    depth-only consumers (closeness, eccentricity, mean path length)
+    never read ``pred``, so the per-level candidate rows carry only
+    (root, vertex) — a third fewer bytes through every level's
+    exchange — and the min-parent aggregate becomes a plain distinct.
+    The (root, vertex, depth) sets are bit-identical either way: a
+    vertex's BFS level does not depend on which parent wins the
+    tie-break. Returns [root, vertex, depth] in this mode.
 
     Why this exists: the reference's benchmark phase runs 64 BFS
     sequentially (mpi/main.cc:34-178), and a level-synchronous loop
@@ -227,10 +245,16 @@ def bfs_multi(
         saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(sp_override))
 
-    frontier = spark.createDataFrame(
-        [(int(r), int(r), int(r), 0) for r in roots],
-        schema=MULTI_PRED_SCHEMA,
-    ).transform(truncate_plan)
+    if with_pred:
+        frontier = spark.createDataFrame(
+            [(int(r), int(r), int(r), 0) for r in roots],
+            schema=MULTI_PRED_SCHEMA,
+        ).transform(truncate_plan)
+    else:
+        frontier = spark.createDataFrame(
+            [(int(r), int(r), 0) for r in roots],
+            schema=MULTI_DEPTH_SCHEMA,
+        ).transform(truncate_plan)
     reached = frontier
     depth = 0
     n_frontier = len(roots)
@@ -249,25 +273,38 @@ def bfs_multi(
             reached_side = reached.select("root", "vertex")
             if n_reached <= broadcast_rows:
                 reached_side = F.broadcast(reached_side)
-            candidates = edges.join(frontier_side, "src").select(
-                "root",
-                F.col("dst").alias("vertex"),
-                F.col("src").alias("pred"),
-            )
-            if n_reached <= broadcast_rows:
-                candidates = (
-                    candidates.join(
-                        reached_side, ["root", "vertex"], "left_anti"
+            if with_pred:
+                candidates = edges.join(frontier_side, "src").select(
+                    "root",
+                    F.col("dst").alias("vertex"),
+                    F.col("src").alias("pred"),
+                )
+                if n_reached <= broadcast_rows:
+                    candidates = (
+                        candidates.join(
+                            reached_side, ["root", "vertex"], "left_anti"
+                        )
+                        .groupBy("root", "vertex")
+                        .agg(F.min("pred").alias("pred"))
                     )
-                    .groupBy("root", "vertex")
-                    .agg(F.min("pred").alias("pred"))
-                )
+                else:
+                    candidates = (
+                        candidates.groupBy("root", "vertex")
+                        .agg(F.min("pred").alias("pred"))
+                        .join(reached_side, ["root", "vertex"], "left_anti")
+                    )
             else:
-                candidates = (
-                    candidates.groupBy("root", "vertex")
-                    .agg(F.min("pred").alias("pred"))
-                    .join(reached_side, ["root", "vertex"], "left_anti")
+                candidates = edges.join(frontier_side, "src").select(
+                    "root", F.col("dst").alias("vertex")
                 )
+                if n_reached <= broadcast_rows:
+                    candidates = candidates.join(
+                        reached_side, ["root", "vertex"], "left_anti"
+                    ).dropDuplicates(["root", "vertex"])
+                else:
+                    candidates = candidates.dropDuplicates(
+                        ["root", "vertex"]
+                    ).join(reached_side, ["root", "vertex"], "left_anti")
             candidates = candidates.withColumn("depth", F.lit(depth))
             new_frontier = candidates.transform(truncate_plan)
             n_new = new_frontier.count()
@@ -325,7 +362,11 @@ def harmonic_closeness_sampled(
     every sampled source's distances, so the estimator costs one
     multi-frontier BFS, not |roots| sequential ones. Disconnected
     (root, vertex) pairs contribute nothing — harmonic centrality's
-    standard treatment of unreachable nodes."""
+    standard treatment of unreachable nodes. Runs the traversal
+    pred-free (``with_pred=False``): only depths are consumed, so the
+    per-level exchanges carry (root, vertex) rows — same level sets,
+    a third fewer shuffled bytes."""
+    bfs_kwargs.setdefault("with_pred", False)
     depths = bfs_multi(spark, edges_clean, roots, **bfs_kwargs).filter(
         F.col("depth") > 0
     )

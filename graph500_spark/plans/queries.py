@@ -894,6 +894,7 @@ def q_eccentricity_sampled(spark, sf_dir):
         MULTI_BFS_ROOTS,
         prepartition=False,
         shuffle_partitions=8,
+        with_pred=False,
     )
     return pred.groupBy("root").agg(
         F.count(F.lit(1)).cast("long").alias("n_reached"),
@@ -1664,6 +1665,7 @@ def q_avg_path_length_sampled(spark, sf_dir):
         MULTI_BFS_ROOTS,
         prepartition=False,
         shuffle_partitions=8,
+        with_pred=False,
     )
     nonroot = pred.filter(F.col("vertex") != F.col("root"))
     return nonroot.agg(

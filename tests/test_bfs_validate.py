@@ -170,6 +170,56 @@ class TestBfsMulti:
             assert mine == want, f"root {root} diverges"
         g.unpersist()
 
+    def test_pred_free_same_level_sets(self, spark):
+        """with_pred=False (the depth-only fast path closeness /
+        eccentricity / avg-path ride) must produce exactly the same
+        (root, vertex, depth) multiset as the pred-carrying form, and
+        no pred column."""
+        from graph500_spark.operators.bfs import bfs_multi
+        from graph500_spark.operators.graph_build import build_clean_edges
+        from graph500_spark.sources.generator import (
+            generate_kronecker_edges,
+        )
+
+        g = build_clean_edges(generate_kronecker_edges(spark, 8, 8))
+        g = g.persist()
+        roots = [2, 5, 11]
+        full = bfs_multi(
+            spark, g, roots, prepartition=False, shuffle_partitions=8
+        )
+        lean = bfs_multi(
+            spark,
+            g,
+            roots,
+            prepartition=False,
+            shuffle_partitions=8,
+            with_pred=False,
+        )
+        assert lean.columns == ["root", "vertex", "depth"]
+        want = sorted(
+            (r["root"], r["vertex"], r["depth"]) for r in full.collect()
+        )
+        got = sorted(
+            (r["root"], r["vertex"], r["depth"]) for r in lean.collect()
+        )
+        assert got == want
+        # both broadcast-threshold branches: force the shuffle branch
+        lean_shuffle = bfs_multi(
+            spark,
+            g,
+            roots,
+            prepartition=False,
+            shuffle_partitions=8,
+            with_pred=False,
+            broadcast_rows=0,
+        )
+        got2 = sorted(
+            (r["root"], r["vertex"], r["depth"])
+            for r in lean_shuffle.collect()
+        )
+        assert got2 == want
+        g.unpersist()
+
 
 def test_validate_bfs_multi_matches_per_root_and_fires(spark):
     """Batched multi-root validator (spec64's benchmark-mode gate):
