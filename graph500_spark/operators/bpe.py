@@ -130,36 +130,60 @@ def bpe_learn(
         .transform(truncate_plan)
     )
     merges: list[tuple[int, str, str, str, int]] = []
-    for rank in range(num_merges):
-        pairs = (
-            words.select(
-                F.expr(
-                    "transform(slice(split(syms, ' '), 1,"
-                    " size(split(syms, ' ')) - 1),"
-                    " (s, i) -> concat(s, ' ', split(syms, ' ')[i + 1]))"
-                ).alias("prs"),
-                "wcount",
+    # AQE scoped OFF for the merge loop (guide §1.2 step 1): each
+    # round is one vocabulary-scale aggregate finished by a 1-row
+    # TakeOrdered, but AQE materializes the aggregate's exchange as
+    # its own job before planning the take — two driver barriers per
+    # round instead of one, and nothing for AQE to re-optimize (the
+    # input is the distinct-word table at EVERY scale, never the
+    # corpus; the plan is the same shape each round). With AQE off the
+    # loop's shuffles also lose AQE's coalescing, so the width is
+    # scoped down with it, derived from the word-table volume the
+    # driver measures once (the s24 ~2M-rows-per-partition rule, pair
+    # rows ≈ a few × distinct words) — amortized over every round.
+    # Both settings restored in finally.
+    n_words = words.count()
+    saved_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_sp = max(4, min(int(saved_sp), n_words // 500_000 + 4))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_sp))
+    try:
+        for rank in range(num_merges):
+            pairs = (
+                words.select(
+                    F.expr(
+                        "transform(slice(split(syms, ' '), 1,"
+                        " size(split(syms, ' ')) - 1),"
+                        " (s, i) -> concat(s, ' ', split(syms, ' ')[i + 1]))"
+                    ).alias("prs"),
+                    "wcount",
+                )
+                .select(F.explode("prs").alias("pair"), "wcount")
+                .groupBy("pair")
+                .agg(F.sum("wcount").alias("pair_count"))
             )
-            .select(F.explode("prs").alias("pair"), "wcount")
-            .groupBy("pair")
-            .agg(F.sum("wcount").alias("pair_count"))
-        )
-        best = pairs.orderBy(
-            F.col("pair_count").desc(), F.col("pair")
-        ).limit(1).collect()
-        if not best or best[0]["pair_count"] < min_count:
-            break
-        pair, pair_count = best[0]["pair"], int(best[0]["pair_count"])
-        left, right = pair.split(" ", 1)
-        merged = left + right
-        merges.append((rank, left, right, merged, pair_count))
-        words = words.withColumn(
-            "syms",
-            F.regexp_replace("syms", merge_pattern(left, right), merged),
-        )
-        if (rank + 1) % checkpoint_every == 0:
-            words = words.transform(truncate_plan)
-    words = words.transform(truncate_plan)
+            best = pairs.orderBy(
+                F.col("pair_count").desc(), F.col("pair")
+            ).limit(1).collect()
+            if not best or best[0]["pair_count"] < min_count:
+                break
+            pair, pair_count = best[0]["pair"], int(best[0]["pair_count"])
+            left, right = pair.split(" ", 1)
+            merged = left + right
+            merges.append((rank, left, right, merged, pair_count))
+            words = words.withColumn(
+                "syms",
+                F.regexp_replace(
+                    "syms", merge_pattern(left, right), merged
+                ),
+            )
+            if (rank + 1) % checkpoint_every == 0:
+                words = words.transform(truncate_plan)
+        words = words.transform(truncate_plan)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
     merges_df = spark.createDataFrame(
         merges,
         "rank: int, left: string, right: string, merged: string,"

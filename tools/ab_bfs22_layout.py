@@ -59,9 +59,14 @@ def main() -> int:
     root = find_roots(spark, raw, 1 << 22, num_roots=1)[0]
     print(f"root: {root}", flush=True)
 
+    # Alternate arm order between reps: on this box the SECOND arm of
+    # an interleaved pair systematically wins (measured — a fixed
+    # new->old order showed old winning all pairs; reversing the order
+    # flipped it), so a fixed order biases the comparison.
     results: dict[str, list[float]] = {}
     for rep in range(reps):
-        for aname in ("new", "old"):
+        order = ("new", "old") if rep % 2 == 0 else ("old", "new")
+        for aname in order:
             spark.sparkContext._jvm.System.gc()
             t0 = time.monotonic()
             pred = bfs(spark, arms[aname], root).persist()
