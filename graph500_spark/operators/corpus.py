@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graph500_spark.functions.plantrunc import truncate_plan
 from graph500_spark.operators import dedup as dd
 from graph500_spark.operators import text as tx
 
@@ -50,9 +51,21 @@ def corpus_clean(
     # — ONE projection over the SURVIVING docs instead of two extra
     # full-corpus scans equi-joined back by doc_id (same values, two
     # shuffles and two scans fewer; the survivor semi-join runs first
-    # so the expressions are evaluated on survivors only)
+    # so the expressions are evaluated on survivors only).
+    #
+    # The truncate_plan barrier is load-bearing (round 12, guide §1.4
+    # lesson): without it Catalyst pushes the quality/lang gate BELOW
+    # the semi-join, so the expensive annotate expressions evaluate
+    # over the FULL corpus instead of the dedup survivors (measured at
+    # 20x: the pushed-down filter was ~130 s of task CPU over 100k
+    # docs for a 4.7k-doc survivor set — the whole row's remaining
+    # cost). The barrier materializes the survivor rows once (the
+    # dedup output magnitude) and the projection runs on them only.
+    survivors = docs.join(keep, "doc_id", "left_semi").transform(
+        truncate_plan
+    )
     return (
-        tx.annotate_quality_lang(docs.join(keep, "doc_id", "left_semi"))
+        tx.annotate_quality_lang(survivors)
         .filter(
             (F.col("quality_score") >= min_quality)
             & (F.col("lang_pred") != "und")

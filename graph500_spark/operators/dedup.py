@@ -45,6 +45,12 @@ SHINGLE_N = 3
 K_MINHASH = 16
 N_BANDS = 4
 ROWS_PER_BAND = 4
+# minhash_near_duplicates takes the distinct-set (sid-level) route
+# only when distinct shingle sets number under this fraction of docs:
+# the sid path's band-join/verify work shrinks with the SQUARE of the
+# replication factor, but its doc↔sid mapping and expansion joins are
+# fixed overhead that a mostly-unique corpus never earns back.
+SID_COLLAPSE_RATIO = 0.7
 # 60-bit fingerprints (matching the 60-bit md5 hash tier): Manku
 # blocking at max_hamming=3 gets 4 chunks x 15 bits = 32768 buckets
 # per chunk index — real selectivity at corpus scale (the round-1
@@ -406,23 +412,160 @@ def minhash_near_duplicates(
     docs: DataFrame, threshold: float = 0.5
 ) -> DataFrame:
     """LSH candidates verified by exact Jaccard over distinct shingle
-    sets: [doc_a, doc_b, jaccard] with jaccard >= threshold."""
-    cands = lsh_candidate_pairs(docs)
-    # shingle_hashes is cached (plan-deduped with the signature path)
+    sets: [doc_a, doc_b, jaccard] with jaccard >= threshold.
+
+    DISTINCT-SET formulation (round 12, guide §2.3 "don't compute
+    things you throw away"): banding and Jaccard are pure functions of
+    the shingle set, so docs with IDENTICAL shingle arrays (exact
+    array equality — no hashing, no collision risk) collapse to one
+    representative sid = min(doc_id) before the quadratic work. The
+    band self-join and the per-pair array_intersect verify then run
+    over distinct sets only, and verified sid pairs expand back to doc
+    pairs at the end. On a dup-heavy corpus (the reality dedup exists
+    for — and the bench's 20x-replicated shape) this divides the
+    band-join fan-out and the verify CPU by the squared replication
+    factor; on an all-unique corpus sid == doc_id and the plan is the
+    old one plus three metadata-sized joins. Row-for-row identical to
+    the per-doc formulation: a same-set pair always shares every band
+    key (equal signatures ⇒ equal keys), a cross-set pair bands iff
+    its representatives band, and the Jaccard of (a, b) equals the
+    Jaccard of their representatives because the arrays are equal.
+    Empty shingle sets collapse to one sid whose self-Jaccard is 0
+    (round(0 / greatest(0, 1)) — same as the per-doc path) and die at
+    the threshold exactly as before.
+
+    ADAPTIVE: the driver reads (n_sets, n_docs) off the rep table it
+    needs anyway and only takes the sid route when sets collapse
+    meaningfully (< SID_COLLAPSE_RATIO of docs). On a mostly-unique
+    corpus sid ≈ doc and the sid path's doc↔sid mapping join and
+    expansion joins are pure overhead (measured: +7 s on the 1x
+    dup_clusters/split_by_cluster bench rows), so the per-doc
+    formulation runs instead — the same driver-known-counts strategy
+    discipline as the BFS broadcast guards."""
     sh = shingle_hashes(docs)
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    joined = cands.join(a, "doc_a").join(b, "doc_b")
+    # one table of distinct shingle sets: [shingles, sid, m]. groupBy
+    # (partial-agg, skew-safe) rather than a window: a mega-family of
+    # identical docs becomes ONE row here, not one giant sorted window
+    # partition (guide §2.5 — AQE can split a skewed join, not a
+    # skewed window).
+    reps = _track(
+        sh.groupBy("shingles")
+        .agg(
+            F.min("doc_id").alias("sid"),
+            F.count(F.lit(1)).alias("m"),
+        )
+        .cache()
+    )
+    stats = reps.agg(
+        F.count(F.lit(1)).alias("n_sets"), F.sum("m").alias("n_docs")
+    ).first()
+    n_sets, n_docs = int(stats["n_sets"]), int(stats["n_docs"] or 0)
+    if n_sets >= SID_COLLAPSE_RATIO * n_docs:
+        # per-doc formulation: LSH candidates verified pairwise
+        cands = lsh_candidate_pairs(docs)
+        a = sh.select(
+            F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+        )
+        b = sh.select(
+            F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        return (
+            cands.join(a, "doc_a")
+            .join(b, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(inter / F.greatest(union, F.lit(1)), 6).alias(
+                    "jaccard"
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+    doc2sid = _track(
+        sh.join(reps.select("shingles", "sid"), "shingles")
+        .select("doc_id", "sid")
+        .cache()
+    )
+    # LSH banding over the distinct sets' signatures (same expressions
+    # as minhash_signatures / lsh_candidate_pairs, applied to the rep
+    # table) — the self-join fan-out is per distinct set, not per doc
+    rep_sigs = reps.select(
+        "sid", _minhash_vec_udf()(F.col("shingles")).alias("mh")
+    ).select(
+        "sid",
+        *[
+            F.element_at("mh", j + 1).cast("long").alias(f"mh{j:02d}")
+            for j in range(K_MINHASH)
+        ],
+    )
+    keys = F.array(
+        *[
+            F.expr(key.replace("VARCHAR", "STRING"))
+            for key in _band_key_exprs()
+        ]
+    )
+    bands = rep_sigs.select("sid", F.posexplode(keys).alias("band", "key"))
+    cross = (
+        bands.select("band", "key", F.col("sid").alias("sid_a"))
+        .join(
+            bands.select("band", "key", F.col("sid").alias("sid_b")),
+            ["band", "key"],
+        )
+        .filter(F.col("sid_a") < F.col("sid_b"))
+        .select("sid_a", "sid_b")
+        .distinct()
+    )
+    # same-set families (m >= 2): equal signatures always share every
+    # band, so every within-family pair is a candidate by construction
+    selfp = reps.filter(F.col("m") >= 2).select(
+        F.col("sid").alias("sid_a"), F.col("sid").alias("sid_b")
+    )
+    sid_pairs = cross.unionByName(selfp)
+    a = reps.select(
+        F.col("sid").alias("sid_a"), F.col("shingles").alias("sh_a")
+    )
+    b = reps.select(
+        F.col("sid").alias("sid_b"), F.col("shingles").alias("sh_b")
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
-        joined.select(
-            "doc_a",
-            "doc_b",
+    veri = (
+        sid_pairs.join(a, "sid_a")
+        .join(b, "sid_b")
+        .select(
+            "sid_a",
+            "sid_b",
             F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    # expand verified set pairs back to doc pairs
+    ma = doc2sid.select(F.col("sid").alias("sid_a"), F.col("doc_id").alias("da"))
+    mb = doc2sid.select(F.col("sid").alias("sid_b"), F.col("doc_id").alias("db"))
+    cross_out = (
+        veri.filter(F.col("sid_a") != F.col("sid_b"))
+        .join(ma, "sid_a")
+        .join(mb, "sid_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    self_out = (
+        veri.filter(F.col("sid_a") == F.col("sid_b"))
+        .join(ma, "sid_a")
+        .join(mb.withColumnRenamed("sid_b", "sid_a"), "sid_a")
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    return cross_out.unionByName(self_out)
 
 
 def minhash_near_duplicates_sql(threshold: float = 0.5) -> str:

@@ -33,6 +33,8 @@ runner adds no shuffles of its own — it only sequences writes.
 from __future__ import annotations
 
 import os
+import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -65,10 +67,23 @@ def run_corpus_pipeline(
     pack_budget: int = 512,
 ) -> CorpusPipelineResult:
     """Run (or resume) the staged corpus pipeline; returns per-stage
-    paths, row counts, and computed/skipped status."""
+    paths, row counts, and computed/skipped status.
+
+    Independent stages OVERLAP (guide §2.6): Spark happily runs
+    several jobs at once inside one application — stages were only
+    sequential because this driver called them sequentially, leaving
+    most cores idle through every job's barrier/tail. The dependency
+    DAG is {stats, annotations, survivors} → {dup_spans, split} →
+    {packed, chunks}; each rank's stages are submitted from a small
+    thread pool so one stage's stragglers back-fill with the next
+    stage's tasks. Stage outputs, the per-stage resume contract
+    (_SUCCESS check per stage), and the reported stage ORDER are
+    byte-identical to the sequential runner — only the wall-clock
+    overlap changes."""
     result = CorpusPipelineResult(out_dir)
 
-    def run_stage(name: str, build) -> DataFrame:
+    def run_stage(name: str, build) -> tuple[dict, DataFrame]:
+        t0 = time.monotonic()
         path = os.path.join(out_dir, name)
         if _done(path):
             df = spark.read.parquet(path)
@@ -77,17 +92,27 @@ def run_corpus_pipeline(
             build().write.mode("overwrite").parquet(path)
             df = spark.read.parquet(path)
             status = "computed"
-        result.stages.append(
-            {
-                "stage": name,
-                "path": path,
-                "rows": df.count(),
-                "status": status,
-            }
-        )
-        return df
+        rec = {
+            "stage": name,
+            "path": path,
+            "rows": df.count(),
+            "status": status,
+            "seconds": round(time.monotonic() - t0, 3),
+        }
+        return rec, df
 
-    run_stage("stats", lambda: corpus_mod.corpus_stats_rollup(docs))
+    def run_rank(stages: list[tuple[str, object]]) -> dict[str, DataFrame]:
+        """Run one dependency rank's stages concurrently; record their
+        results in the declared (deterministic) order."""
+        with ThreadPoolExecutor(max_workers=len(stages)) as pool:
+            futs = [(name, pool.submit(run_stage, name, build))
+                    for name, build in stages]
+            out: dict[str, DataFrame] = {}
+            for name, fut in futs:
+                rec, df = fut.result()
+                result.stages.append(rec)
+                out[name] = df
+        return out
 
     def annotations():
         # quality + language are one codegen projection
@@ -107,36 +132,34 @@ def run_corpus_pipeline(
             .join(ppl, "doc_id", "left")
         )
 
-    run_stage("annotations", annotations)
-
-    survivors = run_stage(
-        "survivors", lambda: corpus_mod.corpus_clean(docs, min_quality)
-    )
+    rank1 = run_rank([
+        ("stats", lambda: corpus_mod.corpus_stats_rollup(docs)),
+        ("annotations", annotations),
+        ("survivors", lambda: corpus_mod.corpus_clean(docs, min_quality)),
+    ])
+    survivors = rank1["survivors"]
     surviving_docs = docs.join(
         survivors.select("doc_id"), "doc_id"
     )
 
-    run_stage(
-        "dup_spans", lambda: dedup_mod.merged_dup_spans(surviving_docs)
-    )
-    split = run_stage(
-        "split", lambda: traindata_mod.train_test_split(surviving_docs)
-    )
+    rank2 = run_rank([
+        ("dup_spans", lambda: dedup_mod.merged_dup_spans(surviving_docs)),
+        ("split", lambda: traindata_mod.train_test_split(surviving_docs)),
+    ])
+    split = rank2["split"]
     train_ids = split.filter(F.col("split") == "train").select("doc_id")
-    run_stage(
-        "packed",
-        lambda: traindata_mod.pack_chunks(
-            docs.join(train_ids, "doc_id"), budget=pack_budget
-        ),
-    )
     # RAG-prep sibling of `packed`: overlapping token chunks of the
     # TEST split (retrieval corpora index held-out text) — same
     # resume/idempotence contract as every other stage.
     test_ids = split.filter(F.col("split") == "test").select("doc_id")
-    run_stage(
-        "chunks",
-        lambda: traindata_mod.doc_chunks(docs.join(test_ids, "doc_id")),
-    )
+    run_rank([
+        ("packed", lambda: traindata_mod.pack_chunks(
+            docs.join(train_ids, "doc_id"), budget=pack_budget
+        )),
+        ("chunks", lambda: traindata_mod.doc_chunks(
+            docs.join(test_ids, "doc_id")
+        )),
+    ])
     # library caches populated along the way (shingle/minhash state in
     # corpus_clean and the span pass) are released: terminal job
     dedup_mod.release_caches()

@@ -742,3 +742,58 @@ class TestReciprocity:
         row = reciprocity(edges).collect()[0]
         assert (row.n_edges, row.n_reciprocal) == (4, 2)
         assert row.reciprocity == 0.5
+
+
+def test_minhash_distinct_set_parity_on_replicated_corpus(spark, docs):
+    """Pins the distinct-set (sid-level) minhash formulation against
+    the per-doc reference shape on a replica-heavy corpus — the case
+    the restructure exists for. Every doc is replicated 5x with fresh
+    ids (the bench's 20x shape in miniature), so same-set families,
+    cross-set near-dup expansion, and the empty-set family are all
+    exercised; the outputs must match pair-for-pair INCLUDING the
+    jaccard values."""
+    reps = spark.range(5).select(F.col("id").alias("rep"))
+    docs5 = docs.crossJoin(F.broadcast(reps)).select(
+        (F.col("doc_id") + F.col("rep") * 100).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    # add an empty-text family: empty shingle sets must stay excluded
+    extra = spark.createDataFrame(
+        [(900, "", "en", "s9", 0), (901, "", "en", "s9", 0)], DOCS_SCHEMA
+    )
+    docs5 = docs5.unionByName(extra)
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.minhash_near_duplicates(docs5, threshold=0.5).collect()
+    }
+
+    # reference: the pre-round per-doc formulation, inline
+    cands = dedup.lsh_candidate_pairs(docs5)
+    sh = dedup.shingle_hashes(docs5)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    want = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .collect()
+    }
+    assert got == want
+    # the replica families must actually be present (5 replicas of the
+    # exact-dup pair 0/1 = one 10-doc same-set family, C(10,2) pairs)
+    fam = [p for p in got if p[0] % 100 in (0, 1) and p[1] % 100 in (0, 1)]
+    assert len(fam) == 45 and all(got[p] == 1.0 for p in fam)
+    # empty-set docs never pair
+    assert all(900 not in p and 901 not in p for p in got)
