@@ -47,12 +47,12 @@ from pyspark.sql import DataFrame
 _warned_fallback = False
 
 
-def truncate_plan(df: DataFrame) -> DataFrame:
+def truncate_plan(df: DataFrame, eager: bool = True) -> DataFrame:
     """Eagerly materialize ``df`` and return it as a leaf plan with
     RESET statistics (see module docstring).  Drop-in replacement for
     ``df.localCheckpoint(eager=True)`` in iterative loops; chainable
     as ``df.transform(truncate_plan)``."""
-    ck = df.localCheckpoint(eager=True)
+    ck = df.localCheckpoint(eager=eager)
     if os.environ.get("SPARK_GRAFT_PLANTRUNC", "") == "off":
         return ck
     try:
@@ -78,3 +78,25 @@ def truncate_plan(df: DataFrame) -> DataFrame:
                 stacklevel=2,
             )
         return ck
+
+
+def truncate_plan_lazy(df: DataFrame) -> DataFrame:
+    """Plan-truncation barrier WITHOUT the eager materialization job
+    (guide §1.2/§5 — driver barriers are the per-superstep floor).
+
+    The returned frame is a stats-clean leaf over a LAZILY
+    local-checkpoint-marked RDD: the FIRST action that computes it —
+    typically the loop's own per-round scalar readout (a count, a
+    fixpoint probe, a broadcast build of the next round's join input)
+    — materializes and caches it as a side effect, so the checkpoint
+    job and the readout job collapse into one driver barrier. After
+    that first action the frame behaves exactly like the eager form
+    (cached leaf, truncated lineage, flat stats).
+
+    Loops that previously paid ``truncate_plan`` (one job) + ``count``
+    (a second job) per round pay ONE job with
+
+        nxt = candidates.transform(truncate_plan_lazy)
+        n = nxt.count()          # materializes + counts in one job
+    """
+    return truncate_plan(df, eager=False)

@@ -33,7 +33,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from graph500_spark.functions.plantrunc import truncate_plan
+from graph500_spark.functions.plantrunc import (
+    truncate_plan,
+    truncate_plan_lazy,
+)
 from graph500_spark.functions.sizing import resolve_shuffle_partitions
 
 PRED_SCHEMA = T.StructType(
@@ -109,7 +112,7 @@ def bfs(
 
     frontier = spark.createDataFrame(
         [(int(root), int(root), 0)], schema=PRED_SCHEMA
-    ).transform(truncate_plan)
+    ).transform(truncate_plan_lazy)
     reached = frontier
     depth = 0
     n_frontier = 1
@@ -153,12 +156,14 @@ def bfs(
                     .join(reached_side, "vertex", "left_anti")
                 )
             candidates = candidates.withColumn("depth", F.lit(depth))
-            # Eager localCheckpoint makes the frontier a LEAF plan:
-            # without it every level's plan tree embeds the previous
-            # level's twice (join + anti-join) — exponential plan-tree
-            # growth that overflows the JVM stack on deep graphs
-            # (persist() alone does not truncate the logical plan).
-            new_frontier = candidates.transform(truncate_plan)
+            # localCheckpoint makes the frontier a LEAF plan: without
+            # it every level's plan tree embeds the previous level's
+            # twice (join + anti-join) — exponential plan-tree growth
+            # that overflows the JVM stack on deep graphs (persist()
+            # alone does not truncate the logical plan). The LAZY form
+            # fuses the materialization into the count below — one
+            # driver barrier per level instead of two (guide §1.2/§5).
+            new_frontier = candidates.transform(truncate_plan_lazy)
             n_new = new_frontier.count()
             if n_new == 0:
                 break
@@ -249,12 +254,12 @@ def bfs_multi(
         frontier = spark.createDataFrame(
             [(int(r), int(r), int(r), 0) for r in roots],
             schema=MULTI_PRED_SCHEMA,
-        ).transform(truncate_plan)
+        ).transform(truncate_plan_lazy)
     else:
         frontier = spark.createDataFrame(
             [(int(r), int(r), 0) for r in roots],
             schema=MULTI_DEPTH_SCHEMA,
-        ).transform(truncate_plan)
+        ).transform(truncate_plan_lazy)
     reached = frontier
     depth = 0
     n_frontier = len(roots)
@@ -306,7 +311,8 @@ def bfs_multi(
                         ["root", "vertex"]
                     ).join(reached_side, ["root", "vertex"], "left_anti")
             candidates = candidates.withColumn("depth", F.lit(depth))
-            new_frontier = candidates.transform(truncate_plan)
+            # lazy checkpoint + count = one driver barrier per level
+            new_frontier = candidates.transform(truncate_plan_lazy)
             n_new = new_frontier.count()
             if n_new == 0:
                 break

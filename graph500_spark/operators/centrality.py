@@ -33,7 +33,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from graph500_spark.functions.plantrunc import truncate_plan
+from graph500_spark.functions.plantrunc import (
+    truncate_plan,
+    truncate_plan_lazy,
+)
 
 BC_SCALE = 1_000_000
 
@@ -70,7 +73,7 @@ def betweenness_sampled(
         frontier = spark.createDataFrame(
             [(r, r, 0, 1) for r in roots],
             "root: long, vertex: long, depth: int, sigma: long",
-        ).transform(truncate_plan)
+        ).transform(truncate_plan_lazy)
         levels = [frontier]
         # `seen` stays a LAZY union of the checkpointed levels (each
         # leaf is cached; never recopied into a new checkpoint — the
@@ -105,7 +108,8 @@ def betweenness_sampled(
                     F.lit(depth + 1).cast("int").alias("depth"),
                     "sigma",
                 )
-                .transform(truncate_plan)
+                # lazy checkpoint + count = one driver barrier/level
+                .transform(truncate_plan_lazy)
             )
             n_nxt = nxt.count()
             if n_nxt == 0:
@@ -118,10 +122,27 @@ def betweenness_sampled(
         else:
             raise RuntimeError(f"bfs exceeded max_depth={max_depth}")
 
-        # ---- backward: δ_q accumulation from the deepest level up
-        delta = levels[-1].select(
-            "root", "vertex", F.lit(0).cast("long").alias("delta_q")
-        ).transform(truncate_plan)
+        # ---- backward: δ_q accumulation from the deepest level up.
+        # In the broadcast regime each per-level δ is a LAZY
+        # checkpoint leaf: no separate materialization job — the next
+        # level's (blocking) broadcast build computes and caches it
+        # before its second consumer (the final accumulation) runs, so
+        # the backward pass pays zero standalone driver barriers. Past
+        # broadcast_rows the eager form stays: a lazy leaf with two
+        # consumers and no blocking build risks double compute.
+        def tp_bk(df, n_rows):
+            return df.transform(
+                truncate_plan_lazy
+                if n_rows <= broadcast_rows
+                else truncate_plan
+            )
+
+        delta = tp_bk(
+            levels[-1].select(
+                "root", "vertex", F.lit(0).cast("long").alias("delta_q")
+            ),
+            level_counts[-1],
+        )
         # deepest-level vertices carry δ = 0 but still appear in the
         # output (bc_q = 0 unless another root contributes) — same
         # row universe as the oracle's level union
@@ -171,7 +192,7 @@ def betweenness_sampled(
                 .groupBy("root", "vertex")
                 .agg(F.sum("term_q").cast("long").alias("delta_q"))
             )
-            delta = (
+            delta = tp_bk(
                 cur.select("root", "vertex")
                 .join(contrib, ["root", "vertex"], "left")
                 .select(
@@ -180,8 +201,8 @@ def betweenness_sampled(
                     F.coalesce("delta_q", F.lit(0)).cast("long").alias(
                         "delta_q"
                     ),
-                )
-                .transform(truncate_plan)
+                ),
+                level_counts[lvl],
             )
             acc_parts.append(
                 delta.filter(F.col("vertex") != F.col("root"))

@@ -24,7 +24,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from graph500_spark.functions.plantrunc import truncate_plan
+from graph500_spark.functions.plantrunc import (
+    truncate_plan,
+    truncate_plan_lazy,
+)
 
 
 def connected_components(
@@ -46,11 +49,12 @@ def connected_components(
         saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
 
+    # lazy checkpoint + count = one driver barrier (guide §1.2/§5)
     labels = (
         edges.select(F.col("src").alias("vertex"))
         .distinct()
         .withColumn("label", F.col("vertex"))
-        .transform(truncate_plan)
+        .transform(truncate_plan_lazy)
     )
     frontier = labels
     n_frontier = labels.count()
@@ -94,7 +98,9 @@ def connected_components(
                         F.col("p_label") < F.col("label"), F.lit(False)
                     ).alias("chg"),
                 )
-                .transform(truncate_plan)
+                # lazy: the scalar readout below materializes it —
+                # one driver barrier per round instead of two
+                .transform(truncate_plan_lazy)
             )
             n_new = (
                 merged.agg(
@@ -150,12 +156,12 @@ def connected_components_stars(
     verts = (
         edges_clean.select(F.col("src").alias("vertex"))
         .distinct()
-        .transform(truncate_plan)
+        .transform(truncate_plan_lazy)
     )
     E = (
         edges_clean.select("src", "dst")
         .filter(F.col("src") < F.col("dst"))  # one row per undirected edge
-        .transform(truncate_plan)
+        .transform(truncate_plan_lazy)
     )
     n_edges = E.count()
 
@@ -188,7 +194,10 @@ def connected_components_stars(
 
     try:
         for _ in range(max_rounds):
-            new_E = small_star(large_star(E)).transform(truncate_plan)
+            # lazy checkpoint + count = one driver barrier per round
+            new_E = small_star(large_star(E)).transform(
+                truncate_plan_lazy
+            )
             n_new = new_E.count()
             stable = (
                 n_new == n_edges
@@ -253,7 +262,7 @@ def strongly_connected_components(
         edges.select(F.col("src").alias("vertex"))
         .unionAll(edges.select(F.col("dst").alias("vertex")))
         .distinct()
-        .transform(truncate_plan)
+        .transform(truncate_plan_lazy)
     )
     remaining = verts
     # remaining/colors are stat-less checkpoint leaves; the driver
@@ -351,12 +360,13 @@ def strongly_connected_components(
             marked.filter("mark")
             .join(bc(colors), "vertex")
             .select("vertex", F.col("color").alias("scc_id"))
-            .transform(truncate_plan)
+            .transform(truncate_plan_lazy)
         )
         parts.append(members)
+        # lazy: remaining.count() materializes both leaves in one job
         remaining = remaining.join(
             bc(members.select("vertex")), "vertex", "left_anti"
-        ).transform(truncate_plan)
+        ).transform(truncate_plan_lazy)
         n_remaining = remaining.count()
     if n_remaining != 0:
         raise RuntimeError(
@@ -421,7 +431,7 @@ def hub_ablation_components(
         deg.orderBy(F.col("degree").desc(), F.col("src").asc())
         .limit(n_hubs)
         .select("src")
-        .transform(truncate_plan)
+        .transform(truncate_plan_lazy)
     )
     sub = edges.join(hubs, "src", "left_anti").join(
         hubs.withColumnRenamed("src", "dst"), "dst", "left_anti"

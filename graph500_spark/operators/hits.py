@@ -41,7 +41,10 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from graph500_spark.functions.plantrunc import truncate_plan
+from graph500_spark.functions.plantrunc import (
+    truncate_plan,
+    truncate_plan_lazy,
+)
 
 
 def hits(
@@ -57,7 +60,8 @@ def hits(
         edges.select(F.col("src").alias("vertex"))
         .unionByName(edges.select(F.col("dst").alias("vertex")))
         .distinct()
-        .transform(truncate_plan)
+        # lazy checkpoint + count = one driver barrier (guide §1.2/§5)
+        .transform(truncate_plan_lazy)
     )
     n = verts.count()
     m = edges.count()  # also materializes the edge cache
@@ -66,9 +70,13 @@ def hits(
     shift = max(0, round(math.log2(max(m / n, 1.0))))
     iter_scale = math.ldexp(1.0, -2 * shift)
 
+    # lazy when the score vector broadcasts (the blocking broadcast
+    # build materializes it); eager past broadcast_rows — a lazy leaf
+    # with two consumers and no blocking build risks double compute.
+    tp = truncate_plan_lazy if n <= broadcast_rows else truncate_plan
     auth = verts.select(
         "vertex", (F.lit(1.0) / F.lit(float(n))).alias("score")
-    ).transform(truncate_plan)
+    ).transform(tp)
 
     def half_step(
         scores: DataFrame, out_edges: bool, scale: float = 1.0
@@ -106,11 +114,11 @@ def hits(
         # cache is dropped on return).
         hub = half_step(auth, out_edges=True)
         if last:
-            hub = hub.transform(truncate_plan)
+            hub = hub.transform(tp)
         prev_auth = auth
         auth = half_step(
             hub, out_edges=False, scale=iter_scale
-        ).transform(truncate_plan)
+        ).transform(tp)
         # Safe to drop: mid-loop the lazy hub tree referencing it is
         # superseded next iteration; on the last iteration hub was
         # checkpointed above, truncating its lineage.

@@ -29,7 +29,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from graph500_spark.functions.plantrunc import truncate_plan
+from graph500_spark.functions.plantrunc import (
+    truncate_plan,
+    truncate_plan_lazy,
+)
 
 
 def k_core(
@@ -71,7 +74,8 @@ def k_core(
             .join(
                 survivors.select(F.col("vertex").alias("dst")), "dst", "left_semi"
             )
-            .transform(truncate_plan)
+            # lazy checkpoint + count = one driver barrier per round
+            .transform(truncate_plan_lazy)
         )
         old = edges
         edges = new_edges
@@ -118,7 +122,7 @@ def core_numbers(
     c = (
         edges.groupBy(F.col("src").alias("vertex"))
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .transform(truncate_plan)
+        .transform(truncate_plan_lazy)
     )
     # |V| is loop-invariant (the h-index update preserves the vertex
     # set); checkpointed leaves carry no stats, so without an explicit
@@ -155,7 +159,9 @@ def core_numbers(
                 F.least("c", "h").alias("c"),
                 (F.least("c", "h") != F.col("c")).alias("chg"),
             )
-            .transform(truncate_plan)
+            # lazy: the fixpoint agg below materializes it — one
+            # driver barrier per round instead of two
+            .transform(truncate_plan_lazy)
         )
         changed = new_c.agg(
             F.sum(F.col("chg").cast("long")).alias("n")

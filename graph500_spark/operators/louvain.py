@@ -74,7 +74,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from graph500_spark.functions.plantrunc import truncate_plan
+from graph500_spark.functions.plantrunc import (
+    truncate_plan,
+    truncate_plan_lazy,
+)
 
 
 def louvain_communities(
@@ -120,9 +123,10 @@ def louvain_communities(
             .agg(F.sum("w").cast("long").alias("deg"))
         )
         two_m = edges.agg(F.sum("w")).first()[0]
+        # lazy checkpoint + count = one driver barrier (guide §1.2/§5)
         comm = deg.select(
             "vertex", F.col("vertex").alias("community"), "deg"
-        ).transform(truncate_plan)
+        ).transform(truncate_plan_lazy)
         # |V| is loop-invariant; checkpointed leaves carry no stats, so
         # without explicit hints every per-iteration join against the
         # (tiny) assignment/community aggregates would shuffle — the
@@ -234,7 +238,9 @@ def louvain_communities(
                     F.col("new_c").isNotNull().alias("did_move"),
                     F.coalesce("own_k", F.lit(0)).alias("own_k"),
                 )
-                .transform(truncate_plan)
+                # lazy: the scalar readout below materializes it —
+                # one driver barrier per iteration instead of two
+                .transform(truncate_plan_lazy)
             )
             # One scalar job: move count + within-edge total (= the
             # modularity numerator's first term, for the CURRENT comm).
@@ -384,10 +390,10 @@ def louvain_multilevel(
     community algorithm. All arithmetic stays integer end to end."""
     mapping = louvain_communities(
         spark, edges_clean, max_iters, shuffle_partitions
-    ).transform(truncate_plan)
+    ).transform(truncate_plan_lazy)
     g = edges_clean
     for _ in range(1, levels):
-        g = contract_graph(g, mapping).transform(truncate_plan)
+        g = contract_graph(g, mapping).transform(truncate_plan_lazy)
         up = louvain_communities(
             spark, g, max_iters, shuffle_partitions
         )
@@ -402,7 +408,7 @@ def louvain_multilevel(
             .select(
                 "vertex", F.col("community_up").alias("community")
             )
-            .transform(truncate_plan)
+            .transform(truncate_plan_lazy)
         )
     return mapping
 

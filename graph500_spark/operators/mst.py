@@ -36,7 +36,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graph500_spark.operators.components import connected_components
-from graph500_spark.functions.plantrunc import truncate_plan
+from graph500_spark.functions.plantrunc import (
+    truncate_plan,
+    truncate_plan_lazy,
+)
 
 
 def minimum_spanning_forest(
@@ -73,7 +76,7 @@ def minimum_spanning_forest(
         .unionByName(edges.select(F.col("hi").alias("vertex")))
         .distinct()
         .withColumn("comp", F.col("vertex"))
-        .transform(truncate_plan)
+        .transform(truncate_plan_lazy)
     )
 
     forest_parts: list[DataFrame] = []
@@ -118,7 +121,8 @@ def minimum_spanning_forest(
             .agg(F.min("edge").alias("edge"))
             .select("edge.*")
             .distinct()
-            .transform(truncate_plan)
+            # lazy checkpoint + count = one driver barrier per round
+            .transform(truncate_plan_lazy)
         )
         n_sel = selected.count()
         if n_sel == 0:
@@ -183,7 +187,9 @@ def minimum_spanning_forest(
                 "vertex",
                 F.coalesce("new_comp", "comp").alias("comp"),
             )
-            .transform(truncate_plan)
+            # lazy in the broadcast regime (next round's blocking
+            # label-broadcast build materializes it); eager otherwise
+            .transform(truncate_plan_lazy if small else truncate_plan)
         )
 
     if saved_sp is not None:

@@ -31,7 +31,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from graph500_spark.functions.plantrunc import truncate_plan
+from graph500_spark.functions.plantrunc import (
+    truncate_plan,
+    truncate_plan_lazy,
+)
 
 
 def pagerank(
@@ -89,7 +92,18 @@ def pagerank(
             teleport_col = F.when(
                 in_s, F.lit((1.0 - damping) / len(sources))
             ).otherwise(F.lit(0.0))
-        ranks = deg.select("vertex", init.alias("rank")).transform(truncate_plan)
+        # When the rank vector broadcasts, the (blocking) broadcast
+        # build materializes a LAZY checkpoint before any other
+        # consumer touches it — the standalone materialization job
+        # disappears (guide §1.2/§5). Past broadcast_rows the eager
+        # form stays: a lazy leaf with two consumers and no blocking
+        # build could be computed twice by concurrent stages.
+        tp = (
+            truncate_plan_lazy
+            if n_vertices <= broadcast_rows
+            else truncate_plan
+        )
+        ranks = deg.select("vertex", init.alias("rank")).transform(tp)
         for it in range(n_iterations):
             # Checkpointed rank state carries no Catalyst stats, so
             # without the driver-known-count hint every iteration
@@ -120,7 +134,7 @@ def pagerank(
             # plan depth stays O(1) (≤2 rounds deep) regardless of
             # n_iterations (same lineage discipline as operators/bfs.py).
             if it % 2 == 1 or it == n_iterations - 1:
-                new_ranks = new_ranks.transform(truncate_plan)
+                new_ranks = new_ranks.transform(tp)
             ranks = new_ranks
 
         out = ranks.select(

@@ -37,7 +37,10 @@ from collections.abc import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from graph500_spark.functions.plantrunc import truncate_plan
+from graph500_spark.functions.plantrunc import (
+    truncate_plan,
+    truncate_plan_lazy,
+)
 from graph500_spark.functions.sizing import resolve_shuffle_partitions
 
 
@@ -70,7 +73,8 @@ def pregel(
     if sp_override is not None:
         saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(sp_override))
-    state = vertices.transform(truncate_plan)
+    # lazy checkpoint + count = one driver barrier (guide §1.2/§5)
+    state = vertices.transform(truncate_plan_lazy)
     n_state = state.count()
 
     try:
@@ -83,7 +87,12 @@ def pregel(
                 .groupBy("vertex")
                 .agg(*merge)
             )
-            new_state = apply_fn(state, inbox).transform(truncate_plan)
+            # lazy checkpoint: the per-superstep readout below (count
+            # or fixpoint probe) materializes the new state in the
+            # SAME job — one driver barrier per superstep, not two.
+            new_state = apply_fn(state, inbox).transform(
+                truncate_plan_lazy
+            )
             if until_unchanged:
                 # Fixpoint test on exact state equality. Both sides are
                 # checkpoint leaves, and the state count rides along as

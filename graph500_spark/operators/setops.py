@@ -8,7 +8,10 @@ physical detail Spark replaces with hash shuffles / broadcast semi-joins.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from graph500_spark.functions.plantrunc import truncate_plan
+from graph500_spark.functions.plantrunc import (
+    truncate_plan,
+    truncate_plan_lazy,
+)
 
 
 def set_difference(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -69,7 +72,7 @@ def maximal_independent_set(
         edges_clean.select(F.col("src").alias("vertex"))
         .distinct()
         .select("vertex", pr.alias("p"))
-        .transform(truncate_plan)
+        .transform(truncate_plan_lazy)
     )
     edges = edges_clean.select("src", "dst").persist()
     mis_parts: list[DataFrame] = []
@@ -114,7 +117,16 @@ def maximal_independent_set(
                 | (F.col("p") < F.col("min_nb_p"))
             )
             .select("vertex")
-            .transform(truncate_plan)
+            # lazy in the broadcast regime: the (blocking) winners
+            # broadcast build materializes it before its other
+            # consumers run — no standalone checkpoint job. Past
+            # broadcast_rows keep eager (multiple consumers, no
+            # blocking build ⇒ double-compute risk).
+            .transform(
+                truncate_plan_lazy
+                if n_remaining <= broadcast_rows
+                else truncate_plan
+            )
         )
         mis_parts.append(winners)
         win = (
@@ -128,9 +140,10 @@ def maximal_independent_set(
                 "left_semi",
             ).select(F.col("dst").alias("vertex"))
         )
+        # lazy checkpoint + count = one driver barrier per round
         nxt = remaining.join(
             dropped, "vertex", "left_anti"
-        ).transform(truncate_plan)
+        ).transform(truncate_plan_lazy)
         n_remaining = nxt.count()
         remaining = nxt
         if n_remaining == 0:

@@ -704,6 +704,20 @@ def cosine_topk_pq_rerank(
         embeddings, k=shortlist, query_filter=query_filter,
         codebook_filter=codebook_filter,
     ).select("query_id", "neighbor_id")
+    return _pq_exact_rerank(embeddings, short, k, query_filter)
+
+
+def _pq_exact_rerank(
+    embeddings: DataFrame,
+    short: DataFrame,
+    k: int,
+    query_filter: str = QUERY_FILTER_SPARK,
+) -> DataFrame:
+    """Exact rerank of a [query_id, neighbor_id] shortlist against the
+    raw embeddings (the second half of cosine_topk_pq_rerank, split
+    out so ann_recall can reuse ONE materialized ADC ranking for both
+    the pq and pq_rerank branches — guide §1.2: don't compute the
+    codes/LUT/ADC pipeline twice for one query)."""
     e = _prepared(embeddings)
     q = e.filter(F.expr(query_filter)).select(
         F.col("vec_id").alias("query_id"),
@@ -787,12 +801,26 @@ def ann_recall(
         .select("query_id", "neighbor_id")
         .transform(truncate_plan)
     )
+    # The pq and pq_rerank branches share ONE ADC pipeline: the ranked
+    # shortlist at pq_rerank's depth (25) is materialized once, the pq
+    # branch is its rank<=k prefix (same scored set, same window — the
+    # rank filter is monotone, so rows are bit-identical to an
+    # independent cosine_topk_pq(k) call), and pq_rerank exact-reranks
+    # the same shortlist. Before: the codes/LUT/ADC pipeline (the
+    # family's dominant stages) executed twice per ann_recall run.
+    shortlist_n = max(25, k)
+    adc_ranked = cosine_topk_pq(
+        embeddings, k=shortlist_n, query_filter=query_filter
+    ).transform(truncate_plan)
     methods = {
         "ivf": cosine_topk_ivf(embeddings, k=k, query_filter=query_filter),
         "lsh": cosine_topk_lsh(embeddings, k=k, query_filter=query_filter),
-        "pq": cosine_topk_pq(embeddings, k=k, query_filter=query_filter),
-        "pq_rerank": cosine_topk_pq_rerank(
-            embeddings, k=k, query_filter=query_filter
+        "pq": adc_ranked.filter(F.col("rank") <= k),
+        "pq_rerank": _pq_exact_rerank(
+            embeddings,
+            adc_ranked.select("query_id", "neighbor_id"),
+            k,
+            query_filter,
         ),
     }
     denom = exact.agg(F.count(F.lit(1)).alias("n_exact"))

@@ -30,7 +30,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from graph500_spark.functions.plantrunc import truncate_plan
+from graph500_spark.functions.plantrunc import (
+    truncate_plan,
+    truncate_plan_lazy,
+)
 from graph500_spark.functions.sizing import resolve_shuffle_partitions
 
 DIST_SCHEMA = T.StructType(
@@ -72,7 +75,7 @@ def sssp(
 
     dist = spark.createDataFrame(
         [(int(root), 0, int(root))], schema=DIST_SCHEMA
-    ).transform(truncate_plan)
+    ).transform(truncate_plan_lazy)
     frontier = dist
     n_frontier = 1
     rounds = 0
@@ -93,10 +96,12 @@ def sssp(
                 F.col("src").alias("pred"),
             )
             # merge: per vertex keep the lexicographic-min (dist, pred).
-            # The eager checkpoint makes the state a LEAF plan — the
-            # next round references it twice (union + improvement
-            # join), so anything short of truncation grows the plan
-            # tree exponentially with round count.
+            # The checkpoint makes the state a LEAF plan — the next
+            # round references it twice (union + improvement join), so
+            # anything short of truncation grows the plan tree
+            # exponentially with round count. LAZY: the improved.count
+            # below materializes merged AND improved in ONE job — one
+            # driver barrier per round instead of two (guide §1.2/§5).
             merged = (
                 dist.unionByName(proposals)
                 .groupBy("vertex")
@@ -106,7 +111,7 @@ def sssp(
                     F.col("best.dist").alias("dist"),
                     F.col("best.pred").alias("pred"),
                 )
-                .transform(truncate_plan)
+                .transform(truncate_plan_lazy)
             )
             # improved = entries that changed this round (new vertex or
             # struct-smaller entry) — the next frontier
@@ -308,7 +313,7 @@ def sssp_multi(
     )
     dist = spark.createDataFrame(
         [(int(r), int(r), 0, int(r)) for r in roots], schema
-    ).transform(truncate_plan)
+    ).transform(truncate_plan_lazy)
     frontier = dist
     n_frontier = len(roots)
     rounds = 0
@@ -341,7 +346,8 @@ def sssp_multi(
                     F.col("best.dist").alias("dist"),
                     F.col("best.pred").alias("pred"),
                 )
-                .transform(truncate_plan)
+                # lazy: improved.count() materializes both in one job
+                .transform(truncate_plan_lazy)
             )
             old = dist.select(
                 "source",

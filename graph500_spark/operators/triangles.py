@@ -27,7 +27,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from graph500_spark.functions.plantrunc import truncate_plan
+from graph500_spark.functions.plantrunc import (
+    truncate_plan,
+    truncate_plan_lazy,
+)
 
 
 def orient_edges(edges_clean: DataFrame) -> DataFrame:
@@ -421,13 +424,15 @@ def k_truss(
             "u", "v", "lo", "hi",
             F.coalesce("support", F.lit(0)).cast("long").alias("support"),
         )
-        .transform(truncate_plan)
+        # lazy: the per-round removed.count() below materializes the
+        # state in the SAME job — one driver barrier per round
+        .transform(truncate_plan_lazy)
     )
     broadcast_rows = 2_000_000
     for _ in range(max_rounds):
         removed = cur.filter(F.col("support") < k - 2)
-        # one scalar job drives both the fixpoint test and the
-        # broadcast decision for the (shrinking) removed set
+        # one scalar job drives the fixpoint test, the broadcast
+        # decision AND the state materialization (lazy checkpoint)
         n_removed = removed.count()
         if n_removed == 0:
             return cur.select("u", "v", "support")
@@ -489,7 +494,7 @@ def k_truss(
                 .cast("long")
                 .alias("support"),
             )
-            .transform(truncate_plan)
+            .transform(truncate_plan_lazy)
         )
     raise RuntimeError(
         f"k_truss did not converge in {max_rounds} rounds"
@@ -827,7 +832,10 @@ def truss_numbers(
             "u", "v", "lo", "hi",
             F.coalesce("support", F.lit(0)).cast("long").alias("support"),
         )
-        .transform(truncate_plan)
+        # lazy: the per-round probe below materializes the state in
+        # the same job (count computes every partition, so the local
+        # checkpoint completes within the probe job)
+        .transform(truncate_plan_lazy)
     )
     spark = edges_clean.sparkSession
     assigned = spark.createDataFrame(
@@ -835,7 +843,7 @@ def truss_numbers(
     )
     k = 3
     rounds = 0
-    while not cur.isEmpty():
+    while cur.count() != 0:
         phase_parts = []
         while True:
             rounds += 1
@@ -845,7 +853,9 @@ def truss_numbers(
                     " rounds"
                 )
             removed = cur.filter(F.col("support") < k - 2)
-            if removed.isEmpty():
+            # count (not isEmpty): computes all partitions, so it both
+            # probes and completes the lazy checkpoint in one job
+            if removed.count() == 0:
                 break
             phase_parts.append(
                 removed.select(
@@ -899,7 +909,7 @@ def truss_numbers(
                     .cast("long")
                     .alias("support"),
                 )
-                .transform(truncate_plan)
+                .transform(truncate_plan_lazy)
             )
         if phase_parts:
             part = phase_parts[0]

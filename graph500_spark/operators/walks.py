@@ -26,7 +26,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from graph500_spark.functions.plantrunc import truncate_plan
+from graph500_spark.functions.plantrunc import (
+    truncate_plan,
+    truncate_plan_lazy,
+)
 
 WALK_HASH_MOD = 1000000007
 _PACK_SHIFT = 1 << 24  # neighbor ids < 2^24 in all test graphs
@@ -54,7 +57,8 @@ def random_walks(
         edges.select(F.col("src").alias("vertex"))
         .distinct()
         .withColumn("walk_id", F.col("vertex"))
-        .transform(truncate_plan)
+        # lazy checkpoint + count = one driver barrier (guide §1.2/§5)
+        .transform(truncate_plan_lazy)
     )
     n = frontier.count()
     out = frontier.select("walk_id", F.lit(0).alias("step"), "vertex")
@@ -76,10 +80,15 @@ def random_walks(
                 ).alias("pick")
             )
         )
+        # lazy when the frontier broadcasts (the blocking build
+        # materializes it before the out-union's second reference);
+        # eager otherwise — two consumers, no blocking barrier.
         frontier = packed.select(
             "walk_id",
             (F.col("pick") % F.lit(_PACK_SHIFT)).alias("vertex"),
-        ).transform(truncate_plan)
+        ).transform(
+            truncate_plan_lazy if n <= broadcast_rows else truncate_plan
+        )
         out = out.unionByName(
             frontier.select(
                 "walk_id", F.lit(step).alias("step"), "vertex"
