@@ -74,3 +74,37 @@ def resolve_shuffle_partitions(
     if need <= session:
         return None
     return derived_partitions(n)
+
+
+def widen_narrow_input(df, *keys: str, probe=None):
+    """Hash-repartition ``df`` up to ``defaultParallelism`` when its
+    current layout is NARROWER — the size-aware input for CPU-heavy
+    fan-out stages (wedge joins: guide §2.5/§1.2 step 1).
+
+    Why: a quadratic-fan-out stage (wedge enumeration) inherits its
+    task count from the input layout when the optimizer broadcasts the
+    other join sides — a persisted graph laid out at 8 partitions runs
+    the O(Σ deg²) compute on 8 of 32 cores. One linear keyed exchange
+    of the input buys full-machine parallelism for the quadratic
+    stage. A WIDE input (cluster scale: thousands of scan partitions)
+    is returned untouched — repartitioning it down to core count would
+    be the opposite of the point.
+
+    The width probe reads ``getNumPartitions()`` from ``probe``
+    (default: ``df`` itself); pass a cached/scan-rooted frame (the
+    persisted graph fixture, a checkpoint leaf) so the probe is
+    plan-compile only — no job. Keys must include the downstream join
+    key so a later shuffle join can reuse the exchange (§2.4)."""
+    from pyspark.sql import functions as F
+
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        cur = (probe if probe is not None else df).rdd.getNumPartitions()
+    except Exception:  # pragma: no cover — exotic plans: skip widening
+        return df
+    if cur >= target:
+        return df
+    if keys:
+        return df.repartition(target, *[F.col(k) for k in keys])
+    return df.repartition(target)

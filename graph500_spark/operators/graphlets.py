@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graph500_spark.functions.plantrunc import truncate_plan
+from graph500_spark.functions.sizing import widen_narrow_input
 from graph500_spark.operators.triangles import (
     _c4_wedge_counts,
     _k4_hinge_count,
@@ -56,7 +57,12 @@ def graphlet_census_4(edges_clean: DataFrame) -> DataFrame:
     deg = edges_clean.groupBy(F.col("src").alias("vertex")).agg(
         F.count(F.lit(1)).cast("long").alias("degree")
     )
-    oriented = orient_edges(edges_clean).transform(truncate_plan)
+    # widen the shared oriented table to full machine parallelism
+    # when the input fixture is laid out narrower — every wedge branch
+    # (triangles / C4 / K4) inherits this layout (guide §2.5)
+    oriented = widen_narrow_input(
+        orient_edges(edges_clean), "lo", probe=edges_clean
+    ).transform(truncate_plan)
 
     # --- triangles once, shared by T / T(v) / sup(e) / K4 ---
     ab = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("b"))

@@ -53,6 +53,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graph500_spark.functions.plantrunc import truncate_plan
+from graph500_spark.functions.sizing import widen_narrow_input
 
 AA_TOPK = 100
 
@@ -77,7 +78,14 @@ def _center_terms(edges: DataFrame, weighted: bool = True) -> DataFrame:
 def _scored_pairs(edges: DataFrame, terms: DataFrame) -> DataFrame:
     """[u, v, n_common, score_q] for u < v, summed over the given
     center set: ONE self-equi-join of the symmetric edge list on the
-    center (u < v kills mirror duplicates), center terms broadcast."""
+    center (u < v kills mirror duplicates), center terms broadcast.
+
+    The wedge join's O(Σ deg²) fan-out stage inherits its task count
+    from the edge layout when the other sides broadcast — a narrow
+    persisted fixture would run the quadratic compute on a fraction of
+    the machine. One linear keyed exchange widens it to full
+    parallelism (guide §2.5); wide inputs pass through untouched."""
+    edges = widen_narrow_input(edges, "src")
     centers = terms.select("z", "term_q")
     zu = edges.select(F.col("src").alias("z"), F.col("dst").alias("u"))
     zv = edges.select(F.col("src").alias("z"), F.col("dst").alias("v"))

@@ -31,6 +31,7 @@ from graph500_spark.functions.plantrunc import (
     truncate_plan,
     truncate_plan_lazy,
 )
+from graph500_spark.functions.sizing import widen_narrow_input
 
 
 def orient_edges(edges_clean: DataFrame) -> DataFrame:
@@ -64,7 +65,14 @@ def triangles(edges_clean: DataFrame) -> DataFrame:
     across plan branches, so without the cache the whole
     clean→degree→orient subtree (2 shuffles + the source scan) runs
     three times."""
-    oriented = orient_edges(edges_clean).persist()
+    # The wedge join's fan-out stage inherits the oriented table's
+    # layout when the other branches broadcast; a narrow persisted
+    # fixture would run the O(|E|^{3/2}) compute on a fraction of the
+    # machine — widen to full parallelism before the persist, probing
+    # the INPUT layout (cached fixture: plan-only, no job; guide §2.5).
+    oriented = widen_narrow_input(
+        orient_edges(edges_clean), "lo", probe=edges_clean
+    ).persist()
     ab = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     bc = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
     ac = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
@@ -146,6 +154,9 @@ def common_neighbors_topk(
         edges = edges.join(
             centers.withColumnRenamed("w", "src"), "src", "left_semi"
         )
+    # full-machine width for the quadratic wedge stage when the
+    # fixture layout is narrower (guide §2.5; probe is plan-only)
+    edges = widen_narrow_input(edges, "src", probe=edges_clean)
     a = edges.select(F.col("src").alias("w"), F.col("dst").alias("u"))
     b = edges.select(F.col("src").alias("w"), F.col("dst").alias("v"))
     wedges = a.join(b, "w").filter(F.col("u") < F.col("v"))
@@ -257,6 +268,7 @@ def jaccard_topk(
             F.col("vertex").alias("src")
         )
         centers = edges.join(ok, "src", "left_semi")
+    centers = widen_narrow_input(centers, "src", probe=edges_clean)
     a = centers.select(F.col("src").alias("w"), F.col("dst").alias("u"))
     b = centers.select(F.col("src").alias("w"), F.col("dst").alias("v"))
     cn = (
@@ -371,7 +383,9 @@ def edge_support(edges_half: DataFrame) -> DataFrame:
     the oriented set is materialized once because it feeds all three
     wedge-join branches."""
     return _edge_support_oriented(
-        _orient_half(edges_half).transform(truncate_plan)
+        widen_narrow_input(
+            _orient_half(edges_half), "lo", probe=edges_half
+        ).transform(truncate_plan)
     )
 
 
@@ -413,7 +427,9 @@ def k_truss(
         .select(F.col("src").alias("u"), F.col("dst").alias("v"))
     )
     half_or = _orient_half(half).transform(truncate_plan)
-    sup = _edge_support_oriented(half_or)
+    # the one-shot O(|E|^{3/2}) support pass gets full-machine width
+    # (guide §2.5); the loop state keeps the input layout
+    sup = _edge_support_oriented(widen_narrow_input(half_or, "lo"))
     # LEFT join + coalesce(0): triangle-free edges must enter the peel
     # with support 0 (k=2 ⇒ the 2-truss is the whole graph; an inner
     # join would silently drop them — only coincidentally harmless for
@@ -825,7 +841,7 @@ def truss_numbers(
         .select(F.col("src").alias("u"), F.col("dst").alias("v"))
     )
     half_or = _orient_half(half).transform(truncate_plan)
-    sup = _edge_support_oriented(half_or)
+    sup = _edge_support_oriented(widen_narrow_input(half_or, "lo"))
     cur = (
         half_or.join(sup, ["u", "v"], "left")
         .select(
