@@ -100,7 +100,9 @@ def main() -> int:
     from graph500_spark.operators.graph_build import build_clean_edges
     from graph500_spark.sources.generator import generate_kronecker_edges
 
-    kron16 = build_clean_edges(generate_kronecker_edges(spark, 16, 16)).persist()
+    kron16 = build_clean_edges(
+        generate_kronecker_edges(spark, 16, 16), max_id=(1 << 16) - 1
+    ).persist()
     kron16.count()
 
     # Construct-once mod997 graphs for the iterative family (timed
@@ -627,7 +629,9 @@ def _heavy_tier(spark, sf_dir: str) -> dict[str, float]:
     holder: dict[str, object] = {}
 
     def gen_construct():
-        g = build_clean_edges(generate_kronecker_edges(spark, 20, 16))
+        g = build_clean_edges(
+            generate_kronecker_edges(spark, 20, 16), max_id=(1 << 20) - 1
+        )
         g = g.persist()
         g.count()
         holder["g20"] = g
@@ -652,7 +656,7 @@ def _heavy_tier(spark, sf_dir: str) -> dict[str, float]:
             raw = generate_kronecker_edges(spark, 22, 16).persist()
             raw.count()
             holder["raw22"] = raw
-            g = build_clean_edges(raw).persist()
+            g = build_clean_edges(raw, max_id=(1 << 22) - 1).persist()
             g.count()
             holder["g22"] = g
 
@@ -696,7 +700,7 @@ def _heavy_tier(spark, sf_dir: str) -> dict[str, float]:
             raw = generate_kronecker_edges(spark, 24, 16).persist()
             raw.count()
             holder["raw24"] = raw
-            g = build_clean_edges(raw).persist()
+            g = build_clean_edges(raw, max_id=(1 << 24) - 1).persist()
             holder["n24"] = g.count()
             holder["g24"] = g
 
@@ -755,7 +759,7 @@ def _heavy_tier(spark, sf_dir: str) -> dict[str, float]:
             return graphlet_census_4(g).collect()
 
         g14 = build_clean_edges(
-            generate_kronecker_edges(spark, 14, 16)
+            generate_kronecker_edges(spark, 14, 16), max_id=(1 << 14) - 1
         ).persist()
         g14.count()
         for name, fn in (
@@ -1088,7 +1092,9 @@ def _kron(spark) -> int:
     from graph500_spark.operators.graph_build import build_clean_edges
     from graph500_spark.sources.generator import generate_kronecker_edges
 
-    return build_clean_edges(generate_kronecker_edges(spark, 14, 16)).count()
+    return build_clean_edges(
+        generate_kronecker_edges(spark, 14, 16), max_id=(1 << 14) - 1
+    ).count()
 
 
 def _bfs16(spark, kron16) -> int:

@@ -37,6 +37,10 @@ from graph500_spark.functions.plantrunc import (
     truncate_plan,
     truncate_plan_lazy,
 )
+from graph500_spark.functions.confscope import (
+    acquire_scoped_conf,
+    release_scoped_conf,
+)
 from graph500_spark.functions.sizing import resolve_shuffle_partitions
 
 PRED_SCHEMA = T.StructType(
@@ -107,8 +111,10 @@ def bfs(
     )
     saved_sp = None
     if sp_override is not None:
-        saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(sp_override))
+        # lock + set: conf scoping serializes across driver threads
+        saved_sp = acquire_scoped_conf(
+            spark, "spark.sql.shuffle.partitions", sp_override
+        )
 
     frontier = spark.createDataFrame(
         [(int(root), int(root), 0)], schema=PRED_SCHEMA
@@ -172,8 +178,9 @@ def bfs(
             n_reached += n_new
             frontier = new_frontier
     finally:
-        if saved_sp is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
+        release_scoped_conf(
+            spark, "spark.sql.shuffle.partitions", saved_sp
+        )
         if prepartition:
             edges.unpersist()
     return reached
@@ -247,8 +254,10 @@ def bfs_multi(
     )
     saved_sp = None
     if sp_override is not None:
-        saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(sp_override))
+        # lock + set: conf scoping serializes across driver threads
+        saved_sp = acquire_scoped_conf(
+            spark, "spark.sql.shuffle.partitions", sp_override
+        )
 
     if with_pred:
         frontier = spark.createDataFrame(
@@ -321,8 +330,9 @@ def bfs_multi(
             n_reached += n_new
             frontier = new_frontier
     finally:
-        if saved_sp is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
+        release_scoped_conf(
+            spark, "spark.sql.shuffle.partitions", saved_sp
+        )
         if prepartition:
             edges.unpersist()
     return reached

@@ -58,6 +58,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graph500_spark.operators.text import TOKEN_REGEX
+from graph500_spark.functions.confscope import (
+    acquire_scoped_conf,
+    release_scoped_conf,
+)
 from graph500_spark.functions.plantrunc import truncate_plan
 
 END_OF_WORD = "</w>"
@@ -143,11 +147,20 @@ def bpe_learn(
     # rows ≈ a few × distinct words) — amortized over every round.
     # Both settings restored in finally.
     n_words = words.count()
-    saved_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    loop_sp = max(4, min(int(saved_sp), n_words // 500_000 + 4))
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", str(loop_sp))
+    # lock + set: conf scoping serializes across driver threads
+    saved_aqe = acquire_scoped_conf(
+        spark, "spark.sql.adaptive.enabled", "false"
+    )
+    loop_sp = max(
+        4,
+        min(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            n_words // 500_000 + 4,
+        ),
+    )
+    saved_sp = acquire_scoped_conf(
+        spark, "spark.sql.shuffle.partitions", loop_sp
+    )
     try:
         for rank in range(num_merges):
             pairs = (
@@ -182,8 +195,12 @@ def bpe_learn(
                 words = words.transform(truncate_plan)
         words = words.transform(truncate_plan)
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
-        spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
+        release_scoped_conf(
+            spark, "spark.sql.shuffle.partitions", saved_sp
+        )
+        release_scoped_conf(
+            spark, "spark.sql.adaptive.enabled", saved_aqe
+        )
     merges_df = spark.createDataFrame(
         merges,
         "rank: int, left: string, right: string, merged: string,"

@@ -33,6 +33,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from graph500_spark.functions.confscope import (
+    acquire_scoped_conf,
+    release_scoped_conf,
+)
 from graph500_spark.functions.plantrunc import (
     truncate_plan,
     truncate_plan_lazy,
@@ -63,9 +67,8 @@ def betweenness_sampled(
     """
     saved_sp = None
     if shuffle_partitions is not None:
-        saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set(
-            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        saved_sp = acquire_scoped_conf(
+            spark, "spark.sql.shuffle.partitions", shuffle_partitions
         )
     try:
         edges = edges_clean.select("src", "dst").persist()
@@ -217,8 +220,9 @@ def betweenness_sampled(
             F.sum("delta_q").cast("long").alias("bc_q")
         )
     finally:
-        if saved_sp is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
+        release_scoped_conf(
+            spark, "spark.sql.shuffle.partitions", saved_sp
+        )
 
 
 def betweenness_sampled_sql(

@@ -24,6 +24,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from graph500_spark.functions.confscope import (
+    acquire_scoped_conf,
+    release_scoped_conf,
+)
 from graph500_spark.functions.plantrunc import (
     truncate_plan,
     truncate_plan_lazy,
@@ -46,8 +50,9 @@ def connected_components(
 
     saved_sp = None
     if shuffle_partitions is not None:
-        saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        saved_sp = acquire_scoped_conf(
+            spark, "spark.sql.shuffle.partitions", shuffle_partitions
+        )
 
     # lazy checkpoint + count = one driver barrier (guide §1.2/§5)
     labels = (
@@ -116,8 +121,9 @@ def connected_components(
             n_frontier = n_new
             old_labels.unpersist()
     finally:
-        if saved_sp is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
+        release_scoped_conf(
+            spark, "spark.sql.shuffle.partitions", saved_sp
+        )
     return labels.select("vertex", F.col("label").alias("component"))
 
 
@@ -150,8 +156,9 @@ def connected_components_stars(
     each leaf's center off its star edge."""
     saved_sp = None
     if shuffle_partitions is not None:
-        saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        saved_sp = acquire_scoped_conf(
+            spark, "spark.sql.shuffle.partitions", shuffle_partitions
+        )
 
     verts = (
         edges_clean.select(F.col("src").alias("vertex"))
@@ -221,8 +228,9 @@ def connected_components_stars(
             ).alias("component"),
         )
     finally:
-        if saved_sp is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
+        release_scoped_conf(
+            spark, "spark.sql.shuffle.partitions", saved_sp
+        )
 
 
 # ---------------------------------------------------------------------------

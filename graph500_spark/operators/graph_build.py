@@ -155,7 +155,9 @@ def apply_vertex_map(
     )
 
 
-def build_clean_edges(edges_raw: DataFrame) -> DataFrame:
+def build_clean_edges(
+    edges_raw: DataFrame, max_id: int | None = None
+) -> DataFrame:
     """Construction pipeline core: loop-filter → dedup → symmetrize.
 
     Output invariants (FIXTURES.md §1.3): no self loops, (src,dst)
@@ -176,12 +178,28 @@ def build_clean_edges(edges_raw: DataFrame) -> DataFrame:
     the exchange's partition count and co-locates (a,b) with (b,a).
     Falls back to the original order when payload columns are present
     (canonical flipping would have to pick which payload row survives).
+
+    ``max_id`` (guide §2.3 narrower types, round 13): when the caller
+    PROVES every vertex id fits an int32 (generators know it — ids at
+    SCALE s are < 2^s, so any s ≤ 30 qualifies), the rows crossing the
+    one construction exchange are cast to int32 — half the shuffled
+    key bytes and half the dedup hash-table width — and cast back to
+    the declared LongType after the in-partition symmetrize, so the
+    output schema and values are bit-identical (int32 casts are exact
+    below 2^31, dedup on the casted pairs equals dedup on the longs
+    because the cast is injective there). Ignored on payload inputs.
     """
+    narrow = max_id is not None and 0 <= int(max_id) < 2**31
     if set(edges_raw.columns) == {"src", "dst"}:
         canonical = remove_self_loops(edges_raw).select(
             F.least("src", "dst").alias("src"),
             F.greatest("src", "dst").alias("dst"),
         )
+        if narrow:
+            canonical = canonical.select(
+                F.col("src").cast("int").alias("src"),
+                F.col("dst").cast("int").alias("dst"),
+            )
         both = F.explode(
             F.array(
                 F.struct(F.col("src"), F.col("dst")),
@@ -190,11 +208,17 @@ def build_clean_edges(edges_raw: DataFrame) -> DataFrame:
                 ),
             )
         )
-        return (
+        out = (
             dedup_edges(canonical)
             .select(both.alias("e"))
             .select("e.src", "e.dst")
         )
+        if narrow:
+            out = out.select(
+                F.col("src").cast("long").alias("src"),
+                F.col("dst").cast("long").alias("dst"),
+            )
+        return out
     return dedup_edges(symmetrize(remove_self_loops(edges_raw)))
 
 

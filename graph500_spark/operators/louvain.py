@@ -74,6 +74,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from graph500_spark.functions.confscope import (
+    acquire_scoped_conf,
+    release_scoped_conf,
+)
 from graph500_spark.functions.plantrunc import (
     truncate_plan,
     truncate_plan_lazy,
@@ -104,9 +108,8 @@ def louvain_communities(
     assignments, so argmax ranking is unaffected."""
     saved_sp = None
     if shuffle_partitions is not None:
-        saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set(
-            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        saved_sp = acquire_scoped_conf(
+            spark, "spark.sql.shuffle.partitions", shuffle_partitions
         )
     try:
         wcol = (
@@ -310,8 +313,9 @@ def louvain_communities(
         edges.unpersist()
         return best_comm.select("vertex", "community")
     finally:
-        if saved_sp is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
+        release_scoped_conf(
+            spark, "spark.sql.shuffle.partitions", saved_sp
+        )
 
 
 def louvain_quality(

@@ -36,6 +36,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graph500_spark.operators.components import connected_components
+from graph500_spark.functions.confscope import (
+    acquire_scoped_conf,
+    release_scoped_conf,
+)
 from graph500_spark.functions.plantrunc import (
     truncate_plan,
     truncate_plan_lazy,
@@ -56,144 +60,146 @@ def minimum_spanning_forest(
     tree per connected component (V_c − 1 edges each)."""
     saved_sp = None
     if shuffle_partitions is not None:
-        saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set(
-            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        saved_sp = acquire_scoped_conf(
+            spark, "spark.sql.shuffle.partitions", shuffle_partitions
         )
+    try:
 
-    edges = (
-        edges_weighted.select(
-            F.least("src", "dst").alias("lo"),
-            F.greatest("src", "dst").alias("hi"),
-            F.col("weight").cast("long").alias("weight"),
-        )
-        .filter(F.col("lo") != F.col("hi"))
-        .transform(truncate_plan)
-    )
-
-    comp = (
-        edges.select(F.col("lo").alias("vertex"))
-        .unionByName(edges.select(F.col("hi").alias("vertex")))
-        .distinct()
-        .withColumn("comp", F.col("vertex"))
-        .transform(truncate_plan_lazy)
-    )
-
-    forest_parts: list[DataFrame] = []
-    # |V| is loop-invariant; comp is a stat-less checkpoint leaf, so
-    # the driver injects broadcast() on the label sides while the
-    # vertex table fits — otherwise both labeling joins shuffle the
-    # (weighted) edge table every Boruvka round (bfs.py discipline;
-    # falls back to shuffle joins past broadcast_rows).
-    n_vertices = comp.count()
-    small = n_vertices <= broadcast_rows
-
-    def bc(df):
-        return F.broadcast(df) if small else df
-
-    for _round in range(max_rounds):
-        lab = comp.withColumnRenamed("vertex", "lo").withColumnRenamed(
-            "comp", "c_lo"
-        )
-        labh = comp.withColumnRenamed("vertex", "hi").withColumnRenamed(
-            "comp", "c_hi"
-        )
-        e = (
-            edges.join(bc(lab), "lo")
-            .join(bc(labh), "hi")
-            .filter(F.col("c_lo") != F.col("c_hi"))
-        )
-        # candidates from both endpoints; min under the strict total
-        # edge order (weight, lo, hi) — c_lo/c_hi ride along uniquely
-        cand = e.select(
-            F.col("c_lo").alias("comp"),
-            F.struct("weight", "lo", "hi", "c_lo", "c_hi").alias("edge"),
-        ).unionByName(
-            e.select(
-                F.col("c_hi").alias("comp"),
-                F.struct("weight", "lo", "hi", "c_lo", "c_hi").alias(
-                    "edge"
-                ),
+        edges = (
+            edges_weighted.select(
+                F.least("src", "dst").alias("lo"),
+                F.greatest("src", "dst").alias("hi"),
+                F.col("weight").cast("long").alias("weight"),
             )
+            .filter(F.col("lo") != F.col("hi"))
+            .transform(truncate_plan)
         )
-        selected = (
-            cand.groupBy("comp")
-            .agg(F.min("edge").alias("edge"))
-            .select("edge.*")
+
+        comp = (
+            edges.select(F.col("lo").alias("vertex"))
+            .unionByName(edges.select(F.col("hi").alias("vertex")))
             .distinct()
-            # lazy checkpoint + count = one driver barrier per round
+            .withColumn("comp", F.col("vertex"))
             .transform(truncate_plan_lazy)
         )
-        n_sel = selected.count()
-        if n_sel == 0:
-            break
-        forest_parts.append(selected.select("lo", "hi", "weight"))
 
-        # merge the selected component pairs. The pair graph shrinks
-        # geometrically (one selected edge per component), so once it
-        # is driver-small the merge is a bounded union-find over the
-        # collected pairs — identical labels to the distributed CC
-        # (root = min id of the merged cluster) at zero per-superstep
-        # scheduling cost; past the threshold the nested CC runs as
-        # before (the 100 TB path for the first rounds).
-        if n_sel <= 200_000:
-            pairs = selected.select("c_lo", "c_hi").collect()
-            parent: dict[int, int] = {}
+        forest_parts: list[DataFrame] = []
+        # |V| is loop-invariant; comp is a stat-less checkpoint leaf, so
+        # the driver injects broadcast() on the label sides while the
+        # vertex table fits — otherwise both labeling joins shuffle the
+        # (weighted) edge table every Boruvka round (bfs.py discipline;
+        # falls back to shuffle joins past broadcast_rows).
+        n_vertices = comp.count()
+        small = n_vertices <= broadcast_rows
 
-            def find(x: int) -> int:
-                r = x
-                while parent.get(r, r) != r:
-                    r = parent[r]
-                while parent.get(x, x) != x:
-                    parent[x], x = r, parent[x]
-                return r
+        def bc(df):
+            return F.broadcast(df) if small else df
 
-            for p in pairs:
-                ra, rb = find(int(p["c_lo"])), find(int(p["c_hi"]))
-                if ra != rb:
-                    # larger root points at smaller: the cluster min
-                    # is always a root, so find() = min of cluster —
-                    # exactly the CC labeling
-                    parent[max(ra, rb)] = min(ra, rb)
-            mapping = sorted(
-                (c, find(c))
-                for c in {
-                    int(v)
-                    for p in pairs
-                    for v in (p["c_lo"], p["c_hi"])
-                }
+        for _round in range(max_rounds):
+            lab = comp.withColumnRenamed("vertex", "lo").withColumnRenamed(
+                "comp", "c_lo"
             )
-            merge_map = spark.createDataFrame(
-                mapping, "old_comp long, new_comp long"
+            labh = comp.withColumnRenamed("vertex", "hi").withColumnRenamed(
+                "comp", "c_hi"
             )
-        else:
-            pair = selected.select(
-                F.col("c_lo").alias("src"), F.col("c_hi").alias("dst")
+            e = (
+                edges.join(bc(lab), "lo")
+                .join(bc(labh), "hi")
+                .filter(F.col("c_lo") != F.col("c_hi"))
             )
-            pair_sym = pair.unionByName(
-                pair.select(
-                    F.col("dst").alias("src"), F.col("src").alias("dst")
+            # candidates from both endpoints; min under the strict total
+            # edge order (weight, lo, hi) — c_lo/c_hi ride along uniquely
+            cand = e.select(
+                F.col("c_lo").alias("comp"),
+                F.struct("weight", "lo", "hi", "c_lo", "c_hi").alias("edge"),
+            ).unionByName(
+                e.select(
+                    F.col("c_hi").alias("comp"),
+                    F.struct("weight", "lo", "hi", "c_lo", "c_hi").alias(
+                        "edge"
+                    ),
                 )
-            ).distinct()
-            merge_map = connected_components(spark, pair_sym).select(
-                F.col("vertex").alias("old_comp"),
-                F.col("component").alias("new_comp"),
             )
-        comp = (
-            comp.join(
-                bc(merge_map), comp.comp == merge_map.old_comp, "left"
+            selected = (
+                cand.groupBy("comp")
+                .agg(F.min("edge").alias("edge"))
+                .select("edge.*")
+                .distinct()
+                # lazy checkpoint + count = one driver barrier per round
+                .transform(truncate_plan_lazy)
             )
-            .select(
-                "vertex",
-                F.coalesce("new_comp", "comp").alias("comp"),
-            )
-            # lazy in the broadcast regime (next round's blocking
-            # label-broadcast build materializes it); eager otherwise
-            .transform(truncate_plan_lazy if small else truncate_plan)
-        )
+            n_sel = selected.count()
+            if n_sel == 0:
+                break
+            forest_parts.append(selected.select("lo", "hi", "weight"))
 
-    if saved_sp is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
+            # merge the selected component pairs. The pair graph shrinks
+            # geometrically (one selected edge per component), so once it
+            # is driver-small the merge is a bounded union-find over the
+            # collected pairs — identical labels to the distributed CC
+            # (root = min id of the merged cluster) at zero per-superstep
+            # scheduling cost; past the threshold the nested CC runs as
+            # before (the 100 TB path for the first rounds).
+            if n_sel <= 200_000:
+                pairs = selected.select("c_lo", "c_hi").collect()
+                parent: dict[int, int] = {}
+
+                def find(x: int) -> int:
+                    r = x
+                    while parent.get(r, r) != r:
+                        r = parent[r]
+                    while parent.get(x, x) != x:
+                        parent[x], x = r, parent[x]
+                    return r
+
+                for p in pairs:
+                    ra, rb = find(int(p["c_lo"])), find(int(p["c_hi"]))
+                    if ra != rb:
+                        # larger root points at smaller: the cluster min
+                        # is always a root, so find() = min of cluster —
+                        # exactly the CC labeling
+                        parent[max(ra, rb)] = min(ra, rb)
+                mapping = sorted(
+                    (c, find(c))
+                    for c in {
+                        int(v)
+                        for p in pairs
+                        for v in (p["c_lo"], p["c_hi"])
+                    }
+                )
+                merge_map = spark.createDataFrame(
+                    mapping, "old_comp long, new_comp long"
+                )
+            else:
+                pair = selected.select(
+                    F.col("c_lo").alias("src"), F.col("c_hi").alias("dst")
+                )
+                pair_sym = pair.unionByName(
+                    pair.select(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    )
+                ).distinct()
+                merge_map = connected_components(spark, pair_sym).select(
+                    F.col("vertex").alias("old_comp"),
+                    F.col("component").alias("new_comp"),
+                )
+            comp = (
+                comp.join(
+                    bc(merge_map), comp.comp == merge_map.old_comp, "left"
+                )
+                .select(
+                    "vertex",
+                    F.coalesce("new_comp", "comp").alias("comp"),
+                )
+                # lazy in the broadcast regime (next round's blocking
+                # label-broadcast build materializes it); eager otherwise
+                .transform(truncate_plan_lazy if small else truncate_plan)
+            )
+
+    finally:
+        release_scoped_conf(
+            spark, "spark.sql.shuffle.partitions", saved_sp
+        )
 
     if not forest_parts:
         return edges.select(

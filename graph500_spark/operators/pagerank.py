@@ -31,6 +31,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from graph500_spark.functions.confscope import (
+    acquire_scoped_conf,
+    release_scoped_conf,
+)
 from graph500_spark.functions.plantrunc import (
     truncate_plan,
     truncate_plan_lazy,
@@ -66,8 +70,9 @@ def pagerank(
 
     saved_sp = None
     if shuffle_partitions is not None:
-        saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        saved_sp = acquire_scoped_conf(
+            spark, "spark.sql.shuffle.partitions", shuffle_partitions
+        )
 
     try:
         # Out-degrees double as the vertex universe (symmetrized graph:
@@ -148,5 +153,6 @@ def pagerank(
         edges.unpersist()
         return out
     finally:
-        if saved_sp is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
+        release_scoped_conf(
+            spark, "spark.sql.shuffle.partitions", saved_sp
+        )

@@ -37,6 +37,10 @@ from collections.abc import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from graph500_spark.functions.confscope import (
+    acquire_scoped_conf,
+    release_scoped_conf,
+)
 from graph500_spark.functions.plantrunc import (
     truncate_plan,
     truncate_plan_lazy,
@@ -71,8 +75,9 @@ def pregel(
     )
     saved_sp = None
     if sp_override is not None:
-        saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(sp_override))
+        saved_sp = acquire_scoped_conf(
+            spark, "spark.sql.shuffle.partitions", sp_override
+        )
     # lazy checkpoint + count = one driver barrier (guide §1.2/§5)
     state = vertices.transform(truncate_plan_lazy)
     n_state = state.count()
@@ -123,8 +128,9 @@ def pregel(
         edges.unpersist()
         return state
     finally:
-        if saved_sp is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
+        release_scoped_conf(
+            spark, "spark.sql.shuffle.partitions", saved_sp
+        )
 
 
 def label_propagation(

@@ -30,6 +30,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from graph500_spark.functions.confscope import (
+    acquire_scoped_conf,
+    release_scoped_conf,
+)
 from graph500_spark.functions.plantrunc import (
     truncate_plan,
     truncate_plan_lazy,
@@ -70,8 +74,9 @@ def sssp(
     )
     saved_sp = None
     if sp_override is not None:
-        saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(sp_override))
+        saved_sp = acquire_scoped_conf(
+            spark, "spark.sql.shuffle.partitions", sp_override
+        )
 
     dist = spark.createDataFrame(
         [(int(root), 0, int(root))], schema=DIST_SCHEMA
@@ -152,8 +157,9 @@ def sssp(
         # this each invocation leaks one persisted frontier
         if frontier is not dist:
             frontier.unpersist()
-        if saved_sp is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
+        release_scoped_conf(
+            spark, "spark.sql.shuffle.partitions", saved_sp
+        )
     return dist
 
 
@@ -303,9 +309,8 @@ def sssp_multi(
     )
     saved_sp = None
     if sp_override is not None:
-        saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set(
-            "spark.sql.shuffle.partitions", str(sp_override)
+        saved_sp = acquire_scoped_conf(
+            spark, "spark.sql.shuffle.partitions", sp_override
         )
 
     schema = (
@@ -383,6 +388,7 @@ def sssp_multi(
         # same per-invocation frontier-leak fix as sssp() above
         if frontier is not dist:
             frontier.unpersist()
-        if saved_sp is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
+        release_scoped_conf(
+            spark, "spark.sql.shuffle.partitions", saved_sp
+        )
     return dist

@@ -101,9 +101,28 @@ def run_corpus_pipeline(
         }
         return rec, df
 
+    # Session confs the engine's loop operators scope-and-restore
+    # (shuffle width, AQE). Scoping is SESSION-wide, so a pooled stage
+    # calling a conf-scoping operator would race its siblings' plans —
+    # today no corpus-stage operator scopes confs, and this guard
+    # keeps it that way: the rank snapshot must match after every
+    # pooled stage, so the first stage that leaks (or visibly flips)
+    # a guarded conf fails loudly instead of silently re-planning its
+    # neighbours. (A transient scope inside one build can still race;
+    # the contract is "no conf scoping under the pool" — enforced by
+    # tests/test_corpus_runner.py's pooled-scoping test.)
+    _GUARDED_CONFS = (
+        "spark.sql.shuffle.partitions",
+        "spark.sql.adaptive.enabled",
+    )
+
+    def _conf_snapshot() -> dict[str, str]:
+        return {k: spark.conf.get(k) for k in _GUARDED_CONFS}
+
     def run_rank(stages: list[tuple[str, object]]) -> dict[str, DataFrame]:
         """Run one dependency rank's stages concurrently; record their
         results in the declared (deterministic) order."""
+        before = _conf_snapshot()
         with ThreadPoolExecutor(max_workers=len(stages)) as pool:
             futs = [(name, pool.submit(run_stage, name, build))
                     for name, build in stages]
@@ -112,6 +131,13 @@ def run_corpus_pipeline(
                 rec, df = fut.result()
                 result.stages.append(rec)
                 out[name] = df
+        after = _conf_snapshot()
+        if after != before:
+            raise RuntimeError(
+                "corpus pipeline rank mutated session confs under the"
+                f" thread pool (unsafe with overlapped stages): "
+                f"{before} -> {after}"
+            )
         return out
 
     def annotations():

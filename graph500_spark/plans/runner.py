@@ -91,7 +91,11 @@ def run_benchmark(
     edges_raw = edges_raw.persist()
     edges_raw.count()  # materialize once (generation phase)
 
-    edges_clean = graph_build.build_clean_edges(edges_raw).persist()
+    # ids at SCALE s are < 2^s: the proven bound lets construction
+    # narrow the dedup exchange to int32 below 2^31 (graph_build)
+    edges_clean = graph_build.build_clean_edges(
+        edges_raw, max_id=nverts - 1
+    ).persist()
     # construction phase; the count also feeds the BFS loops' "auto"
     # shuffle sizing (functions/sizing.py — a no-op until clean |E|
     # exceeds session_width × 2M rows, i.e. the s24-class rungs)

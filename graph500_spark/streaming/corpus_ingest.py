@@ -29,7 +29,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from graph500_spark.operators import corpus as corpus_mod
 from graph500_spark.operators import text as tx
-from graph500_spark.functions.plantrunc import truncate_plan
+from graph500_spark.functions.plantrunc import truncate_plan_lazy
 
 DOC_SCHEMA = T.StructType(
     [
@@ -160,18 +160,28 @@ def start_corpus_ingest(
         # below reads the cache, so the batch computes exactly once
         new_hashes.write.mode("append").parquet(accepted_out)
         prev = state["accepted"]
-        # localCheckpoint (eager) rather than persist: truncates the
-        # per-batch union lineage so plan size stays O(1) over a long
-        # stream; losing an executor costs a rebuild from the sink
-        # (the recovery path that exists anyway), not correctness.
+        # localCheckpoint rather than persist: truncates the per-batch
+        # union lineage so plan size stays O(1) over a long stream;
+        # losing an executor costs a rebuild from the sink (the
+        # recovery path that exists anyway), not correctness. LAZY
+        # (round 13): the next batch's anti-join broadcast build
+        # materializes it — one fewer standalone job per micro-batch
+        # (per-batch driver fixed costs are the measured wall floor).
         grown = (
             new_hashes.select("text_hash")
             if prev is None
             else prev.union(new_hashes.select("text_hash"))
-        ).transform(truncate_plan)
+        ).transform(truncate_plan_lazy)
+        # ONE job: materializes the lazy checkpoint AND reads the new
+        # state total (batch hashes are distinct and anti-joined
+        # against prev, so |grown| = |prev| + |new|) — the old shape
+        # paid a checkpoint job plus a separate count. Counting BEFORE
+        # the unpersists below also pins correctness: grown's lineage
+        # reads the new_hashes cache, which must not be dropped until
+        # the checkpoint holds the rows.
+        state["n"] = grown.count()
         if prev is not None:
             prev.unpersist()
-        state["n"] += new_hashes.count()  # cached leaf; feeds the hint
         new_hashes.unpersist()
         state["accepted"] = grown
 

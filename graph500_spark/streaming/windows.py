@@ -1319,6 +1319,11 @@ def value_histogram_equidepth_sql(k: int = HIST_BUCKETS) -> str:
 
 MARKOV_SCALE = 1_000_000
 MARKOV_ITERS = 20
+# driver-finish guard: collect the k x k transition table only while
+# both the state count and the actual transition-row count are
+# driver-bounded; past either, the distributed pregel loop runs
+MARKOV_MAX_DRIVER_STATES = 100_000
+MARKOV_MAX_DRIVER_ROWS = 2_000_000
 
 
 def markov_stationary(
@@ -1353,42 +1358,85 @@ def markov_stationary(
     totals = counts.groupBy("from_type").agg(
         F.sum("n_transitions").cast("long").alias("r")
     )
-    edges = (
-        counts.join(totals, "from_type")
-        .select(
-            F.col("from_type").alias("src"),
-            F.col("to_type").alias("dst"),
-            F.col("n_transitions").cast("long").alias("n"),
-            "r",
-        )
-        .collect()
+    edges_df = counts.join(totals, "from_type").select(
+        F.col("from_type").alias("src"),
+        F.col("to_type").alias("dst"),
+        F.col("n_transitions").cast("long").alias("n"),
+        "r",
     )
-    types = sorted(
-        r["vertex"]
-        for r in events.select(F.col("event_type").alias("vertex"))
-        .distinct()
-        .collect()
+    # Guarded driver finish: the collect is justified by the bounded
+    # categorical domain, but nothing used to ENFORCE the bound — a
+    # high-cardinality event_type would OOM the driver. One scalar job
+    # reads |types| and the transition-row count; past the guard the
+    # loop runs distributed (the pre-round-12 pregel form, bit-
+    # identical arithmetic), exactly the MST threshold+fallback shape.
+    scal = (
+        events.agg(F.count_distinct("event_type").alias("k"))
+        .crossJoin(edges_df.agg(F.count(F.lit(1)).alias("ne")))
+        .first()
     )
-    k = len(types)
+    k, n_edge_rows = int(scal["k"] or 0), int(scal["ne"] or 0)
     if k == 0:
         # empty events table: return the empty mix like sibling
         # operators instead of dividing by zero below
         return spark.createDataFrame(
             [], "event_type string, p_micro bigint"
         )
-    p = {t: MARKOV_SCALE // k for t in types}
-    for _ in range(n_iterations):
-        msg: dict[str, int] = {}
-        for e in edges:
-            # (p_q * n) div r — truncating integer division, all
-            # operands non-negative: identical to the SQL `div`
-            msg[e["dst"]] = msg.get(e["dst"], 0) + (
-                p[e["src"]] * e["n"]
-            ) // e["r"]
-        p = {t: msg.get(t, 0) for t in types}
-    return spark.createDataFrame(
-        [(t, int(p[t])) for t in types],
-        "event_type string, p_micro bigint",
+    if (
+        k <= MARKOV_MAX_DRIVER_STATES
+        and n_edge_rows <= MARKOV_MAX_DRIVER_ROWS
+    ):
+        edges = edges_df.collect()
+        types = sorted(
+            r["vertex"]
+            for r in events.select(F.col("event_type").alias("vertex"))
+            .distinct()
+            .collect()
+        )
+        p = {t: MARKOV_SCALE // k for t in types}
+        for _ in range(n_iterations):
+            msg: dict[str, int] = {}
+            for e in edges:
+                # (p_q * n) div r — truncating integer division, all
+                # operands non-negative: identical to the SQL `div`
+                msg[e["dst"]] = msg.get(e["dst"], 0) + (
+                    p[e["src"]] * e["n"]
+                ) // e["r"]
+            p = {t: msg.get(t, 0) for t in types}
+        return spark.createDataFrame(
+            [(t, int(p[t])) for t in types],
+            "event_type string, p_micro bigint",
+        )
+    # distributed fallback: same truncating integer arithmetic per
+    # superstep ((p_q·n) div r then per-dst integer sum), so the
+    # result is bit-identical to the driver loop at any threshold
+    from graph500_spark.operators.pregel import pregel
+
+    types_df = events.select(
+        F.col("event_type").alias("vertex")
+    ).distinct()
+    init = types_df.select(
+        "vertex", F.lit(MARKOV_SCALE // k).cast("long").alias("p_q")
+    )
+    out = pregel(
+        spark,
+        edges_df,
+        init,
+        send=lambda j: j.select(
+            F.col("dst").alias("vertex"),
+            F.expr("(p_q * n) div r").alias("msg"),
+        ),
+        merge=[F.sum("msg").cast("long").alias("msg")],
+        apply_fn=lambda st, inbox: st.join(inbox, "vertex", "left")
+        .select(
+            "vertex",
+            F.coalesce("msg", F.lit(0)).cast("long").alias("p_q"),
+        ),
+        n_supersteps=n_iterations,
+    )
+    return out.select(
+        F.col("vertex").alias("event_type"),
+        F.col("p_q").cast("long").alias("p_micro"),
     )
 
 
