@@ -52,6 +52,7 @@ def betweenness_sampled(
     max_depth: int = 32,
     shuffle_partitions: int | None = None,
     broadcast_rows: int = 2_000_000,
+    keep_pairs: bool = True,
 ) -> DataFrame:
     """[vertex, bc_q] — betweenness contribution sums (micro-units)
     over the sampled roots, excluding each root's own row (Brandes
@@ -91,32 +92,92 @@ def betweenness_sampled(
         def bc(df, n):
             return F.broadcast(df) if n <= broadcast_rows else df
 
+        # In the broadcast regime the forward pass ALSO materializes
+        # each level's TREE-PAIR table — the post-anti-join, pre-agg
+        # fan-out rows (root, v at lvl, w newly reached, σ_v). That
+        # multiset is exactly "edges from level l to level l+1 per
+        # root", i.e. the rows the backward pass used to RE-DERIVE by
+        # joining the full edge cache twice per level; caching them
+        # turns every backward level into one broadcast join over
+        # already-computed pairs (guide §2.4: don't recompute a join
+        # whose output you already had). The pairs checkpoint is lazy
+        # and chains under the level's count, so the forward pass
+        # still pays ONE driver barrier per level. Past broadcast_rows
+        # the pairs are not kept (caching edge-scale rows per level is
+        # the wrong trade at cluster scale) and the backward pass
+        # falls back to the re-join form below.
+        pairs_by_level: list | None = [] if keep_pairs else None
         while depth < max_depth:
             prev = levels[-1]
-            nxt = (
-                edges.join(
-                    bc(
-                        prev.withColumnRenamed("vertex", "src"),
-                        level_counts[-1],
-                    ),
-                    "src",
-                )
-                .select("root", F.col("dst").alias("vertex"), "sigma")
-                .join(bc(seen, n_seen), ["root", "vertex"], "left_anti")
-                .groupBy("root", "vertex")
-                .agg(F.sum("sigma").alias("sigma"))
-                .select(
-                    "root",
-                    "vertex",
-                    F.lit(depth + 1).cast("int").alias("depth"),
-                    "sigma",
-                )
-                # lazy checkpoint + count = one driver barrier/level
-                .transform(truncate_plan_lazy)
+            joined = edges.join(
+                bc(
+                    prev.withColumnRenamed("vertex", "src"),
+                    level_counts[-1],
+                ),
+                "src",
             )
+            in_regime = (
+                pairs_by_level is not None
+                and level_counts[-1] <= broadcast_rows
+                and n_seen <= broadcast_rows
+            )
+            if in_regime:
+                pairs = (
+                    joined.select(
+                        "root",
+                        F.col("src").alias("v"),
+                        F.col("dst").alias("w"),
+                        F.col("sigma").alias("sigma_v"),
+                    )
+                    .join(
+                        bc(
+                            seen.select(
+                                "root", F.col("vertex").alias("w")
+                            ),
+                            n_seen,
+                        ),
+                        ["root", "w"],
+                        "left_anti",
+                    )
+                    .transform(truncate_plan_lazy)
+                )
+                nxt = (
+                    pairs.groupBy("root", F.col("w").alias("vertex"))
+                    .agg(F.sum("sigma_v").alias("sigma"))
+                    .select(
+                        "root",
+                        "vertex",
+                        F.lit(depth + 1).cast("int").alias("depth"),
+                        "sigma",
+                    )
+                    # one count materializes nxt AND the chained pairs
+                    .transform(truncate_plan_lazy)
+                )
+            else:
+                pairs_by_level = None  # fall back for the whole query
+                pairs = None
+                nxt = (
+                    joined.select(
+                        "root", F.col("dst").alias("vertex"), "sigma"
+                    )
+                    .join(
+                        bc(seen, n_seen), ["root", "vertex"], "left_anti"
+                    )
+                    .groupBy("root", "vertex")
+                    .agg(F.sum("sigma").alias("sigma"))
+                    .select(
+                        "root",
+                        "vertex",
+                        F.lit(depth + 1).cast("int").alias("depth"),
+                        "sigma",
+                    )
+                    .transform(truncate_plan_lazy)
+                )
             n_nxt = nxt.count()
             if n_nxt == 0:
                 break
+            if pairs_by_level is not None:
+                pairs_by_level.append(pairs)
             levels.append(nxt)
             level_counts.append(n_nxt)
             n_seen += n_nxt
@@ -171,30 +232,62 @@ def betweenness_sampled(
             # each tree edge (v at lvl) -> (w at lvl+1) contributes
             # (σ_v·(SCALE+δ_q(w)) + σ_w div 2) div σ_w  — half-up
             # integer rounding, exact and order-free under the sum
-            contrib = (
-                edges.join(
-                    bc(
-                        cur.select(
-                            "root",
-                            F.col("vertex").alias("src"),
-                            F.col("sigma").alias("sigma_v"),
+            if pairs_by_level is not None:
+                # broadcast regime: the tree pairs were materialized by
+                # the forward pass — one broadcast join of the child
+                # state over the cached pairs replaces the two
+                # full-edge-cache joins (same (v, w) multiset, same
+                # term expression, bit-identical integer sums)
+                contrib = (
+                    pairs_by_level[lvl]
+                    .join(
+                        bc(
+                            child.select(
+                                "root",
+                                F.col("dst").alias("w"),
+                                "sigma_w",
+                                "dq_w",
+                            ),
+                            n_child,
                         ),
-                        level_counts[lvl],
-                    ),
-                    "src",
+                        ["root", "w"],
+                    )
+                    .select(
+                        "root",
+                        F.col("v").alias("vertex"),
+                        F.expr(
+                            f"(sigma_v * ({BC_SCALE} + dq_w)"
+                            " + sigma_w div 2) div sigma_w"
+                        ).alias("term_q"),
+                    )
+                    .groupBy("root", "vertex")
+                    .agg(F.sum("term_q").cast("long").alias("delta_q"))
                 )
-                .join(bc(child, n_child), ["root", "dst"])
-                .select(
-                    "root",
-                    F.col("src").alias("vertex"),
-                    F.expr(
-                        f"(sigma_v * ({BC_SCALE} + dq_w)"
-                        " + sigma_w div 2) div sigma_w"
-                    ).alias("term_q"),
+            else:
+                contrib = (
+                    edges.join(
+                        bc(
+                            cur.select(
+                                "root",
+                                F.col("vertex").alias("src"),
+                                F.col("sigma").alias("sigma_v"),
+                            ),
+                            level_counts[lvl],
+                        ),
+                        "src",
+                    )
+                    .join(bc(child, n_child), ["root", "dst"])
+                    .select(
+                        "root",
+                        F.col("src").alias("vertex"),
+                        F.expr(
+                            f"(sigma_v * ({BC_SCALE} + dq_w)"
+                            " + sigma_w div 2) div sigma_w"
+                        ).alias("term_q"),
+                    )
+                    .groupBy("root", "vertex")
+                    .agg(F.sum("term_q").cast("long").alias("delta_q"))
                 )
-                .groupBy("root", "vertex")
-                .agg(F.sum("term_q").cast("long").alias("delta_q"))
-            )
             delta = tp_bk(
                 cur.select("root", "vertex")
                 .join(contrib, ["root", "vertex"], "left")
